@@ -1,0 +1,61 @@
+"""Pipeline configuration.
+
+The scalar model weights mirror the reference's shipped defaults
+(reference: src/main/scala/el/EL_LBP_Spark.scala:111-117 hard-codes
+g=0.5, b=0.075, delta_w_e=1.0, xi=0.5, delta_cocit=0.5,
+cocit_e_e_param=0.01); the blocking / salting / cap knobs replace the
+reference's silent doc-size drops (eval/EvalOnDatasets.scala:172) with
+explicit, manifest-accounted skew controls.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ScorerWeights:
+    """Scalar weights of the pairwise scorer.
+
+    Analog of the reference's ScorerWeights
+    (loopybeliefpropagation/ScorerWeights.scala:3-44): a handful of
+    scalars, broadcast to every scorer actor.
+    """
+
+    f: float = 1.0            # weight of the unary (rho / salience) term
+    g: float = 0.5            # weight of the pairwise (lambda / PMI) term
+    h: float = 0.17           # popularity-discount exponent inside lambda
+    b: float = 0.075          # context-term weight inside rho
+    delta_cocit: float = 0.5  # absolute discount on co-occurrence counts
+    cocit_e_e_param: float = 0.01  # smoothing mass for unseen pairs
+    w_jw: float = 1.0         # Jaro-Winkler string-similarity weight
+    w_jac: float = 1.0        # token-Jaccard weight
+    match_threshold: float = 0.60  # calibrated on the golden fixture corpus
+    lambda_floor: float = -10.0    # finite analog of the reference's -1000
+                                   # no-cocitation floor (ScorerFull.scala:222-226)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- blocking ---
+    num_perm: int = 64          # minhash permutations
+    lsh_bands: int = 16         # bands (rows per band = num_perm // lsh_bands)
+    shingle_k: int = 3          # token-shingle width fed to minhash
+    block_cap: int = 256        # max members of one block before salting
+    adjacent_chunks: int = 1    # salted blocks: pair window across chunks
+    # --- per-conv feature caps (bound pair-row width; analog of the
+    # reference's top-10 candidate pruning, MentEntsFreqIndexWrapper.scala:53-55)
+    max_tokens_per_conv: int = 128   # most-salient tokens carried on pair rows
+    jw_text_cap: int = 256           # chars of canonical text used for Jaro-Winkler
+    top_shared_tokens: int = 16      # shared tokens entering the lambda sum
+    # --- stats ---
+    min_token_freq: int = 1     # vocab floor (reference min word count is 20
+                                # at Wikipedia scale; 1 at fixture scale)
+    # --- execution ---
+    scorer_concurrency: int = 4
+    scorer_batch_size: int = 4096
+    canonicalize_batch_format: str = "pandas"
+    # --- weights ---
+    weights: ScorerWeights = field(default_factory=ScorerWeights)
+    # --- determinism ---
+    seed: int = 42

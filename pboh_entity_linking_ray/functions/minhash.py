@@ -1,0 +1,78 @@
+"""Vectorized MinHash signatures over uint64 shingle hashes.
+
+MinHash/LSH is the new engine's blocking device (SURVEY.md §7.1 step 3) —
+the approximation that replaces the reference's exhaustive per-document
+candidate cross-products (reference: loopybeliefpropagation/
+CocitationMap.scala:19-73 computes O(l²·c²) pairs per doc; we only ever
+pair conversations that share an LSH band or signature key).
+
+Permutation family: h_j(x) = (a_j * x + b_j) mod 2^64 with odd a_j —
+uint64 wraparound multiplication, fully vectorized with
+``np.minimum.reduceat`` over row segments (no Python loop per row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import stable_u64
+
+_EMPTY_HASH = np.uint64(stable_u64("__empty_doc__"))
+
+
+class MinHasher:
+    def __init__(self, num_perm: int = 64, seed: int = 42):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.num_perm = num_perm
+        self.a = (rng.integers(1, 1 << 63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+
+    def signatures(self, hash_lists: list[np.ndarray]) -> np.ndarray:
+        """Per-row shingle-hash arrays → (n_rows, num_perm) uint64 matrix."""
+        n = len(hash_lists)
+        if n == 0:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        safe = [h if len(h) else np.array([_EMPTY_HASH], dtype=np.uint64)
+                for h in hash_lists]
+        lengths = np.array([len(h) for h in safe], dtype=np.int64)
+        flat = np.concatenate(safe).astype(np.uint64)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        # (n_flat, P) permuted values with uint64 wraparound
+        vals = flat[:, None] * self.a[None, :] + self.b[None, :]
+        return np.minimum.reduceat(vals, starts, axis=0)
+
+    def band_keys(self, sigs: np.ndarray, num_bands: int) -> np.ndarray:
+        """(n, P) signatures → (n, num_bands) uint64 band-bucket hashes.
+
+        Rows-per-band r = P // num_bands; the r signature values of a band
+        are folded with a wraparound polynomial hash.
+        """
+        n, p = sigs.shape
+        r = p // num_bands
+        assert r * num_bands == p, "num_perm must be divisible by num_bands"
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        out = np.empty((n, num_bands), dtype=np.uint64)
+        for band in range(num_bands):
+            seg = sigs[:, band * r : (band + 1) * r]
+            acc = np.full(n, np.uint64(band + 1), dtype=np.uint64)
+            for c in range(r):
+                acc = (acc * mult) ^ seg[:, c]
+            out[:, band] = acc
+        return out
+
+
+def bottom_k_jaccard(a: np.ndarray, b: np.ndarray, k: int) -> float:
+    """Bottom-k sketch Jaccard estimate of two *sorted unique* uint64 arrays
+    that were each truncated to their k smallest hashes (min-wise sampling).
+
+    Standard estimator: take the k smallest of the union; the fraction of
+    those present in both sketches estimates J(A, B).
+    """
+    if len(a) == 0 or len(b) == 0:
+        return 0.0
+    union = np.union1d(a, b)[:k]
+    inter = np.intersect1d(a, b, assume_unique=True)
+    hits = np.searchsorted(union, inter, side="left")
+    common = int(np.sum((hits < len(union)) & (union[np.clip(hits, 0, len(union) - 1)] == inter)))
+    return common / len(union)

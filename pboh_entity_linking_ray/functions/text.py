@@ -1,0 +1,85 @@
+"""Vectorized text normalization / tokenization.
+
+Capability analogs of the reference's normalizer and tokenizer
+(reference: src/main/scala/utils/Normalizer.scala:9-11 normalizeLowercase;
+src/main/scala/context/TextSplittingInWords.scala:15-45 splitDocInWords;
+src/main/scala/context/StopWords.scala:5-71), expressed over Arrow/polars
+string columns instead of per-string Scala loops.
+
+IMPORTANT oracle contract: ``TOKEN_PATTERN`` must stay equal to the regex
+used in every DuckDB oracle query (``regexp_extract_all(lower(text),
+'[a-z0-9]+')``) — the driver's correctness gate hashes Ray vs SQL outputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from .stemmer import porter_stem
+
+TOKEN_PATTERN = "[a-z0-9]+"
+
+# A compact English stop-word list (reference keeps a ~70-entry list,
+# context/StopWords.scala:5-71; ours is independent and much smaller —
+# fixture text is synthetic).
+STOPWORDS: frozenset[str] = frozenset(
+    """a an and are as at be but by for from had has have he her his i if in
+    into is it its me my no not of on or our she so that the their them they
+    this to was we were what when which who will with you your""".split()
+)
+
+
+def to_polars(col) -> pl.Series:
+    """Zero-copy-ish conversion of a pyarrow column to a polars Series."""
+    if isinstance(col, pl.Series):
+        return col
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pl.from_arrow(col) if isinstance(col, pa.Array) else pl.Series(col)
+
+
+def normalize_series(col) -> pl.Series:
+    """Lowercase + trim (analog of normalizeLowercase + trim callers)."""
+    return to_polars(col).str.to_lowercase().str.strip_chars()
+
+
+def tokenize_series(col) -> pl.Series:
+    """Lowercase text column → list<str> tokens matching TOKEN_PATTERN."""
+    return (
+        to_polars(col)
+        .str.to_lowercase()
+        .str.extract_all(TOKEN_PATTERN)
+    )
+
+
+def content_tokens(tokens: list[str]) -> list[str]:
+    """Stop-word-filtered, Porter-stemmed tokens (order preserved)."""
+    return [porter_stem(t) for t in tokens if t not in STOPWORDS]
+
+
+def shingles(tokens: list[str], k: int) -> list[str]:
+    """k-token shingles; for short docs falls back to the tokens."""
+    if len(tokens) < k:
+        return [" ".join(tokens)] if tokens else []
+    return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+
+
+def token_lists_to_hashes(token_lists: pl.Series, *, seed: int = 0) -> list[np.ndarray]:
+    """Hash a Series of list<str> to per-row unique uint64 arrays.
+
+    One vectorized hash over the exploded flat token column (no Python
+    loop over tokens), then split back per row.
+    """
+    lengths = token_lists.list.len().fill_null(0).to_numpy()
+    flat = token_lists.explode().drop_nulls()
+    if len(flat) == 0:
+        return [np.empty(0, dtype=np.uint64) for _ in range(len(token_lists))]
+    hashed = flat.hash(seed=seed).to_numpy().astype(np.uint64)
+    out: list[np.ndarray] = []
+    offset = 0
+    for n in lengths:
+        out.append(np.unique(hashed[offset : offset + int(n)]))
+        offset += int(n)
+    return out

@@ -1,0 +1,98 @@
+"""The flagship end-to-end linkage pipeline.
+
+read turns → canonicalize → featurize → stats (vocab, cooc) → block →
+pair-gen (salted) → dedup → score (actor pool) → cluster → eval.
+
+Every ``→`` is an optional Parquet checkpoint with a lineage manifest
+(state/checkpoint.py); passing ``checkpoint_root=None`` keeps the whole
+thing one lazy streaming plan.  Structural ancestor: the reference's
+distributed ClueWeb path (read → key-by-doc → shuffle-group → stateful
+scoring with broadcast indexes → metric reduce, reference:
+src/main/scala/eval/cweb/RunLoopyAgainstAllGoogleClweb.scala:221-275).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..config import PipelineConfig
+from ..stages.blocking import add_block_keys, dedup_pairs, make_pairs
+from ..stages.canonicalize import canonicalize
+from ..stages.clustering import cluster_matches
+from ..stages.featurize import featurize
+from ..stages.scoring import BroadcastStats, score_pairs
+from ..stages.stats import build_cooc, build_vocab
+from ..state.checkpoint import StageRunner
+
+
+def score_histogram(scored: ray.data.Dataset, bins: int = 20) -> list[int]:
+    """Histogram of pair scores (manifest metric; analog of the reference's
+    candidate-rank histograms, eval/cweb/GlobalCountersCWEB.scala:102-134)."""
+    from ray.data.aggregate import Sum
+
+    edges = np.linspace(0.0, 1.0, bins + 1)
+
+    def h(t: pa.Table) -> pa.Table:
+        counts, _ = np.histogram(np.asarray(t["score"]), bins=edges)
+        return pa.table({f"h{i}": pa.array([int(c)], type=pa.int64())
+                         for i, c in enumerate(counts)})
+
+    part = scored.map_batches(h, batch_format="pyarrow")
+    agg = part.aggregate(*[Sum(f"h{i}", alias_name=f"h{i}") for i in range(bins)])
+    return [int(agg.get(f"h{i}") or 0) for i in range(bins)]
+
+
+class LinkageResult:
+    def __init__(self, conv_docs, features, vocab, cooc, pairs, scored,
+                 matches, clusters, n_convs):
+        self.conv_docs = conv_docs
+        self.features = features
+        self.vocab = vocab
+        self.cooc = cooc
+        self.pairs = pairs
+        self.scored = scored
+        self.matches = matches
+        self.clusters = clusters
+        self.n_convs = n_convs
+
+
+def run_linkage(
+    turns: ray.data.Dataset,
+    cfg: PipelineConfig | None = None,
+    checkpoint_root: str | None = None,
+) -> LinkageResult:
+    cfg = cfg or PipelineConfig()
+    runner = StageRunner(checkpoint_root)
+
+    conv_docs = runner.run("conv_docs", lambda: canonicalize(turns))
+    features = runner.run("features", lambda: featurize(conv_docs, cfg))
+
+    vocab = runner.run("vocab", lambda: build_vocab(conv_docs))
+    cooc = runner.run("cooc", lambda: build_cooc(features, cfg))
+
+    # stats are the small side: materialize driver-side once, broadcast
+    vocab_tbl = pa.Table.from_pandas(vocab.to_pandas(), preserve_index=False)
+    cooc_tbl = pa.Table.from_pandas(cooc.to_pandas(), preserve_index=False)
+    n_convs = features.count()
+    stats = BroadcastStats.from_tables(vocab_tbl, cooc_tbl, n_convs)
+
+    blocked = add_block_keys(features, cfg)
+    pairs = runner.run(
+        "pairs", lambda: dedup_pairs(make_pairs(blocked, cfg))
+    )
+    scored = runner.run("scored", lambda: score_pairs(pairs, stats, cfg))
+    if runner.root:
+        runner.add_metrics("scored", {"score_histogram": score_histogram(scored)})
+
+    matches = scored.filter(expr="is_match")
+    clusters = runner.run(
+        "clusters",
+        lambda: cluster_matches(
+            matches.select_columns(["conv_a", "conv_b"]),
+            features.select_columns(["conv_id"]),
+        ).sort("conv_id"),
+    )
+    return LinkageResult(conv_docs, features, vocab, cooc, pairs, scored,
+                         matches, clusters, n_convs)
