@@ -78,6 +78,8 @@ def char_trigrams(s: str) -> set[str]:
 
 
 def trigram_similarity(s1: str, s2: str) -> float:
+    if not s1 or not s2:
+        return 0.0
     t1, t2 = char_trigrams(s1), char_trigrams(s2)
     if not t1 or not t2:
         return 0.0

@@ -127,7 +127,7 @@ def porter_stem(word: str) -> str:  # noqa: C901 - the algorithm is a case table
             w = out
             break
 
-    # Step 4
+    # Step 4 ("ion" has the extra preceding-s/t condition)
     for suf in (
         "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
         "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
@@ -136,8 +136,6 @@ def porter_stem(word: str) -> str:  # noqa: C901 - the algorithm is a case table
             stem = w[: len(w) - len(suf)]
             if _measure(stem) > 1:
                 w = stem
-            break
-        if suf == "ent" and w.endswith("ion"):
             break
     else:
         if w.endswith("ion") and len(w) > 3 and w[-4] in "st":

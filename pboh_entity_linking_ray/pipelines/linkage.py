@@ -68,6 +68,14 @@ def run_linkage(
 
     conv_docs = runner.run("conv_docs", lambda: canonicalize(turns))
     features = runner.run("features", lambda: featurize(conv_docs, cfg))
+    if not runner.root:
+        # several consumers (vocab, cooc, blocking, count) share this
+        # lineage; without Parquet checkpoints, pin the per-conv tables in
+        # the object store so canonicalize/featurize run exactly once.
+        # (With a checkpoint root the Parquet read-back serves this role —
+        # that is the 100 TB path; materialize() is only for small runs.)
+        conv_docs = conv_docs.materialize()
+        features = features.materialize()
 
     vocab = runner.run("vocab", lambda: build_vocab(conv_docs))
     cooc = runner.run("cooc", lambda: build_cooc(features, cfg))
@@ -85,6 +93,8 @@ def run_linkage(
     scored = runner.run("scored", lambda: score_pairs(pairs, stats, cfg))
     if runner.root:
         runner.add_metrics("scored", {"score_histogram": score_histogram(scored)})
+    else:
+        scored = scored.materialize()  # consumed by both matches and callers
 
     matches = scored.filter(expr="is_match")
     clusters = runner.run(

@@ -142,6 +142,8 @@ def score_pairs(pairs: ray.data.Dataset, stats: BroadcastStats,
         fn_constructor_kwargs={"stats_ref": stats_ref, "cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.scorer_batch_size,
-        concurrency=cfg.scorer_concurrency,
+        # elastic pool: min 1 so the stage can never starve the rest of the
+        # pipeline on a small machine; scales to scorer_concurrency actors
+        concurrency=(1, cfg.scorer_concurrency),
         num_cpus=1,
     )

@@ -1,0 +1,41 @@
+"""Golden-fixture gate: pairwise F1 ≥ 0.99 on labeled same-block pairs and
+exact cluster agreement vs the generator's gold clusters (BASELINE.md
+correctness target; the reference's e2e-vs-gold pattern,
+eval/EvalOnDatasets.scala)."""
+
+from pboh_entity_linking_ray.stages.evaluate import (
+    cluster_size_histogram,
+    pairwise_metrics,
+)
+
+
+def test_pairwise_f1_gate(linkage200, corpus200):
+    m = pairwise_metrics(linkage200.scored, corpus200.labels)
+    assert m["f1"] >= 0.99, m
+
+
+def test_cluster_agreement(linkage200, corpus200):
+    pred = linkage200.clusters.to_pandas()
+    gold = corpus200.golden_clusters.to_pandas()
+    j = pred.merge(gold, on="conv_id", suffixes=("_p", "_g"))
+    assert len(j) == len(gold)
+    agreement = (j.cluster_id_p == j.cluster_id_g).mean()
+    assert agreement >= 0.99, agreement
+
+
+def test_every_conv_clustered_once(linkage200, corpus200):
+    pred = linkage200.clusters.to_pandas()
+    assert pred["conv_id"].is_unique
+    assert len(pred) == corpus200.golden_clusters.num_rows
+
+
+def test_scored_pairs_unique(linkage200):
+    sp = linkage200.scored.to_pandas()
+    assert sp["pair_key"].is_unique  # no pair scored twice (FIXTURES.md §5)
+    assert sp["score"].between(0, 1).all()
+    assert sp["score"].notna().all()  # reference asserts non-NaN scores
+
+
+def test_cluster_size_histogram(linkage200):
+    hist = cluster_size_histogram(linkage200.clusters)
+    assert hist["n_convs"].sum() == 200

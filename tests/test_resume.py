@@ -1,0 +1,49 @@
+"""Kill-at-stage-k resume: byte-identical final clusters (north_rule)."""
+
+import os
+import shutil
+
+import ray.data as rd
+
+from pboh_entity_linking_ray.pipelines.linkage import run_linkage
+from pboh_entity_linking_ray.sources.synthetic import generate_corpus
+
+
+def _clusters_csv(res):
+    return res.clusters.to_pandas().sort_values("conv_id").to_csv(index=False)
+
+
+def test_resume_byte_identical(ray_session, tmp_path):
+    root = str(tmp_path / "ckpt")
+    corpus = generate_corpus(80, 31)
+    res1 = run_linkage(rd.from_arrow(corpus.turns), checkpoint_root=root)
+    first = _clusters_csv(res1)
+
+    manifests = set(os.listdir(os.path.join(root, "manifest")))
+    assert {"conv_docs.json", "features.json", "vocab.json", "cooc.json",
+            "pairs.json", "scored.json", "clusters.json"} <= manifests
+
+    # simulate kill after 'pairs': drop the checkpoints of later stages
+    for stage in ("scored", "clusters"):
+        os.remove(os.path.join(root, "manifest", f"{stage}.json"))
+        shutil.rmtree(os.path.join(root, f"stage={stage}"))
+
+    res2 = run_linkage(rd.from_arrow(corpus.turns), checkpoint_root=root)
+    assert _clusters_csv(res2) == first
+
+
+def test_manifest_consistency(ray_session, tmp_path):
+    root = str(tmp_path / "ckpt2")
+    corpus = generate_corpus(60, 32)
+    res = run_linkage(rd.from_arrow(corpus.turns), checkpoint_root=root)
+    import json
+
+    with open(os.path.join(root, "manifest", "pairs.json")) as f:
+        pairs_m = json.load(f)
+    assert pairs_m["row_count"] == res.pairs.count()
+    assert sum(p["rows"] for p in pairs_m["partitions"]) == pairs_m["row_count"]
+
+    with open(os.path.join(root, "manifest", "scored.json")) as f:
+        scored_m = json.load(f)
+    hist = scored_m["metrics"]["score_histogram"]
+    assert sum(hist) == scored_m["row_count"]
