@@ -47,6 +47,16 @@ def hash_strings_u64(values, *, seed: int = 0) -> np.ndarray:
     return s.hash(seed=seed).to_numpy().astype(np.uint64)
 
 
+def md5_lower64(s: str) -> int:
+    """Exactly DuckDB's ``md5_number_lower``: the little-endian uint64 of
+    the LAST 8 bytes of the md5 digest.  Used ONLY by oracle-parity
+    queries (the hot path uses the vectorized xxhash in
+    ``hash_strings_u64``); keeping both engines on the same hash lets the
+    DuckDB oracle reproduce MinHash/SimHash results bit-for-bit.
+    """
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
+
+
 def pack_pair(a: int, b: int) -> int:
     """Pack two uint32 ids into one uint64 unordered-pair key (min in the
     high half) — analog of the reference's compressTwoInts."""

@@ -1,0 +1,455 @@
+"""Oracle-checked relational/analytic queries over the testdata tables.
+
+Each entry exercises one operator family from SURVEY.md §2 as an idiomatic
+Ray Data pipeline, with an ANSI-SQL twin (DuckDB oracle) producing
+identical column names and values.  These are the general query-engine
+capabilities the reference exposes through its Spark jobs (groupByKey /
+reduceByKey / sorts / distinct — SURVEY.md §2.6-2.8) re-expressed
+Ray-Data-first.
+
+Float aggregates are rounded on both sides (sum order differs between
+engines; rounding makes the value-hash comparison stable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions.langid import predict_lang, sql_case_expr
+from ..functions.text import STOPWORDS
+
+
+def _t(sf_dir: str, name: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _round_cols(tbl: pa.Table, cols: dict[str, int]) -> pa.Table:
+    for c, nd in cols.items():
+        i = tbl.schema.get_field_index(c)
+        tbl = tbl.set_column(i, c, pc.round(tbl[c], ndigits=nd))
+    return tbl
+
+
+# --- q01: grouped aggregate with pre-aggregation (TPC-H Q1 shape) ----------
+
+def q01_lineitem_agg(sf_dir: str):
+    """Analog of the reference's reduceByKey word-count aggregations
+    (context/WordFreqPerCorpus.scala:34-40) over numeric measures."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"],
+                                   pa.scalar(pd.Timestamp("1998-09-02"))))
+        # integer-scaled measures: float sums are order-dependent across
+        # engines; per-row floor(x*scale+0.5) then int64 sums are exact
+        disc = np.asarray(t["l_extendedprice"]) * (1.0 - np.asarray(t["l_discount"]))
+        t = t.append_column("qty_e2", pa.array(
+            np.floor(np.asarray(t["l_quantity"]) * 100 + 0.5).astype(np.int64)))
+        t = t.append_column("base_e2", pa.array(
+            np.floor(np.asarray(t["l_extendedprice"]) * 100 + 0.5).astype(np.int64)))
+        return t.append_column("disc_e4", pa.array(
+            np.floor(disc * 10000 + 0.5).astype(np.int64)))
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_e2", alias_name="sum_qty_e2"),
+            Sum("base_e2", alias_name="sum_base_price_e2"),
+            Sum("disc_e4", alias_name="sum_disc_price_e4"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+SQL_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))      AS sum_qty_e2,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_price_e2,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
+                                                               AS sum_disc_price_e4,
+       count(*)                                                AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- q02: broadcast hash join + aggregate ----------------------------------
+
+def q02_customer_revenue(sf_dir: str):
+    """Broadcast-small-side join (SURVEY.md §2.5 J1/J2 pattern: stream rows
+    looked up against an in-memory dimension map, no shuffle join)."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def scale(t: pa.Table) -> pa.Table:
+        return t.append_column("price_e2", pa.array(
+            np.floor(np.asarray(t["o_totalprice"]) * 100 + 0.5).astype(np.int64)))
+
+    agg = orders.map_batches(scale, batch_format="pyarrow").groupby(
+        "o_custkey"
+    ).aggregate(
+        Sum("price_e2", alias_name="total_spent_e2"),
+        Count(alias_name="n_orders"),
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).to_pandas()
+    lookup = ray.put({
+        int(k): (n, s) for k, n, s in
+        zip(cust["c_custkey"], cust["c_name"], cust["c_mktsegment"])
+    })
+
+    class AttachCustomer:
+        def __init__(self, ref):
+            self.map = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["o_custkey"].to_pylist()
+            names = [self.map[k][0] for k in keys]
+            segs = [self.map[k][1] for k in keys]
+            t = t.append_column("c_name", pa.array(names, type=pa.string()))
+            return t.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
+
+    out = agg.map_batches(
+        AttachCustomer, fn_constructor_kwargs={"ref": lookup},
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).rename_columns({"o_custkey": "c_custkey"})
+    return out
+
+
+SQL_Q02 = """
+SELECT o_custkey AS c_custkey, c_name, c_mktsegment,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_spent_e2,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2, 3
+"""
+
+
+# --- q03: top-k by aggregate (sort + limit) --------------------------------
+
+def q03_top_parts(sf_dir: str):
+    """Top-k pattern (analog of top-64 candidate pruning,
+    index_builder/LowercaseOrPruneCwikisMentionFreqIndex.scala:22-52);
+    deterministic tie-break on the key."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def scale(t: pa.Table) -> pa.Table:
+        return t.append_column("qty_e2", pa.array(
+            np.floor(np.asarray(t["l_quantity"]) * 100 + 0.5).astype(np.int64)))
+
+    agg = ds.map_batches(scale, batch_format="pyarrow").groupby(
+        "l_partkey"
+    ).aggregate(Sum("qty_e2", alias_name="sum_qty_e2"))
+    return agg.sort(["sum_qty_e2", "l_partkey"], descending=[True, False]).limit(10)
+
+
+SQL_Q03 = """
+SELECT l_partkey,
+       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_e2
+FROM lineitem GROUP BY l_partkey
+ORDER BY sum_qty_e2 DESC, l_partkey LIMIT 10
+"""
+
+
+# --- q04: event-time bucketing (pre-aggregated shuffle) --------------------
+
+def q04_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over event time expressed as
+    truncate-then-groupby with per-batch partial aggregation (the
+    pre-aggregation discipline of SURVEY.md §4.2)."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(t)
+        out = (
+            df.with_columns(pl.col("ts").dt.truncate("1h").alias("hour"))
+            .with_columns(((pl.col("value") * 100 + 0.5).floor().cast(pl.Int64))
+                          .alias("v_e2"))
+            .group_by(["event_type", "hour"])
+            .agg(pl.len().cast(pl.Int64).alias("n_partial"),
+                 pl.col("v_e2").sum().alias("v_partial"))
+        )
+        return out.to_arrow()
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["event_type", "hour"]
+    ).aggregate(
+        Sum("n_partial", alias_name="n_events"),
+        Sum("v_partial", alias_name="sum_value_e2"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # integer-exact average: (sum_e2 * 100) // n  → e4 fixed-point
+        avg = (np.asarray(t["sum_value_e2"]) * 100) // np.asarray(t["n_events"])
+        return t.append_column("avg_value_e4", pa.array(avg.astype(np.int64)))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_Q04 = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_e2,
+       (sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 100) // count(*)
+           AS avg_value_e4
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- q05: flat_map word count (G1 analog) ----------------------------------
+
+def q05_word_count(sf_dir: str):
+    """The reference's WordFreqPerCorpus (flatMap tokens → reduceByKey →
+    freq filter, context/WordFreqPerCorpus.scala:34-40) with per-batch
+    pre-aggregation before the shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+        toks = (
+            pl.from_arrow(t["text"].combine_chunks())
+            .str.to_lowercase().str.extract_all("[a-z0-9]+")
+            .explode().drop_nulls()
+        )
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n_partial": pa.array([], type=pa.int64())})
+        vc = pl.DataFrame({"token": toks}).group_by("token").len(name="n_partial")
+        return pa.table({"token": vc["token"].to_arrow(),
+                         "n_partial": vc["n_partial"].cast(pl.Int64).to_arrow()})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("token").aggregate(
+        Sum("n_partial", alias_name="n")
+    )
+    return agg.filter(expr="n >= 5")
+
+
+SQL_Q05 = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents)
+GROUP BY token HAVING count(*) >= 5
+"""
+
+
+# --- q06: exact dedup ------------------------------------------------------
+
+def q06_doc_dedup_exact(sf_dir: str):
+    """Exact dedup = group by content, keep first (reference analog:
+    ``.distinct`` on packed pair keys, EntityCooccurrenceIndex.scala:103).
+    At 100 TB the groupby key would be a content hash computed in a prior
+    map_batches (hash-partition + per-group first); at this scale grouping
+    by the text itself keeps the oracle trivial."""
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep_min(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array([pc.min(g["doc_id"]).as_py()], type=pa.int64()),
+            "n_copies": pa.array([g.num_rows], type=pa.int64()),
+        })
+
+    return ds.groupby("text").map_groups(keep_min, batch_format="pyarrow")
+
+
+SQL_Q06 = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+# --- q07: per-row token statistics -----------------------------------------
+
+def q07_token_stats(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(t)
+        toks = pl.col("text").str.to_lowercase().str.extract_all("[a-z0-9]+")
+        out = df.select(
+            pl.col("doc_id"),
+            toks.list.len().cast(pl.Int64).alias("n_tokens"),
+            toks.list.n_unique().cast(pl.Int64).alias("n_distinct_tokens"),
+            toks.list.eval(pl.element().str.len_chars()).list.sum()
+                .fill_null(0).cast(pl.Int64).alias("total_token_len"),
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_Q07 = """
+SELECT doc_id,
+       len(toks)                 AS n_tokens,
+       len(list_distinct(toks))  AS n_distinct_tokens,
+       coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS total_token_len
+FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents)
+"""
+
+
+# --- q08: quality scoring --------------------------------------------------
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
+
+
+def q08_quality_score(sf_dir: str):
+    """Heuristic document-quality scoring (length / stop-word ratio /
+    token shape) — a training-data-pipeline staple."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    stop = sorted(STOPWORDS)
+
+    def score(t: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(t)
+        toks = pl.col("text").str.to_lowercase().str.extract_all("[a-z0-9]+")
+        out = df.select(
+            pl.col("doc_id"),
+            toks.list.len().cast(pl.Int64).alias("n_tokens"),
+            toks.list.eval(pl.element().is_in(stop)).list.sum()
+                .fill_null(0).cast(pl.Int64).alias("n_stop"),
+            toks.list.eval(pl.element().str.len_chars()).list.sum()
+                .fill_null(0).cast(pl.Int64).alias("total_len"),
+        )
+        n = out["n_tokens"].to_numpy()
+        n_safe = np.maximum(n, 1)
+        # e4 fixed-point ratios via integer division → exact cross-engine
+        stop_e4 = np.where(n > 0, (out["n_stop"].to_numpy() * 10000) // n_safe, 0)
+        mlen_e4 = np.where(n > 0, (out["total_len"].to_numpy() * 10000) // n_safe, 0)
+        ok = (n >= 5) & (stop_e4 <= 5000) & (mlen_e4 >= 20000) & (mlen_e4 <= 120000)
+        return pa.table({
+            "doc_id": out["doc_id"].to_arrow(),
+            "n_tokens": out["n_tokens"].to_arrow(),
+            "stop_ratio_e4": pa.array(stop_e4.astype(np.int64)),
+            "mean_token_len_e4": pa.array(mlen_e4.astype(np.int64)),
+            "quality_ok": pa.array(ok, type=pa.bool_()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_Q08 = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS n_stop,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS total_len
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents)
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN n_tokens > 0 THEN (n_stop * 10000) // n_tokens ELSE 0 END
+           AS stop_ratio_e4,
+       CASE WHEN n_tokens > 0 THEN (total_len * 10000) // n_tokens ELSE 0 END
+           AS mean_token_len_e4,
+       (n_tokens >= 5
+        AND CASE WHEN n_tokens > 0 THEN (n_stop * 10000) // n_tokens ELSE 0 END <= 5000
+        AND CASE WHEN n_tokens > 0 THEN (total_len * 10000) // n_tokens ELSE 0 END
+            BETWEEN 20000 AND 120000) AS quality_ok
+FROM base
+"""
+
+
+# --- q09: language id ------------------------------------------------------
+
+def q09_langid(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def pred(t: pa.Table) -> pa.Table:
+        import polars as pl
+        toks = (
+            pl.from_arrow(t["text"].combine_chunks())
+            .str.to_lowercase().str.extract_all("[a-z0-9]+")
+        )
+        langs = [predict_lang(set(ts)) for ts in toks.to_list()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "pred_lang": pa.array(langs, type=pa.string())})
+
+    return ds.map_batches(pred, batch_format="pyarrow")
+
+
+_LANG_INNER, _LANG_COND = sql_case_expr("toks")
+SQL_Q09 = f"""
+SELECT doc_id, {_LANG_COND} AS pred_lang
+FROM (SELECT doc_id, {_LANG_INNER}
+      FROM (SELECT doc_id, list_distinct(regexp_extract_all(lower(text),
+                   '[a-z0-9]+')) AS toks FROM documents))
+"""
+
+
+# --- q14: sessionization (windowed aggregate over an event stream) ---------
+
+SESSION_GAP_MIN = 30
+
+
+def q14_sessionize(sf_dir: str):
+    """Session windows (gap > 30 min starts a new session) as
+    ``groupby(user).map_groups`` over ts-sorted groups — the streaming-
+    shaped custom operator pattern (partitioning assumption: one user's
+    events fit one group; ordering restored inside the UDF)."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        sid = gap.cumsum().astype("int64") + 1
+        out = g.assign(session_idx=sid).groupby("session_idx").agg(
+            n_events=("event_id", "count"),
+            start_ts=("ts", "min"), end_ts=("ts", "max"),
+        ).reset_index()
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_Q14 = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM e
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM s GROUP BY 1, 2
+"""
+
+QUERIES = {
+    "q01_lineitem_agg": (q01_lineitem_agg, SQL_Q01),
+    "q02_customer_revenue": (q02_customer_revenue, SQL_Q02),
+    "q03_top_parts": (q03_top_parts, SQL_Q03),
+    "q04_events_hourly": (q04_events_hourly, SQL_Q04),
+    "q05_word_count": (q05_word_count, SQL_Q05),
+    "q06_doc_dedup_exact": (q06_doc_dedup_exact, SQL_Q06),
+    "q07_token_stats": (q07_token_stats, SQL_Q07),
+    "q08_quality_score": (q08_quality_score, SQL_Q08),
+    "q09_langid": (q09_langid, SQL_Q09),
+    "q14_sessionize": (q14_sessionize, SQL_Q14),
+}
