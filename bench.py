@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "pairs_scored": N, "pairs_per_sec": N}
+
+--scaling: runs the headline linkage pipeline in two fresh subprocesses
+(num_cpus=8 and 32) on the same input and reports both throughputs plus
+efficiency = (t8/t32)/4 — the in-sandbox evidence protocol for the
+north_rule's N→4N cluster-size criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    import ray.data
+
+    from pboh_entity_linking_ray.config import PipelineConfig
+    from pboh_entity_linking_ray.pipelines import ann, relational, textops
+    from pboh_entity_linking_ray.pipelines.linkage import run_linkage
+    from pboh_entity_linking_ray.pipelines.linkage_queries import (
+        CORPUS_CACHE,
+        _turns,
+    )
+    from pboh_entity_linking_ray.sources.synthetic import ensure_corpus, sf_to_n_convs
+
+    ensure_corpus(CORPUS_CACHE, sf_to_n_convs(sf_dir))  # untimed corpus gen
+    # warm the page cache: one untimed read of the inputs
+    _turns(sf_dir).count()
+    ray.data.read_parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    queries: dict[str, float] = {}
+    t0 = time.perf_counter()
+    cfg = PipelineConfig(scorer_concurrency=max(2, num_cpus // 2))
+    res = run_linkage(_turns(sf_dir), cfg)
+    pairs_scored = res.scored.count()
+    n_clusters = res.clusters.count()
+    t_link = time.perf_counter() - t0
+    queries["link_pipeline"] = round(t_link, 3)
+
+    for name, fn in {
+        "q01_lineitem_agg": relational.q01_lineitem_agg,
+        "q04_events_hourly": relational.q04_events_hourly,
+        "q05_word_count": relational.q05_word_count,
+        "q10_knn_bruteforce": ann.q10_knn_bruteforce,
+        "q12_ngram_jaccard_pairs": textops.q12_ngram_jaccard_pairs,
+    }.items():
+        t = time.perf_counter()
+        out = fn(sf_dir)
+        if hasattr(out, "count"):
+            out.count()
+        queries[name] = round(time.perf_counter() - t, 3)
+
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "linkage+ops wall time (headline: candidate pairs scored/sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "pairs_scored": int(pairs_scored),
+        "n_clusters": int(n_clusters),
+        "pairs_per_sec": round(pairs_scored / t_link, 1),
+    }
+
+
+def _subprocess_run(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = _subprocess_run(lo)
+        r_hi = _subprocess_run(hi)
+        t_lo = r_lo["queries"]["link_pipeline"]
+        t_hi = r_hi["queries"]["link_pipeline"]
+        eff = (t_lo / t_hi) / (hi / lo)
+        print(json.dumps({
+            "sf": r_lo["sf"],
+            "sec_8": t_lo, "sec_32": t_hi,
+            "pairs_per_sec_8": r_lo["pairs_per_sec"],
+            "pairs_per_sec_32": r_hi["pairs_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+        }))
+        return
+
+    result = run_bench(sf_dir, num_cpus)
+    import ray
+
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

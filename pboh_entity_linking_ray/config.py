@@ -39,14 +39,26 @@ class ScorerWeights:
 class PipelineConfig:
     # --- blocking ---
     num_perm: int = 64          # minhash permutations
-    lsh_bands: int = 16         # bands (rows per band = num_perm // lsh_bands)
+    lsh_bands: int = 24         # number of LSH bands
+    lsh_rows: int = 1           # rows per band; r=1 because measured
+                                # non-duplicate pairs share ~zero shingles
+                                # (miss prob (1-s)^bands ≤ 1% at s=0.25)
     shingle_k: int = 3          # token-shingle width fed to minhash
     block_cap: int = 256        # max members of one block before salting
-    adjacent_chunks: int = 1    # salted blocks: pair window across chunks
+    max_pairs_per_block: int = 50_000  # pair budget for a salted block: the
+                                # chunk size is derived so emitted pairs stay
+                                # under this budget regardless of block size
+    salt_boundary: int = 16     # cross-chunk boundary window (last W of
+                                # chunk i × first W of chunk i+1 in the
+                                # minhash-sorted order)
     # --- per-conv feature caps (bound pair-row width; analog of the
     # reference's top-10 candidate pruning, MentEntsFreqIndexWrapper.scala:53-55)
     max_tokens_per_conv: int = 128   # most-salient tokens carried on pair rows
-    jw_text_cap: int = 256           # chars of canonical text used for Jaro-Winkler
+    jw_text_cap: int = 48            # chars of canonical text used for
+                                     # Jaro-Winkler; JW is O(L·window) pure
+                                     # Python per pair — 48 chars keeps the
+                                     # kernel ~0.1 ms/pair while the prefix
+                                     # still separates match/non-match
     top_shared_tokens: int = 16      # shared tokens entering the lambda sum
     # --- stats ---
     min_token_freq: int = 1     # vocab floor (reference min word count is 20

@@ -42,15 +42,20 @@ class MinHasher:
         vals = flat[:, None] * self.a[None, :] + self.b[None, :]
         return np.minimum.reduceat(vals, starts, axis=0)
 
-    def band_keys(self, sigs: np.ndarray, num_bands: int) -> np.ndarray:
+    def band_keys(self, sigs: np.ndarray, num_bands: int,
+                  rows_per_band: int | None = None) -> np.ndarray:
         """(n, P) signatures → (n, num_bands) uint64 band-bucket hashes.
 
-        Rows-per-band r = P // num_bands; the r signature values of a band
-        are folded with a wraparound polynomial hash.
+        The first num_bands*rows_per_band signature columns are used; each
+        band's r values are folded with a wraparound polynomial hash.
+        rows_per_band tunes the S-curve: r=1 collides on ANY shared minimum
+        (high recall — right when non-duplicates share ~no shingles, as
+        measured on the transcript corpus), r=4 demands 4 agreeing minima
+        (high precision for dirtier shingle distributions).
         """
         n, p = sigs.shape
-        r = p // num_bands
-        assert r * num_bands == p, "num_perm must be divisible by num_bands"
+        r = rows_per_band if rows_per_band is not None else p // num_bands
+        assert r * num_bands <= p, "need num_bands*rows_per_band <= num_perm"
         mult = np.uint64(0x9E3779B97F4A7C15)
         out = np.empty((n, num_bands), dtype=np.uint64)
         for band in range(num_bands):

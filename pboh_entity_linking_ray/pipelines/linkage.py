@@ -18,7 +18,7 @@ import pyarrow as pa
 import ray.data
 
 from ..config import PipelineConfig
-from ..stages.blocking import add_block_keys, dedup_pairs, make_pairs
+from ..stages.blocking import add_block_keys, make_pairs
 from ..stages.canonicalize import canonicalize
 from ..stages.clustering import cluster_matches
 from ..stages.featurize import featurize
@@ -87,9 +87,9 @@ def run_linkage(
     stats = BroadcastStats.from_tables(vocab_tbl, cooc_tbl, n_convs)
 
     blocked = add_block_keys(features, cfg)
-    pairs = runner.run(
-        "pairs", lambda: dedup_pairs(make_pairs(blocked, cfg))
-    )
+    # make_pairs emits each pair exactly once (min-common-block rule) —
+    # no global dedup shuffle needed
+    pairs = runner.run("pairs", lambda: make_pairs(blocked, cfg))
     scored = runner.run("scored", lambda: score_pairs(pairs, stats, cfg))
     if runner.root:
         runner.add_metrics("scored", {"score_histogram": score_histogram(scored)})

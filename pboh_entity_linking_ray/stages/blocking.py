@@ -68,7 +68,7 @@ class BlockKeyEmitter:
         sigs = np.asarray(batch["minhash"].combine_chunks().flatten()).reshape(
             n, cfg.num_perm
         )
-        band = self.mh.band_keys(sigs, cfg.lsh_bands)          # (n, B) uint64
+        band = self.mh.band_keys(sigs, cfg.lsh_bands, cfg.lsh_rows)  # (n, B)
         sig_hash = (
             pl.from_arrow(batch["sig"].combine_chunks())
             .hash(seed=13)
@@ -82,14 +82,31 @@ class BlockKeyEmitter:
         key_mat[:, cfg.lsh_bands] = sig_hash
         prefix = np.empty((n, n_keys), dtype=object)
         for b in range(cfg.lsh_bands):
-            prefix[:, b] = f"b{b}:"
+            prefix[:, b] = f"b{b:02d}:"
         prefix[:, cfg.lsh_bands] = "s:"
         flat_keys = [
             p + str(v) for p, v in zip(prefix.ravel(), key_mat.ravel())
         ]
+        # every emitted row also carries the conversation's full key set
+        # (joined string — nested list columns sort slowly in Ray's shuffle):
+        # pair generation emits a pair ONLY inside the minimum common block
+        # (global pair uniqueness WITHOUT a wide dedup shuffle)
+        key_rows = ["|".join(sorted(flat_keys[i * n_keys : (i + 1) * n_keys]))
+                    for i in range(n)]
         idx = np.repeat(np.arange(n), n_keys)
-        out = batch.take(pa.array(idx))
-        return out.append_column("block_key", pa.array(flat_keys, type=pa.string()))
+        # shuffle-slim projection: minhash (512 B/row) reduced to the single
+        # value used for salted-chunk ordering; sig/n_turns dropped
+        out = pa.table({
+            "conv_id": batch["conv_id"].take(pa.array(idx)),
+            "jw_text": batch["jw_text"].take(pa.array(idx)),
+            "n_tokens": batch["n_tokens"].take(pa.array(idx)),
+            "tokens": batch["tokens"].take(pa.array(idx)),
+            "mh0": pa.array(sigs[:, 0].view(np.int64)[idx]),
+            "all_keys": pa.array(np.array(key_rows, dtype=object)[idx],
+                                 type=pa.string()),
+            "block_key": pa.array(flat_keys, type=pa.string()),
+        })
+        return out
 
 
 def add_block_keys(features: ray.data.Dataset, cfg: PipelineConfig | None = None):
@@ -110,30 +127,57 @@ def _emit_pairs(group: pa.Table, cfg: PipelineConfig) -> pa.Table:
         return _PAIR_SCHEMA.empty_table()
 
     conv = np.asarray(group["conv_id"], dtype=object)
-    mh0 = np.asarray(
-        [row[0] for row in group["minhash"].to_pylist()], dtype=np.uint64
-    )
-    # deterministic similarity-ish order: (minhash[0], conv_id)
+    mh0 = np.asarray(group["mh0"]).view(np.uint64)
+    # deterministic similarity-ish order: (minhash[0], conv_id) — similar
+    # conversations sort near each other, so chunk-local pairing keeps most
+    # true duplicate pairs even in heavily salted blocks
     order = np.lexsort((conv, mh0))
 
-    cap = cfg.block_cap
-    chunks = [order[i : i + cap] for i in range(0, m, cap)]
+    if m <= cfg.block_cap:
+        chunk_size = m
+    else:
+        # pair budget: chunks of size c emit ~ m*c/2 pairs total;
+        # c = 2*budget/m keeps the block under max_pairs_per_block
+        chunk_size = max(8, min(cfg.block_cap,
+                                (2 * cfg.max_pairs_per_block) // m))
+    chunks = [order[i : i + chunk_size] for i in range(0, m, chunk_size)]
     ii: list[np.ndarray] = []
     jj: list[np.ndarray] = []
+    w = cfg.salt_boundary
     for ci, chunk in enumerate(chunks):
         a, b = np.triu_indices(len(chunk), k=1)
         ii.append(chunk[a])
         jj.append(chunk[b])
-        for w in range(1, cfg.adjacent_chunks + 1):
-            if ci + w < len(chunks):
-                nxt = chunks[ci + w]
-                ga, gb = np.meshgrid(chunk, nxt, indexing="ij")
-                ii.append(ga.ravel())
-                jj.append(gb.ravel())
+        if ci + 1 < len(chunks):
+            # boundary window: sorted order puts cross-chunk near-dups at
+            # the seam; full chunk×chunk would blow the pair budget
+            left = chunk[-w:]
+            right = chunks[ci + 1][:w]
+            ga, gb = np.meshgrid(left, right, indexing="ij")
+            ii.append(ga.ravel())
+            jj.append(gb.ravel())
     i_idx = np.concatenate(ii)
     j_idx = np.concatenate(jj)
     total_pairs = m * (m - 1) // 2
     capped = total_pairs - len(i_idx)
+
+    # min-common-block rule: emit (i, j) only when THIS block is the
+    # lexicographic minimum of the two conversations' shared block keys —
+    # each pair materializes exactly once across all blocks, so no global
+    # dedup shuffle is needed.  (A pair whose min common block was salted
+    # into different chunks can be lost — bounded by the salting recall
+    # analysis above.)
+    bk = group["block_key"][0].as_py()
+    key_sets = [frozenset(ks.split("|")) for ks in group["all_keys"].to_pylist()]
+    keep = np.fromiter(
+        (min(key_sets[i] & key_sets[j]) == bk
+         for i, j in zip(i_idx, j_idx)),
+        dtype=bool, count=len(i_idx),
+    )
+    i_idx = i_idx[keep]
+    j_idx = j_idx[keep]
+    if len(i_idx) == 0:
+        return _PAIR_SCHEMA.empty_table()
 
     # canonical order inside the pair: conv_a < conv_b
     ca = conv[i_idx]
@@ -147,7 +191,6 @@ def _emit_pairs(group: pa.Table, cfg: PipelineConfig) -> pa.Table:
     jw = np.asarray(group["jw_text"], dtype=object)
     toks = np.asarray(group["tokens"].to_pylist(), dtype=object)
     ntok = np.asarray(group["n_tokens"])
-    bk = group["block_key"][0].as_py()
     pair_key = [a + "\x1f" + b for a, b in zip(ca2, cb2)]
 
     return pa.table(
@@ -167,20 +210,43 @@ def _emit_pairs(group: pa.Table, cfg: PipelineConfig) -> pa.Table:
     )
 
 
-def make_pairs(blocked: ray.data.Dataset, cfg: PipelineConfig | None = None):
+def make_pairs(blocked: ray.data.Dataset, cfg: PipelineConfig | None = None,
+               num_buckets: int = 64):
+    """Bucketed pair generation: one Python call per hash bucket of
+    block_key; inside the bucket each block is sliced out (sorted
+    boundaries) and paired with numpy (functions/grouping.py rationale)."""
     cfg = cfg or PipelineConfig()
-    return blocked.groupby("block_key").map_groups(
-        lambda g: _emit_pairs(g, cfg), batch_format="pyarrow"
-    )
+
+    def per_bucket(bucket: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if bucket.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        bucket = bucket.sort_by("block_key")
+        keys = np.asarray(bucket["block_key"], dtype=object)
+        bounds = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+        bounds = np.append(bounds, len(keys))
+        out = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s >= 2:
+                out.append(_emit_pairs(bucket.slice(s, e - s), cfg))
+        if not out:
+            return _PAIR_SCHEMA.empty_table()
+        return pa.concat_tables(out)
+
+    from ..functions.grouping import bucketed_groups
+
+    return bucketed_groups(blocked, "block_key", per_bucket, num_buckets)
 
 
-def _first_row(group: pa.Table) -> pa.Table:
-    return group.slice(0, 1)
+def dedup_pairs(pairs: ray.data.Dataset, num_buckets: int = 64):
+    """Keep one row per pair_key (pair-uniqueness invariant, FIXTURES.md
+    §5); deterministic first-by-(pair_key, block_key), vectorized per
+    hash bucket — the analog of the reference's ``.distinct`` on packed
+    pair keys (EntityCooccurrenceIndex.scala:103)."""
+    from ..functions.grouping import dedup_keep_first
 
-
-def dedup_pairs(pairs: ray.data.Dataset):
-    """Keep one row per pair_key (pair-uniqueness invariant, FIXTURES.md §5)."""
-    return pairs.groupby("pair_key").map_groups(_first_row, batch_format="pyarrow")
+    return dedup_keep_first(pairs, "pair_key", ["block_key"], num_buckets)
 
 
 def block_inventory(blocked: ray.data.Dataset):

@@ -3,47 +3,58 @@
 Analog of the reference's document assembly — grouping annotation lines by
 document key and rebuilding each document on the executor (reference:
 src/main/scala/eval/cweb/RunLoopyAgainstAllGoogleClweb.scala:246-257
-``groupByKey(256).map(solveOneSmallFile)``) — expressed as
-``Dataset.groupby("conv_id").map_groups``.
+``groupByKey(256).map(solveOneSmallFile)``).  Expressed as a bucketed
+hash-partition (functions/grouping.py) with a fully vectorized polars
+group-aggregate per bucket — one Python call per bucket, not per
+conversation.
 
 Per-turn ordering invariant (input_hint): rows may arrive in any order;
-the group UDF sorts by ``turn_idx`` before concatenating, so joining
-``mention_doc`` back on ``\\n`` reproduces every turn's text byte-for-byte
-(Ray Data does not guarantee intra-group row order — SURVEY.md §2.9).
+each bucket is sorted by (conv_id, turn_idx) before the ordered string
+aggregation, so joining ``mention_doc`` on ``\\n`` reproduces every turn's
+text byte-for-byte (Ray Data guarantees no intra-group order —
+SURVEY.md §2.9).
 
-The tool/role signature (``sig``) is the cheap deterministic blocking key:
-the ordered sequence of ``role:tool`` per turn (analog in spirit of the
-reference's per-doc mention-set identity).
+The tool/role signature ``sig`` — the ordered ``role:tool`` sequence — is
+the cheap deterministic blocking key.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+import pyarrow as pa
 import ray.data
+
+from ..functions.grouping import bucketed_groups
 
 TURN_SEP = "\n"
 
+_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("n_turns", pa.int32()),
+    ("mention_doc", pa.string()),
+    ("sig", pa.string()),
+])
 
-def _one_conv(group: pd.DataFrame) -> pd.DataFrame:
-    g = group.sort_values("turn_idx", kind="mergesort")
-    sig = "|".join(r + ":" + t for r, t in zip(g["role"], g["tool"]))
-    return pd.DataFrame(
-        {
-            "conv_id": [g["conv_id"].iloc[0]],
-            "n_turns": pd.array([len(g)], dtype="int32"),
-            "mention_doc": [TURN_SEP.join(g["text"].tolist())],
-            "sig": [sig],
-        }
+
+def _assemble(bucket: pa.Table) -> pa.Table:
+    import polars as pl
+
+    df = pl.from_arrow(bucket)
+    out = (
+        df.sort(["conv_id", "turn_idx"])
+        .group_by("conv_id", maintain_order=True)
+        .agg(
+            pl.len().cast(pl.Int32).alias("n_turns"),
+            pl.col("text").str.join(TURN_SEP).alias("mention_doc"),
+            (pl.col("role") + ":" + pl.col("tool")).str.join("|").alias("sig"),
+        )
     )
+    return out.to_arrow().cast(_SCHEMA)
 
 
-def canonicalize(turns: ray.data.Dataset) -> ray.data.Dataset:
+def canonicalize(turns: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dataset:
     """turns(conv_id, turn_idx, role, text, tool, ts) → conv_docs.
 
     Column-prunes before the shuffle: ``ts`` never leaves the read.
     """
-    return (
-        turns.select_columns(["conv_id", "turn_idx", "role", "text", "tool"])
-        .groupby("conv_id")
-        .map_groups(_one_conv, batch_format="pandas")
-    )
+    pruned = turns.select_columns(["conv_id", "turn_idx", "role", "text", "tool"])
+    return bucketed_groups(pruned, "conv_id", _assemble, num_buckets)

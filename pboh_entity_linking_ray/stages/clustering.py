@@ -3,10 +3,15 @@
 Iterative hash-partitioned union-find with NO driver-side graph and NO
 large-side join: the large-star / small-star edge-contraction algorithm
 ("Connected Components in MapReduce and Beyond", Kiveris et al., SoCC'14)
-needs only ``groupby(node).map_groups`` over the edge set per round and
+needs only hash-partitioned groupings of the edge set per round and
 converges in O(log n) rounds.  The reference has no clustering analog —
 its per-document solutions are independent (SURVEY.md §4.2 item 6) — so
 this operator is new, designed Ray-Data-first.
+
+Each star step is a *bucketed, fully vectorized* polars computation
+(functions/grouping.py): all edges of a node hash to one bucket, and the
+per-node min/emit logic is a group-aggregate + join inside the bucket —
+one Python call per bucket, never per node.
 
 Node ids are conversation-id strings; "min" is lexicographic, making the
 final ``cluster_id`` the minimum conv_id of each component (golden-fixture
@@ -18,71 +23,78 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data
-
 from ray.data.aggregate import Sum
 
+from ..functions.grouping import bucketed_groups, dedup_keep_first
+
 _EDGE_SCHEMA = pa.schema([("u", pa.string()), ("v", pa.string())])
+_LABEL_SCHEMA = pa.schema([("conv_id", pa.string()), ("cluster_id", pa.string())])
 
 
 def _doubled(edges: ray.data.Dataset) -> ray.data.Dataset:
-    both = edges.map_batches(
+    return edges.map_batches(
         lambda t: pa.table({
             "u": pa.concat_arrays([t["u"].combine_chunks(), t["v"].combine_chunks()]),
             "v": pa.concat_arrays([t["v"].combine_chunks(), t["u"].combine_chunks()]),
-        }),
+        }).cast(_EDGE_SCHEMA),
         batch_format="pyarrow",
     )
-    return both
 
 
-def _large_star_group(group: pa.Table) -> pa.Table:
-    u = group["u"][0].as_py()
-    nbrs = np.unique(np.asarray(group["v"], dtype=object))
-    m = min(u, nbrs[0])
-    out_v = nbrs[nbrs > u]
-    if len(out_v) == 0:
+def _large_star(bucket: pa.Table) -> pa.Table:
+    """Per node u: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u."""
+    import polars as pl
+
+    df = pl.from_arrow(bucket)
+    mins = df.group_by("u").agg(pl.col("v").min().alias("mv"))
+    mins = mins.with_columns(
+        pl.when(pl.col("mv") < pl.col("u")).then(pl.col("mv"))
+        .otherwise(pl.col("u")).alias("m")
+    )
+    out = (
+        df.join(mins.select(["u", "m"]), on="u")
+        .filter(pl.col("v") > pl.col("u"))
+        .select(pl.col("v").alias("u"), pl.col("m").alias("v"))
+        .unique()
+    )
+    return out.to_arrow().cast(_EDGE_SCHEMA)
+
+
+def _small_star(bucket: pa.Table) -> pa.Table:
+    """Per node u with Γ≤(u) = {v : v < u}: m = min(Γ≤ ∪ {u}) (= min Γ≤);
+    emit (v, m) for v ∈ Γ≤ ∪ {u}, v ≠ m."""
+    import polars as pl
+
+    df = pl.from_arrow(bucket).filter(pl.col("v") < pl.col("u"))
+    if len(df) == 0:
         return _EDGE_SCHEMA.empty_table()
-    return pa.table({"u": pa.array(out_v, type=pa.string()),
-                     "v": pa.array([m] * len(out_v), type=pa.string())})
-
-
-def _small_star_group(group: pa.Table) -> pa.Table:
-    u = group["u"][0].as_py()
-    nbrs = np.unique(np.asarray(group["v"], dtype=object))
-    le = nbrs[nbrs < u]
-    members = np.append(le, u)
-    m = members.min()
-    out = members[members != m]
-    if len(out) == 0:
-        return _EDGE_SCHEMA.empty_table()
-    return pa.table({"u": pa.array(out, type=pa.string()),
-                     "v": pa.array([m] * len(out), type=pa.string())})
-
-
-def _dedup_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
-    def key(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        k = pc.binary_join_element_wise(t["u"], t["v"], "\x1f")
-        return t.append_column("ek", k)
-
-    keyed = edges.map_batches(key, batch_format="pyarrow")
-    return keyed.groupby("ek").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    ).select_columns(["u", "v"])
+    mins = df.group_by("u").agg(pl.col("v").min().alias("m"))
+    nbr_emits = (
+        df.join(mins, on="u")
+        .filter(pl.col("v") != pl.col("m"))
+        .select(pl.col("v").alias("u"), pl.col("m").alias("v"))
+    )
+    self_emits = mins.select(pl.col("u"), pl.col("m").alias("v"))
+    out = pl.concat([nbr_emits, self_emits]).unique()
+    return out.to_arrow().cast(_EDGE_SCHEMA)
 
 
 def _checksum(edges: ray.data.Dataset) -> tuple[int, int]:
     def h(t: pa.Table) -> pa.Table:
         import polars as pl
+
         if t.num_rows == 0:
             return pa.table({"h": pa.array([], type=pa.int64()),
                              "c": pa.array([], type=pa.int64())})
         s = (pl.from_arrow(t["u"].combine_chunks()) + "\x1f"
              + pl.from_arrow(t["v"].combine_chunks())).hash(seed=3)
-        x = int(np.bitwise_xor.reduce(s.to_numpy().astype(np.uint64)))
+        # per-ROW mask then sum: the total is partition-independent (a
+        # per-block xor+mask changed with block boundaries and defeated
+        # the convergence check), and 28-bit terms keep any realistic
+        # row count inside int64 for the Sum aggregate
+        x = int((s.to_numpy().astype(np.uint64) & np.uint64(0xFFFFFFF)).sum())
         return pa.table({
-            # mask into int-range: Sum aggregates must stay within int64
-            "h": pa.array([x & 0x7FFFFFFF], type=pa.int64()),
+            "h": pa.array([x], type=pa.int64()),
             "c": pa.array([t.num_rows], type=pa.int64()),
         })
 
@@ -91,38 +103,55 @@ def _checksum(edges: ray.data.Dataset) -> tuple[int, int]:
     return int(agg.get("hs") or 0), int(agg.get("cs") or 0)
 
 
+def _dedup_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    def key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "ek", pc.binary_join_element_wise(t["u"], t["v"], "\x1f"))
+
+    keyed = edges.map_batches(key, batch_format="pyarrow")
+    return dedup_keep_first(keyed, "ek").select_columns(["u", "v"])
+
+
+def _pin(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Materialize AND truncate lineage: rebuilding from the materialized
+    block refs keeps the logical plan flat across iterations (a plain
+    ``materialize()`` chains plans round after round until the planner
+    recurses past Python's stack limit)."""
+    return ray.data.from_arrow_refs(ds.materialize().to_arrow_refs())
+
+
 def connected_components(
     edges: ray.data.Dataset, max_rounds: int = 50
 ) -> ray.data.Dataset:
     """edges(u, v) → labels(conv_id, cluster_id); only nodes present in
     edges appear (callers union in singletons)."""
-    cur = _dedup_edges(edges).materialize()
+    cur = _pin(_dedup_edges(edges))
     prev_sum = None
     for _ in range(max_rounds):
-        ls = _dedup_edges(
-            _doubled(cur).groupby("u").map_groups(
-                _large_star_group, batch_format="pyarrow"
-            )
-        )
-        ss = _doubled(ls).groupby("u").map_groups(
-            _small_star_group, batch_format="pyarrow"
-        )
-        cur = _dedup_edges(ss).materialize()
+        ls = bucketed_groups(_doubled(cur), "u", _large_star)
+        ss = bucketed_groups(_doubled(ls), "u", _small_star)
+        cur = _pin(_dedup_edges(ss))
         cs = _checksum(cur)
         if cs == prev_sum:
             break
         prev_sum = cs
 
-    # final labels: min over (self ∪ neighbors)
-    def label_group(group: pa.Table) -> pa.Table:
-        u = group["u"][0].as_py()
-        m = min(u, min(group["v"].to_pylist()))
-        return pa.table({"conv_id": pa.array([u], type=pa.string()),
-                         "cluster_id": pa.array([m], type=pa.string())})
+    def label(bucket: pa.Table) -> pa.Table:
+        import polars as pl
 
-    return _doubled(cur).groupby("u").map_groups(
-        label_group, batch_format="pyarrow"
-    )
+        df = pl.from_arrow(bucket)
+        out = (
+            df.group_by("u").agg(pl.col("v").min().alias("mv"))
+            .with_columns(
+                pl.when(pl.col("mv") < pl.col("u")).then(pl.col("mv"))
+                .otherwise(pl.col("u")).alias("cluster_id"))
+            .select(pl.col("u").alias("conv_id"), pl.col("cluster_id"))
+        )
+        return out.to_arrow().cast(_LABEL_SCHEMA)
+
+    return bucketed_groups(_doubled(cur), "u", label)
 
 
 def cluster_matches(
@@ -132,23 +161,24 @@ def cluster_matches(
     conversation (singletons become their own cluster)."""
     edges = matches.map_batches(
         lambda t: pa.table({"u": t["conv_a"].combine_chunks(),
-                            "v": t["conv_b"].combine_chunks()}),
+                            "v": t["conv_b"].combine_chunks()}).cast(_EDGE_SCHEMA),
         batch_format="pyarrow",
     )
     labeled = connected_components(edges)
     self_rows = all_convs.map_batches(
         lambda t: pa.table({"conv_id": t["conv_id"].combine_chunks(),
-                            "cluster_id": t["conv_id"].combine_chunks()}),
+                            "cluster_id": t["conv_id"].combine_chunks()})
+        .cast(_LABEL_SCHEMA),
         batch_format="pyarrow",
     )
 
-    def pick_min(group: pa.Table) -> pa.Table:
-        return pa.table({
-            "conv_id": pa.array([group["conv_id"][0].as_py()], type=pa.string()),
-            "cluster_id": pa.array([min(group["cluster_id"].to_pylist())],
-                                   type=pa.string()),
-        })
+    def pick_min(bucket: pa.Table) -> pa.Table:
+        import polars as pl
 
-    return labeled.union(self_rows).groupby("conv_id").map_groups(
-        pick_min, batch_format="pyarrow"
-    )
+        out = (
+            pl.from_arrow(bucket).group_by("conv_id")
+            .agg(pl.col("cluster_id").min())
+        )
+        return out.to_arrow().cast(_LABEL_SCHEMA)
+
+    return bucketed_groups(labeled.union(self_rows), "conv_id", pick_min)

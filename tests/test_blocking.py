@@ -1,5 +1,6 @@
-"""Blocking invariants: duplicates co-block, salting accounts for every
-capped pair, cross-block dedup keeps each pair once."""
+"""Blocking invariants: duplicates co-block, pairs globally unique WITHOUT
+a dedup shuffle (min-common-block rule), salting accounts for capped
+pairs."""
 
 import ray.data as rd
 
@@ -31,12 +32,16 @@ def test_true_duplicates_share_a_block(ray_session):
     assert missed / max(1, len(pos)) < 0.01
 
 
-def test_pair_uniqueness_after_dedup(ray_session):
+def test_pairs_globally_unique_without_dedup(ray_session):
+    """The min-common-block rule must make make_pairs output unique by
+    construction — dedup_pairs applied on top must be a no-op."""
     corpus = generate_corpus(60, 22)
     blocked = add_block_keys(_features(corpus))
-    pairs = dedup_pairs(make_pairs(blocked)).to_pandas()
+    pairs = make_pairs(blocked).to_pandas()
     assert pairs["pair_key"].is_unique
     assert (pairs["conv_a"] < pairs["conv_b"]).all()
+    deduped = dedup_pairs(make_pairs(blocked)).to_pandas()
+    assert len(deduped) == len(pairs)
 
 
 def test_salting_accounts_for_capped_pairs(ray_session):
@@ -44,9 +49,32 @@ def test_salting_accounts_for_capped_pairs(ray_session):
     corpus = generate_corpus(60, 23)
     blocked = add_block_keys(_features(corpus), cfg)
     pairs = make_pairs(blocked, cfg).to_pandas()
-    # per block: emitted + capped == full m*(m-1)/2
     sizes = blocked.to_pandas().groupby("block_key").size()
     for bk, grp in pairs.groupby("block_key"):
-        m = sizes[bk]
-        assert len(grp) + grp["capped_pairs"].iloc[0] == m * (m - 1) // 2
+        m = int(sizes[bk])
+        total = m * (m - 1) // 2
+        capped = int(grp["capped_pairs"].iloc[0])
         assert grp["capped_pairs"].nunique() == 1
+        assert 0 <= capped < total
+        # emitted-here ≤ generated = total - capped (min-common-block
+        # filtering may hand pairs to other blocks)
+        assert len(grp) <= total - capped
+
+
+def test_oversized_block_pair_budget(ray_session):
+    """A hot block must stay under max_pairs_per_block + boundary pairs."""
+    cfg = PipelineConfig(block_cap=8, max_pairs_per_block=40, salt_boundary=2)
+    corpus = generate_corpus(120, 24)
+    blocked = add_block_keys(_features(corpus), cfg)
+    pairs = make_pairs(blocked, cfg).to_pandas()
+    sizes = blocked.to_pandas().groupby("block_key").size()
+    for bk, grp in pairs.groupby("block_key"):
+        m = int(sizes[bk])
+        if m > cfg.block_cap:
+            total = m * (m - 1) // 2
+            generated = total - int(grp["capped_pairs"].iloc[0])
+            c = max(8, min(cfg.block_cap, 2 * cfg.max_pairs_per_block // m))
+            n_chunks = -(-m // c)
+            exact_budget = n_chunks * (c * (c - 1) // 2) \
+                + (n_chunks - 1) * cfg.salt_boundary ** 2
+            assert generated <= exact_budget

@@ -4,13 +4,51 @@
 import pytest
 
 from pboh_entity_linking_ray.oracle import compare
-from pboh_entity_linking_ray.pipelines.relational import QUERIES
+from pboh_entity_linking_ray.pipelines import (
+    ann,
+    linkage_queries,
+    multimodal,
+    relational,
+    textops,
+)
+from pboh_entity_linking_ray.sources.synthetic import corpus_dir, sf_to_n_convs
 
 SF_DIR = "/root/testdata/sf0.001"
 
+PAIRED = {}
+for mod in (relational, textops, ann, multimodal, linkage_queries):
+    for name, (fn, sql) in mod.QUERIES.items():
+        if sql is not None:
+            PAIRED[name] = (fn, sql)
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+
+def _local_sql(sql: str) -> str:
+    """linkage SQL twins embed the sf0.01 corpus path (the driver's compare
+    scale); point them at the sf0.001 corpus for the local test."""
+    local = corpus_dir(linkage_queries.CORPUS_CACHE, sf_to_n_convs(SF_DIR))
+    return sql.replace(linkage_queries._SQL_TURNS, f"{local}/turns.parquet")
+
+
+@pytest.mark.parametrize("name", sorted(PAIRED))
 def test_query_matches_oracle(name, ray_session):
-    fn, sql = QUERIES[name]
-    ok, msg = compare(fn(SF_DIR), sql, SF_DIR)
+    fn, sql = PAIRED[name]
+    result = fn(SF_DIR)          # also materializes the corpus cache
+    ok, msg = compare(result, _local_sql(sql), SF_DIR)
     assert ok, f"{name}: {msg}"
+
+
+ROWS_ONLY = {}
+for mod in (ann, multimodal, linkage_queries):
+    for name, (fn, sql) in mod.QUERIES.items():
+        if sql is None and name not in ("link_pairs_scored", "link_clusters",
+                                        "link_eval_metrics"):
+            ROWS_ONLY[name] = fn       # heavy full-pipeline ones are covered
+                                       # by the golden tests
+
+
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY))
+def test_rows_only_queries_run(name, ray_session):
+    from pboh_entity_linking_ray.oracle import to_pandas
+
+    out = to_pandas(ROWS_ONLY[name](SF_DIR))
+    assert len(out) > 0
