@@ -41,6 +41,8 @@ def _init_ray(num_cpus: int):
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _init_ray(num_cpus)
+    import os as _os
+
     import ray.data
 
     from pboh_entity_linking_ray.config import PipelineConfig
@@ -52,27 +54,35 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     )
     from pboh_entity_linking_ray.sources.synthetic import ensure_corpus, sf_to_n_convs
 
-    ensure_corpus(CORPUS_CACHE, sf_to_n_convs(sf_dir))  # untimed corpus gen
+    n_convs = int(_os.environ.get("BENCH_N_CONVS", "0")) or sf_to_n_convs(sf_dir)
+    link_only = _os.environ.get("BENCH_LINK_ONLY") == "1"
+    corpus_dir = ensure_corpus(CORPUS_CACHE, n_convs)  # untimed corpus gen
+
+    def turns():
+        return ray.data.read_parquet(f"{corpus_dir}/turns.parquet")
+
     # warm the page cache: one untimed read of the inputs
-    _turns(sf_dir).count()
-    ray.data.read_parquet(f"{sf_dir}/lineitem.parquet").count()
+    turns().count()
+    if not link_only:
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet").count()
 
     queries: dict[str, float] = {}
     t0 = time.perf_counter()
-    cfg = PipelineConfig(scorer_concurrency=max(2, num_cpus // 2))
-    res = run_linkage(_turns(sf_dir), cfg)
+    cfg = PipelineConfig(scorer_concurrency=max(2, num_cpus - 4))
+    res = run_linkage(turns(), cfg)
     pairs_scored = res.scored.count()
     n_clusters = res.clusters.count()
     t_link = time.perf_counter() - t0
     queries["link_pipeline"] = round(t_link, 3)
 
-    for name, fn in {
+    extra = {} if link_only else {
         "q01_lineitem_agg": relational.q01_lineitem_agg,
         "q04_events_hourly": relational.q04_events_hourly,
         "q05_word_count": relational.q05_word_count,
         "q10_knn_bruteforce": ann.q10_knn_bruteforce,
         "q12_ngram_jaccard_pairs": textops.q12_ngram_jaccard_pairs,
-    }.items():
+    }
+    for name, fn in extra.items():
         t = time.perf_counter()
         out = fn(sf_dir)
         if hasattr(out, "count"):
@@ -93,8 +103,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def _subprocess_run(ncpu: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+def _subprocess_run(ncpu: int, extra_env: dict | None = None) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **(extra_env or {}))
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)], env=env,
         capture_output=True, text=True, check=True,
@@ -107,9 +117,13 @@ def main():
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if "--scaling" in sys.argv:
+        # strong scaling on the SAME input, linkage only; a larger corpus
+        # (default 100k convs) makes compute dominate the fixed barriers
         lo, hi = 8, 32
-        r_lo = _subprocess_run(lo)
-        r_hi = _subprocess_run(hi)
+        env = {"BENCH_LINK_ONLY": "1",
+               "BENCH_N_CONVS": os.environ.get("BENCH_N_CONVS", "100000")}
+        r_lo = _subprocess_run(lo, env)
+        r_hi = _subprocess_run(hi, env)
         t_lo = r_lo["queries"]["link_pipeline"]
         t_hi = r_hi["queries"]["link_pipeline"]
         eff = (t_lo / t_hi) / (hi / lo)

@@ -53,7 +53,10 @@ class PipelineConfig:
                                 # minhash-sorted order)
     # --- per-conv feature caps (bound pair-row width; analog of the
     # reference's top-10 candidate pruning, MentEntsFreqIndexWrapper.scala:53-55)
-    max_tokens_per_conv: int = 128   # most-salient tokens carried on pair rows
+    max_tokens_per_conv: int = 64    # bottom-k token sketch carried on pair
+                                     # rows (uint32 hashes — 256 B/conv keeps
+                                     # the blocking shuffle slim at 25 key
+                                     # emits per conversation)
     jw_text_cap: int = 48            # chars of canonical text used for
                                      # Jaro-Winkler; JW is O(L·window) pure
                                      # Python per pair — 48 chars keeps the

@@ -35,19 +35,25 @@ def with_bucket(ds: ray.data.Dataset, key_col: str,
 
 
 def bucketed_groups(ds: ray.data.Dataset, key_col: str, fn,
-                    num_buckets: int = 64) -> ray.data.Dataset:
+                    num_buckets: int = 64,
+                    repartition: bool = True) -> ray.data.Dataset:
     """Apply ``fn(bucket_table) -> pa.Table`` once per hash bucket of
     ``key_col``; ``fn`` sees every row of each key it receives and must do
-    its own per-key vectorized logic."""
+    its own per-key vectorized logic.
+
+    ``repartition=True`` splits into many blocks BEFORE the groupby —
+    Ray's sort-based shuffle parallelizes per input block, and upstream
+    operators often emit few blocks (observed: single-block inputs
+    serialize the whole sort).  Pass False when the input is already
+    well-partitioned (e.g. the pinned edge sets between clustering
+    rounds) to save an exchange."""
 
     def run(bucket: pa.Table) -> pa.Table:
         return fn(bucket.drop_columns([BUCKET_COL]))
 
     keyed = with_bucket(ds, key_col, num_buckets)
-    # split into many blocks BEFORE the groupby: Ray's sort-based shuffle
-    # parallelizes per input block, and upstream operators often emit very
-    # few blocks (observed: single-block inputs serialize the whole sort)
-    keyed = keyed.repartition(num_buckets)
+    if repartition:
+        keyed = keyed.repartition(num_buckets)
     return keyed.groupby(BUCKET_COL).map_groups(run, batch_format="pyarrow")
 
 

@@ -56,6 +56,34 @@ def lambda_pairwise(
     return np.maximum(lam, w.lambda_floor)
 
 
+def npmi_pairwise(
+    cocit: np.ndarray,
+    df1: np.ndarray,
+    df2: np.ndarray,
+    n_docs: int,
+    w: ScorerWeights,
+) -> np.ndarray:
+    """Normalized PMI with the reference's discount/floor flavors.
+
+    ``lambda_pairwise`` reproduces the reference potential shape, but its
+    magnitude grows with corpus size (PMI of correlated rare events ~
+    log N), which would make a fixed match threshold scale-dependent.
+    The scorer therefore uses NPMI = pmi / (-log p12) ∈ [-1, 1]:
+    1 for perfectly correlated tokens, 0 for independent, -1 floor for
+    never-co-occurring (the reference's -1000 branch analog,
+    ScorerFull.scala:222-226) — invariant to N.
+    """
+    cocit = np.asarray(cocit, dtype=np.float64)
+    p1 = np.maximum(np.asarray(df1, dtype=np.float64), 1.0) / n_docs
+    p2 = np.maximum(np.asarray(df2, dtype=np.float64), 1.0) / n_docs
+    p12 = np.maximum(0.0, cocit - w.delta_cocit) / n_docs \
+        + w.cocit_e_e_param * p1 * p2
+    pmi = np.log(p12 / (p1 * p2))
+    den = -np.log(np.minimum(p12, 1 - 1e-12))
+    npmi = np.where(den > 0, pmi / np.maximum(den, 1e-12), 1.0)
+    return np.where(cocit <= 0, -1.0, np.clip(npmi, -1.0, 1.0))
+
+
 def sorted_lookup(keys: np.ndarray, sorted_keys: np.ndarray,
                   values: np.ndarray, default=0) -> np.ndarray:
     """Vectorized lookup of ``keys`` in (sorted_keys → values); misses get

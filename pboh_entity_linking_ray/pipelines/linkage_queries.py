@@ -20,14 +20,14 @@ import ray.data
 
 from ..config import PipelineConfig
 from ..functions.hashing import md5_lower64
-from ..sources.synthetic import ensure_corpus, sf_to_n_convs
+from ..sources.synthetic import corpus_dir, ensure_corpus, sf_to_n_convs
 from ..stages.canonicalize import canonicalize
 from ..stages.evaluate import pairwise_metrics
 from ..pipelines.linkage import run_linkage
 
 CORPUS_CACHE = "/tmp/pboh_ray_corpus"
 # the driver's oracle comparison runs at sf0.01 → 2000 convs
-_SQL_TURNS = f"{CORPUS_CACHE}/corpus_n2000_s42/turns.parquet"
+_SQL_TURNS = f"{corpus_dir(CORPUS_CACHE, 2000)}/turns.parquet"
 
 # canonicalize CTE shared by every SQL twin (string_agg restores turn order)
 _SQL_CONV_DOCS = f"""

@@ -44,10 +44,11 @@ def _mk_vocab(rng: np.random.Generator, n_words: int) -> list[str]:
     """Pronounceable pseudo-words, deterministic from rng."""
     cons = list("bcdfgklmnprstvz")
     vow = list("aeiou")
+    max_syll = 3 if n_words < 3000 else 4  # enough combination space
     words = set()
     out = []
     while len(out) < n_words:
-        n_syll = int(rng.integers(2, 4))
+        n_syll = int(rng.integers(2, max_syll + 1))
         w = "".join(
             cons[int(rng.integers(len(cons)))] + vow[int(rng.integers(len(vow)))]
             for _ in range(n_syll)
@@ -67,7 +68,12 @@ class Corpus:
 
 def generate_corpus(n_convs: int = 200, seed: int = 42) -> Corpus:
     rng = np.random.Generator(np.random.PCG64(seed))
-    vocab = _mk_vocab(rng, 900)
+    # topic vocabulary grows with corpus size (Heaps-law-ish): keeps each
+    # template's topic words rare at every scale, so idf / co-occurrence
+    # statistics behave like real web-scale text instead of collapsing
+    # once every word is frequent
+    n_topic = max(780, 2 * n_convs)
+    vocab = _mk_vocab(rng, 120 + n_topic)
     common = vocab[:120]                  # shared filler words
     topic_words = vocab[120:]
 
@@ -228,8 +234,11 @@ def generate_corpus(n_convs: int = 200, seed: int = 42) -> Corpus:
 
 # --- cached on-disk corpus keyed by (n_convs, seed) --------------------------
 
+CORPUS_VERSION = 2  # bump to invalidate cached corpora on generator changes
+
+
 def corpus_dir(root: str, n_convs: int, seed: int = 42) -> str:
-    return os.path.join(root, f"corpus_n{n_convs}_s{seed}")
+    return os.path.join(root, f"corpus_v{CORPUS_VERSION}_n{n_convs}_s{seed}")
 
 
 def ensure_corpus(root: str, n_convs: int, seed: int = 42) -> str:

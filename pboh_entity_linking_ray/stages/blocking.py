@@ -31,6 +31,7 @@ import pyarrow as pa
 import ray.data
 
 from ..config import PipelineConfig
+from ..functions.hashing import hash_strings_u64
 from ..functions.minhash import MinHasher
 
 _PAIR_SCHEMA = pa.schema(
@@ -41,8 +42,8 @@ _PAIR_SCHEMA = pa.schema(
         ("conv_b", pa.string()),
         ("jw_a", pa.string()),
         ("jw_b", pa.string()),
-        ("tokens_a", pa.list_(pa.uint64())),
-        ("tokens_b", pa.list_(pa.uint64())),
+        ("tokens_a", pa.list_(pa.uint32())),
+        ("tokens_b", pa.list_(pa.uint32())),
         ("n_tokens_a", pa.int32()),
         ("n_tokens_b", pa.int32()),
         ("capped_pairs", pa.int64()),
@@ -87,12 +88,13 @@ class BlockKeyEmitter:
         flat_keys = [
             p + str(v) for p, v in zip(prefix.ravel(), key_mat.ravel())
         ]
-        # every emitted row also carries the conversation's full key set
-        # (joined string — nested list columns sort slowly in Ray's shuffle):
-        # pair generation emits a pair ONLY inside the minimum common block
-        # (global pair uniqueness WITHOUT a wide dedup shuffle)
-        key_rows = ["|".join(sorted(flat_keys[i * n_keys : (i + 1) * n_keys]))
-                    for i in range(n)]
+        # every emitted row carries the conversation's full key set as
+        # SORTED uint64 HASHES: pair generation emits a pair ONLY inside
+        # the minimum-hash common block (global pair uniqueness WITHOUT a
+        # wide dedup shuffle), and the hash total order lets that check be
+        # fully vectorized (padded sort-merge in _emit_pairs)
+        key_hash = hash_strings_u64(flat_keys, seed=23).reshape(n, n_keys)
+        key_rows = np.sort(key_hash, axis=1)
         idx = np.repeat(np.arange(n), n_keys)
         # shuffle-slim projection: minhash (512 B/row) reduced to the single
         # value used for salted-chunk ordering; sig/n_turns dropped
@@ -102,8 +104,8 @@ class BlockKeyEmitter:
             "n_tokens": batch["n_tokens"].take(pa.array(idx)),
             "tokens": batch["tokens"].take(pa.array(idx)),
             "mh0": pa.array(sigs[:, 0].view(np.int64)[idx]),
-            "all_keys": pa.array(np.array(key_rows, dtype=object)[idx],
-                                 type=pa.string()),
+            "all_keys": pa.array(list(key_rows[idx]), type=pa.list_(pa.uint64())),
+            "own_key": pa.array(key_hash.ravel().view(np.int64)),
             "block_key": pa.array(flat_keys, type=pa.string()),
         })
         return out
@@ -121,7 +123,10 @@ def add_block_keys(features: ray.data.Dataset, cfg: PipelineConfig | None = None
     )
 
 
-def _emit_pairs(group: pa.Table, cfg: PipelineConfig) -> pa.Table:
+def _emit_pairs(group: pa.Table, cfg: PipelineConfig,
+                salted_keys: np.ndarray | None = None) -> pa.Table:
+    if salted_keys is None:
+        salted_keys = np.empty(0, dtype=np.uint64)
     m = group.num_rows
     if m < 2:
         return _PAIR_SCHEMA.empty_table()
@@ -143,7 +148,9 @@ def _emit_pairs(group: pa.Table, cfg: PipelineConfig) -> pa.Table:
     chunks = [order[i : i + chunk_size] for i in range(0, m, chunk_size)]
     ii: list[np.ndarray] = []
     jj: list[np.ndarray] = []
-    w = cfg.salt_boundary
+    # seam window scales down with the chunk so boundary pairs never
+    # dominate the pair budget on very hot blocks
+    w = min(cfg.salt_boundary, max(1, chunk_size // 2))
     for ci, chunk in enumerate(chunks):
         a, b = np.triu_indices(len(chunk), k=1)
         ii.append(chunk[a])
@@ -162,18 +169,49 @@ def _emit_pairs(group: pa.Table, cfg: PipelineConfig) -> pa.Table:
     capped = total_pairs - len(i_idx)
 
     # min-common-block rule: emit (i, j) only when THIS block is the
-    # lexicographic minimum of the two conversations' shared block keys —
-    # each pair materializes exactly once across all blocks, so no global
-    # dedup shuffle is needed.  (A pair whose min common block was salted
-    # into different chunks can be lost — bounded by the salting recall
-    # analysis above.)
+    # canonical one — the hash-order minimum of the two conversations'
+    # shared UNSALTED block keys (an unsalted block generates ALL its
+    # pairs, so the canonical emission is guaranteed); when every common
+    # key is salted, the overall min is canonical and the pair may be lost
+    # if that block chunked the two apart (the documented salting
+    # epsilon).  Each pair materializes at most once across all blocks —
+    # no global dedup shuffle.  Vectorized: pad both sides' sorted
+    # key-hash lists, sort-merge along the row, first duplicate = min.
     bk = group["block_key"][0].as_py()
-    key_sets = [frozenset(ks.split("|")) for ks in group["all_keys"].to_pylist()]
-    keep = np.fromiter(
-        (min(key_sets[i] & key_sets[j]) == bk
-         for i, j in zip(i_idx, j_idx)),
-        dtype=bool, count=len(i_idx),
-    )
+    own = np.asarray(group["own_key"]).view(np.uint64)[i_idx]
+    ak = group["all_keys"]
+    if isinstance(ak, pa.ChunkedArray):
+        ak = ak.combine_chunks()
+    offsets = np.asarray(ak.offsets)
+    lens = np.diff(offsets).astype(np.int64)
+    width = int(lens.max(initial=1))
+    vals = np.asarray(ak.flatten()).astype(np.uint64, copy=False)
+    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+    keymat = np.full((m, width), sentinel, dtype=np.uint64)
+    rr = np.repeat(np.arange(m), lens)
+    cc = np.arange(len(rr)) - np.repeat(np.cumsum(np.r_[0, lens[:-1]]), lens)
+    keymat[rr, cc] = vals
+
+    def _min_common(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        merged = np.sort(np.concatenate([mat[i_idx], mat[j_idx]], axis=1),
+                         axis=1)
+        dupm = (merged[:, 1:] == merged[:, :-1]) & (merged[:, 1:] != sentinel)
+        first = dupm.argmax(axis=1)
+        has = dupm.any(axis=1)
+        return merged[np.arange(len(i_idx)), first + 1], has
+
+    if len(salted_keys):
+        si = np.clip(np.searchsorted(salted_keys, keymat.ravel()), 0,
+                     len(salted_keys) - 1)
+        is_salted = (salted_keys[si] == keymat.ravel()).reshape(keymat.shape)
+        small_mat = np.where(is_salted, sentinel, keymat)
+        min_small, has_small = _min_common(small_mat)
+        min_all, has_all = _min_common(keymat)
+        canonical = np.where(has_small, min_small, min_all)
+        keep = (has_small | has_all) & (canonical == own)
+    else:
+        min_all, has_all = _min_common(keymat)
+        keep = has_all & (min_all == own)
     i_idx = i_idx[keep]
     j_idx = j_idx[keep]
     if len(i_idx) == 0:
@@ -183,43 +221,87 @@ def _emit_pairs(group: pa.Table, cfg: PipelineConfig) -> pa.Table:
     ca = conv[i_idx]
     cb = conv[j_idx]
     swap = ca > cb
-    ca2 = np.where(swap, cb, ca)
-    cb2 = np.where(swap, ca, cb)
-    ai = np.where(swap, j_idx, i_idx)
-    bi = np.where(swap, i_idx, j_idx)
+    ai = pa.array(np.where(swap, j_idx, i_idx))
+    bi = pa.array(np.where(swap, i_idx, j_idx))
 
-    jw = np.asarray(group["jw_text"], dtype=object)
-    toks = np.asarray(group["tokens"].to_pylist(), dtype=object)
-    ntok = np.asarray(group["n_tokens"])
-    pair_key = [a + "\x1f" + b for a, b in zip(ca2, cb2)]
+    # Arrow `take` keeps list/string payloads in Arrow end-to-end — no
+    # Python materialization of 10^7-element token lists
+    import pyarrow.compute as pc
+
+    conv_arr = group["conv_id"].combine_chunks() \
+        if isinstance(group["conv_id"], pa.ChunkedArray) else group["conv_id"]
+    ca2 = conv_arr.take(ai)
+    cb2 = conv_arr.take(bi)
+    pair_key = pc.binary_join_element_wise(ca2, cb2, "\x1f")
+    n_out = len(ai)
 
     return pa.table(
         {
-            "pair_key": pa.array(pair_key, type=pa.string()),
-            "block_key": pa.array([bk] * len(ai), type=pa.string()),
-            "conv_a": pa.array(ca2, type=pa.string()),
-            "conv_b": pa.array(cb2, type=pa.string()),
-            "jw_a": pa.array(jw[ai], type=pa.string()),
-            "jw_b": pa.array(jw[bi], type=pa.string()),
-            "tokens_a": pa.array(list(toks[ai]), type=pa.list_(pa.uint64())),
-            "tokens_b": pa.array(list(toks[bi]), type=pa.list_(pa.uint64())),
-            "n_tokens_a": pa.array(ntok[ai], type=pa.int32()),
-            "n_tokens_b": pa.array(ntok[bi], type=pa.int32()),
-            "capped_pairs": pa.array([capped] * len(ai), type=pa.int64()),
+            "pair_key": pair_key,
+            "block_key": pa.array([bk] * n_out, type=pa.string()),
+            "conv_a": ca2,
+            "conv_b": cb2,
+            "jw_a": group["jw_text"].take(ai),
+            "jw_b": group["jw_text"].take(bi),
+            "tokens_a": group["tokens"].take(ai),
+            "tokens_b": group["tokens"].take(bi),
+            "n_tokens_a": group["n_tokens"].take(ai),
+            "n_tokens_b": group["n_tokens"].take(bi),
+            "capped_pairs": pa.array([capped] * n_out, type=pa.int64()),
         }
-    )
+    ).cast(_PAIR_SCHEMA)
 
 
 def make_pairs(blocked: ray.data.Dataset, cfg: PipelineConfig | None = None,
                num_buckets: int = 64):
     """Bucketed pair generation: one Python call per hash bucket of
     block_key; inside the bucket each block is sliced out (sorted
-    boundaries) and paired with numpy (functions/grouping.py rationale)."""
+    boundaries) and paired with numpy (functions/grouping.py rationale).
+
+    Singleton-block pruning: most emitted (conv × band-key) rows land in
+    blocks of size 1 (unique LSH minima) and can never pair.  A skinny
+    pre-count on the 8-byte key hash finds the multi-member keys, which
+    are broadcast (``ray.put`` of a sorted int64 array) and the WIDE
+    feature-carrying rows are filtered before the expensive shuffle —
+    observed ~8× shuffle reduction.  (At extreme scale the multi-member
+    key set itself could outgrow a broadcast; the fallback is a bucketed
+    semi-join on the same key hash.)"""
     cfg = cfg or PipelineConfig()
 
-    def per_bucket(bucket: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    import ray
 
+    sizes = (
+        blocked.select_columns(["own_key"])
+        .groupby("own_key").count()
+    )
+    sz = sizes.to_pandas()
+    hot_keys = np.sort(sz.loc[sz["count()"] >= 2, "own_key"].to_numpy()
+                       .astype(np.int64))
+    # oversized keys get salted (chunked) pair generation — they cannot
+    # guarantee a pair is generated, so they are excluded from the
+    # canonical min-common-block choice (see _emit_pairs)
+    salted_keys = np.sort(
+        sz.loc[sz["count()"] > cfg.block_cap, "own_key"].to_numpy()
+        .astype(np.int64).view(np.uint64))
+    hot_ref = ray.put(hot_keys)
+
+    class KeepHot:
+        def __init__(self, ref):
+            self.hot = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(self.hot) == 0 or t.num_rows == 0:
+                return t.slice(0, 0)
+            keys = np.asarray(t["own_key"])
+            idx = np.clip(np.searchsorted(self.hot, keys), 0, len(self.hot) - 1)
+            return t.filter(pa.array(self.hot[idx] == keys))
+
+    blocked = blocked.map_batches(
+        KeepHot, fn_constructor_kwargs={"ref": hot_ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+    def per_bucket(bucket: pa.Table) -> pa.Table:
         if bucket.num_rows == 0:
             return _PAIR_SCHEMA.empty_table()
         bucket = bucket.sort_by("block_key")
@@ -229,7 +311,7 @@ def make_pairs(blocked: ray.data.Dataset, cfg: PipelineConfig | None = None,
         out = []
         for s, e in zip(bounds[:-1], bounds[1:]):
             if e - s >= 2:
-                out.append(_emit_pairs(bucket.slice(s, e - s), cfg))
+                out.append(_emit_pairs(bucket.slice(s, e - s), cfg, salted_keys))
         if not out:
             return _PAIR_SCHEMA.empty_table()
         return pa.concat_tables(out)

@@ -130,9 +130,13 @@ def connected_components(
     cur = _pin(_dedup_edges(edges))
     prev_sum = None
     for _ in range(max_rounds):
-        ls = bucketed_groups(_doubled(cur), "u", _large_star)
-        ss = bucketed_groups(_doubled(ls), "u", _small_star)
-        cur = _pin(_dedup_edges(ss))
+        # no inter-round dedup needed: each star op dedups within its
+        # bucket, and bucketing by u makes that a global dedup
+        ls = bucketed_groups(_doubled(cur), "u", _large_star,
+                             repartition=False)
+        ss = bucketed_groups(_doubled(ls), "u", _small_star,
+                             repartition=False)
+        cur = _pin(ss)
         cs = _checksum(cur)
         if cs == prev_sum:
             break

@@ -33,6 +33,9 @@ from ..functions.text import (
 
 TOKEN_HASH_SEED = 7
 SHINGLE_HASH_SEED = 11
+TOKEN_MASK = np.uint64(0xFFFFFFFF)  # token ids live in a 32-bit domain:
+                                    # halves the pair-row payload; the stats
+                                    # tables use the same masked domain
 
 
 class Featurizer:
@@ -53,7 +56,10 @@ class Featurizer:
         # content tokens: stopword-filter + Porter stem (per row, cached stem)
         content = [content_tokens(ts) for ts in token_lists.to_list()]
         content_series = pl.Series("c", content, dtype=pl.List(pl.String))
-        tok_hashes = token_lists_to_hashes(content_series, seed=TOKEN_HASH_SEED)
+        tok_hashes = [
+            np.unique((h & TOKEN_MASK).astype(np.uint32))
+            for h in token_lists_to_hashes(content_series, seed=TOKEN_HASH_SEED)
+        ]
 
         # shingles over the content-token stream
         k = cfg.shingle_k
@@ -80,7 +86,7 @@ class Featurizer:
                 "sig": batch["sig"],
                 "jw_text": pa.Array.from_pandas(jw_texts.to_pandas()),
                 "n_tokens": pa.array(n_tokens, type=pa.int32()),
-                "tokens": pa.array(capped, type=pa.list_(pa.uint64())),
+                "tokens": pa.array(capped, type=pa.list_(pa.uint32())),
                 "minhash": pa.array(list(sigs), type=pa.list_(pa.uint64())),
             }
         )

@@ -31,7 +31,7 @@ import ray
 import ray.data
 
 from ..config import PipelineConfig, ScorerWeights
-from ..functions.logodds import lambda_pairwise, rho_idf, sorted_lookup
+from ..functions.logodds import npmi_pairwise, rho_idf, sorted_lookup
 from ..functions.hashing import pack_pairs_np
 from ..functions.similarity import jaro_winkler_batch
 
@@ -119,7 +119,9 @@ class PairScorer:
         sv = S[:, 1:][dup]                       # shared tokens, row-major
         if len(sv) == 0:
             return np.zeros(n), jac
-        df = sorted_lookup(sv.view(np.int64), st.vocab_hash, st.vocab_df,
+        # token ids are 32-bit values → plain astype matches the int64
+        # vocab keys (the packed cooc keys below stay bit-cast instead)
+        df = sorted_lookup(sv.astype(np.int64), st.vocab_hash, st.vocab_df,
                            default=1)
         idf = rho_idf(df, st.n_docs)
 
@@ -142,7 +144,10 @@ class PairScorer:
         rho_norm[nz] = (np.bincount(trow, weights=tidf, minlength=n)[nz]
                         / counts[nz]) / log_n
 
-        # pairwise lambda over each row's top tokens: flat segment triu
+        # pairwise NPMI over each row's top tokens: flat segment triu.
+        # the reference's 2/(l-1) max-product normalization times 1/l over
+        # the l(l-1)/2 pair terms is exactly the pair MEAN — keeping the
+        # aggregate in [-1, 1] independent of l and of corpus size
         lam_sum = np.zeros(n)
         seg_starts = np.cumsum(np.r_[0, counts[:-1]])
         for l in np.unique(counts):
@@ -155,12 +160,11 @@ class PairScorer:
             pj = (base[:, None] + ib[None, :]).ravel()
             keys = pack_pairs_np(tv[pi], tv[pj]).view(np.int64)
             cocit = sorted_lookup(keys, st.cooc_key, st.cooc_count, default=0)
-            lam = lambda_pairwise(cocit, tdf[pi], tdf[pj], st.n_docs, w)
+            lam = npmi_pairwise(cocit, tdf[pi], tdf[pj], st.n_docs, w)
             per_row = lam.reshape(len(rsel), -1).sum(axis=1)
             lam_sum[rsel] = per_row * (2.0 / (l - 1)) / l
 
-        lam_norm = np.clip((lam_sum - w.lambda_floor) / (log_n - w.lambda_floor),
-                           0.0, 1.0)
+        lam_norm = np.clip(lam_sum, 0.0, 1.0)
         lam_norm[counts < 2] = 0.0
         pboh = np.clip(w.f * rho_norm + w.g * lam_norm, 0.0, 1.0)
         pboh[counts == 0] = 0.0

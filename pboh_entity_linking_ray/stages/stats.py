@@ -31,9 +31,9 @@ from ..functions.hashing import pack_pairs_np
 from ..functions.text import content_tokens
 from .featurize import TOKEN_HASH_SEED
 
-COOC_TOKEN_CAP = 24  # bottom-k sample of tokens entering the per-conv
+COOC_TOKEN_CAP = 16  # bottom-k sample of tokens entering the per-conv
                      # co-occurrence cross product (bounds the pair shuffle
-                     # to C(24,2)=276 rows/conv; the reference instead caps
+                     # to C(16,2)=120 rows/conv; the reference instead caps
                      # candidates at top-10, MentEntsFreqIndexWrapper.scala:53-55)
 
 
@@ -56,17 +56,17 @@ class _TokenStatsEmitter:
                 rows_hash.append(np.empty(0, dtype=np.uint64))
                 continue
             s = pl.Series(cts).unique()
-            rows_hash.append(s.hash(seed=TOKEN_HASH_SEED).to_numpy().astype(np.uint64))
+            h = s.hash(seed=TOKEN_HASH_SEED).to_numpy().astype(np.uint64)
+            rows_hash.append(np.unique(h & np.uint64(0xFFFFFFFF)))
         flat = (np.concatenate(rows_hash) if rows_hash
                 else np.empty(0, dtype=np.uint64))
         if len(flat) == 0:
             return pa.table({"token_hash": pa.array([], type=pa.int64()),
                              "df_partial": pa.array([], type=pa.int64())})
         uniq, counts = np.unique(flat, return_counts=True)
-        # bit-cast uint64 → int64: groupby keys are rebuilt via Python ints
-        # inside Ray's aggregate, which overflows on values ≥ 2^63
+        # 32-bit token domain fits int64 directly (see featurize.TOKEN_MASK)
         return pa.table({
-            "token_hash": pa.array(uniq.view(np.int64), type=pa.int64()),
+            "token_hash": pa.array(uniq.astype(np.int64), type=pa.int64()),
             "df_partial": pa.array(counts.astype(np.int64), type=pa.int64()),
         })
 

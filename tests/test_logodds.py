@@ -55,3 +55,34 @@ def test_sorted_lookup():
     out = sorted_lookup(keys, sk, sv, default=-1)
     assert out.tolist() == [50, 70, -1]
     assert sorted_lookup(np.array([], dtype=np.int64), sk, sv).tolist() == []
+
+
+def test_npmi_scale_invariance():
+    """NPMI of a perfectly-correlated token pair must not drift with N —
+    the property that keeps one match threshold valid from 2k to 10^12
+    conversations (lambda_pairwise, by contrast, grows ~log N)."""
+    from pboh_entity_linking_ray.functions.logodds import npmi_pairwise
+
+    w = ScorerWeights()
+    vals = []
+    for n in (2_000, 100_000, 10_000_000):
+        k = 3.0  # cluster of 3: df=3, cocit=3 at any corpus size
+        vals.append(npmi_pairwise(np.array([k]), np.array([k]),
+                                  np.array([k]), n, w)[0])
+    assert max(vals) - min(vals) < 0.05
+    assert all(v > 0.85 for v in vals)
+
+
+def test_npmi_independent_and_floor():
+    from pboh_entity_linking_ray.functions.logodds import npmi_pairwise
+
+    w = ScorerWeights()
+    n = 100_000
+    # independent: cocit ≈ p1*p2*N
+    p = 30_000.0
+    c = p * p / n
+    out = npmi_pairwise(np.array([c]), np.array([p]), np.array([p]), n, w)
+    assert abs(out[0]) < 0.1
+    # never co-occurring → hard floor -1 (reference -1000 branch analog)
+    out = npmi_pairwise(np.array([0.0]), np.array([p]), np.array([p]), n, w)
+    assert out[0] == -1.0

@@ -34,10 +34,10 @@ def test_vocab_df_matches_oracle(ray_session):
         cts = set(content_tokens(toks))
         if cts:
             hashes = pl.Series(sorted(cts)).hash(seed=TOKEN_HASH_SEED).to_numpy().astype(np.uint64)
-            df_oracle.update(int(h) for h in np.unique(hashes))
+            df_oracle.update(int(h) for h in
+                             np.unique(hashes & np.uint64(0xFFFFFFFF)))
 
-    got = {int(np.uint64(np.int64(k)).item()): int(v)
-           for k, v in zip(vocab["token_hash"], vocab["df"])}
+    got = {int(k): int(v) for k, v in zip(vocab["token_hash"], vocab["df"])}
     assert got == dict(df_oracle)
 
 
