@@ -121,7 +121,7 @@ def main():
         # (default 100k convs) makes compute dominate the fixed barriers
         lo, hi = 8, 32
         env = {"BENCH_LINK_ONLY": "1",
-               "BENCH_N_CONVS": os.environ.get("BENCH_N_CONVS", "100000")}
+               "BENCH_N_CONVS": os.environ.get("BENCH_N_CONVS", "250000")}
         r_lo = _subprocess_run(lo, env)
         r_hi = _subprocess_run(hi, env)
         t_lo = r_lo["queries"]["link_pipeline"]

@@ -57,6 +57,25 @@ def bucketed_groups(ds: ray.data.Dataset, key_col: str, fn,
     return keyed.groupby(BUCKET_COL).map_groups(run, batch_format="pyarrow")
 
 
+def bucketed_sum(ds: ray.data.Dataset, key_cols: list[str], sum_col: str,
+                 out_name: str, num_buckets: int = 64) -> ray.data.Dataset:
+    """groupby(key).sum(sum_col) with vectorized per-bucket polars hash
+    aggregation — Ray's native Aggregate builds result rows in Python per
+    group (observed ~15 µs/group → 48 s for 3M co-occurrence keys)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(t)
+            .group_by(key_cols)
+            .agg(pl.col(sum_col).sum().alias(out_name))
+        )
+        return out.to_arrow()
+
+    return bucketed_groups(ds, key_cols[0], fn, num_buckets)
+
+
 def dedup_keep_first(ds: ray.data.Dataset, key_col: str,
                      order_cols: list[str] | None = None,
                      num_buckets: int = 64) -> ray.data.Dataset:

@@ -32,12 +32,37 @@ class MinHasher:
         n = len(hash_lists)
         if n == 0:
             return np.empty((0, self.num_perm), dtype=np.uint64)
-        safe = [h if len(h) else np.array([_EMPTY_HASH], dtype=np.uint64)
-                for h in hash_lists]
-        lengths = np.array([len(h) for h in safe], dtype=np.int64)
-        flat = np.concatenate(safe).astype(np.uint64)
+        lengths = np.array([len(h) for h in hash_lists], dtype=np.int64)
+        flat = (np.concatenate([h for h in hash_lists if len(h)])
+                .astype(np.uint64) if lengths.sum() else
+                np.empty(0, dtype=np.uint64))
+        return self.signatures_flat(flat, lengths)
+
+    def signatures_flat(self, flat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        """Flat shingle hashes + per-row lengths → (n, num_perm) uint64.
+        Rows with length 0 get the deterministic empty-doc signature."""
+        n = len(lengths)
+        if n == 0:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        empty = lengths == 0
+        if empty.any():
+            # splice one sentinel hash into each empty row
+            total = int(lengths.sum()) + int(empty.sum())
+            out_flat = np.empty(total, dtype=np.uint64)
+            new_lengths = np.where(empty, 1, lengths)
+            ends = np.cumsum(new_lengths)
+            starts = ends - new_lengths
+            src_ends = np.cumsum(lengths)
+            src_starts = src_ends - lengths
+            for i in range(n):   # boundary splice only; empty rows are rare
+                if empty[i]:
+                    out_flat[starts[i]] = _EMPTY_HASH
+                else:
+                    out_flat[starts[i]:ends[i]] = flat[src_starts[i]:src_ends[i]]
+            flat, lengths = out_flat, new_lengths
         starts = np.zeros(n, dtype=np.int64)
         np.cumsum(lengths[:-1], out=starts[1:])
+        flat = flat.astype(np.uint64, copy=False)
         # (n_flat, P) permuted values with uint64 wraparound
         vals = flat[:, None] * self.a[None, :] + self.b[None, :]
         return np.minimum.reduceat(vals, starts, axis=0)

@@ -18,11 +18,11 @@ import pyarrow as pa
 import ray.data
 
 from ..config import PipelineConfig
-from ..stages.blocking import add_block_keys, make_pairs
+from ..stages.blocking import add_block_keys, dedup_pairs, make_pairs
 from ..stages.canonicalize import canonicalize
 from ..stages.clustering import cluster_matches
 from ..stages.featurize import featurize
-from ..stages.scoring import BroadcastStats, score_pairs
+from ..stages.scoring import BroadcastStats, build_feature_store, score_pairs
 from ..stages.stats import build_cooc, build_vocab
 from ..state.checkpoint import StageRunner
 
@@ -77,7 +77,7 @@ def run_linkage(
         conv_docs = conv_docs.materialize()
         features = features.materialize()
 
-    vocab = runner.run("vocab", lambda: build_vocab(conv_docs))
+    vocab = runner.run("vocab", lambda: build_vocab(features))
     cooc = runner.run("cooc", lambda: build_cooc(features, cfg))
 
     # stats are the small side: materialize driver-side once, broadcast
@@ -85,12 +85,12 @@ def run_linkage(
     cooc_tbl = pa.Table.from_pandas(cooc.to_pandas(), preserve_index=False)
     n_convs = features.count()
     stats = BroadcastStats.from_tables(vocab_tbl, cooc_tbl, n_convs)
+    fstore = build_feature_store(features)
 
     blocked = add_block_keys(features, cfg)
-    # make_pairs emits each pair exactly once (min-common-block rule) —
-    # no global dedup shuffle needed
-    pairs = runner.run("pairs", lambda: make_pairs(blocked, cfg))
-    scored = runner.run("scored", lambda: score_pairs(pairs, stats, cfg))
+    # skinny pair rows: dedup is a cheap bucketed keep-first
+    pairs = runner.run("pairs", lambda: dedup_pairs(make_pairs(blocked, cfg)))
+    scored = runner.run("scored", lambda: score_pairs(pairs, stats, fstore, cfg))
     if runner.root:
         runner.add_metrics("scored", {"score_histogram": score_histogram(scored)})
     else:

@@ -1,27 +1,27 @@
-"""Blocking: per-conversation features → candidate pair rows.
+"""Blocking: per-conversation features → candidate pair rows (SKINNY).
 
-Three sub-steps, each a named shuffle (SURVEY.md §7.3):
+Sub-steps, each a named shuffle (SURVEY.md §7.3):
 
-1. ``add_block_keys``  — flat-emit one row per (conversation × block key):
-   ``lsh_bands`` MinHash band keys plus one tool/role signature key.
-2. ``make_pairs``      — ``groupby(block_key).map_groups``: unordered pairs
-   within each block, with **explicit salting of hot blocks**: a block
-   larger than ``block_cap`` is sorted by its first MinHash value (similar
-   conversations sort near each other) and split into chunks of
-   ``block_cap``; pairs are emitted within each chunk and across
-   ``adjacent_chunks`` neighboring chunks, and the number of *capped*
-   (not-emitted) pairs is carried on every emitted row so the manifest can
-   account for them.  The reference instead silently skips oversized
+1. ``add_block_keys``  — flat-emit one SKINNY row per (conversation ×
+   block key): ``lsh_bands`` MinHash band keys plus one tool/role
+   signature key.  Only (conv_id, mh0, own_key, block_key) are shuffled —
+   ~40 B/row; features are re-attached at scoring time from the broadcast
+   FeatureStore (stages/scoring.py), so the blocking exchange never moves
+   token sketches or text.
+2. ``make_pairs``      — singleton-block pruning (skinny key count +
+   broadcast filter), hash sub-chunk splitting of oversized (salted)
+   blocks BEFORE the shuffle, then bucketed, size-batched vectorized pair
+   emission.  **Explicit salting of hot blocks**: an oversized block's
+   pair budget is ``max_pairs_per_block``; its chunk-local pairs plus
+   seam windows are emitted and every non-emitted pair is accounted in
+   ``capped_pairs`` — the reference instead silently skips oversized
    documents (reference: src/main/scala/eval/EvalOnDatasets.scala:172,
-   eval/cweb/RunLoopyAgainstAllGoogleClweb.scala:188) — the north_rule
+   eval/cweb/RunLoopyAgainstAllGoogleClweb.scala:188); the north_rule
    forbids silent drops.
-3. ``dedup_pairs``     — ``groupby(pair_key)`` keep-first across blocks
-   (analog of the reference's ``.distinct`` on packed int64 pair keys,
-   reference: src/main/scala/index/EntityCooccurrenceIndex.scala:103).
-
-Pair rows carry both sides' capped features (jw text, bottom-k token
-hashes) so the scorer needs no further join — the width is bounded by
-``max_tokens_per_conv`` and ``jw_text_cap`` (config.py).
+3. ``dedup_pairs``     — bucketed keep-first on ``pair_key`` across
+   blocks (analog of the reference's ``.distinct`` on packed int64 pair
+   keys, reference: src/main/scala/index/EntityCooccurrenceIndex.scala:103);
+   cheap because pair rows are ~90 B.
 """
 
 from __future__ import annotations
@@ -40,12 +40,6 @@ _PAIR_SCHEMA = pa.schema(
         ("block_key", pa.string()),
         ("conv_a", pa.string()),
         ("conv_b", pa.string()),
-        ("jw_a", pa.string()),
-        ("jw_b", pa.string()),
-        ("tokens_a", pa.list_(pa.uint32())),
-        ("tokens_b", pa.list_(pa.uint32())),
-        ("n_tokens_a", pa.int32()),
-        ("n_tokens_b", pa.int32()),
         ("capped_pairs", pa.int64()),
     ]
 )
@@ -55,9 +49,11 @@ class BlockKeyEmitter:
     """features → one row per (conv, block_key); all feature cols duplicated."""
 
     def __init__(self, cfg: PipelineConfig | None = None):
+        from .featurize import _mh_for
+
         self.cfg = cfg or PipelineConfig()
         # reuse MinHasher only for band folding of the stored signature
-        self.mh = MinHasher(self.cfg.num_perm, seed=self.cfg.seed)
+        self.mh = _mh_for(self.cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -88,24 +84,14 @@ class BlockKeyEmitter:
         flat_keys = [
             p + str(v) for p, v in zip(prefix.ravel(), key_mat.ravel())
         ]
-        # every emitted row carries the conversation's full key set as
-        # SORTED uint64 HASHES: pair generation emits a pair ONLY inside
-        # the minimum-hash common block (global pair uniqueness WITHOUT a
-        # wide dedup shuffle), and the hash total order lets that check be
-        # fully vectorized (padded sort-merge in _emit_pairs)
-        key_hash = hash_strings_u64(flat_keys, seed=23).reshape(n, n_keys)
-        key_rows = np.sort(key_hash, axis=1)
+        key_hash = hash_strings_u64(flat_keys, seed=23)
         idx = np.repeat(np.arange(n), n_keys)
-        # shuffle-slim projection: minhash (512 B/row) reduced to the single
-        # value used for salted-chunk ordering; sig/n_turns dropped
+        # skinny projection: only identity + the mh0 used for salted-chunk
+        # ordering cross the shuffle; features stay in the FeatureStore
         out = pa.table({
             "conv_id": batch["conv_id"].take(pa.array(idx)),
-            "jw_text": batch["jw_text"].take(pa.array(idx)),
-            "n_tokens": batch["n_tokens"].take(pa.array(idx)),
-            "tokens": batch["tokens"].take(pa.array(idx)),
             "mh0": pa.array(sigs[:, 0].view(np.int64)[idx]),
-            "all_keys": pa.array(list(key_rows[idx]), type=pa.list_(pa.uint64())),
-            "own_key": pa.array(key_hash.ravel().view(np.int64)),
+            "own_key": pa.array(key_hash.view(np.int64)),
             "block_key": pa.array(flat_keys, type=pa.string()),
         })
         return out
@@ -113,141 +99,121 @@ class BlockKeyEmitter:
 
 def add_block_keys(features: ray.data.Dataset, cfg: PipelineConfig | None = None):
     cfg = cfg or PipelineConfig()
-    return features.map_batches(
-        BlockKeyEmitter,
-        fn_constructor_kwargs={"cfg": cfg},
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=(1, cfg.scorer_concurrency),
-        num_cpus=1,
-    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return BlockKeyEmitter(cfg)(batch)
+
+    return features.map_batches(emit, batch_format="pyarrow", batch_size=1024)
 
 
-def _emit_pairs(group: pa.Table, cfg: PipelineConfig,
-                salted_keys: np.ndarray | None = None) -> pa.Table:
-    if salted_keys is None:
-        salted_keys = np.empty(0, dtype=np.uint64)
-    m = group.num_rows
-    if m < 2:
-        return _PAIR_SCHEMA.empty_table()
+_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
-    conv = np.asarray(group["conv_id"], dtype=object)
-    mh0 = np.asarray(group["mh0"]).view(np.uint64)
-    # deterministic similarity-ish order: (minhash[0], conv_id) — similar
-    # conversations sort near each other, so chunk-local pairing keeps most
-    # true duplicate pairs even in heavily salted blocks
-    order = np.lexsort((conv, mh0))
 
-    if m <= cfg.block_cap:
-        chunk_size = m
-    else:
-        # pair budget: chunks of size c emit ~ m*c/2 pairs total;
-        # c = 2*budget/m keeps the block under max_pairs_per_block
-        chunk_size = max(8, min(cfg.block_cap,
-                                (2 * cfg.max_pairs_per_block) // m))
+def _triu(n: int) -> tuple[np.ndarray, np.ndarray]:
+    t = _TRIU_CACHE.get(n)
+    if t is None:
+        t = np.triu_indices(n, k=1)
+        _TRIU_CACHE[n] = t
+    return t
+
+
+def _salted_pair_indices(order: np.ndarray, cfg: PipelineConfig
+                         ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Chunked (salted) pair indices for one oversized group; ``order`` is
+    the group's bucket-row indices in (mh0, conv_id)-sorted order.
+    Returns (i, j, capped) — capped = pairs not generated."""
+    m = len(order)
+    chunk_size = max(8, min(cfg.block_cap,
+                            (2 * cfg.max_pairs_per_block) // m))
     chunks = [order[i : i + chunk_size] for i in range(0, m, chunk_size)]
-    ii: list[np.ndarray] = []
-    jj: list[np.ndarray] = []
+    ii, jj = [], []
     # seam window scales down with the chunk so boundary pairs never
     # dominate the pair budget on very hot blocks
     w = min(cfg.salt_boundary, max(1, chunk_size // 2))
     for ci, chunk in enumerate(chunks):
-        a, b = np.triu_indices(len(chunk), k=1)
+        a, b = _triu(len(chunk))
         ii.append(chunk[a])
         jj.append(chunk[b])
         if ci + 1 < len(chunks):
-            # boundary window: sorted order puts cross-chunk near-dups at
-            # the seam; full chunk×chunk would blow the pair budget
-            left = chunk[-w:]
-            right = chunks[ci + 1][:w]
-            ga, gb = np.meshgrid(left, right, indexing="ij")
+            ga, gb = np.meshgrid(chunk[-w:], chunks[ci + 1][:w], indexing="ij")
             ii.append(ga.ravel())
             jj.append(gb.ravel())
     i_idx = np.concatenate(ii)
     j_idx = np.concatenate(jj)
-    total_pairs = m * (m - 1) // 2
-    capped = total_pairs - len(i_idx)
+    return i_idx, j_idx, m * (m - 1) // 2 - len(i_idx)
 
-    # min-common-block rule: emit (i, j) only when THIS block is the
-    # canonical one — the hash-order minimum of the two conversations'
-    # shared UNSALTED block keys (an unsalted block generates ALL its
-    # pairs, so the canonical emission is guaranteed); when every common
-    # key is salted, the overall min is canonical and the pair may be lost
-    # if that block chunked the two apart (the documented salting
-    # epsilon).  Each pair materializes at most once across all blocks —
-    # no global dedup shuffle.  Vectorized: pad both sides' sorted
-    # key-hash lists, sort-merge along the row, first duplicate = min.
-    bk = group["block_key"][0].as_py()
-    own = np.asarray(group["own_key"]).view(np.uint64)[i_idx]
-    ak = group["all_keys"]
-    if isinstance(ak, pa.ChunkedArray):
-        ak = ak.combine_chunks()
-    offsets = np.asarray(ak.offsets)
-    lens = np.diff(offsets).astype(np.int64)
-    width = int(lens.max(initial=1))
-    vals = np.asarray(ak.flatten()).astype(np.uint64, copy=False)
-    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
-    keymat = np.full((m, width), sentinel, dtype=np.uint64)
-    rr = np.repeat(np.arange(m), lens)
-    cc = np.arange(len(rr)) - np.repeat(np.cumsum(np.r_[0, lens[:-1]]), lens)
-    keymat[rr, cc] = vals
 
-    def _min_common(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        merged = np.sort(np.concatenate([mat[i_idx], mat[j_idx]], axis=1),
-                         axis=1)
-        dupm = (merged[:, 1:] == merged[:, :-1]) & (merged[:, 1:] != sentinel)
-        first = dupm.argmax(axis=1)
-        has = dupm.any(axis=1)
-        return merged[np.arange(len(i_idx)), first + 1], has
+def _emit_pairs_bucket(bucket: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """ALL groups of a bucket → skinny pair rows in one vectorized pass.
 
-    if len(salted_keys):
-        si = np.clip(np.searchsorted(salted_keys, keymat.ravel()), 0,
-                     len(salted_keys) - 1)
-        is_salted = (salted_keys[si] == keymat.ravel()).reshape(keymat.shape)
-        small_mat = np.where(is_salted, sentinel, keymat)
-        min_small, has_small = _min_common(small_mat)
-        min_all, has_all = _min_common(keymat)
-        canonical = np.where(has_small, min_small, min_all)
-        keep = (has_small | has_all) & (canonical == own)
-    else:
-        min_all, has_all = _min_common(keymat)
-        keep = has_all & (min_all == own)
-    i_idx = i_idx[keep]
-    j_idx = j_idx[keep]
-    if len(i_idx) == 0:
+    Pair-index generation is batched BY GROUP SIZE (a group-at-a-time
+    implementation measured ~1.2 ms of numpy overhead per emitted pair).
+    Cross-block duplicates are removed afterwards by ``dedup_pairs`` —
+    cheap, because these rows carry no features.
+    """
+    n = bucket.num_rows
+    if n == 0:
         return _PAIR_SCHEMA.empty_table()
+    gk = np.asarray(bucket["group_key"], dtype=object)
+    starts = np.flatnonzero(np.concatenate(([True], gk[1:] != gk[:-1])))
+    bounds = np.append(starts, n)
+    sizes = np.diff(bounds)
+
+    ii_parts: list[np.ndarray] = []
+    jj_parts: list[np.ndarray] = []
+    cap_parts: list[np.ndarray] = []
+
+    # vector path: full pairing for every group with 2 <= m <= block_cap,
+    # batched by size
+    small = (sizes >= 2) & (sizes <= cfg.block_cap)
+    for msize in np.unique(sizes[small]):
+        ia, ib = _triu(int(msize))
+        base = bounds[:-1][small & (sizes == msize)]
+        ii_parts.append((base[:, None] + ia[None, :]).ravel())
+        jj_parts.append((base[:, None] + ib[None, :]).ravel())
+        cap_parts.append(np.zeros(len(base) * len(ia), dtype=np.int64))
+
+    # fallback: oversized groups (sub-chunk splitting keeps these rare)
+    big = np.flatnonzero(sizes > cfg.block_cap)
+    if len(big):
+        conv_all = np.asarray(bucket["conv_id"], dtype=object)
+        mh_all = np.asarray(bucket["mh0"]).view(np.uint64)
+        for g in big:
+            s, e = bounds[g], bounds[g + 1]
+            local = np.arange(s, e)
+            order = local[np.lexsort((conv_all[s:e], mh_all[s:e]))]
+            gi, gj, capped = _salted_pair_indices(order, cfg)
+            ii_parts.append(gi)
+            jj_parts.append(gj)
+            cap_parts.append(np.full(len(gi), capped, dtype=np.int64))
+
+    if not ii_parts:
+        return _PAIR_SCHEMA.empty_table()
+    i_idx = np.concatenate(ii_parts)
+    j_idx = np.concatenate(jj_parts)
+    capped_col = np.concatenate(cap_parts)
 
     # canonical order inside the pair: conv_a < conv_b
-    ca = conv[i_idx]
-    cb = conv[j_idx]
-    swap = ca > cb
+    conv = np.asarray(bucket["conv_id"], dtype=object)
+    swap = conv[i_idx] > conv[j_idx]
     ai = pa.array(np.where(swap, j_idx, i_idx))
     bi = pa.array(np.where(swap, i_idx, j_idx))
 
-    # Arrow `take` keeps list/string payloads in Arrow end-to-end — no
-    # Python materialization of 10^7-element token lists
     import pyarrow.compute as pc
 
-    conv_arr = group["conv_id"].combine_chunks() \
-        if isinstance(group["conv_id"], pa.ChunkedArray) else group["conv_id"]
+    conv_arr = bucket["conv_id"].combine_chunks() \
+        if isinstance(bucket["conv_id"], pa.ChunkedArray) else bucket["conv_id"]
     ca2 = conv_arr.take(ai)
     cb2 = conv_arr.take(bi)
     pair_key = pc.binary_join_element_wise(ca2, cb2, "\x1f")
-    n_out = len(ai)
 
     return pa.table(
         {
             "pair_key": pair_key,
-            "block_key": pa.array([bk] * n_out, type=pa.string()),
+            "block_key": bucket["block_key"].take(ai),
             "conv_a": ca2,
             "conv_b": cb2,
-            "jw_a": group["jw_text"].take(ai),
-            "jw_b": group["jw_text"].take(bi),
-            "tokens_a": group["tokens"].take(ai),
-            "tokens_b": group["tokens"].take(bi),
-            "n_tokens_a": group["n_tokens"].take(ai),
-            "n_tokens_b": group["n_tokens"].take(bi),
-            "capped_pairs": pa.array([capped] * n_out, type=pa.int64()),
+            "capped_pairs": pa.array(capped_col, type=pa.int64()),
         }
     ).cast(_PAIR_SCHEMA)
 
@@ -270,55 +236,74 @@ def make_pairs(blocked: ray.data.Dataset, cfg: PipelineConfig | None = None,
 
     import ray
 
-    sizes = (
-        blocked.select_columns(["own_key"])
-        .groupby("own_key").count()
+    from ..functions.grouping import bucketed_sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        uniq, counts = np.unique(np.asarray(t["own_key"]), return_counts=True)
+        return pa.table({"own_key": pa.array(uniq, type=pa.int64()),
+                         "n_partial": pa.array(counts.astype(np.int64))})
+
+    sizes = bucketed_sum(
+        blocked.select_columns(["own_key"]).map_batches(
+            count_partial, batch_format="pyarrow"),
+        ["own_key"], "n_partial", "n",
     )
     sz = sizes.to_pandas()
-    hot_keys = np.sort(sz.loc[sz["count()"] >= 2, "own_key"].to_numpy()
+    hot_keys = np.sort(sz.loc[sz["n"] >= 2, "own_key"].to_numpy()
                        .astype(np.int64))
-    # oversized keys get salted (chunked) pair generation — they cannot
-    # guarantee a pair is generated, so they are excluded from the
-    # canonical min-common-block choice (see _emit_pairs)
-    salted_keys = np.sort(
-        sz.loc[sz["count()"] > cfg.block_cap, "own_key"].to_numpy()
-        .astype(np.int64).view(np.uint64))
-    hot_ref = ray.put(hot_keys)
+    # oversized keys get salted (chunked) pair generation; their members
+    # are split into hash sub-chunks here, BEFORE the shuffle: a hot
+    # block processed as one group serializes on a single core (observed:
+    # six signature blocks pinned the whole stage); sub-chunk groups
+    # spread across every bucket instead.
+    salted = sz.loc[sz["n"] > cfg.block_cap, ["own_key", "n"]]
+    salted_keys_i64 = salted["own_key"].to_numpy().astype(np.int64)
+    o = np.argsort(salted_keys_i64)
+    salted_keys_i64 = salted_keys_i64[o]
+    salted_n = salted["n"].to_numpy().astype(np.int64)[o]
+    chunk_sz = np.maximum(
+        8, np.minimum(cfg.block_cap,
+                      (2 * cfg.max_pairs_per_block) // np.maximum(salted_n, 1)))
+    salted_nchunks = np.maximum(1, salted_n // chunk_sz)
+    hot_ref = ray.put((hot_keys, salted_keys_i64, salted_nchunks))
 
-    class KeepHot:
-        def __init__(self, ref):
-            self.hot = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+    def keep_hot_and_split(t: pa.Table) -> pa.Table:
+        hot, skeys, snchunks = ray.get(hot_ref)
+        out_schema = t.schema.append(pa.field("group_key", pa.string()))
+        if len(hot) == 0 or t.num_rows == 0:
+            return out_schema.empty_table()
+        keys = np.asarray(t["own_key"])
+        idx = np.clip(np.searchsorted(hot, keys), 0, len(hot) - 1)
+        t = t.filter(pa.array(hot[idx] == keys))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        keys = np.asarray(t["own_key"])
+        bk = np.asarray(t["block_key"], dtype=object)
+        group_key = bk.copy()
+        if len(skeys):
+            si = np.clip(np.searchsorted(skeys, keys), 0, len(skeys) - 1)
+            is_salted = skeys[si] == keys
+            if is_salted.any():
+                mh = np.asarray(t["mh0"]).view(np.uint64)[is_salted]
+                # splitmix-style remix: mh0 (a minimum) is not uniform
+                z = (mh ^ (mh >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+                z ^= z >> np.uint64(29)
+                sub = z % snchunks[si[is_salted]].astype(np.uint64)
+                group_key[is_salted] = [
+                    f"{b}#{s}" for b, s in zip(bk[is_salted], sub)
+                ]
+        return t.append_column("group_key", pa.array(group_key, type=pa.string()))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if len(self.hot) == 0 or t.num_rows == 0:
-                return t.slice(0, 0)
-            keys = np.asarray(t["own_key"])
-            idx = np.clip(np.searchsorted(self.hot, keys), 0, len(self.hot) - 1)
-            return t.filter(pa.array(self.hot[idx] == keys))
-
-    blocked = blocked.map_batches(
-        KeepHot, fn_constructor_kwargs={"ref": hot_ref},
-        batch_format="pyarrow", concurrency=(1, 4),
-    )
+    blocked = blocked.map_batches(keep_hot_and_split, batch_format="pyarrow")
 
     def per_bucket(bucket: pa.Table) -> pa.Table:
         if bucket.num_rows == 0:
             return _PAIR_SCHEMA.empty_table()
-        bucket = bucket.sort_by("block_key")
-        keys = np.asarray(bucket["block_key"], dtype=object)
-        bounds = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
-        bounds = np.append(bounds, len(keys))
-        out = []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s >= 2:
-                out.append(_emit_pairs(bucket.slice(s, e - s), cfg, salted_keys))
-        if not out:
-            return _PAIR_SCHEMA.empty_table()
-        return pa.concat_tables(out)
+        return _emit_pairs_bucket(bucket.sort_by("group_key"), cfg)
 
     from ..functions.grouping import bucketed_groups
 
-    return bucketed_groups(blocked, "block_key", per_bucket, num_buckets)
+    return bucketed_groups(blocked, "group_key", per_bucket, num_buckets)
 
 
 def dedup_pairs(pairs: ray.data.Dataset, num_buckets: int = 64):

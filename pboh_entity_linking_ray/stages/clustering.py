@@ -128,6 +128,7 @@ def connected_components(
     """edges(u, v) → labels(conv_id, cluster_id); only nodes present in
     edges appear (callers union in singletons)."""
     cur = _pin(_dedup_edges(edges))
+    prev_meta = None
     prev_sum = None
     for _ in range(max_rounds):
         # no inter-round dedup needed: each star op dedups within its
@@ -137,10 +138,18 @@ def connected_components(
         ss = bucketed_groups(_doubled(ls), "u", _small_star,
                              repartition=False)
         cur = _pin(ss)
-        cs = _checksum(cur)
-        if cs == prev_sum:
-            break
-        prev_sum = cs
+        # cheap metadata pre-check: a changed row count / byte size can't
+        # be a fixpoint, so the full checksum aggregate only runs on
+        # candidate-converged rounds
+        meta = (cur.count(), cur.size_bytes())
+        if meta == prev_meta:
+            cs = _checksum(cur)
+            if cs == prev_sum:
+                break
+            prev_sum = cs
+        else:
+            prev_sum = None
+        prev_meta = meta
 
     def label(bucket: pa.Table) -> pa.Table:
         import polars as pl

@@ -78,34 +78,103 @@ class BroadcastStats:
         )
 
 
-def _padded(list_arr) -> tuple[np.ndarray, np.ndarray]:
-    """Arrow list<uint64> → (sentinel-padded (B, L) uint64 matrix, lengths)."""
-    if isinstance(list_arr, pa.ChunkedArray):
-        list_arr = list_arr.combine_chunks()
-    offsets = np.asarray(list_arr.offsets)
-    lens = np.diff(offsets).astype(np.int64)
-    values = np.asarray(list_arr.flatten()).astype(np.uint64, copy=False)
-    n = len(lens)
-    width = max(1, int(lens.max(initial=1)))
-    mat = np.full((n, width), _SENTINEL, dtype=np.uint64)
-    rows = np.repeat(np.arange(n), lens)
-    cols = np.arange(len(rows)) - np.repeat(np.cumsum(np.r_[0, lens[:-1]]), lens)
-    mat[rows, cols] = values
-    return mat, lens
+class FeatureStore:
+    """Broadcast per-conversation features, gatherable by conv id.
+
+    Sorted uint64 conv-id hashes → (jw_text, token sketch, n_tokens).
+    Built once on the driver, ``ray.put`` once, read zero-copy by every
+    scoring task — the pattern that keeps the blocking shuffle SKINNY
+    (token sketches and text never enter an exchange).  At true 10^12-turn
+    scale this becomes a SHARDED store (one object ref per conv-hash
+    range, each living on the node that produced it) — same lookup code,
+    sharded ``ray.get``.
+    """
+
+    def __init__(self, conv_ids: list[str], jw: np.ndarray,
+                 tok_flat: np.ndarray, tok_offsets: np.ndarray,
+                 n_tokens: np.ndarray):
+        from ..functions.hashing import hash_strings_u64
+
+        keys = hash_strings_u64(conv_ids, seed=5).view(np.int64)
+        o = np.argsort(keys)
+        self.keys = keys[o]
+        self.jw = jw[o]
+        lens = np.diff(tok_offsets)
+        self.tok_lens = lens[o].astype(np.int64)
+        starts = tok_offsets[:-1][o]
+        # re-pack token values in sorted-key order
+        total = int(self.tok_lens.sum())
+        flat = np.empty(total, dtype=np.uint32)
+        pos = np.cumsum(np.r_[0, self.tok_lens[:-1]])
+        take_idx = np.repeat(starts, self.tok_lens) + (
+            np.arange(total) - np.repeat(pos, self.tok_lens))
+        flat[:] = tok_flat[take_idx]
+        self.tok_flat = flat
+        self.tok_starts = pos
+        self.n_tokens = n_tokens[o].astype(np.int32)
+
+    @staticmethod
+    def from_table(t: pa.Table) -> "FeatureStore":
+        toks = t["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = np.asarray(toks.offsets).astype(np.int64)
+        offsets = offsets - offsets[0]   # sliced arrays may not start at 0
+        return FeatureStore(
+            t["conv_id"].to_pylist(),
+            np.asarray(t["jw_text"].to_pylist(), dtype=object),
+            np.asarray(toks.flatten()).astype(np.uint32, copy=False),
+            offsets,
+            np.asarray(t["n_tokens"]),
+        )
+
+    def index_of(self, conv_ids: list[str]) -> np.ndarray:
+        from ..functions.hashing import hash_strings_u64
+
+        h = hash_strings_u64(conv_ids, seed=5).view(np.int64)
+        idx = np.searchsorted(self.keys, h)
+        idx = np.clip(idx, 0, len(self.keys) - 1)
+        return idx
+
+    def padded_tokens(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Gather rows ``idx`` → sentinel-padded (B, W) uint64 matrix +
+        lengths (vectorized flat gather)."""
+        lens = self.tok_lens[idx]
+        n = len(idx)
+        width = max(1, int(lens.max(initial=1)))
+        mat = np.full((n, width), _SENTINEL, dtype=np.uint64)
+        total = int(lens.sum())
+        rows = np.repeat(np.arange(n), lens)
+        pos = np.cumsum(np.r_[0, lens[:-1]])
+        cols = np.arange(total) - np.repeat(pos, lens)
+        src_idx = np.repeat(self.tok_starts[idx], lens) + cols
+        mat[rows, cols] = self.tok_flat[src_idx]
+        return mat, lens
+
+
+def build_feature_store(features: ray.data.Dataset) -> "FeatureStore":
+    """Collect (conv_id, jw_text, tokens, n_tokens) to the driver and build
+    the broadcast store (see FeatureStore for the sharded scale path)."""
+    refs = features.select_columns(
+        ["conv_id", "jw_text", "tokens", "n_tokens"]
+    ).to_arrow_refs()
+    t = pa.concat_tables([ray.get(r) for r in refs]).combine_chunks()
+    return FeatureStore.from_table(t)
 
 
 class PairScorer:
-    def __init__(self, stats_ref, cfg: PipelineConfig | None = None):
+    def __init__(self, stats_ref, feats_ref, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
         self.w: ScorerWeights = self.cfg.weights
         self.stats: BroadcastStats = (
             ray.get(stats_ref) if isinstance(stats_ref, ray.ObjectRef) else stats_ref
         )
+        self.feats: FeatureStore = (
+            ray.get(feats_ref) if isinstance(feats_ref, ray.ObjectRef) else feats_ref
+        )
 
-    def _pboh_and_jac(self, toks_a, toks_b) -> tuple[np.ndarray, np.ndarray]:
+    def _pboh_and_jac(self, A, la, B, lb) -> tuple[np.ndarray, np.ndarray]:
         w, st, cfg = self.w, self.stats, self.cfg
-        A, la = _padded(toks_a)
-        B, lb = _padded(toks_b)
         n = len(la)
         log_n = np.log(max(2, st.n_docs))
 
@@ -179,9 +248,13 @@ class PairScorer:
             return out.append_column("is_match", pa.array([], type=pa.bool_()))
 
         w = self.w
-        jw = jaro_winkler_batch(batch["jw_a"].to_pylist(),
-                                batch["jw_b"].to_pylist())
-        pboh, jac = self._pboh_and_jac(batch["tokens_a"], batch["tokens_b"])
+        idx_a = self.feats.index_of(batch["conv_a"].to_pylist())
+        idx_b = self.feats.index_of(batch["conv_b"].to_pylist())
+        jw = jaro_winkler_batch(self.feats.jw[idx_a].tolist(),
+                                self.feats.jw[idx_b].tolist())
+        A, la = self.feats.padded_tokens(idx_a)
+        B, lb = self.feats.padded_tokens(idx_b)
+        pboh, jac = self._pboh_and_jac(A, la, B, lb)
 
         score = (w.w_jw * jw + w.w_jac * jac + pboh) / (w.w_jw + w.w_jac + 1.0)
         out = batch
@@ -195,17 +268,41 @@ class PairScorer:
         return out
 
 
+_SCORER_CACHE: dict[str, PairScorer] = {}
+
+
+def _scorer_for(stats_ref, feats_ref, cfg: PipelineConfig) -> PairScorer:
+    """Once-per-worker-process scorer — the exact analog of the
+    reference's singleton-per-JVM index objects
+    (RunLoopyAgainstAllGoogleClweb.scala:31-42): the broadcast stats are
+    ray.get()'d once per process (zero-copy numpy views into the shared
+    object store) and reused by every task that lands on the worker."""
+    key = (stats_ref.hex() if isinstance(stats_ref, ray.ObjectRef)
+           else str(id(stats_ref)))
+    sc = _SCORER_CACHE.get(key)
+    if sc is None:
+        sc = PairScorer(stats_ref, feats_ref, cfg)
+        _SCORER_CACHE.clear()   # one stats table per pipeline run
+        _SCORER_CACHE[key] = sc
+    return sc
+
+
 def score_pairs(pairs: ray.data.Dataset, stats: BroadcastStats,
+                feats: "FeatureStore",
                 cfg: PipelineConfig | None = None) -> ray.data.Dataset:
+    """Scoring runs as an elastic task pool (plain function): Ray's actor
+    pool autoscaler ramps too slowly for a stage this short, while tasks
+    scale to every free CPU instantly; per-process scorer state (broadcast
+    stats + FeatureStore) is preserved via the _scorer_for singleton."""
     cfg = cfg or PipelineConfig()
     stats_ref = ray.put(stats)
+    feats_ref = feats if isinstance(feats, ray.ObjectRef) else ray.put(feats)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        return _scorer_for(stats_ref, feats_ref, cfg)(batch)
+
     return pairs.map_batches(
-        PairScorer,
-        fn_constructor_kwargs={"stats_ref": stats_ref, "cfg": cfg},
+        score_batch,
         batch_format="pyarrow",
         batch_size=cfg.scorer_batch_size,
-        # elastic pool: min 1 so the stage can never starve the rest of the
-        # pipeline on a small machine; scales to scorer_concurrency actors
-        concurrency=(1, cfg.scorer_concurrency),
-        num_cpus=1,
     )

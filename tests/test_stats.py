@@ -22,7 +22,7 @@ def _conv_docs(corpus):
 def test_vocab_df_matches_oracle(ray_session):
     corpus = generate_corpus(40, 41)
     conv = _conv_docs(corpus)
-    vocab = build_vocab(conv).to_pandas()
+    vocab = build_vocab(featurize(conv)).to_pandas()
 
     # oracle: per-conv distinct content tokens, counted across convs
     docs = conv.to_pandas()
