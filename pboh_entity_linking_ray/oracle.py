@@ -35,14 +35,20 @@ def to_pandas(result) -> pd.DataFrame:
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonical form mirroring the driver's value-hash semantics: integer
+    width and timestamp unit are insignificant (r1 evidence: int32-vs-int64
+    and ts-unit diffs hash-matched), but int-vs-float IS significant (the
+    DuckDB HUGEINT→float64 promotion was exactly the r1 hash-fail class)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if pd.api.types.is_integer_dtype(df[c]):
+        if pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("bool")
+        elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
-        elif pd.api.types.is_bool_dtype(df[c]):
-            df[c] = df[c].astype("bool")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -55,8 +61,10 @@ def compare(ray_result, sql: str, sf_dir: str) -> tuple[bool, str]:
     if len(got) != len(want):
         return False, f"row counts differ: {len(got)} vs {len(want)}"
     try:
-        pd.testing.assert_frame_equal(got, want, check_dtype=False,
-                                      check_exact=False, rtol=0, atol=1e-9)
+        # exact: the driver hash-compares values, so any value or
+        # int/float representation difference is a failure
+        pd.testing.assert_frame_equal(got, want, check_dtype=True,
+                                      check_exact=True)
     except AssertionError as e:
         return False, str(e)[:500]
     return True, "ok"

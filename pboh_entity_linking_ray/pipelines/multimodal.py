@@ -87,7 +87,7 @@ SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
        16 + (octet_length(encode(text)) % 64) AS width,
        16 + ((octet_length(encode(text)) // 64) % 64) AS height,
-       3 AS channels
+       CAST(3 AS BIGINT) AS channels
 FROM documents
 """
 

@@ -73,10 +73,12 @@ def q01_lineitem_agg(sf_dir: str):
 
 SQL_Q01 = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))      AS sum_qty_e2,
-       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_price_e2,
-       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
-                                                               AS sum_disc_price_e4,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_qty_e2,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_base_price_e2,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT)                    AS sum_disc_price_e4,
        count(*)                                                AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -129,7 +131,8 @@ def q02_customer_revenue(sf_dir: str):
 
 SQL_Q02 = """
 SELECT o_custkey AS c_custkey, c_name, c_mktsegment,
-       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_spent_e2,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_spent_e2,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1, 2, 3
@@ -158,7 +161,8 @@ def q03_top_parts(sf_dir: str):
 
 SQL_Q03 = """
 SELECT l_partkey,
-       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_e2
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_qty_e2
 FROM lineitem GROUP BY l_partkey
 ORDER BY sum_qty_e2 DESC, l_partkey LIMIT 10
 """
@@ -197,7 +201,11 @@ def q04_events_hourly(sf_dir: str):
     def finish(t: pa.Table) -> pa.Table:
         # integer-exact average: (sum_e2 * 100) // n  → e4 fixed-point
         avg = (np.asarray(t["sum_value_e2"]) * 100) // np.asarray(t["n_events"])
-        return t.append_column("avg_value_e4", pa.array(avg.astype(np.int64)))
+        t = t.append_column("avg_value_e4", pa.array(avg.astype(np.int64)))
+        # groupby round-trips can demote the timestamp unit; pin to [us]
+        # so the pandas dtype matches the DuckDB oracle exactly
+        hi = t.schema.get_field_index("hour")
+        return t.set_column(hi, "hour", pc.cast(t["hour"], pa.timestamp("us")))
 
     return agg.map_batches(finish, batch_format="pyarrow")
 
@@ -205,9 +213,10 @@ def q04_events_hourly(sf_dir: str):
 SQL_Q04 = """
 SELECT event_type, date_trunc('hour', ts) AS hour,
        count(*) AS n_events,
-       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_e2,
-       (sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 100) // count(*)
-           AS avg_value_e4
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_e2,
+       CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 100) // count(*)
+            AS BIGINT) AS avg_value_e4
 FROM events GROUP BY 1, 2
 """
 
@@ -301,7 +310,8 @@ SQL_Q07 = """
 SELECT doc_id,
        len(toks)                 AS n_tokens,
        len(list_distinct(toks))  AS n_distinct_tokens,
-       coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS total_token_len
+       CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT)
+           AS total_token_len
 FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
       FROM documents)
 """
@@ -352,7 +362,8 @@ WITH base AS (
   SELECT doc_id,
          len(toks) AS n_tokens,
          len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS n_stop,
-         coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS total_len
+         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+              AS BIGINT) AS total_len
   FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
         FROM documents)
 )
@@ -432,8 +443,8 @@ WITH e AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, event_id, ts,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_idx
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM e
 )
 SELECT user_id, session_idx, count(*) AS n_events,
