@@ -21,11 +21,12 @@ from pboh_entity_linking_ray.pipelines import (
     linkage_queries,
     multimodal,
     relational,
+    sampling,
     textops,
 )
 
 _ALL = {}
-for mod in (relational, textops, ann, multimodal, linkage_queries):
+for mod in (relational, textops, sampling, ann, multimodal, linkage_queries):
     _ALL.update(mod.QUERIES)
 
 

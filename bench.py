@@ -68,7 +68,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     queries: dict[str, float] = {}
     t0 = time.perf_counter()
-    cfg = PipelineConfig(scorer_concurrency=max(2, num_cpus - 4))
+    cfg = PipelineConfig()
     res = run_linkage(turns(), cfg)
     pairs_scored = res.scored.count()
     n_clusters = res.clusters.count()

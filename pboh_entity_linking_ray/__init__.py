@@ -13,4 +13,13 @@ holding broadcast Arrow statistics tables (see SURVEY.md §2.3 M11-M13),
 and clusters come from iterative hash-partitioned connected components.
 """
 
+import os as _os
+
+# Every Ray task gets 1 CPU; an unpinned polars would still size its rayon
+# pool to the MACHINE's cores, so 32 concurrent 1-CPU tasks spawn ~1000
+# threads and the map stages run SLOWER at higher parallelism (measured:
+# canonicalize 5.0 s @ 8 CPUs → 6.8 s @ 32).  This module is imported in
+# every worker before polars is, so the pin lands before the pool exists.
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 __version__ = "0.1.0"

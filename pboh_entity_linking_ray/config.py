@@ -63,13 +63,13 @@ class PipelineConfig:
                                      # kernel ~0.1 ms/pair while the prefix
                                      # still separates match/non-match
     top_shared_tokens: int = 16      # shared tokens entering the lambda sum
-    # --- stats ---
-    min_token_freq: int = 1     # vocab floor (reference min word count is 20
-                                # at Wikipedia scale; 1 at fixture scale)
+    # --- stats (broadcast-size bounds; reference analog: the
+    # min-word-count-20 floor of context/WordFreqPerCorpus.scala:38) ---
+    cooc_min_count: int = 2     # co-occurrence count floor for the broadcast
+                                # table; sub-floor pairs fall back to the
+                                # scorer's missing-pair default (0)
     # --- execution ---
-    scorer_concurrency: int = 4
     scorer_batch_size: int = 4096
-    canonicalize_batch_format: str = "pandas"
     # --- weights ---
     weights: ScorerWeights = field(default_factory=ScorerWeights)
     # --- determinism ---

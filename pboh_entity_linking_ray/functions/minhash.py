@@ -63,9 +63,17 @@ class MinHasher:
         starts = np.zeros(n, dtype=np.int64)
         np.cumsum(lengths[:-1], out=starts[1:])
         flat = flat.astype(np.uint64, copy=False)
-        # (n_flat, P) permuted values with uint64 wraparound
-        vals = flat[:, None] * self.a[None, :] + self.b[None, :]
-        return np.minimum.reduceat(vals, starts, axis=0)
+        # permute + segment-min in column chunks: a one-shot (n_flat, P)
+        # intermediate is P×8 bytes per shingle (200 MB at 400k shingles,
+        # P=64) and the allocation+traffic dominated the kernel (measured
+        # 1.9 s/batch); 8-column chunks keep the working set cache-sized
+        out = np.empty((n, self.num_perm), dtype=np.uint64)
+        step = 8
+        for c0 in range(0, self.num_perm, step):
+            c1 = min(c0 + step, self.num_perm)
+            vals = flat[:, None] * self.a[None, c0:c1] + self.b[None, c0:c1]
+            out[:, c0:c1] = np.minimum.reduceat(vals, starts, axis=0)
+        return out
 
     def band_keys(self, sigs: np.ndarray, num_bands: int,
                   rows_per_band: int | None = None) -> np.ndarray:

@@ -22,7 +22,7 @@ from ..stages.blocking import add_block_keys, dedup_pairs, make_pairs
 from ..stages.canonicalize import canonicalize
 from ..stages.clustering import cluster_matches
 from ..stages.featurize import featurize
-from ..stages.scoring import BroadcastStats, build_feature_store, score_pairs
+from ..stages.scoring import BroadcastStats, attach_features, score_pairs
 from ..stages.stats import build_cooc, build_vocab
 from ..state.checkpoint import StageRunner
 
@@ -80,17 +80,34 @@ def run_linkage(
     vocab = runner.run("vocab", lambda: build_vocab(features))
     cooc = runner.run("cooc", lambda: build_cooc(features, cfg))
 
-    # stats are the small side: materialize driver-side once, broadcast
-    vocab_tbl = pa.Table.from_pandas(vocab.to_pandas(), preserve_index=False)
-    cooc_tbl = pa.Table.from_pandas(cooc.to_pandas(), preserve_index=False)
+    # stats are the small side: PRUNE in the dataset, then collect the
+    # residue driver-side and broadcast.  df==1 tokens can never be shared
+    # by a pair (one conv holds them) and the scorer's missing-token
+    # default IS df=1, so the vocab filter is exact; cooc pairs below the
+    # count floor collapse to the scorer's missing-pair default of 0 —
+    # at 100 TB these filters are what keep the broadcast bounded
+    # (reference analog: the min-word-count-20 floor of
+    # context/WordFreqPerCorpus.scala:38 and the freq>=3 load filter of
+    # index/WordEntityProbsIndex.scala:104).
+    vocab_b = vocab.filter(expr="df >= 2")
+    cooc_b = cooc.filter(expr=f"count >= {cfg.cooc_min_count}")
+    vocab_tbl = pa.Table.from_pandas(vocab_b.to_pandas(), preserve_index=False)
+    cooc_tbl = pa.Table.from_pandas(cooc_b.to_pandas(), preserve_index=False)
     n_convs = features.count()
     stats = BroadcastStats.from_tables(vocab_tbl, cooc_tbl, n_convs)
-    fstore = build_feature_store(features)
 
     blocked = add_block_keys(features, cfg)
     # skinny pair rows: dedup is a cheap bucketed keep-first
-    pairs = runner.run("pairs", lambda: dedup_pairs(make_pairs(blocked, cfg)))
-    scored = runner.run("scored", lambda: score_pairs(pairs, stats, fstore, cfg))
+    pairs_raw = make_pairs(blocked, cfg)
+    pairs = runner.run("pairs", lambda: dedup_pairs(pairs_raw))
+    if runner.root:
+        # salting accounting (north_rule: no silent drops): exact count of
+        # non-emitted pairs, summed from the raw first-row markers
+        from ..stages.blocking import capped_total
+        runner.add_metrics("pairs", {"capped_pairs_total": capped_total(pairs_raw)})
+    # features re-attach via bucketed co-group joins (no driver-side store)
+    enriched = attach_features(pairs, features)
+    scored = runner.run("scored", lambda: score_pairs(enriched, stats, cfg))
     if runner.root:
         runner.add_metrics("scored", {"score_histogram": score_histogram(scored)})
     else:

@@ -102,15 +102,26 @@ GROUP BY token
 
 
 def link_dedup_exact(sf_dir: str):
-    """Exact-duplicate conversations by canonical text."""
+    """Exact-duplicate conversations by canonical text — hash-partitioned
+    on the content, one vectorized polars pass per bucket
+    (functions/grouping.py rationale: never one Python call per key)."""
+    from ..functions.grouping import bucketed_groups
+
     conv = canonicalize(_turns(sf_dir))
 
-    def keep_min(g: pa.Table) -> pa.Table:
-        ids = sorted(g["conv_id"].to_pylist())
-        return pa.table({"conv_id": pa.array([ids[0]], type=pa.string()),
-                         "n_copies": pa.array([g.num_rows], type=pa.int64())})
+    def keep_min(bucket: pa.Table) -> pa.Table:
+        import polars as pl
 
-    return conv.groupby("mention_doc").map_groups(keep_min, batch_format="pyarrow")
+        out = (
+            pl.from_arrow(bucket).group_by("mention_doc")
+            .agg(pl.col("conv_id").min(),
+                 pl.len().cast(pl.Int64).alias("n_copies"))
+            .select(["conv_id", "n_copies"])
+        )
+        return out.to_arrow()
+
+    return bucketed_groups(conv.select_columns(["conv_id", "mention_doc"]),
+                           "mention_doc", keep_min)
 
 
 SQL_DEDUP_EXACT = f"""
@@ -186,21 +197,46 @@ def link_minhash_lsh_candidates(sf_dir: str):
         return pa.table({"conv_a": pa.array(arr[a], type=pa.string()),
                          "conv_b": pa.array(arr[b], type=pa.string())})
 
-    cand = keyed.groupby(["band", "bkey"]).map_groups(pairs, batch_format="pyarrow")
+    from ..functions.grouping import bucketed_groups, dedup_keep_first
 
-    def dedup(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
+    def bucket_pairs(bucket: pa.Table) -> pa.Table:
+        """All (band,bkey) groups of one hash bucket → pair rows, sliced
+        group-at-a-time out of a sorted bucket (one Python call per
+        bucket; the tiny in-group triu stays numpy)."""
+        import polars as pl
+
+        df = (pl.from_arrow(bucket)
+              .unique(subset=["band", "bkey", "conv_id"])
+              .sort(["band", "bkey", "conv_id"]))
+        gk = (df["band"].cast(pl.String) + ":" + df["bkey"]).to_numpy()
+        conv = df["conv_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]])
+        bounds = np.append(starts, len(gk))
+        ca, cb = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            a, b = np.triu_indices(e - s, k=1)
+            ca.append(conv[s:e][a])
+            cb.append(conv[s:e][b])
+        if not ca:
+            return pa.table({"conv_a": pa.array([], type=pa.string()),
+                             "conv_b": pa.array([], type=pa.string())})
+        return pa.table({
+            "conv_a": pa.array(np.concatenate(ca), type=pa.string()),
+            "conv_b": pa.array(np.concatenate(cb), type=pa.string()),
+        })
+
+    cand = bucketed_groups(keyed, "bkey", bucket_pairs)
 
     def keyed_pairs(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         return t.append_column(
             "pk", pc.binary_join_element_wise(t["conv_a"], t["conv_b"], "\x1f"))
 
-    return (
-        cand.map_batches(keyed_pairs, batch_format="pyarrow")
-        .groupby("pk").map_groups(dedup, batch_format="pyarrow")
-        .select_columns(["conv_a", "conv_b"])
-    )
+    return dedup_keep_first(
+        cand.map_batches(keyed_pairs, batch_format="pyarrow"), "pk"
+    ).select_columns(["conv_a", "conv_b"])
 
 
 SQL_MINHASH = f"""

@@ -89,9 +89,15 @@ GROUP BY l_returnflag, l_linestatus
 # --- q02: broadcast hash join + aggregate ----------------------------------
 
 def q02_customer_revenue(sf_dir: str):
-    """Broadcast-small-side join (SURVEY.md §2.5 J1/J2 pattern: stream rows
-    looked up against an in-memory dimension map, no shuffle join)."""
+    """Large×large shuffle join: the per-customer aggregate is joined to
+    the customer table via a bucketed co-group hash join
+    (functions/grouping.py hash_join) — both sides hash-partitioned on
+    the key, neither collected to the driver (reference's only join
+    device beyond broadcast lookups is the groupByKey co-group,
+    context/EntityWordsProbs.scala:198-202)."""
     from ray.data.aggregate import Count, Sum
+
+    from ..functions.grouping import hash_join
 
     orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
@@ -104,29 +110,9 @@ def q02_customer_revenue(sf_dir: str):
     ).aggregate(
         Sum("price_e2", alias_name="total_spent_e2"),
         Count(alias_name="n_orders"),
-    )
-    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).to_pandas()
-    lookup = ray.put({
-        int(k): (n, s) for k, n, s in
-        zip(cust["c_custkey"], cust["c_name"], cust["c_mktsegment"])
-    })
-
-    class AttachCustomer:
-        def __init__(self, ref):
-            self.map = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["o_custkey"].to_pylist()
-            names = [self.map[k][0] for k in keys]
-            segs = [self.map[k][1] for k in keys]
-            t = t.append_column("c_name", pa.array(names, type=pa.string()))
-            return t.append_column("c_mktsegment", pa.array(segs, type=pa.string()))
-
-    out = agg.map_batches(
-        AttachCustomer, fn_constructor_kwargs={"ref": lookup},
-        batch_format="pyarrow", concurrency=(1, 4),
     ).rename_columns({"o_custkey": "c_custkey"})
-    return out
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    return hash_join(agg, cust, "c_custkey")
 
 
 SQL_Q02 = """
@@ -262,21 +248,28 @@ GROUP BY token HAVING count(*) >= 5
 # --- q06: exact dedup ------------------------------------------------------
 
 def q06_doc_dedup_exact(sf_dir: str):
-    """Exact dedup = group by content, keep first (reference analog:
-    ``.distinct`` on packed pair keys, EntityCooccurrenceIndex.scala:103).
-    At 100 TB the groupby key would be a content hash computed in a prior
-    map_batches (hash-partition + per-group first); at this scale grouping
-    by the text itself keeps the oracle trivial."""
+    """Exact dedup = hash-partition on content, vectorized keep-first per
+    bucket (reference analog: ``.distinct`` on packed pair keys,
+    EntityCooccurrenceIndex.scala:103).  The shuffle is partitioned by a
+    HASH of the text (functions/grouping.py with_bucket) while the
+    in-bucket group key stays the full text — collision-exact AND one
+    Python call per bucket instead of per distinct document."""
+    from ..functions.grouping import bucketed_groups
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
-    def keep_min(g: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": pa.array([pc.min(g["doc_id"]).as_py()], type=pa.int64()),
-            "n_copies": pa.array([g.num_rows], type=pa.int64()),
-        })
+    def keep_min(bucket: pa.Table) -> pa.Table:
+        import polars as pl
 
-    return ds.groupby("text").map_groups(keep_min, batch_format="pyarrow")
+        out = (
+            pl.from_arrow(bucket).group_by("text")
+            .agg(pl.col("doc_id").min(),
+                 pl.len().cast(pl.Int64).alias("n_copies"))
+            .select(["doc_id", "n_copies"])
+        )
+        return out.to_arrow()
+
+    return bucketed_groups(ds, "text", keep_min)
 
 
 SQL_Q06 = """
@@ -413,24 +406,34 @@ SESSION_GAP_MIN = 30
 
 
 def q14_sessionize(sf_dir: str):
-    """Session windows (gap > 30 min starts a new session) as
-    ``groupby(user).map_groups`` over ts-sorted groups — the streaming-
-    shaped custom operator pattern (partitioning assumption: one user's
-    events fit one group; ordering restored inside the UDF)."""
+    """Session windows (gap > 30 min starts a new session) as a bucketed,
+    fully vectorized window computation: users are hash-partitioned
+    (all of one user's events meet in one bucket — the multi-node shuffle
+    contract) and each bucket runs ONE polars pass of sort + per-user
+    diff/cum_sum — never a Python call per user."""
+    from ..functions.grouping import bucketed_groups
+
     ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        sid = gap.cumsum().astype("int64") + 1
-        out = g.assign(session_idx=sid).groupby("session_idx").agg(
-            n_events=("event_id", "count"),
-            start_ts=("ts", "min"), end_ts=("ts", "max"),
-        ).reset_index()
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+    def sessions(bucket: pa.Table) -> pa.Table:
+        import polars as pl
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+        df = pl.from_arrow(bucket).sort(["user_id", "ts", "event_id"])
+        gap = pl.col("ts").diff().over("user_id")
+        new_s = (gap.is_null() |
+                 (gap > pl.duration(minutes=SESSION_GAP_MIN))).cast(pl.Int64)
+        out = (
+            df.with_columns(new_s.alias("ns"))
+            .with_columns(pl.col("ns").cum_sum().over("user_id")
+                          .alias("session_idx"))
+            .group_by(["user_id", "session_idx"])
+            .agg(pl.len().cast(pl.Int64).alias("n_events"),
+                 pl.col("ts").min().alias("start_ts"),
+                 pl.col("ts").max().alias("end_ts"))
+        )
+        return out.to_arrow()
+
+    return bucketed_groups(ds, "user_id", sessions)
 
 
 SQL_Q14 = f"""

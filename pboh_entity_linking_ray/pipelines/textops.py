@@ -43,38 +43,90 @@ def _token_lists(t: pa.Table) -> list[list[str]]:
 
 # --- SimHash ----------------------------------------------------------------
 
+def _md5_cached(cache: dict, values: list[str]) -> np.ndarray:
+    """md5_number_lower per DISTINCT string with a process cache — the one
+    Python loop the oracle twins keep (DuckDB parity needs md5)."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, x in enumerate(values):
+        v = cache.get(x)
+        if v is None:
+            v = md5_lower64(x)
+            cache[x] = v
+        out[i] = v
+    return out
+
+
+def _distinct_doc_tokens(t: pa.Table):
+    """batch → polars frame (rid, tok) of DISTINCT tokens per row."""
+    import polars as pl
+
+    n = t.num_rows
+    df = pl.DataFrame({
+        "rid": pl.int_range(0, n, eager=True),
+        "tok": pl.from_arrow(t["text"].combine_chunks())
+                 .str.to_lowercase().str.extract_all("[a-z0-9]+"),
+    }).explode("tok").drop_nulls("tok").unique(subset=["rid", "tok"])
+    return df
+
+
+def _simhash_bits(rid: np.ndarray, hs: np.ndarray, n_rows: int) -> list[str]:
+    """SimHash-64 bit-majority core, fully vectorized over the flat
+    (row, token-hash) stream: per-row segment sums of ±1 bit contributions
+    via reduceat.  Shared by the md5 oracle twin and the fast variant."""
+    out = ["0" * 64] * n_rows
+    if len(rid) == 0:
+        return out
+    o = np.argsort(rid, kind="stable")
+    rid, hs = rid[o], hs[o]
+    bits_idx = np.arange(64, dtype=np.uint64)
+    signs = (2 * ((hs[:, None] >> bits_idx[None, :]) & np.uint64(1))
+             .astype(np.int64) - 1)
+    starts = np.flatnonzero(np.r_[True, rid[1:] != rid[:-1]])
+    seg_rid = rid[starts]
+    maj = np.add.reduceat(signs, starts, axis=0) > 0          # (n_seg, 64)
+    chars = np.where(maj[:, ::-1], "1", "0")                  # bit 63 first
+    for i, r in enumerate(seg_rid):
+        out[int(r)] = "".join(chars[i])
+    return out
+
+
 class SimHasher:
-    """Actor: md5 cache persists across batches."""
+    """md5 oracle twin: per-DISTINCT-token md5 (process cache), vectorized
+    bit-majority."""
 
     def __init__(self):
         self.cache: dict[str, int] = {}
 
-    def _h(self, tok: str) -> int:
-        v = self.cache.get(tok)
-        if v is None:
-            v = md5_lower64(tok)
-            self.cache[tok] = v
-        return v
-
     def __call__(self, t: pa.Table) -> pa.Table:
-        bits_idx = np.arange(64, dtype=np.uint64)
-        out = []
-        for toks in _token_lists(t):
-            uniq = sorted(set(toks))
-            if not uniq:
-                out.append("0" * 64)
-                continue
-            hs = np.array([self._h(x) for x in uniq], dtype=np.uint64)
-            bits = (hs[:, None] >> bits_idx[None, :]) & np.uint64(1)
-            maj = (2 * bits.astype(np.int64) - 1).sum(axis=0) > 0
-            out.append("".join("1" if maj[b] else "0" for b in range(63, -1, -1)))
+        df = _distinct_doc_tokens(t)
+        hs = _md5_cached(self.cache, df["tok"].to_list())
+        bits = _simhash_bits(df["rid"].to_numpy().astype(np.int64), hs,
+                             t.num_rows)
         return pa.table({"doc_id": t["doc_id"],
-                         "simhash_bits": pa.array(out, type=pa.string())})
+                         "simhash_bits": pa.array(bits, type=pa.string())})
 
 
 def q13_simhash(sf_dir: str):
     return _docs(sf_dir).map_batches(SimHasher, batch_format="pyarrow",
                                      batch_size=256, concurrency=(1, 4))
+
+
+def simhash_fast(sf_dir: str):
+    """Production SimHash: whole-column xxhash (functions.hashing
+    hash_strings_u64) instead of per-string md5 — no Python loop at all.
+    Same bit-majority core as the oracle twin (pytest ties them)."""
+    from ..functions.hashing import hash_strings_u64
+
+    def f(t: pa.Table) -> pa.Table:
+        df = _distinct_doc_tokens(t)
+        hs = (hash_strings_u64(df["tok"], seed=0) if len(df)
+              else np.empty(0, dtype=np.uint64))
+        bits = _simhash_bits(df["rid"].to_numpy().astype(np.int64), hs,
+                             t.num_rows)
+        return pa.table({"doc_id": t["doc_id"],
+                         "simhash_bits": pa.array(bits, type=pa.string())})
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow", batch_size=1024)
 
 
 SQL_Q13 = """
@@ -102,33 +154,77 @@ WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) = 0
 
 # --- Winnowing fingerprints -------------------------------------------------
 
+def _doc_shingles(t: pa.Table, w: int):
+    """batch → polars frame (rid, sh) of DISTINCT w-token shingles per
+    row, built by vectorized shift-concat (no Python loop per shingle)."""
+    import polars as pl
+
+    n = t.num_rows
+    df = pl.DataFrame({
+        "rid": pl.int_range(0, n, eager=True),
+        "tok": pl.from_arrow(t["text"].combine_chunks())
+                 .str.to_lowercase().str.extract_all("[a-z0-9]+"),
+    }).explode("tok").drop_nulls("tok")
+    sh = df.with_columns(
+        pl.concat_str([pl.col("tok").shift(-i).over("rid")
+                       for i in range(w)], separator=" ").alias("sh")
+    ).drop_nulls("sh")
+    return sh.select(["rid", "sh"]).unique()
+
+
+def _hex16(vals: np.ndarray) -> list[str]:
+    """uint64 array → 16-char lowercase hex strings, vectorized."""
+    if len(vals) == 0:
+        return []
+    as_bytes = vals.astype(">u8").tobytes()
+    hexstr = as_bytes.hex()
+    return [hexstr[i * 16:(i + 1) * 16] for i in range(len(vals))]
+
+
 class Winnower:
+    """md5 oracle twin of the mod-p fingerprint sampler."""
+
     def __init__(self):
         self.cache: dict[str, int] = {}
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"], dtype=np.int64)
-        out_doc, out_fp = [], []
-        for i, toks in enumerate(_token_lists(t)):
-            seen = set()
-            for j in range(max(0, len(toks) - WINNOW_W + 1)):
-                sh = " ".join(toks[j : j + WINNOW_W])
-                v = self.cache.get(sh)
-                if v is None:
-                    v = md5_lower64(sh)
-                    self.cache[sh] = v
-                if v % WINNOW_MOD == 0:
-                    seen.add(format(v, "016x"))
-            for fp in sorted(seen):
-                out_doc.append(int(ids[i]))
-                out_fp.append(fp)
-        return pa.table({"doc_id": pa.array(out_doc, type=pa.int64()),
-                         "fp_hex": pa.array(out_fp, type=pa.string())})
+        df = _doc_shingles(t, WINNOW_W)
+        hs = _md5_cached(self.cache, df["sh"].to_list())
+        rid = df["rid"].to_numpy().astype(np.int64)
+        keep = hs % np.uint64(WINNOW_MOD) == 0
+        rid, hs = rid[keep], hs[keep]
+        o = np.lexsort((hs, rid))
+        rid, hs = rid[o], hs[o]
+        return pa.table({"doc_id": pa.array(ids[rid], type=pa.int64()),
+                         "fp_hex": pa.array(_hex16(hs), type=pa.string())})
 
 
 def q15_winnow_fingerprints(sf_dir: str):
     return _docs(sf_dir).map_batches(Winnower, batch_format="pyarrow",
                                      batch_size=256, concurrency=(1, 4))
+
+
+def winnow_fast(sf_dir: str):
+    """Production fingerprints: whole-column xxhash instead of per-shingle
+    md5 — the only Python left is the hex formatting of the sampled ~1/p
+    survivors.  Same shingle builder and mod-p selection as the twin."""
+    from ..functions.hashing import hash_strings_u64
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        df = _doc_shingles(t, WINNOW_W)
+        hs = (hash_strings_u64(df["sh"], seed=0) if len(df)
+              else np.empty(0, dtype=np.uint64))
+        rid = df["rid"].to_numpy().astype(np.int64)
+        keep = hs % np.uint64(WINNOW_MOD) == 0
+        rid, hs = rid[keep], hs[keep]
+        o = np.lexsort((hs, rid))
+        rid, hs = rid[o], hs[o]
+        return pa.table({"doc_id": pa.array(ids[rid], type=pa.int64()),
+                         "fp_hex": pa.array(_hex16(hs), type=pa.string())})
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow", batch_size=1024)
 
 
 SQL_Q15 = f"""
@@ -150,53 +246,85 @@ WHERE md5_number_lower(s) % {WINNOW_MOD} = 0
 
 # --- n-gram Jaccard near-dup pairs ------------------------------------------
 
+JAC_STOP_DF = 1000  # shingles in more docs than this are STOP-SHINGLES and
+                    # emit no pairs — the skew guard of the flagship blocker
+                    # (stages/blocking.py block_cap) as an explicit operator
+                    # semantic, expressed identically in the SQL twin (a
+                    # stop-shingle like "the of and" would otherwise emit
+                    # O(m²) pairs on one key and pin a single core)
+
+
 def q12_ngram_jaccard_pairs(sf_dir: str):
-    """Inverted-index near-dup join: explode distinct shingles →
-    groupby(shingle) pair emission → groupby(pair) count → Jaccard.
-    This is the shuffle-based dedup pattern (no broadcast side); the
-    per-doc set size rides on every row so no second join is needed."""
-    from ray.data.aggregate import Sum
+    """Inverted-index near-dup join, production-shaped: vectorized polars
+    shingle explode → bucketed vectorized pair emission (one Python call
+    per hash bucket, triu batched by group size) → bucketed pair-count
+    aggregate → fixed-point Jaccard.  The per-doc set size rides on every
+    row so no second join is needed."""
+    from ..functions.grouping import bucketed_groups, bucketed_sum
 
     k = JAC_SHINGLE_K
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["doc_id"], dtype=np.int64)
-        out_doc, out_sh, out_n = [], [], []
-        for i, toks in enumerate(_token_lists(t)):
-            sset = {" ".join(toks[j : j + k])
-                    for j in range(max(0, len(toks) - k + 1))}
-            for s in sset:
-                out_doc.append(int(ids[i]))
-                out_sh.append(s)
-                out_n.append(len(sset))
-        return pa.table({"doc_id": pa.array(out_doc, type=pa.int64()),
-                         "sh": pa.array(out_sh, type=pa.string()),
-                         "n_sh": pa.array(out_n, type=pa.int64())})
+        import polars as pl
+
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(t["doc_id"].combine_chunks()).cast(pl.Int64),
+            "tok": pl.from_arrow(t["text"].combine_chunks())
+                     .str.to_lowercase().str.extract_all("[a-z0-9]+"),
+        }).explode("tok").drop_nulls("tok")
+        sh = df.with_columns(
+            pl.concat_str([pl.col("tok").shift(-i).over("doc_id")
+                           for i in range(k)], separator=" ").alias("sh")
+        ).drop_nulls("sh")
+        out = (
+            sh.select(["doc_id", "sh"]).unique()
+            .with_columns(pl.len().over("doc_id").cast(pl.Int64).alias("n_sh"))
+        )
+        return out.to_arrow()
 
     rows = _docs(sf_dir).map_batches(explode, batch_format="pyarrow",
-                                     batch_size=256)
+                                     batch_size=512)
 
-    def pairs(g: pa.Table) -> pa.Table:
-        m = g.num_rows
-        if m < 2:
+    def pairs_bucket(bucket: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(bucket).sort(["sh", "doc_id"])
+        shv = df["sh"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        ns = df["n_sh"].to_numpy()
+        n = len(shv)
+        if n == 0:
             return pa.table({"pair": pa.array([], type=pa.int64()),
                              "na": pa.array([], type=pa.int64()),
                              "nb": pa.array([], type=pa.int64()),
-                             "one": pa.array([], type=pa.int64())})
-        ids = np.asarray(g["doc_id"], dtype=np.int64)
-        ns = np.asarray(g["n_sh"], dtype=np.int64)
-        o = np.argsort(ids)
-        ids, ns = ids[o], ns[o]
-        a, b = np.triu_indices(m, k=1)
-        pair = ids[a] * (1 << 32) + ids[b]   # doc ids are < 2^31
-        return pa.table({"pair": pa.array(pair),
-                         "na": pa.array(ns[a]), "nb": pa.array(ns[b]),
-                         "one": pa.array(np.ones(len(a), dtype=np.int64))})
+                             "inter_p": pa.array([], type=pa.int64())})
+        starts = np.flatnonzero(np.r_[True, shv[1:] != shv[:-1]])
+        bounds = np.append(starts, n)
+        sizes = np.diff(bounds)
+        ap, bp = [], []
+        ok = (sizes >= 2) & (sizes <= JAC_STOP_DF)
+        for m in np.unique(sizes[ok]):
+            ia, ib = np.triu_indices(int(m), k=1)
+            base = bounds[:-1][ok & (sizes == m)]
+            ap.append((base[:, None] + ia[None, :]).ravel())
+            bp.append((base[:, None] + ib[None, :]).ravel())
+        if not ap:
+            return pa.table({"pair": pa.array([], type=pa.int64()),
+                             "na": pa.array([], type=pa.int64()),
+                             "nb": pa.array([], type=pa.int64()),
+                             "inter_p": pa.array([], type=pa.int64())})
+        ai = np.concatenate(ap)
+        bi = np.concatenate(bp)
+        pair = ids[ai] * (1 << 32) + ids[bi]     # ids sorted in-group → a<b
+        # in-bucket partial count: the same pair repeats across shingles
+        upair, inv, cnt = np.unique(pair, return_index=True, return_counts=True)
+        return pa.table({"pair": pa.array(upair),
+                         "na": pa.array(ns[ai][inv]),
+                         "nb": pa.array(ns[bi][inv]),
+                         "inter_p": pa.array(cnt.astype(np.int64))})
 
-    shared = rows.groupby("sh").map_groups(pairs, batch_format="pyarrow")
-    agg = shared.groupby(["pair", "na", "nb"]).aggregate(
-        Sum("one", alias_name="inter")
-    )
+    shared = bucketed_groups(rows, "sh", pairs_bucket)
+    agg = bucketed_sum(shared, ["pair", "na", "nb"], "inter_p", "inter")
 
     def finish(t: pa.Table) -> pa.Table:
         pair = np.asarray(t["pair"], dtype=np.int64)
@@ -224,14 +352,19 @@ WITH s AS (
         FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
               FROM documents))
 ),
+live AS (  -- stop-shingle filter: same semantic as the Ray side's JAC_STOP_DF
+  SELECT sh FROM s GROUP BY sh HAVING count(*) <= {JAC_STOP_DF}
+),
 p AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb,
          count(*) AS inter
   FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  WHERE a.sh IN (SELECT sh FROM live)
   GROUP BY 1, 2
 )
-SELECT doc_a, doc_b, (inter * 10000) // (na + nb - inter) AS jac_e4
+SELECT doc_a, doc_b,
+       CAST((inter * 10000) // (na + nb - inter) AS BIGINT) AS jac_e4
 FROM p
 WHERE (inter * 10000) // (na + nb - inter) >= {JAC_MIN_E4}
 """
@@ -240,4 +373,9 @@ QUERIES = {
     "q12_ngram_jaccard_pairs": (q12_ngram_jaccard_pairs, SQL_Q12),
     "q13_simhash": (q13_simhash, SQL_Q13),
     "q15_winnow_fingerprints": (q15_winnow_fingerprints, SQL_Q15),
+    # production variants: whole-column xxhash instead of md5 — no SQL
+    # twin possible (DuckDB lacks xxhash); pytest ties their algorithmic
+    # cores to the oracle-checked twins (tests/test_textops_fast.py)
+    "simhash_fast": (simhash_fast, None),
+    "winnow_fast": (winnow_fast, None),
 }

@@ -61,7 +61,14 @@ class BlockKeyEmitter:
         cfg = self.cfg
         n = batch.num_rows
         if n == 0:
-            return batch.append_column("block_key", pa.array([], type=pa.string()))
+            # same skinny 4-column schema as the non-empty path (an
+            # input-shaped empty table would break the downstream union)
+            return pa.table({
+                "conv_id": pa.array([], type=pa.string()),
+                "mh0": pa.array([], type=pa.int64()),
+                "own_key": pa.array([], type=pa.int64()),
+                "block_key": pa.array([], type=pa.string()),
+            })
         sigs = np.asarray(batch["minhash"].combine_chunks().flatten()).reshape(
             n, cfg.num_perm
         )
@@ -143,6 +150,25 @@ def _salted_pair_indices(order: np.ndarray, cfg: PipelineConfig
     return i_idx, j_idx, m * (m - 1) // 2 - len(i_idx)
 
 
+def _group_share(parent_n: np.ndarray, n_chunks: np.ndarray,
+                 sub_idx: np.ndarray, own_m: np.ndarray) -> np.ndarray:
+    """Per-group pair budget: a pre-split sub-chunk owns its integer share
+    of the PARENT block's C(n,2) (remainder to the lowest sub ids), an
+    unsplit group owns its own C(m,2).  Σ(share − emitted) over all
+    sub-chunks of a parent == the parent's true non-emitted pair count —
+    the accounting the module docstring promises (exact up to sub-chunks
+    that hash to <2 members and so emit no row to carry it)."""
+    own_total = own_m * (own_m - 1) // 2
+    p_total = parent_n * (parent_n - 1) // 2
+    share = np.where(
+        parent_n > 0,
+        p_total // np.maximum(n_chunks, 1)
+        + (sub_idx < p_total % np.maximum(n_chunks, 1)),
+        own_total,
+    )
+    return share.astype(np.int64)
+
+
 def _emit_pairs_bucket(bucket: pa.Table, cfg: PipelineConfig) -> pa.Table:
     """ALL groups of a bucket → skinny pair rows in one vectorized pass.
 
@@ -150,6 +176,13 @@ def _emit_pairs_bucket(bucket: pa.Table, cfg: PipelineConfig) -> pa.Table:
     implementation measured ~1.2 ms of numpy overhead per emitted pair).
     Cross-block duplicates are removed afterwards by ``dedup_pairs`` —
     cheap, because these rows carry no features.
+
+    ``capped_pairs`` accounting: the count of NON-emitted pairs chargeable
+    to a group (its `_group_share` budget minus what it emitted) rides on
+    the group's FIRST pair row, 0 elsewhere — so a plain Sum over the raw
+    make_pairs output is the exact global capped total (consumed by the
+    pairs-stage manifest).  Dedup may reassign a duplicate first-row to
+    another block, so sum BEFORE dedup_pairs.
     """
     n = bucket.num_rows
     if n == 0:
@@ -158,6 +191,9 @@ def _emit_pairs_bucket(bucket: pa.Table, cfg: PipelineConfig) -> pa.Table:
     starts = np.flatnonzero(np.concatenate(([True], gk[1:] != gk[:-1])))
     bounds = np.append(starts, n)
     sizes = np.diff(bounds)
+    parent_all = np.asarray(bucket["parent_n"], dtype=np.int64)
+    chunks_all = np.asarray(bucket["n_chunks"], dtype=np.int64)
+    sub_all = np.asarray(bucket["sub_idx"], dtype=np.int64)
 
     ii_parts: list[np.ndarray] = []
     jj_parts: list[np.ndarray] = []
@@ -168,10 +204,16 @@ def _emit_pairs_bucket(bucket: pa.Table, cfg: PipelineConfig) -> pa.Table:
     small = (sizes >= 2) & (sizes <= cfg.block_cap)
     for msize in np.unique(sizes[small]):
         ia, ib = _triu(int(msize))
-        base = bounds[:-1][small & (sizes == msize)]
+        sel = small & (sizes == msize)
+        base = bounds[:-1][sel]
         ii_parts.append((base[:, None] + ia[None, :]).ravel())
         jj_parts.append((base[:, None] + ib[None, :]).ravel())
-        cap_parts.append(np.zeros(len(base) * len(ia), dtype=np.int64))
+        npairs = len(ia)
+        caps = np.zeros(len(base) * npairs, dtype=np.int64)
+        share = _group_share(parent_all[base], chunks_all[base],
+                             sub_all[base], sizes[sel])
+        caps[np.arange(len(base)) * npairs] = share - npairs
+        cap_parts.append(caps)
 
     # fallback: oversized groups (sub-chunk splitting keeps these rare)
     big = np.flatnonzero(sizes > cfg.block_cap)
@@ -182,10 +224,16 @@ def _emit_pairs_bucket(bucket: pa.Table, cfg: PipelineConfig) -> pa.Table:
             s, e = bounds[g], bounds[g + 1]
             local = np.arange(s, e)
             order = local[np.lexsort((conv_all[s:e], mh_all[s:e]))]
-            gi, gj, capped = _salted_pair_indices(order, cfg)
+            gi, gj, _ = _salted_pair_indices(order, cfg)
             ii_parts.append(gi)
             jj_parts.append(gj)
-            cap_parts.append(np.full(len(gi), capped, dtype=np.int64))
+            share = int(_group_share(parent_all[s:s + 1], chunks_all[s:s + 1],
+                                     sub_all[s:s + 1],
+                                     np.array([e - s]))[0])
+            caps = np.zeros(len(gi), dtype=np.int64)
+            if len(gi):
+                caps[0] = share - len(gi)
+            cap_parts.append(caps)
 
     if not ii_parts:
         return _PAIR_SCHEMA.empty_table()
@@ -248,9 +296,11 @@ def make_pairs(blocked: ray.data.Dataset, cfg: PipelineConfig | None = None,
             count_partial, batch_format="pyarrow"),
         ["own_key"], "n_partial", "n",
     )
-    sz = sizes.to_pandas()
-    hot_keys = np.sort(sz.loc[sz["n"] >= 2, "own_key"].to_numpy()
-                       .astype(np.int64))
+    # only multi-member keys ever pair: filter IN the dataset so the
+    # driver pull is O(hot keys), not O(distinct keys) — at 250k convs the
+    # unfiltered table is ~6M rows / 100 MB of which <2% can pair
+    sz = sizes.filter(expr="n >= 2").to_pandas()
+    hot_keys = np.sort(sz["own_key"].to_numpy().astype(np.int64))
     # oversized keys get salted (chunked) pair generation; their members
     # are split into hash sub-chunks here, BEFORE the shuffle: a hot
     # block processed as one group serializes on a single core (observed:
@@ -265,11 +315,15 @@ def make_pairs(blocked: ray.data.Dataset, cfg: PipelineConfig | None = None,
         8, np.minimum(cfg.block_cap,
                       (2 * cfg.max_pairs_per_block) // np.maximum(salted_n, 1)))
     salted_nchunks = np.maximum(1, salted_n // chunk_sz)
-    hot_ref = ray.put((hot_keys, salted_keys_i64, salted_nchunks))
+    hot_ref = ray.put((hot_keys, salted_keys_i64, salted_nchunks, salted_n))
 
     def keep_hot_and_split(t: pa.Table) -> pa.Table:
-        hot, skeys, snchunks = ray.get(hot_ref)
-        out_schema = t.schema.append(pa.field("group_key", pa.string()))
+        hot, skeys, snchunks, sn = ray.get(hot_ref)
+        out_schema = (t.schema
+                      .append(pa.field("group_key", pa.string()))
+                      .append(pa.field("parent_n", pa.int64()))
+                      .append(pa.field("n_chunks", pa.int64()))
+                      .append(pa.field("sub_idx", pa.int64())))
         if len(hot) == 0 or t.num_rows == 0:
             return out_schema.empty_table()
         keys = np.asarray(t["own_key"])
@@ -280,6 +334,9 @@ def make_pairs(blocked: ray.data.Dataset, cfg: PipelineConfig | None = None,
         keys = np.asarray(t["own_key"])
         bk = np.asarray(t["block_key"], dtype=object)
         group_key = bk.copy()
+        parent_n = np.zeros(len(keys), dtype=np.int64)
+        n_chunks = np.ones(len(keys), dtype=np.int64)
+        sub_idx = np.zeros(len(keys), dtype=np.int64)
         if len(skeys):
             si = np.clip(np.searchsorted(skeys, keys), 0, len(skeys) - 1)
             is_salted = skeys[si] == keys
@@ -292,7 +349,13 @@ def make_pairs(blocked: ray.data.Dataset, cfg: PipelineConfig | None = None,
                 group_key[is_salted] = [
                     f"{b}#{s}" for b, s in zip(bk[is_salted], sub)
                 ]
-        return t.append_column("group_key", pa.array(group_key, type=pa.string()))
+                parent_n[is_salted] = sn[si[is_salted]]
+                n_chunks[is_salted] = snchunks[si[is_salted]]
+                sub_idx[is_salted] = sub.astype(np.int64)
+        t = t.append_column("group_key", pa.array(group_key, type=pa.string()))
+        t = t.append_column("parent_n", pa.array(parent_n))
+        t = t.append_column("n_chunks", pa.array(n_chunks))
+        return t.append_column("sub_idx", pa.array(sub_idx))
 
     blocked = blocked.map_batches(keep_hot_and_split, batch_format="pyarrow")
 
@@ -314,6 +377,13 @@ def dedup_pairs(pairs: ray.data.Dataset, num_buckets: int = 64):
     from ..functions.grouping import dedup_keep_first
 
     return dedup_keep_first(pairs, "pair_key", ["block_key"], num_buckets)
+
+
+def capped_total(pairs_raw: ray.data.Dataset) -> int:
+    """Exact global count of pairs NOT emitted due to salting caps — Sum
+    of the first-row markers (see _emit_pairs_bucket).  Must run on the
+    RAW make_pairs output (before dedup_pairs)."""
+    return int(pairs_raw.sum("capped_pairs") or 0)
 
 
 def block_inventory(blocked: ray.data.Dataset):

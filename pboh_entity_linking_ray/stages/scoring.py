@@ -1,7 +1,13 @@
 """Pair scoring: candidate pair rows → scored matches.
 
-THE canonical stateful actor-pool stage (SURVEY.md §2.4 A1): each actor
-loads the broadcast statistics tables once in ``__init__`` — the direct
+Features are re-attached to the SKINNY pair rows by two bucketed
+co-group joins on the conversation id (``attach_features``) — the
+100 TB-safe exchange: the blocking shuffle never moves token sketches or
+text, and the per-pair feature payload streams through a hash-partitioned
+join instead of a driver-built O(corpus) broadcast store.
+
+Scoring itself is THE canonical stateful stage (SURVEY.md §2.4 A1): each
+worker resolves the broadcast statistics tables once — the direct
 descendant of the reference's singleton-per-JVM ``AllIndexesBox`` pattern
 (reference: src/main/scala/index/AllIndexesBox.scala:5-76; rationale
 comment eval/cweb/RunLoopyAgainstAllGoogleClweb.scala:31-42) — and scores
@@ -18,9 +24,8 @@ Score = convex mix of
 
 The whole batch is scored with flat-array segment arithmetic — padded
 sort-merge intersection, bincount segment reductions — NO Python loop over
-pairs (measured 0.9 ms → ~0.05 ms per pair).  Stats enter via ``ray.put``
-object refs resolved once per actor — broadcast once per node, never
-re-shipped per batch.
+pairs.  Stats enter via ``ray.put`` object refs resolved once per worker
+process — broadcast once per node, never re-shipped per batch.
 """
 
 from __future__ import annotations
@@ -78,99 +83,51 @@ class BroadcastStats:
         )
 
 
-class FeatureStore:
-    """Broadcast per-conversation features, gatherable by conv id.
-
-    Sorted uint64 conv-id hashes → (jw_text, token sketch, n_tokens).
-    Built once on the driver, ``ray.put`` once, read zero-copy by every
-    scoring task — the pattern that keeps the blocking shuffle SKINNY
-    (token sketches and text never enter an exchange).  At true 10^12-turn
-    scale this becomes a SHARDED store (one object ref per conv-hash
-    range, each living on the node that produced it) — same lookup code,
-    sharded ``ray.get``.
-    """
-
-    def __init__(self, conv_ids: list[str], jw: np.ndarray,
-                 tok_flat: np.ndarray, tok_offsets: np.ndarray,
-                 n_tokens: np.ndarray):
-        from ..functions.hashing import hash_strings_u64
-
-        keys = hash_strings_u64(conv_ids, seed=5).view(np.int64)
-        o = np.argsort(keys)
-        self.keys = keys[o]
-        self.jw = jw[o]
-        lens = np.diff(tok_offsets)
-        self.tok_lens = lens[o].astype(np.int64)
-        starts = tok_offsets[:-1][o]
-        # re-pack token values in sorted-key order
-        total = int(self.tok_lens.sum())
-        flat = np.empty(total, dtype=np.uint32)
-        pos = np.cumsum(np.r_[0, self.tok_lens[:-1]])
-        take_idx = np.repeat(starts, self.tok_lens) + (
-            np.arange(total) - np.repeat(pos, self.tok_lens))
-        flat[:] = tok_flat[take_idx]
-        self.tok_flat = flat
-        self.tok_starts = pos
-        self.n_tokens = n_tokens[o].astype(np.int32)
-
-    @staticmethod
-    def from_table(t: pa.Table) -> "FeatureStore":
-        toks = t["tokens"]
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        offsets = np.asarray(toks.offsets).astype(np.int64)
-        offsets = offsets - offsets[0]   # sliced arrays may not start at 0
-        return FeatureStore(
-            t["conv_id"].to_pylist(),
-            np.asarray(t["jw_text"].to_pylist(), dtype=object),
-            np.asarray(toks.flatten()).astype(np.uint32, copy=False),
-            offsets,
-            np.asarray(t["n_tokens"]),
-        )
-
-    def index_of(self, conv_ids: list[str]) -> np.ndarray:
-        from ..functions.hashing import hash_strings_u64
-
-        h = hash_strings_u64(conv_ids, seed=5).view(np.int64)
-        idx = np.searchsorted(self.keys, h)
-        idx = np.clip(idx, 0, len(self.keys) - 1)
-        return idx
-
-    def padded_tokens(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Gather rows ``idx`` → sentinel-padded (B, W) uint64 matrix +
-        lengths (vectorized flat gather)."""
-        lens = self.tok_lens[idx]
-        n = len(idx)
-        width = max(1, int(lens.max(initial=1)))
-        mat = np.full((n, width), _SENTINEL, dtype=np.uint64)
-        total = int(lens.sum())
-        rows = np.repeat(np.arange(n), lens)
-        pos = np.cumsum(np.r_[0, lens[:-1]])
-        cols = np.arange(total) - np.repeat(pos, lens)
-        src_idx = np.repeat(self.tok_starts[idx], lens) + cols
-        mat[rows, cols] = self.tok_flat[src_idx]
-        return mat, lens
+def _padded_tokens(col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow list<uint32> column → sentinel-padded (B, W) uint64 matrix +
+    per-row lengths (vectorized flat gather; no Python loop)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offsets = np.asarray(arr.offsets).astype(np.int64)
+    offsets = offsets - offsets[0]      # sliced arrays may not start at 0
+    flat = np.asarray(arr.flatten()).astype(np.uint64, copy=False)
+    lens = np.diff(offsets)
+    n = len(lens)
+    width = max(1, int(lens.max(initial=1)))
+    mat = np.full((n, width), _SENTINEL, dtype=np.uint64)
+    total = int(lens.sum())
+    rows = np.repeat(np.arange(n), lens)
+    pos = np.cumsum(np.r_[0, lens[:-1]])
+    cols = np.arange(total) - np.repeat(pos, lens)
+    mat[rows, cols] = flat
+    return mat, lens
 
 
-def build_feature_store(features: ray.data.Dataset) -> "FeatureStore":
-    """Collect (conv_id, jw_text, tokens, n_tokens) to the driver and build
-    the broadcast store (see FeatureStore for the sharded scale path)."""
-    refs = features.select_columns(
-        ["conv_id", "jw_text", "tokens", "n_tokens"]
-    ).to_arrow_refs()
-    t = pa.concat_tables([ray.get(r) for r in refs]).combine_chunks()
-    return FeatureStore.from_table(t)
+def attach_features(pairs: ray.data.Dataset, features: ray.data.Dataset,
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Skinny pair rows ⋈ per-conv features, twice (side a, side b), via
+    bucketed co-group hash joins on the conv id.  A conv id absent from
+    the features table drops its pairs (inner join) instead of silently
+    scoring against a neighbor's features."""
+    from ..functions.grouping import hash_join
+
+    feats = features.select_columns(["conv_id", "jw_text", "tokens"])
+    fa = feats.rename_columns({"conv_id": "conv_a", "jw_text": "jw_a",
+                               "tokens": "tokens_a"})
+    fb = feats.rename_columns({"conv_id": "conv_b", "jw_text": "jw_b",
+                               "tokens": "tokens_b"})
+    with_a = hash_join(pairs, fa, "conv_a", num_buckets)
+    return hash_join(with_a, fb, "conv_b", num_buckets)
+
+
+_FEATURE_COLS = ("jw_a", "jw_b", "tokens_a", "tokens_b")
 
 
 class PairScorer:
-    def __init__(self, stats_ref, feats_ref, cfg: PipelineConfig | None = None):
+    def __init__(self, stats_ref, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
         self.w: ScorerWeights = self.cfg.weights
         self.stats: BroadcastStats = (
             ray.get(stats_ref) if isinstance(stats_ref, ray.ObjectRef) else stats_ref
-        )
-        self.feats: FeatureStore = (
-            ray.get(feats_ref) if isinstance(feats_ref, ray.ObjectRef) else feats_ref
         )
 
     def _pboh_and_jac(self, A, la, B, lb) -> tuple[np.ndarray, np.ndarray]:
@@ -242,22 +199,20 @@ class PairScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            out = batch
+            out = batch.drop_columns(list(_FEATURE_COLS))
             for c in ("jw", "jaccard", "pboh", "score"):
                 out = out.append_column(c, pa.array([], type=pa.float64()))
             return out.append_column("is_match", pa.array([], type=pa.bool_()))
 
         w = self.w
-        idx_a = self.feats.index_of(batch["conv_a"].to_pylist())
-        idx_b = self.feats.index_of(batch["conv_b"].to_pylist())
-        jw = jaro_winkler_batch(self.feats.jw[idx_a].tolist(),
-                                self.feats.jw[idx_b].tolist())
-        A, la = self.feats.padded_tokens(idx_a)
-        B, lb = self.feats.padded_tokens(idx_b)
+        jw = jaro_winkler_batch(batch["jw_a"].to_pylist(),
+                                batch["jw_b"].to_pylist())
+        A, la = _padded_tokens(batch["tokens_a"])
+        B, lb = _padded_tokens(batch["tokens_b"])
         pboh, jac = self._pboh_and_jac(A, la, B, lb)
 
         score = (w.w_jw * jw + w.w_jac * jac + pboh) / (w.w_jw + w.w_jac + 1.0)
-        out = batch
+        out = batch.drop_columns(list(_FEATURE_COLS))
         out = out.append_column("jw", pa.array(jw, type=pa.float64()))
         out = out.append_column("jaccard", pa.array(jac, type=pa.float64()))
         out = out.append_column("pboh", pa.array(pboh, type=pa.float64()))
@@ -271,7 +226,7 @@ class PairScorer:
 _SCORER_CACHE: dict[str, PairScorer] = {}
 
 
-def _scorer_for(stats_ref, feats_ref, cfg: PipelineConfig) -> PairScorer:
+def _scorer_for(stats_ref, cfg: PipelineConfig) -> PairScorer:
     """Once-per-worker-process scorer — the exact analog of the
     reference's singleton-per-JVM index objects
     (RunLoopyAgainstAllGoogleClweb.scala:31-42): the broadcast stats are
@@ -281,27 +236,26 @@ def _scorer_for(stats_ref, feats_ref, cfg: PipelineConfig) -> PairScorer:
            else str(id(stats_ref)))
     sc = _SCORER_CACHE.get(key)
     if sc is None:
-        sc = PairScorer(stats_ref, feats_ref, cfg)
+        sc = PairScorer(stats_ref, cfg)
         _SCORER_CACHE.clear()   # one stats table per pipeline run
         _SCORER_CACHE[key] = sc
     return sc
 
 
-def score_pairs(pairs: ray.data.Dataset, stats: BroadcastStats,
-                feats: "FeatureStore",
+def score_pairs(pairs_with_features: ray.data.Dataset, stats: BroadcastStats,
                 cfg: PipelineConfig | None = None) -> ray.data.Dataset:
     """Scoring runs as an elastic task pool (plain function): Ray's actor
     pool autoscaler ramps too slowly for a stage this short, while tasks
     scale to every free CPU instantly; per-process scorer state (broadcast
-    stats + FeatureStore) is preserved via the _scorer_for singleton."""
+    stats) is preserved via the _scorer_for singleton.  Input must carry
+    the ``attach_features`` columns (jw_a/jw_b/tokens_a/tokens_b)."""
     cfg = cfg or PipelineConfig()
-    stats_ref = ray.put(stats)
-    feats_ref = feats if isinstance(feats, ray.ObjectRef) else ray.put(feats)
+    stats_ref = stats if isinstance(stats, ray.ObjectRef) else ray.put(stats)
 
     def score_batch(batch: pa.Table) -> pa.Table:
-        return _scorer_for(stats_ref, feats_ref, cfg)(batch)
+        return _scorer_for(stats_ref, cfg)(batch)
 
-    return pairs.map_batches(
+    return pairs_with_features.map_batches(
         score_batch,
         batch_format="pyarrow",
         batch_size=cfg.scorer_batch_size,

@@ -9,6 +9,7 @@ from pboh_entity_linking_ray.pipelines import (
     linkage_queries,
     multimodal,
     relational,
+    sampling,
     textops,
 )
 from pboh_entity_linking_ray.sources.synthetic import corpus_dir, sf_to_n_convs
@@ -16,7 +17,7 @@ from pboh_entity_linking_ray.sources.synthetic import corpus_dir, sf_to_n_convs
 SF_DIR = "/root/testdata/sf0.001"
 
 PAIRED = {}
-for mod in (relational, textops, ann, multimodal, linkage_queries):
+for mod in (relational, textops, sampling, ann, multimodal, linkage_queries):
     for name, (fn, sql) in mod.QUERIES.items():
         if sql is not None:
             PAIRED[name] = (fn, sql)
@@ -38,7 +39,7 @@ def test_query_matches_oracle(name, ray_session):
 
 
 ROWS_ONLY = {}
-for mod in (ann, multimodal, linkage_queries):
+for mod in (textops, ann, multimodal, linkage_queries):
     for name, (fn, sql) in mod.QUERIES.items():
         if sql is None and name not in ("link_pairs_scored", "link_clusters",
                                         "link_eval_metrics"):

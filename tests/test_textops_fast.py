@@ -1,0 +1,53 @@
+"""The fast (xxhash) text fingerprint variants share their algorithmic
+cores with the md5 oracle twins; these tests pin that tie at the core
+level (same hashes in → same output) plus determinism of the fast path."""
+
+import numpy as np
+import pyarrow as pa
+
+from pboh_entity_linking_ray.pipelines.textops import (
+    WINNOW_MOD,
+    _doc_shingles,
+    _simhash_bits,
+)
+
+
+def test_simhash_core_majority():
+    # two rows: row 0 has hashes with bit0 set twice, clear once → '1'
+    rid = np.array([0, 0, 0, 1], dtype=np.int64)
+    hs = np.array([0b1, 0b1, 0b0, 0b10], dtype=np.uint64)
+    bits = _simhash_bits(rid, hs, 3)
+    assert bits[0][-1] == "1"            # bit 0 majority set
+    assert bits[0][:-1] == "0" * 63
+    assert bits[1][-2] == "1" and bits[1][-1] == "0"
+    assert bits[2] == "0" * 64           # empty row → zero signature
+
+
+def test_simhash_core_tie_is_zero():
+    # equal +1/-1 votes → sum 0 → NOT > 0 → bit stays 0
+    rid = np.array([0, 0], dtype=np.int64)
+    hs = np.array([0b1, 0b0], dtype=np.uint64)
+    assert _simhash_bits(rid, hs, 1)[0] == "0" * 64
+
+
+def test_doc_shingles_matches_naive():
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d", "a b", ""],
+    })
+    df = _doc_shingles(t, 3)
+    got = {(int(r), s) for r, s in zip(df["rid"], df["sh"])}
+    assert got == {(0, "a b c"), (0, "b c d")}   # row 1: <3 tokens, row 2: none
+
+
+def test_fast_variants_deterministic(ray_session):
+    from pboh_entity_linking_ray.pipelines.textops import simhash_fast, winnow_fast
+
+    sf = "/root/testdata/sf0.001"
+    a = simhash_fast(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = simhash_fast(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    w = winnow_fast(sf).to_pandas()
+    assert (w.groupby("doc_id").size() > 0).all()
+    # mod-p selection: every emitted fingerprint honors the sampler
+    assert all(int(x, 16) % WINNOW_MOD == 0 for x in w["fp_hex"])
