@@ -25,7 +25,15 @@ class ScorerWeights:
     f: float = 1.0            # weight of the unary (rho / salience) term
     g: float = 0.5            # weight of the pairwise (lambda / PMI) term
     h: float = 0.17           # popularity-discount exponent inside lambda
-    b: float = 0.075          # context-term weight inside rho
+    b: float = 0.075          # context-term weight inside rho (reference
+                              # b=0.075, EL_LBP_Spark.scala:111-117)
+    delta_w_e: float = 1.0    # p(w|e) numerator discount factor (reference
+                              # delta_w_e=1.0)
+    xi: float = 0.5           # context smoothing mass (reference xi=0.5;
+                              # constant Jelinek-Mercer mass instead of the
+                              # reference's per-entity absolute discount)
+    prior_kappa: float = 0.5  # floor of the mention-prior concentration
+                              # blend in rho: rho(e) *= kappa+(1-kappa)*conc(e)
     delta_cocit: float = 0.5  # absolute discount on co-occurrence counts
     cocit_e_e_param: float = 0.01  # smoothing mass for unseen pairs
     w_jw: float = 1.0         # Jaro-Winkler string-similarity weight
@@ -63,6 +71,12 @@ class PipelineConfig:
                                      # kernel ~0.1 ms/pair while the prefix
                                      # still separates match/non-match
     top_shared_tokens: int = 16      # shared tokens entering the lambda sum
+    ctx_window: int = 4              # ±window (in stream positions) of the
+                                     # p(w|e) statistics (reference K=50
+                                     # words, EntityWordsProbs.scala:37 —
+                                     # transcripts are denser, so smaller)
+    ctx_stream_cap: int = 256        # ordered-stream tokens kept per conv
+                                     # for the window statistics build
     # --- stats (broadcast-size bounds; reference analog: the
     # min-word-count-20 floor of context/WordFreqPerCorpus.scala:38) ---
     cooc_min_count: int = 2     # co-occurrence count floor for the broadcast

@@ -23,7 +23,14 @@ from ..stages.canonicalize import canonicalize
 from ..stages.clustering import cluster_matches
 from ..stages.featurize import featurize
 from ..stages.scoring import BroadcastStats, attach_features, score_pairs
-from ..stages.stats import build_cooc, build_vocab
+from ..stages.stats import (
+    build_cooc,
+    build_entity_prior,
+    build_mention_prior,
+    build_vocab,
+    build_wcooc,
+    build_wfreq,
+)
 from ..state.checkpoint import StageRunner
 
 
@@ -79,6 +86,11 @@ def run_linkage(
 
     vocab = runner.run("vocab", lambda: build_vocab(features))
     cooc = runner.run("cooc", lambda: build_cooc(features, cfg))
+    wfreq = runner.run("wfreq", lambda: build_wfreq(features))
+    wcooc = runner.run("wcooc", lambda: build_wcooc(features, cfg))
+    prior = runner.run(
+        "entity_prior",
+        lambda: build_entity_prior(build_mention_prior(conv_docs)))
 
     # stats are the small side: PRUNE in the dataset, then collect the
     # residue driver-side and broadcast.  df==1 tokens can never be shared
@@ -89,12 +101,18 @@ def run_linkage(
     # (reference analog: the min-word-count-20 floor of
     # context/WordFreqPerCorpus.scala:38 and the freq>=3 load filter of
     # index/WordEntityProbsIndex.scala:104).
-    vocab_b = vocab.filter(expr="df >= 2")
-    cooc_b = cooc.filter(expr=f"count >= {cfg.cooc_min_count}")
-    vocab_tbl = pa.Table.from_pandas(vocab_b.to_pandas(), preserve_index=False)
-    cooc_tbl = pa.Table.from_pandas(cooc_b.to_pandas(), preserve_index=False)
+    def _collect(ds) -> pa.Table:
+        return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+    vocab_tbl = _collect(vocab.filter(expr="df >= 2"))
+    cooc_tbl = _collect(cooc.filter(expr=f"count >= {cfg.cooc_min_count}"))
+    wfreq_tbl = _collect(wfreq.filter(expr="occ >= 2"))
+    wcooc_tbl = _collect(wcooc.filter(expr=f"count >= {cfg.cooc_min_count}"))
+    # conc_e4 == 10000 is the scorer's missing-entity default → drop
+    prior_tbl = _collect(prior.filter(expr="conc_e4 < 10000"))
     n_convs = features.count()
-    stats = BroadcastStats.from_tables(vocab_tbl, cooc_tbl, n_convs)
+    stats = BroadcastStats.from_tables(vocab_tbl, cooc_tbl, n_convs,
+                                       wfreq_tbl, wcooc_tbl, prior_tbl)
 
     blocked = add_block_keys(features, cfg)
     # skinny pair rows: dedup is a cheap bucketed keep-first

@@ -188,6 +188,18 @@ class Featurizer:
 
         jw_texts = norm.str.slice(0, cfg.jw_text_cap)
 
+        # ordered stem-hash stream (repeats kept, capped) — consumed ONLY
+        # by the window-context statistics build (stages/stats.py
+        # build_wfreq/build_wcooc), never shuffled by blocking
+        rid_s = df["rid"].to_numpy().astype(np.int64)
+        th_s = df["th"].to_numpy().astype(np.uint32)   # already masked
+        pos = np.arange(len(rid_s)) - np.maximum.accumulate(
+            np.where(np.r_[True, rid_s[1:] != rid_s[:-1]],
+                     np.arange(len(rid_s)), 0))
+        keep_s = pos < cfg.ctx_stream_cap
+        stream_col = _lists_from_sorted(rid_s[keep_s], th_s[keep_s], n,
+                                        pa.uint32())
+
         return pa.table(
             {
                 "conv_id": batch["conv_id"],
@@ -197,6 +209,7 @@ class Featurizer:
                 "n_tokens": pa.array(n_tokens, type=pa.int32()),
                 "tokens": tokens_col,
                 "tokens_full": tokens_full_col,
+                "stream": stream_col,
                 "minhash": pa.array(list(sigs), type=pa.list_(pa.uint64())),
             }
         )

@@ -61,25 +61,56 @@ class BroadcastStats:
     is bit-cast the same way, so searchsorted semantics stay consistent.
     """
 
+    @staticmethod
+    def _sorted_i64(keys: np.ndarray, vals: np.ndarray):
+        keys = np.ascontiguousarray(keys).view(np.int64) \
+            if keys.dtype == np.uint64 else keys.astype(np.int64)
+        o = np.argsort(keys)
+        return keys[o], vals[o].astype(np.int64)
+
     def __init__(self, vocab_hash: np.ndarray, vocab_df: np.ndarray,
-                 cooc_key: np.ndarray, cooc_count: np.ndarray, n_docs: int):
-        vocab_hash = np.ascontiguousarray(vocab_hash).view(np.int64) \
-            if vocab_hash.dtype == np.uint64 else vocab_hash.astype(np.int64)
-        cooc_key = np.ascontiguousarray(cooc_key).view(np.int64) \
-            if cooc_key.dtype == np.uint64 else cooc_key.astype(np.int64)
-        o = np.argsort(vocab_hash)
-        self.vocab_hash = vocab_hash[o]
-        self.vocab_df = vocab_df[o].astype(np.int64)
-        o = np.argsort(cooc_key)
-        self.cooc_key = cooc_key[o]
-        self.cooc_count = cooc_count[o].astype(np.int64)
+                 cooc_key: np.ndarray, cooc_count: np.ndarray, n_docs: int,
+                 wfreq_hash: np.ndarray | None = None,
+                 wfreq_occ: np.ndarray | None = None,
+                 wcooc_key: np.ndarray | None = None,
+                 wcooc_count: np.ndarray | None = None,
+                 prior_entity: np.ndarray | None = None,
+                 prior_conc_e4: np.ndarray | None = None):
+        e = np.empty(0, dtype=np.int64)
+        self.vocab_hash, self.vocab_df = self._sorted_i64(vocab_hash, vocab_df)
+        self.cooc_key, self.cooc_count = self._sorted_i64(cooc_key, cooc_count)
+        self.wfreq_hash, self.wfreq_occ = self._sorted_i64(
+            wfreq_hash if wfreq_hash is not None else e,
+            wfreq_occ if wfreq_occ is not None else e)
+        self.wcooc_key, self.wcooc_count = self._sorted_i64(
+            wcooc_key if wcooc_key is not None else e,
+            wcooc_count if wcooc_count is not None else e)
+        self.prior_entity, self.prior_conc_e4 = self._sorted_i64(
+            prior_entity if prior_entity is not None else e,
+            prior_conc_e4 if prior_conc_e4 is not None else e)
+        self.total_occ = int(self.wfreq_occ.sum()) if len(self.wfreq_occ) else 0
         self.n_docs = int(n_docs)
 
     @staticmethod
-    def from_tables(vocab: pa.Table, cooc: pa.Table, n_docs: int) -> "BroadcastStats":
+    def from_tables(vocab: pa.Table, cooc: pa.Table, n_docs: int,
+                    wfreq: pa.Table | None = None,
+                    wcooc: pa.Table | None = None,
+                    prior: pa.Table | None = None) -> "BroadcastStats":
+        def _has(t, col):        # empty to_pandas round-trips drop schema
+            return t is not None and col in t.column_names
+
+        wfreq = wfreq if _has(wfreq, "token_hash") else None
+        wcooc = wcooc if _has(wcooc, "pair") else None
+        prior = prior if _has(prior, "entity") else None
         return BroadcastStats(
             np.asarray(vocab["token_hash"]), np.asarray(vocab["df"]),
             np.asarray(cooc["pair"]), np.asarray(cooc["count"]), n_docs,
+            np.asarray(wfreq["token_hash"]) if wfreq is not None else None,
+            np.asarray(wfreq["occ"]) if wfreq is not None else None,
+            np.asarray(wcooc["pair"]) if wcooc is not None else None,
+            np.asarray(wcooc["count"]) if wcooc is not None else None,
+            np.asarray(prior["entity"]) if prior is not None else None,
+            np.asarray(prior["conc_e4"]) if prior is not None else None,
         )
 
 
@@ -164,17 +195,35 @@ class PairScorer:
         tidf = idf[order][keep]
         trow = srows[keep]
 
+        # mention-prior concentration blend (north_star's p(e|m) term):
+        # an entity reached by one dominant surface form carries full
+        # salience; one smeared over many variants is discounted toward
+        # prior_kappa (reference rho's log p̂(e|m), ScorerFull.scala:189-193)
+        if len(st.prior_entity):
+            conc = sorted_lookup(tv.astype(np.int64), st.prior_entity,
+                                 st.prior_conc_e4, default=10000) / 10000.0
+            tidf = tidf * (w.prior_kappa + (1.0 - w.prior_kappa) * conc)
+
         counts = np.bincount(trow, minlength=n)          # l per row
         rho_norm = np.zeros(n)
         nz = counts > 0
         rho_norm[nz] = (np.bincount(trow, weights=tidf, minlength=n)[nz]
                         / counts[nz]) / log_n
 
+        # window-context occurrence stats (reference rho's p(w|e) sum,
+        # ScorerFull.scala:189-193 over EntityWordsProbs windows)
+        has_ctx = st.total_occ > 0
+        if has_ctx:
+            tocc = sorted_lookup(tv.astype(np.int64), st.wfreq_hash,
+                                 st.wfreq_occ, default=1).astype(np.float64)
+            log_occ = np.log(max(2, st.total_occ))
+
         # pairwise NPMI over each row's top tokens: flat segment triu.
         # the reference's 2/(l-1) max-product normalization times 1/l over
         # the l(l-1)/2 pair terms is exactly the pair MEAN — keeping the
         # aggregate in [-1, 1] independent of l and of corpus size
         lam_sum = np.zeros(n)
+        ctx_sum = np.zeros(n)
         seg_starts = np.cumsum(np.r_[0, counts[:-1]])
         for l in np.unique(counts):
             if l < 2:
@@ -188,11 +237,31 @@ class PairScorer:
             cocit = sorted_lookup(keys, st.cooc_key, st.cooc_count, default=0)
             lam = npmi_pairwise(cocit, tdf[pi], tdf[pj], st.n_docs, w)
             per_row = lam.reshape(len(rsel), -1).sum(axis=1)
+            npair = len(ia)
             lam_sum[rsel] = per_row * (2.0 / (l - 1)) / l
+            if has_ctx:
+                # symmetrized log(δ·p̂(w|e)/p̂(w) + ξ): p̂(w|e) from the
+                # windowed co-counts, p̂(w) from stream occurrences
+                wc = sorted_lookup(keys, st.wcooc_key, st.wcooc_count,
+                                   default=0).astype(np.float64)
+                oi = np.maximum(tocc[pi], 1.0)
+                oj = np.maximum(tocc[pj], 1.0)
+                pw_i = tocc[pi] / st.total_occ
+                pw_j = tocc[pj] / st.total_occ
+                ctx = 0.5 * (
+                    np.log(w.delta_w_e * (wc / oi) / np.maximum(pw_j, 1e-12)
+                           + w.xi)
+                    + np.log(w.delta_w_e * (wc / oj) / np.maximum(pw_i, 1e-12)
+                             + w.xi))
+                ctx_sum[rsel] = (ctx.reshape(len(rsel), -1).sum(axis=1)
+                                 / npair) / log_occ
 
         lam_norm = np.clip(lam_sum, 0.0, 1.0)
         lam_norm[counts < 2] = 0.0
-        pboh = np.clip(w.f * rho_norm + w.g * lam_norm, 0.0, 1.0)
+        ctx_norm = np.clip(ctx_sum, 0.0, 1.0)
+        ctx_norm[counts < 2] = 0.0
+        pboh = np.clip(w.f * rho_norm + w.g * lam_norm + w.b * ctx_norm,
+                       0.0, 1.0)
         pboh[counts == 0] = 0.0
         return pboh, jac
 

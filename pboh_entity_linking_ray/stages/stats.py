@@ -100,6 +100,88 @@ def build_cooc(features: ray.data.Dataset, cfg: PipelineConfig | None = None):
     return bucketed_sum(partial, ["pair"], "count_partial", "count")
 
 
+def _wfreq_partial(batch: pa.Table) -> pa.Table:
+    """features batch → partial (token_hash, occurrence count) over the
+    ORDERED stream (repeats counted — the corpus word-frequency analog of
+    WordFreqPerCorpus.scala:34-40, denominators of p̂(w))."""
+    st = batch["stream"]
+    if isinstance(st, pa.ChunkedArray):
+        st = st.combine_chunks()
+    flat = np.asarray(st.flatten()).astype(np.uint32, copy=False)
+    if len(flat) == 0:
+        return pa.table({"token_hash": pa.array([], type=pa.int64()),
+                         "occ_partial": pa.array([], type=pa.int64())})
+    uniq, counts = np.unique(flat, return_counts=True)
+    return pa.table({
+        "token_hash": pa.array(uniq.astype(np.int64), type=pa.int64()),
+        "occ_partial": pa.array(counts.astype(np.int64), type=pa.int64()),
+    })
+
+
+def build_wfreq(features: ray.data.Dataset) -> ray.data.Dataset:
+    """token_hash → corpus occurrence count (stream positions)."""
+    from ..functions.grouping import bucketed_sum
+
+    partial = features.map_batches(
+        _wfreq_partial, batch_format="pyarrow", batch_size=512,
+    )
+    return bucketed_sum(partial, ["token_hash"], "occ_partial", "occ")
+
+
+def _wcooc_partial(batch: pa.Table, window: int) -> pa.Table:
+    """features batch → partial windowed (pair, count) rows: every token
+    pairs with the next ``window`` stream positions of the SAME conv —
+    the ±K context-window co-count of the reference's p(w|e) build
+    (EntityWordsProbs.scala:198-213, window extraction
+    TextSplittingInWords.scala:62-140), built by flat shifted-array
+    comparison instead of a per-mention scan."""
+    st = batch["stream"]
+    if isinstance(st, pa.ChunkedArray):
+        st = st.combine_chunks()
+    offsets = np.asarray(st.offsets).astype(np.int64)
+    offsets = offsets - offsets[0]
+    flat = np.asarray(st.flatten()).astype(np.uint64, copy=False)
+    n_flat = len(flat)
+    if n_flat == 0:
+        return pa.table({"pair": pa.array([], type=pa.int64()),
+                         "count_partial": pa.array([], type=pa.int64())})
+    lens = np.diff(offsets)
+    row_of = np.repeat(np.arange(len(lens)), lens)
+    keys_parts = []
+    for d in range(1, window + 1):
+        a = flat[:-d] if d < n_flat else flat[:0]
+        b = flat[d:]
+        same_row = row_of[:-d] == row_of[d:] if d < n_flat else \
+            np.empty(0, dtype=bool)
+        ok = same_row & (a != b)          # self-pairs carry no signal
+        keys_parts.append(pack_pairs_np(a[ok], b[ok]))
+    flatk = np.concatenate(keys_parts) if keys_parts else \
+        np.empty(0, dtype=np.uint64)
+    if len(flatk) == 0:
+        return pa.table({"pair": pa.array([], type=pa.int64()),
+                         "count_partial": pa.array([], type=pa.int64())})
+    uniq, counts = np.unique(flatk, return_counts=True)
+    return pa.table({
+        "pair": pa.array(uniq.view(np.int64), type=pa.int64()),
+        "count_partial": pa.array(counts.astype(np.int64), type=pa.int64()),
+    })
+
+
+def build_wcooc(features: ray.data.Dataset,
+                cfg: PipelineConfig | None = None) -> ray.data.Dataset:
+    """packed (t1,t2) → windowed co-occurrence count (±ctx_window)."""
+    from ..functions.grouping import bucketed_sum
+
+    cfg = cfg or PipelineConfig()
+    w = cfg.ctx_window
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _wcooc_partial(t, w)
+
+    p = features.map_batches(partial, batch_format="pyarrow", batch_size=512)
+    return bucketed_sum(p, ["pair"], "count_partial", "count")
+
+
 def _mention_prior_partial(batch: pa.Table) -> pa.Table:
     """conv_docs batch → partial (mention, entity=stem hash) counts.
 
@@ -127,10 +209,14 @@ def _mention_prior_partial(batch: pa.Table) -> pa.Table:
         .len(name="freq_partial")
     )
     stems = [porter_stem(m) for m in df["mention"].to_list()]
+    # same 32-bit masked domain as featurize token hashes so prior
+    # entities JOIN the vocab/cooc/stream token_hash space
+    from .featurize import TOKEN_MASK
+
     ent = (
         pl.Series("e", stems).hash(seed=TOKEN_HASH_SEED)
-        .to_numpy().astype(np.uint64).view(np.int64)
-    )
+        .to_numpy().astype(np.uint64) % np.uint64(int(TOKEN_MASK) + 1)
+    ).astype(np.int64)
     return pa.table({
         "mention": pa.array(df["mention"].to_list(), type=pa.string()),
         "entity": pa.array(ent, type=pa.int64()),
@@ -160,3 +246,30 @@ def build_mention_prior(conv_docs: ray.data.Dataset):
     from ..functions.grouping import bucketed_groups
 
     return bucketed_groups(agg, "mention", _with_total)
+
+
+def build_entity_prior(mention_prior: ray.data.Dataset) -> ray.data.Dataset:
+    """mention_prior → per-ENTITY concentration table consumed by the
+    scorer: conc(e) = max_m freq(m→e) / Σ_m freq(m→e) ∈ (0, 1].
+
+    In this recast the mention→entity map is functional (stem), so the
+    reference's p̂(e|m) = freq/total (CandidatesList.scala:95-98) is
+    degenerate per mention; the informative marginal is how CONCENTRATED
+    an entity's mention distribution is — an entity reached by one
+    dominant surface form is stronger linkage evidence than one smeared
+    over many variants.  The scorer blends it into rho
+    (prior_kappa + (1-prior_kappa)·conc)."""
+    from ..functions.grouping import bucketed_groups
+
+    def conc(bucket: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(bucket).group_by("entity")
+            .agg((pl.col("freq").max() * 10000 // pl.col("freq").sum())
+                 .alias("conc_e4"))
+        )
+        return out.to_arrow()
+
+    return bucketed_groups(
+        mention_prior.select_columns(["entity", "freq"]), "entity", conc)

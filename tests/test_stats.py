@@ -63,3 +63,51 @@ def test_mention_prior_totals(ray_session):
         lambda g: g["freq"].sum() / g["total"].iloc[0], include_groups=False
     )
     assert np.allclose(sums.to_numpy(), 1.0)
+
+
+def test_wcooc_window_matches_naive(ray_session):
+    """Windowed co-counts equal a naive per-conv ±K scan over the same
+    capped stream."""
+    from collections import Counter
+
+    from pboh_entity_linking_ray.config import PipelineConfig
+    from pboh_entity_linking_ray.functions.hashing import pack_pair
+    from pboh_entity_linking_ray.stages.stats import build_wcooc
+
+    corpus = generate_corpus(25, 44)
+    cfg = PipelineConfig()
+    feats = featurize(_conv_docs(corpus), cfg).materialize()
+    got = {int(k): int(v) for k, v in
+           zip(*build_wcooc(feats, cfg).to_pandas()
+               [["pair", "count"]].to_numpy().T)}
+
+    naive: Counter = Counter()
+    for stream in feats.to_pandas()["stream"]:
+        s = [int(x) for x in stream]
+        for i in range(len(s)):
+            for d in range(1, cfg.ctx_window + 1):
+                if i + d < len(s) and s[i] != s[i + d]:
+                    naive[pack_pair(s[i], s[i + d])] += 1
+    # pair keys cross the shuffle bit-cast int64; compare unsigned
+    got_u = {int(np.uint64(np.int64(k))): v for k, v in got.items()}
+    assert got_u == dict(naive)
+
+
+def test_entity_prior_concentration(ray_session):
+    from pboh_entity_linking_ray.stages.stats import build_entity_prior
+
+    corpus = generate_corpus(30, 45)
+    prior = build_mention_prior(_conv_docs(corpus))
+    ep = build_entity_prior(prior).to_pandas()
+    assert (ep["conc_e4"] > 0).all() and (ep["conc_e4"] <= 10000).all()
+
+
+def test_prior_entities_join_token_domain(ray_session):
+    """Regression for the 64-bit/32-bit hash-domain split: every prior
+    entity must be resolvable in the vocab token_hash domain."""
+    corpus = generate_corpus(30, 46)
+    conv = _conv_docs(corpus).materialize()
+    vocab = set(build_vocab(featurize(conv)).to_pandas()["token_hash"])
+    prior = build_mention_prior(conv).to_pandas()
+    hit = sum(1 for e in prior["entity"] if int(e) in vocab)
+    assert hit / max(1, len(prior)) > 0.99
