@@ -1,13 +1,20 @@
 """Similarity search over the embeddings table.
 
-- Brute-force cosine top-k: numpy matmul per Arrow batch against a
-  broadcast, L2-normalized query matrix (``ray.put`` once, read per actor)
-  — the baseline demanded for training-data pipelines.
-- Embedding-cosine near-duplicate pairs (the embedding member of the
-  dedup family).
-- LSH-bucketed approximate variant (``ann_lsh``) — the scale path: random
-  hyperplane signatures bucket the corpus; a query only scans its bucket
-  and Hamming-1 neighbors.  No SQL twin (approximate by construction).
+- Brute-force cosine top-k (``q10``): numpy matmul per Arrow batch against
+  a broadcast, L2-normalized query matrix (``ray.put`` once, read per
+  actor), with PARTIAL top-k inside every batch before the shuffle — the
+  pre-aggregation discipline (only ≤ k rows per query leave a batch).
+- Embedding-cosine near-duplicate pairs (``q11``): O(n²) broadcast
+  compare, the oracle-exact small-scale baseline of the dedup family.
+- LSH-bucketed top-k (``ann_lsh``) — the scale path AS A RAY PIPELINE:
+  random-hyperplane signatures are computed in ``map_batches``, the
+  corpus is hash-partitioned by signature bucket (groupby — never
+  materialized on the driver), and each bucket group scans only the
+  queries that probe it (query side broadcast: it IS the small side).
+- LSH-bucketed near-dup pairs (``ann_neardup_lsh``): within-bucket
+  all-pairs across L independent hyperplane tables, exact cosine verify
+  in-bucket → every emitted pair is a true q11 pair (precision 1);
+  recall is the standard signature-collision bound.
 
 Cosines are emitted as e6 fixed-point ints (``floor(cos*1e6+0.5)``).
 DuckDB's ``list_cosine_similarity`` accumulates in float32 (≈1e-7 off) —
@@ -18,6 +25,8 @@ same dot/(|a||b|) formula; residual error ~1e-15 never moves an e6 bucket.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -26,6 +35,9 @@ import ray.data
 N_QUERIES = 8
 TOP_K = 10
 NEARDUP_COS_E6 = 250_000  # cos >= 0.25
+N_PLANES = 8              # top-k LSH signature bits
+DUP_PLANES = 6            # near-dup tables: fewer bits, more tables
+DUP_TABLES = 4
 
 
 def _read_embeddings(sf_dir: str):
@@ -57,16 +69,52 @@ def _cos_e6(mat_a: np.ndarray, mat_b: np.ndarray) -> np.ndarray:
     return np.floor(cos * 1_000_000 + 0.5).astype(np.int64)
 
 
-def q10_knn_bruteforce(sf_dir: str):
-    """Exact top-k cosine neighbors for the first N_QUERIES vectors."""
+@lru_cache(maxsize=16)
+def _planes(dim: int, n_planes: int, table: int) -> np.ndarray:
+    """Deterministic hyperplanes — recomputed identically in every worker
+    from the seed, so nothing needs broadcasting."""
+    rng = np.random.Generator(np.random.PCG64(1234 + 1000 * table))
+    return rng.standard_normal((dim, n_planes))
+
+
+def _sig_buckets(mat: np.ndarray, n_planes: int, table: int) -> np.ndarray:
+    p = _planes(mat.shape[1], n_planes, table)
+    bits = (mat @ p > 0).astype(np.int64)
+    return bits @ (1 << np.arange(n_planes, dtype=np.int64))
+
+
+def _topk_mask(qcol: np.ndarray, cos: np.ndarray, vid: np.ndarray,
+               k: int) -> np.ndarray:
+    """
+
+    Vectorized per-query top-k over flat rows: rank rows within each
+    query by (-cos, vec_id) and keep rank < k."""
+    order = np.lexsort((vid, -cos, qcol))
+    qs = qcol[order]
+    newseg = np.r_[True, qs[1:] != qs[:-1]]
+    first = np.maximum.accumulate(np.where(newseg, np.arange(len(qs)), 0))
+    rank = np.arange(len(qs)) - first
+    mask = np.zeros(len(qcol), dtype=bool)
+    mask[order[rank < k]] = True
+    return mask
+
+
+def _query_side(sf_dir: str, n_queries: int):
     qt = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
-        filter=(pa.compute.field("vec_id") < N_QUERIES),
+        filter=(pa.compute.field("vec_id") < n_queries),
     ).to_arrow_refs()
     q_tbl = pa.concat_tables([ray.get(r) for r in qt])
     q_ids, q_mat = _matrix(q_tbl)
     order = np.argsort(q_ids)
-    q_ids, q_mat = q_ids[order], q_mat[order]
+    return q_ids[order], q_mat[order]
+
+
+def q10_knn_bruteforce(sf_dir: str):
+    """Exact top-k cosine neighbors for the first N_QUERIES vectors."""
+    from ..functions.grouping import bucketed_groups
+
+    q_ids, q_mat = _query_side(sf_dir, N_QUERIES)
     ref = ray.put((q_ids, q_mat))
 
     class Score:
@@ -79,11 +127,16 @@ def q10_knn_bruteforce(sf_dir: str):
             nb, nq = cos_e6.shape
             qcol = np.repeat(self.q_ids[None, :], nb, axis=0).ravel()
             vcol = np.repeat(ids, nq)
+            flat = cos_e6.ravel()
             keep = qcol != vcol
+            qcol, vcol, flat = qcol[keep], vcol[keep], flat[keep]
+            # partial top-k INSIDE the batch: at most k rows per query
+            # cross the shuffle (the combiner discipline of SURVEY §4.2)
+            m = _topk_mask(qcol, flat, vcol, TOP_K)
             return pa.table({
-                "query_id": pa.array(qcol[keep]),
-                "vec_id": pa.array(vcol[keep]),
-                "cos_e6": pa.array(cos_e6.ravel()[keep]),
+                "query_id": pa.array(qcol[m]),
+                "vec_id": pa.array(vcol[m]),
+                "cos_e6": pa.array(flat[m]),
             })
 
     scored = _read_embeddings(sf_dir).map_batches(
@@ -91,13 +144,14 @@ def q10_knn_bruteforce(sf_dir: str):
         batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
     )
 
-    def topk(g: pa.Table) -> pa.Table:
-        cos = np.asarray(g["cos_e6"])
-        vid = np.asarray(g["vec_id"])
-        order = np.lexsort((vid, -cos))[:TOP_K]
-        return g.take(pa.array(np.sort(order)))
+    def topk(bucket: pa.Table) -> pa.Table:
+        q = np.asarray(bucket["query_id"])
+        cos = np.asarray(bucket["cos_e6"])
+        vid = np.asarray(bucket["vec_id"])
+        m = _topk_mask(q, cos, vid, TOP_K)
+        return bucket.filter(pa.array(m))
 
-    return scored.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+    return bucketed_groups(scored, "query_id", topk)
 
 
 _COS_SQL = (
@@ -127,10 +181,10 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 def q11_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ τ).
 
-    Small-scale form: the whole normalized matrix is broadcast and each
-    batch matmuls against it — O(n²) compare but fully vectorized.  The
-    100 TB path is ``ann_lsh``: bucket by hyperplane signature and compare
-    within buckets only."""
+    Small-scale oracle-exact form: the whole normalized matrix is
+    broadcast and each batch matmuls against it — O(n²) compare but fully
+    vectorized.  The 100 TB path is ``ann_neardup_lsh``: bucket by
+    hyperplane signature and compare within buckets only."""
     full = pa.concat_tables(
         [ray.get(r) for r in _read_embeddings(sf_dir).to_arrow_refs()]
     )
@@ -175,79 +229,148 @@ SELECT vec_a, vec_b, cos_e6 FROM c WHERE cos_e6 >= {NEARDUP_COS_E6}
 """
 
 
-N_PLANES = 8
-
-
 def ann_lsh(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K):
-    """Approximate top-k via random-hyperplane LSH buckets (scale path).
+    """Approximate top-k via random-hyperplane LSH buckets — the scale
+    path AS A PIPELINE: the corpus is never materialized on the driver.
 
-    Index: signature = sign bits of V·H (H = seeded Gaussian hyperplanes)
-    → bucket id.  Query probes its own bucket plus all Hamming-1 buckets.
-    Approximate → no SQL oracle; recall vs q10 is asserted in tests."""
-    full = pa.concat_tables(
-        [ray.get(r) for r in _read_embeddings(sf_dir).to_arrow_refs()]
-    )
-    ids, mat = _matrix(full)
-    o = np.argsort(ids)
-    ids, mat = ids[o], _normalize(mat[o])
-    dim = mat.shape[1]
-    planes = np.random.Generator(np.random.PCG64(1234)).standard_normal((dim, N_PLANES))
-    sig = (mat @ planes > 0).astype(np.uint32)
-    bucket = (sig << np.arange(N_PLANES, dtype=np.uint32)).sum(axis=1)
-    ref = ray.put((ids, mat, bucket))
+    index:  map_batches computes each vector's signature bucket;
+    shuffle: hash-partition by bucket (functions/grouping.py);
+    probe:   each bucket group scans only the queries whose multi-probe
+             set (own bucket + Hamming-1 flips) contains it, emitting a
+             per-(bucket × query) partial top-k;
+    reduce:  bucketed per-query top-k merge.
+    Approximate → no SQL oracle; recall vs q10 is asserted in pytest."""
+    from ..functions.grouping import bucketed_groups
 
-    class Probe:
-        def __init__(self, r, planes):
-            self.ids, self.mat, self.bucket = (
-                ray.get(r) if isinstance(r, ray.ObjectRef) else r
-            )
-            self.planes = planes
-            self.by_bucket: dict[int, np.ndarray] = {}
-            for i, b in enumerate(self.bucket):
-                self.by_bucket.setdefault(int(b), []).append(i)
-            self.by_bucket = {b: np.array(v) for b, v in self.by_bucket.items()}
+    q_ids, q_mat = _query_side(sf_dir, n_queries)
+    q_mat = _normalize(q_mat)
+    q_bucket = _sig_buckets(q_mat, N_PLANES, 0)
+    probe_of: dict[int, list[int]] = {}
+    for qi, b in enumerate(q_bucket):
+        for pb in [int(b)] + [int(b) ^ (1 << p) for p in range(N_PLANES)]:
+            probe_of.setdefault(pb, []).append(qi)
+    qref = ray.put((q_ids, q_mat, {b: np.array(v) for b, v in probe_of.items()}))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            q_ids, q_mat = _matrix(t)
-            q_mat = _normalize(q_mat)
-            q_sig = (q_mat @ self.planes > 0).astype(np.uint32)
-            q_bucket = (q_sig << np.arange(N_PLANES, dtype=np.uint32)).sum(axis=1)
-            out_q, out_v, out_c = [], [], []
-            for qi in range(len(q_ids)):
-                probes = [int(q_bucket[qi])] + [
-                    int(q_bucket[qi]) ^ (1 << p) for p in range(N_PLANES)
-                ]
-                cand = np.concatenate([
-                    self.by_bucket.get(b, np.empty(0, dtype=np.int64))
-                    for b in probes
-                ]).astype(np.int64)
-                cand = cand[self.ids[cand] != q_ids[qi]]
-                if len(cand) == 0:
-                    continue
-                cos = self.mat[cand] @ q_mat[qi]
-                cos_e6 = np.floor(cos * 1_000_000 + 0.5).astype(np.int64)
-                order = np.lexsort((self.ids[cand], -cos_e6))[:k]
-                out_q.extend([int(q_ids[qi])] * len(order))
-                out_v.extend(self.ids[cand][order].tolist())
-                out_c.extend(cos_e6[order].tolist())
-            return pa.table({
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "vec_id": pa.array(out_v, type=pa.int64()),
-                "cos_e6": pa.array(out_c, type=pa.int64()),
-            })
+    def add_bucket(t: pa.Table) -> pa.Table:
+        _, mat = _matrix(t)
+        b = _sig_buckets(_normalize(mat), N_PLANES, 0)
+        return t.append_column("bucket", pa.array(b, type=pa.int64()))
 
-    queries = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
-        filter=(pa.compute.field("vec_id") < n_queries),
-    )
-    return queries.map_batches(
-        Probe, fn_constructor_kwargs={"r": ref, "planes": planes},
-        batch_format="pyarrow", batch_size=1024, concurrency=(1, 4),
-    )
+    indexed = _read_embeddings(sf_dir).map_batches(
+        add_bucket, batch_format="pyarrow", batch_size=4096)
+
+    def probe(group: pa.Table) -> pa.Table:
+        qi_ids, qi_mat, probes = ray.get(qref)
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "cos_e6": pa.array([], type=pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        ids, mat = _matrix(group)
+        bucket = np.asarray(group["bucket"])
+        outs = []
+        for b in np.unique(bucket):
+            qsel = probes.get(int(b))
+            if qsel is None:
+                continue
+            sel = bucket == b
+            m_ids, m_mat = ids[sel], mat[sel]
+            cos = _cos_e6(m_mat, qi_mat[qsel])            # (m, nq_sel)
+            qcol = np.repeat(qi_ids[qsel][None, :], len(m_ids), axis=0).ravel()
+            vcol = np.repeat(m_ids, len(qsel))
+            flat = cos.ravel()
+            keep = qcol != vcol
+            qcol, vcol, flat = qcol[keep], vcol[keep], flat[keep]
+            if len(qcol) == 0:
+                continue
+            msk = _topk_mask(qcol, flat, vcol, k)
+            outs.append(pa.table({"query_id": pa.array(qcol[msk]),
+                                  "vec_id": pa.array(vcol[msk]),
+                                  "cos_e6": pa.array(flat[msk])}))
+        return pa.concat_tables(outs) if outs else empty
+
+    partial = bucketed_groups(indexed, "bucket", probe)
+
+    def merge_topk(bucket: pa.Table) -> pa.Table:
+        q = np.asarray(bucket["query_id"])
+        if len(q) == 0:
+            return bucket
+        cos = np.asarray(bucket["cos_e6"])
+        vid = np.asarray(bucket["vec_id"])
+        # a vector may reach one query through several probe buckets
+        import polars as pl
+
+        df = pl.from_arrow(bucket).unique(subset=["query_id", "vec_id"])
+        q = df["query_id"].to_numpy()
+        cos = df["cos_e6"].to_numpy()
+        vid = df["vec_id"].to_numpy()
+        m = _topk_mask(q, cos, vid, k)
+        return pl.DataFrame({"query_id": q[m], "vec_id": vid[m],
+                             "cos_e6": cos[m]}).to_arrow()
+
+    return bucketed_groups(partial, "query_id", merge_topk)
+
+
+def ann_neardup_lsh(sf_dir: str):
+    """Near-duplicate pairs via L independent hyperplane tables — the
+    bucketed scale path of q11: within-bucket all-pairs with EXACT cosine
+    verification (every emitted pair is a true q11 pair; recall is the
+    collision probability across tables).  Dedup across tables on the
+    packed pair key."""
+    from ..functions.grouping import bucketed_groups, dedup_keep_first
+
+    def add_buckets(t: pa.Table) -> pa.Table:
+        _, mat = _matrix(t)
+        mn = _normalize(mat)
+        tables = []
+        for tab in range(DUP_TABLES):
+            b = _sig_buckets(mn, DUP_PLANES, tab + 1)
+            tables.append(t.append_column(
+                "bucket", pa.array(tab * (1 << DUP_PLANES) + b,
+                                   type=pa.int64())))
+        return pa.concat_tables(tables)
+
+    indexed = _read_embeddings(sf_dir).map_batches(
+        add_buckets, batch_format="pyarrow", batch_size=4096)
+
+    def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"pair_key": pa.array([], type=pa.int64()),
+                          "vec_a": pa.array([], type=pa.int64()),
+                          "vec_b": pa.array([], type=pa.int64()),
+                          "cos_e6": pa.array([], type=pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        ids, mat = _matrix(group)
+        bucket = np.asarray(group["bucket"])
+        outs = []
+        for b in np.unique(bucket):
+            sel = np.flatnonzero(bucket == b)
+            if len(sel) < 2:
+                continue
+            o = sel[np.argsort(ids[sel])]
+            m_ids, m_mat = ids[o], mat[o]
+            cos = _cos_e6(m_mat, m_mat)
+            ia, ib = np.triu_indices(len(m_ids), k=1)
+            flat = cos[ia, ib]
+            keep = flat >= NEARDUP_COS_E6
+            if not keep.any():
+                continue
+            a, bb = m_ids[ia[keep]], m_ids[ib[keep]]
+            outs.append(pa.table({
+                "pair_key": pa.array(a * (1 << 32) + bb),
+                "vec_a": pa.array(a), "vec_b": pa.array(bb),
+                "cos_e6": pa.array(flat[keep]),
+            }))
+        return pa.concat_tables(outs) if outs else empty
+
+    cand = bucketed_groups(indexed, "bucket", pairs)
+    return dedup_keep_first(cand, "pair_key").select_columns(
+        ["vec_a", "vec_b", "cos_e6"])
 
 
 QUERIES = {
     "q10_knn_bruteforce": (q10_knn_bruteforce, SQL_Q10),
     "q11_embedding_neardup": (q11_embedding_neardup, SQL_Q11),
-    "ann_lsh_topk": (ann_lsh, None),  # approximate → rows-only check
+    "ann_lsh_topk": (ann_lsh, None),        # approximate → rows-only check
+    "ann_neardup_lsh": (ann_neardup_lsh, None),
 }

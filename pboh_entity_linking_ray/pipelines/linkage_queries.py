@@ -22,7 +22,6 @@ from ..config import PipelineConfig
 from ..functions.hashing import md5_lower64
 from ..sources.synthetic import corpus_dir, ensure_corpus, sf_to_n_convs
 from ..stages.canonicalize import canonicalize
-from ..stages.evaluate import pairwise_metrics
 from ..pipelines.linkage import run_linkage
 
 CORPUS_CACHE = "/tmp/pboh_ray_corpus"
@@ -305,9 +304,16 @@ def link_block_inventory(sf_dir: str):
 
 
 def link_eval_metrics(sf_dir: str):
+    """Micro + macro P/R/F1 overall and per gold-cluster-size bucket
+    (reference's GlobalStats report, eval/GlobalStats.scala:116-248)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.evaluate import eval_report
+
     res, _ = _run(sf_dir)
-    m = pairwise_metrics(res.scored, _labels(sf_dir))
-    return pa.table({k: pa.array([v]) for k, v in m.items()})
+    d = ensure_corpus(CORPUS_CACHE, sf_to_n_convs(sf_dir))
+    golden = pq.read_table(os.path.join(d, "golden_clusters.parquet"))
+    return eval_report(res.scored, _labels(sf_dir), golden)
 
 
 QUERIES = {

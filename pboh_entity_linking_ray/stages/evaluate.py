@@ -83,6 +83,109 @@ def pairwise_metrics(
     }
 
 
+def _judged_pairs(scored: ray.data.Dataset, labels: pa.Table) -> pd.DataFrame:
+    """All LABELED pairs with predictions: scored ones judged in a
+    broadcast semi-join map (distributed), unscored labeled pairs counted
+    predicted-negative.  Result is O(|labels|) — the gold table is the
+    small side by construction."""
+    lbl_keys = [a + "\x1f" + b for a, b in zip(labels["conv_a"].to_pylist(),
+                                               labels["conv_b"].to_pylist())]
+    lbl = dict(zip(lbl_keys, labels["is_match"].to_pylist()))
+    lbl_ref = ray.put(lbl)
+
+    def judge(t: pa.Table) -> pa.Table:
+        m = ray.get(lbl_ref)
+        keys = t["pair_key"].to_pylist()
+        gold = np.array([m.get(k, -1) for k in keys], dtype=np.int8)
+        sel = gold >= 0
+        return pa.table({
+            "pair_key": pa.array(np.asarray(keys, dtype=object)[sel]),
+            "pred": pa.array(np.asarray(t["is_match"])[sel]),
+            "gold": pa.array(gold[sel] == 1),
+        })
+
+    got = scored.map_batches(judge, batch_format="pyarrow",
+                             batch_size=8192).to_pandas()
+    missing = set(lbl_keys) - set(got["pair_key"])
+    miss_df = pd.DataFrame({
+        "pair_key": sorted(missing),
+        "pred": False,
+        "gold": [bool(lbl[k]) for k in sorted(missing)],
+    })
+    return pd.concat([got, miss_df], ignore_index=True)
+
+
+def _prf(tp: int, fp: int, fn: int) -> tuple[float, float, float]:
+    p = tp / (tp + fp) if tp + fp else 1.0
+    r = tp / (tp + fn) if tp + fn else 1.0
+    f = 2 * p * r / (p + r) if p + r else 0.0
+    return p, r, f
+
+
+def eval_report(scored: ray.data.Dataset, labels: pa.Table,
+                golden_clusters: pa.Table | None = None) -> pa.Table:
+    """Micro AND macro P/R/F1, overall and per gold-cluster-size bucket —
+    the full recast of the reference's GlobalStats report
+    (eval/GlobalStats.scala:150-248; bucket scheme :116-134; macro = mean
+    of per-document metrics, here per-conversation with the convention
+    that an empty denominator scores 1.0).
+
+    Returns one row per bucket plus an ``__all__`` row with columns
+    (bucket, n_pairs, tp, fp, fn, micro_p, micro_r, micro_f1,
+    macro_p, macro_r, macro_f1)."""
+    jp = _judged_pairs(scored, labels)
+    ab = jp["pair_key"].str.split("\x1f", expand=True)
+    jp = jp.assign(conv_a=ab[0], conv_b=ab[1])
+
+    # bucket = gold-cluster size of conv_a (== conv_b's for positives)
+    if golden_clusters is not None:
+        g = golden_clusters.to_pandas()
+        csize = g.groupby("cluster_id")["conv_id"].transform("size")
+        size_of = dict(zip(g["conv_id"], csize))
+        pair_size = jp["conv_a"].map(size_of).fillna(1).astype(int)
+    else:
+        pair_size = pd.Series(1, index=jp.index)
+
+    def bucket_name(n: int) -> str:
+        for lo, hi in SIZE_BUCKETS:
+            if lo <= n <= hi:
+                return f"{lo}" if lo == hi else f"{lo}-{hi}"
+        return f">{SIZE_BUCKETS[-1][1]}"
+
+    jp = jp.assign(bucket=pair_size.map(bucket_name))
+
+    def one_report(df: pd.DataFrame, name: str) -> dict:
+        tp = int((df.pred & df.gold).sum())
+        fp = int((df.pred & ~df.gold).sum())
+        fn = int((~df.pred & df.gold).sum())
+        micro_p, micro_r, micro_f1 = _prf(tp, fp, fn)
+        # macro: per-conversation metrics averaged (each pair charged to
+        # both of its conversations, the per-doc view of the reference)
+        both = pd.concat([
+            df[["pred", "gold"]].assign(conv=df["conv_a"]),
+            df[["pred", "gold"]].assign(conv=df["conv_b"]),
+        ])
+        per = both.groupby("conv").apply(
+            lambda x: _prf(int((x.pred & x.gold).sum()),
+                           int((x.pred & ~x.gold).sum()),
+                           int((~x.pred & x.gold).sum())),
+            include_groups=False,
+        )
+        arr = np.array(per.tolist()) if len(per) else np.ones((1, 3))
+        return {
+            "bucket": name, "n_pairs": len(df), "tp": tp, "fp": fp, "fn": fn,
+            "micro_p": micro_p, "micro_r": micro_r, "micro_f1": micro_f1,
+            "macro_p": float(arr[:, 0].mean()),
+            "macro_r": float(arr[:, 1].mean()),
+            "macro_f1": float(arr[:, 2].mean()),
+        }
+
+    rows = [one_report(jp, "__all__")]
+    for name, df in jp.groupby("bucket"):
+        rows.append(one_report(df, str(name)))
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
 def cluster_size_histogram(clusters: ray.data.Dataset) -> pd.DataFrame:
     """cluster size → count, bucketed per the reference's scheme."""
     sizes = clusters.groupby("cluster_id").count().to_pandas()

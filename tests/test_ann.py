@@ -1,0 +1,86 @@
+"""ANN operators: exactness of the in-bucket verify (every LSH output is
+a true cosine row) and real recall on a PLANTED clustered corpus — the
+testdata embeddings are near-orthogonal noise (max pairwise cos ≈ 0.48),
+where top-k LSH recall is information-theoretically meaningless, so the
+recall bars run on vectors with actual duplicate structure."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pboh_entity_linking_ray.pipelines import ann
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """120 base vectors, each with 3 noisy near-copies (cos ≈ 0.99)."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.standard_normal((120, 64))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(4):
+            v = b + 0.05 * rng.standard_normal(64)
+            rows.append((vid, v))
+            vid += 1
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([r[1] for r in rows]).astype(np.float32)
+    d = tmp_path_factory.mktemp("planted")
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([v.tolist() for v in mat],
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array((ids // 4).astype(np.int32)),
+        }),
+        os.path.join(str(d), "embeddings.parquet"))
+    return str(d)
+
+
+def _brute(dirpath):
+    t = pq.read_table(os.path.join(dirpath, "embeddings.parquet"))
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    m = np.asarray(t["embedding"].combine_chunks().flatten(),
+                   dtype=np.float64).reshape(len(ids), -1)
+    return ids, m
+
+
+def test_neardup_lsh_subset_and_recall(planted_dir, ray_session):
+    got = ann.ann_neardup_lsh(planted_dir).to_pandas()
+    ids, m = _brute(planted_dir)
+    cos = ann._cos_e6(m, m)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    keep = cos[ia, ib] >= ann.NEARDUP_COS_E6
+    truth = {(int(ids[a]), int(ids[b])): int(cos[a, b])
+             for a, b in zip(ia[keep], ib[keep])}
+    for va, vb, c in got[["vec_a", "vec_b", "cos_e6"]].to_numpy():
+        assert truth[(int(va), int(vb))] == int(c)      # exact verify
+    # planted copies sit at cos≈0.99 → multi-table collision bound ≈0.997
+    planted = {(a, b) for a, b in truth if a // 4 == b // 4}
+    found = {(int(a), int(b)) for a, b in got[["vec_a", "vec_b"]].to_numpy()}
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.9, recall
+
+
+def test_ann_lsh_finds_planted_neighbors(planted_dir, ray_session):
+    got = ann.ann_lsh(planted_dir).to_pandas()
+    # for each query (vec_id<8), its 3 planted near-copies are the true
+    # top neighbors; single-table+multiprobe bound ≈0.9 per copy
+    hits = 0
+    for q in range(ann.N_QUERIES):
+        copies = {q // 4 * 4 + i for i in range(4)} - {q}
+        found = set(got.loc[got["query_id"] == q, "vec_id"])
+        hits += len(copies & found)
+    assert hits / (ann.N_QUERIES * 3) >= 0.6
+
+
+def test_neardup_lsh_subset_on_testdata(ray_session):
+    sf = "/root/testdata/sf0.001"
+    nd = ann.ann_neardup_lsh(sf).to_pandas()
+    q11 = ann.q11_embedding_neardup(sf).to_pandas()
+    p11 = set(map(tuple, q11[["vec_a", "vec_b", "cos_e6"]].to_numpy()))
+    pnd = set(map(tuple, nd[["vec_a", "vec_b", "cos_e6"]].to_numpy()))
+    assert pnd <= p11 and len(pnd) > 0

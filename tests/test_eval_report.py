@@ -1,0 +1,49 @@
+"""Micro/macro eval report checked against a hand-built fixture
+(reference semantics: GlobalStats.scala:150-248 micro vs macro; macro
+averages per-document metrics, empty denominators score 1.0)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from pboh_entity_linking_ray.stages.evaluate import eval_report
+
+
+def _scored(rows):
+    return ray.data.from_arrow(pa.table({
+        "pair_key": [f"{a}\x1f{b}" for a, b, _p in rows],
+        "is_match": [p for _a, _b, p in rows],
+    }))
+
+
+def test_eval_report_hand_fixture(ray_session):
+    # gold: (a,b)+ (a,c)+ (b,c)+ (d,e)-   | predictions: (a,b)+ (a,c)-
+    # (b,c) unscored → predicted negative; (d,e) predicted positive (FP)
+    labels = pa.table({
+        "conv_a": ["a", "a", "b", "d"],
+        "conv_b": ["b", "c", "c", "e"],
+        "is_match": [True, True, True, False],
+    })
+    golden = pa.table({
+        "conv_id": ["a", "b", "c", "d", "e"],
+        "cluster_id": ["a", "a", "a", "d", "e"],
+    })
+    scored = _scored([("a", "b", True), ("a", "c", False), ("d", "e", True)])
+    rep = eval_report(scored, labels, golden).to_pandas().set_index("bucket")
+
+    allr = rep.loc["__all__"]
+    assert (allr.tp, allr.fp, allr.fn) == (1, 1, 2)
+    assert np.isclose(allr.micro_p, 0.5)
+    assert np.isclose(allr.micro_r, 1 / 3)
+    # macro per conv (pairs charged to both convs):
+    #  a: tp1 fp0 fn1 → p1   r1/2 ; b: tp1 fp0 fn1 → p1 r1/2
+    #  c: tp0 fp0 fn2 → p1   r0   ; d: fp1 → p0 r1 ; e: fp1 → p0 r1
+    assert np.isclose(allr.macro_p, (1 + 1 + 1 + 0 + 0) / 5)
+    assert np.isclose(allr.macro_r, (0.5 + 0.5 + 0 + 1 + 1) / 5)
+
+    # bucket of the 3-cluster ("3-10") holds the three positive pairs
+    b3 = rep.loc["3-10"]
+    assert b3.n_pairs == 3 and b3.tp == 1 and b3.fn == 2 and b3.fp == 0
+    # the negative (d,e) pair sits in the singleton bucket
+    b1 = rep.loc["1"]
+    assert b1.n_pairs == 1 and b1.fp == 1
