@@ -18,6 +18,7 @@ from typing import Any
 
 from pboh_entity_linking_ray.pipelines import (
     ann,
+    fuzzy,
     linkage_queries,
     multimodal,
     relational,
@@ -26,7 +27,8 @@ from pboh_entity_linking_ray.pipelines import (
 )
 
 _ALL = {}
-for mod in (relational, textops, sampling, ann, multimodal, linkage_queries):
+for mod in (relational, textops, sampling, fuzzy, ann, multimodal,
+            linkage_queries):
     _ALL.update(mod.QUERIES)
 
 

@@ -62,6 +62,15 @@ def bucketed_sum(ds: ray.data.Dataset, key_cols: list[str], sum_col: str,
     """groupby(key).sum(sum_col) with vectorized per-bucket polars hash
     aggregation — Ray's native Aggregate builds result rows in Python per
     group (observed ~15 µs/group → 48 s for 3M co-occurrence keys)."""
+    return bucketed_sum_multi(ds, key_cols, {sum_col: out_name}, num_buckets)
+
+
+def bucketed_sum_multi(ds: ray.data.Dataset, key_cols: list[str],
+                       sum_cols: dict[str, str],
+                       num_buckets: int = 64) -> ray.data.Dataset:
+    """Several sums over the same keys in ONE shuffle (fused-stats
+    pattern: a second stats table over the same key space should never
+    pay a second exchange)."""
 
     def fn(t: pa.Table) -> pa.Table:
         import polars as pl
@@ -69,7 +78,7 @@ def bucketed_sum(ds: ray.data.Dataset, key_cols: list[str], sum_col: str,
         out = (
             pl.from_arrow(t)
             .group_by(key_cols)
-            .agg(pl.col(sum_col).sum().alias(out_name))
+            .agg(*[pl.col(c).sum().alias(o) for c, o in sum_cols.items()])
         )
         return out.to_arrow()
 

@@ -1,0 +1,226 @@
+"""Fuzzy mention fallback — the sorted-neighbor RANGE LOOKUP (SURVEY.md
+§2.3 M8 / §2.5 J3).
+
+The reference binary-searches an unseen mention in the lexicographically
+sorted 21M-mention array, scans ±20 neighbors and accepts the best
+char-trigram similarity ≥ 0.5 (reference:
+src/main/scala/index/MentionEntitiesFrequencyIndex.scala:123-182; sorted
+array built at :66-70).  The recast holds the sorted vocabulary inside
+the lookup actor (the A1 once-per-worker index pattern — range lookups
+don't fit hash joins) while the query stream flows through map_batches.
+
+The oracle twin reproduces the whole thing in SQL: the insertion point is
+``count(tok < q)``, the neighbor window is rn ∈ [p-19, p+21] (exactly
+numpy's searchsorted window [p-20, p+20] in 0-based indexing) and the
+trigram Jaccard is spelled out over '^^'||s||'$$' padding in e4 fixed
+point."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.similarity import char_trigrams
+
+NEIGHBORS = 20          # ± window in the sorted vocabulary
+ACCEPT_SIM_E4 = 5000    # accept best neighbor at trigram jaccard >= 0.5
+N_FUZZY_QUERIES = 200   # queries: middle-char-deleted typos of the first
+MIN_QUERY_LEN = 8       # N sorted tokens of at least this length
+
+
+def _vocab(sf_dir: str) -> np.ndarray:
+    """Distinct document tokens, sorted — built as a pre-aggregated
+    distinct (the stats-build pattern), collected as the in-actor index
+    (the reference keeps the full sorted mention array in JVM heap)."""
+    from ..functions.grouping import bucketed_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        toks = (pl.from_arrow(t["text"].combine_chunks())
+                .str.to_lowercase().str.extract_all("[a-z0-9]+")
+                .explode().drop_nulls().unique())
+        return pa.table({"tok": toks.to_arrow()})
+
+    def uniq(bucket: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return pl.from_arrow(bucket).unique().to_arrow()
+
+    distinct = bucketed_groups(ds.map_batches(partial, batch_format="pyarrow"),
+                               "tok", uniq)
+    return np.sort(distinct.to_pandas()["tok"].to_numpy())
+
+
+def _typo_queries(vocab: np.ndarray) -> list[str]:
+    """Deterministic unseen-ish queries: delete the 5th character of the
+    first N long tokens (prefix preserved → the original stays inside the
+    ±20 lexicographic window, like a real typo'd mention)."""
+    longs = [t for t in vocab if len(t) >= MIN_QUERY_LEN][:N_FUZZY_QUERIES]
+    return sorted({t[:4] + t[5:] for t in longs})
+
+
+def _sim_e4(a: str, b: str) -> int:
+    ta, tb = char_trigrams(a), char_trigrams(b)
+    return (len(ta & tb) * 10000) // len(ta | tb)
+
+
+class FuzzyLookup:
+    """Actor-held sorted vocabulary + trigram cache; per batch, each query
+    scans its ±NEIGHBORS window and keeps the best accepted neighbor."""
+
+    def __init__(self, vref):
+        self.vocab = ray.get(vref) if isinstance(vref, ray.ObjectRef) else vref
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_q, out_m, out_s = [], [], []
+        v = self.vocab
+        for q in t["qtok"].to_pylist():
+            pos = int(np.searchsorted(v, q))
+            lo, hi = max(0, pos - NEIGHBORS), min(len(v), pos + NEIGHBORS + 1)
+            best_s, best_m = -1, None
+            for cand in v[lo:hi]:
+                s = _sim_e4(q, cand)
+                if s > best_s or (s == best_s and best_m is not None
+                                  and cand < best_m):
+                    best_s, best_m = s, cand
+            if best_m is not None and best_s >= ACCEPT_SIM_E4:
+                out_q.append(q)
+                out_m.append(best_m)
+                out_s.append(best_s)
+        return pa.table({
+            "qtok": pa.array(out_q, type=pa.string()),
+            "match_tok": pa.array(out_m, type=pa.string()),
+            "sim_e4": pa.array(out_s, type=pa.int64()),
+        })
+
+
+def q19_fuzzy_lookup(sf_dir: str):
+    vocab = _vocab(sf_dir)
+    queries = _typo_queries(vocab)
+    vref = ray.put(vocab)
+    qds = ray.data.from_arrow(pa.table({"qtok": pa.array(queries)}))
+    return qds.map_batches(FuzzyLookup, fn_constructor_kwargs={"vref": vref},
+                           batch_format="pyarrow", batch_size=64,
+                           concurrency=(1, 4))
+
+
+_TRI = ("list_distinct(list_transform(generate_series(1, length({x}) + 2), "
+        "i -> substr('^^' || {x} || '$$', i, 3)))")
+
+SQL_Q19 = f"""
+WITH v AS (
+  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+sv AS (SELECT tok, row_number() OVER (ORDER BY tok) AS rn FROM v),
+q AS (
+  SELECT DISTINCT substr(tok, 1, 4) || substr(tok, 6) AS qtok
+  FROM (SELECT tok FROM v WHERE length(tok) >= {MIN_QUERY_LEN}
+        ORDER BY tok LIMIT {N_FUZZY_QUERIES})
+),
+pos AS (
+  SELECT qtok, (SELECT count(*) FROM v WHERE tok < q.qtok) AS p FROM q
+),
+cand AS (
+  SELECT qtok,
+         sv.tok,
+         CAST((len(list_intersect({_TRI.format(x='qtok')},
+                                  {_TRI.format(x='sv.tok')})) * 10000)
+              // len(list_distinct(list_concat({_TRI.format(x='qtok')},
+                                   {_TRI.format(x='sv.tok')}))) AS BIGINT)
+             AS sim_e4
+  FROM pos JOIN sv ON sv.rn BETWEEN p - {NEIGHBORS - 1} AND p + {NEIGHBORS + 1}
+)
+SELECT qtok, tok AS match_tok, sim_e4
+FROM cand
+WHERE sim_e4 >= {ACCEPT_SIM_E4}
+QUALIFY row_number() OVER (PARTITION BY qtok
+                           ORDER BY sim_e4 DESC, tok) = 1
+"""
+
+AUG_DOC_CAP = 500   # oversized-doc guard for the within-doc n² scan
+
+
+def q21_candidate_augment(sf_dir: str):
+    """Candidate augmentation (SURVEY.md §2.3 M9): within one document,
+    a mention STRICTLY CONTAINED in another mention inherits the
+    container as an extra candidate (reference:
+    index/MentEntsFreqIndexWrapper.scala:30-40 unions the containing
+    mention's candidate list at frequency 1).  Documents are
+    hash-partitioned; the in-bucket scan is per-doc vectorized substring
+    matching over the distinct token set."""
+    from ..functions.grouping import bucketed_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(t["doc_id"].combine_chunks())
+                        .cast(pl.Int64),
+            "tok": pl.from_arrow(t["text"].combine_chunks())
+                     .str.to_lowercase().str.extract_all("[a-z0-9]+"),
+        }).explode("tok").drop_nulls("tok").unique()
+        return df.to_arrow()
+
+    rows = ds.map_batches(explode, batch_format="pyarrow", batch_size=512)
+
+    def augment(bucket: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(bucket).sort(["doc_id", "tok"])
+        doc = df["doc_id"].to_numpy()
+        tok = df["tok"].to_numpy()
+        n = len(doc)
+        out_d, out_m, out_c = [], [], []
+        if n:
+            starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+            bounds = np.append(starts, n)
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                toks = tok[s:e]
+                if not (2 <= len(toks) <= AUG_DOC_CAP):
+                    continue
+                for i, short in enumerate(toks):
+                    for j, longer in enumerate(toks):
+                        if i != j and short in longer and short != longer:
+                            out_d.append(int(doc[s]))
+                            out_m.append(short)
+                            out_c.append(longer)
+        return pa.table({
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "mention": pa.array(out_m, type=pa.string()),
+            "candidate": pa.array(out_c, type=pa.string()),
+        })
+
+    return bucketed_groups(rows, "doc_id", augment)
+
+
+SQL_Q21 = f"""
+WITH s AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+live AS (
+  SELECT doc_id FROM s GROUP BY doc_id
+  HAVING count(*) BETWEEN 2 AND {AUG_DOC_CAP}
+)
+SELECT a.doc_id, a.tok AS mention, b.tok AS candidate
+FROM s a JOIN s b
+  ON a.doc_id = b.doc_id AND a.tok <> b.tok
+     AND contains(b.tok, a.tok)
+WHERE a.doc_id IN (SELECT doc_id FROM live)
+"""
+
+QUERIES = {
+    "q19_fuzzy_lookup": (q19_fuzzy_lookup, SQL_Q19),
+    "q21_candidate_augment": (q21_candidate_augment, SQL_Q21),
+}

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data
 
 from ..config import PipelineConfig
@@ -24,12 +25,9 @@ from ..stages.clustering import cluster_matches
 from ..stages.featurize import featurize
 from ..stages.scoring import BroadcastStats, attach_features, score_pairs
 from ..stages.stats import (
-    build_cooc,
-    build_entity_prior,
-    build_mention_prior,
-    build_vocab,
-    build_wcooc,
-    build_wfreq,
+    build_entity_prior_from_docs,
+    build_pair_stats,
+    build_token_stats,
 )
 from ..state.checkpoint import StageRunner
 
@@ -52,12 +50,12 @@ def score_histogram(scored: ray.data.Dataset, bins: int = 20) -> list[int]:
 
 
 class LinkageResult:
-    def __init__(self, conv_docs, features, vocab, cooc, pairs, scored,
-                 matches, clusters, n_convs):
+    def __init__(self, conv_docs, features, token_stats, pair_stats,
+                 pairs, scored, matches, clusters, n_convs):
         self.conv_docs = conv_docs
         self.features = features
-        self.vocab = vocab
-        self.cooc = cooc
+        self.token_stats = token_stats
+        self.pair_stats = pair_stats
         self.pairs = pairs
         self.scored = scored
         self.matches = matches
@@ -74,23 +72,36 @@ def run_linkage(
     runner = StageRunner(checkpoint_root)
 
     conv_docs = runner.run("conv_docs", lambda: canonicalize(turns))
-    features = runner.run("features", lambda: featurize(conv_docs, cfg))
     if not runner.root:
-        # several consumers (vocab, cooc, blocking, count) share this
-        # lineage; without Parquet checkpoints, pin the per-conv tables in
-        # the object store so canonicalize/featurize run exactly once.
+        conv_docs = conv_docs.materialize()
+    # stem dictionary: distinct tokens stemmed once CLUSTER-WIDE and
+    # broadcast (~20 B/token); without it every worker re-stems the
+    # vocabulary through its own cache, which anti-scales with worker
+    # count (featurize measured 2.3× instead of 4× from 4→16 CPUs)
+    from ..stages.featurize import build_stem_map
+
+    stem_map = runner.run("stem_map", lambda: build_stem_map(conv_docs, cfg))
+    stem_ref = ray.put(pa.Table.from_pandas(stem_map.to_pandas(),
+                                            preserve_index=False))
+    features = runner.run("features",
+                          lambda: featurize(conv_docs, cfg, stem_ref))
+    if not runner.root:
+        # several consumers (stats, blocking, count) share this lineage;
+        # without Parquet checkpoints, pin the per-conv tables in the
+        # object store so canonicalize/featurize run exactly once.
         # (With a checkpoint root the Parquet read-back serves this role —
         # that is the 100 TB path; materialize() is only for small runs.)
-        conv_docs = conv_docs.materialize()
         features = features.materialize()
 
-    vocab = runner.run("vocab", lambda: build_vocab(features))
-    cooc = runner.run("cooc", lambda: build_cooc(features, cfg))
-    wfreq = runner.run("wfreq", lambda: build_wfreq(features))
-    wcooc = runner.run("wcooc", lambda: build_wcooc(features, cfg))
+    # fused stats builds: token-level (vocab df + stream occ) and
+    # pair-level (conv cooc + window cooc) each cost ONE pass over
+    # features and ONE exchange (stages/stats.py fused partials)
+    token_stats = runner.run("token_stats", lambda: build_token_stats(features))
+    pair_stats = runner.run("pair_stats", lambda: build_pair_stats(features, cfg))
     prior = runner.run(
         "entity_prior",
-        lambda: build_entity_prior(build_mention_prior(conv_docs)))
+        lambda: build_entity_prior_from_docs(conv_docs,
+                                             cfg.prior_sample_mod))
 
     # stats are the small side: PRUNE in the dataset, then collect the
     # residue driver-side and broadcast.  df==1 tokens can never be shared
@@ -104,20 +115,61 @@ def run_linkage(
     def _collect(ds) -> pa.Table:
         return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
 
-    vocab_tbl = _collect(vocab.filter(expr="df >= 2"))
-    cooc_tbl = _collect(cooc.filter(expr=f"count >= {cfg.cooc_min_count}"))
-    wfreq_tbl = _collect(wfreq.filter(expr="occ >= 2"))
-    wcooc_tbl = _collect(wcooc.filter(expr=f"count >= {cfg.cooc_min_count}"))
-    # conc_e4 == 10000 is the scorer's missing-entity default → drop
-    prior_tbl = _collect(prior.filter(expr="conc_e4 < 10000"))
+    blocked = add_block_keys(features, cfg)
+    pairs_raw = make_pairs(blocked, cfg)
+    pairs_lazy = dedup_pairs(pairs_raw)
+
+    # the three stats pulls and the pair generation are mutually
+    # independent — execute them CONCURRENTLY so no single sub-pipeline's
+    # fan-in latency idles the cluster (each Dataset executes on its own
+    # streaming-executor thread; conv_docs/features are pinned blocks)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(4) as ex:
+        f_tok = ex.submit(
+            lambda: _collect(token_stats.filter(expr="df >= 2 or occ >= 2")))
+        f_pair = ex.submit(lambda: _collect(pair_stats.filter(
+            expr=f"count_conv >= {cfg.cooc_min_count} "
+                 f"or count_win >= {cfg.cooc_min_count}")))
+        # conc_e4 == 10000 is the scorer's missing-entity default → drop
+        f_prior = ex.submit(
+            lambda: _collect(prior.filter(expr="conc_e4 < 10000")))
+        f_pairs = (None if runner.root
+                   else ex.submit(pairs_lazy.materialize))
+        tok_tbl = f_tok.result()
+        pair_tbl = f_pair.result()
+        prior_tbl = f_prior.result()
+        pairs_mat = f_pairs.result() if f_pairs is not None else None
+
+    def _view(tbl: pa.Table, key: str, val: str, out: str,
+              floor: int) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = tbl.filter(pc.greater_equal(tbl[val], floor))
+        return pa.table({key: t[key], out: t[val]})
+
+    vocab_tbl = _view(tok_tbl, "token_hash", "df", "df", 2)
+    wfreq_tbl = _view(tok_tbl, "token_hash", "occ", "occ", 2)
+    cooc_tbl = _view(pair_tbl, "pair", "count_conv", "count",
+                     cfg.cooc_min_count)
+    # windowed cooc under a broadcast budget: raise the count floor until
+    # the table fits (deterministic — whole tie levels kept; the floor
+    # search is a bincount, not a sort)
+    win_counts = np.asarray(pair_tbl["count_win"])
+    floor = cfg.cooc_min_count
+    if (win_counts >= floor).sum() > cfg.wcooc_max_pairs:
+        hist = np.bincount(np.minimum(win_counts, 1 << 20))
+        tail = np.cumsum(hist[::-1])[::-1]     # tail[c] = #pairs count>=c
+        floor = int(np.searchsorted(-tail, -cfg.wcooc_max_pairs))
+        floor = max(floor, cfg.cooc_min_count)
+    wcooc_tbl = _view(pair_tbl, "pair", "count_win", "count", floor)
     n_convs = features.count()
     stats = BroadcastStats.from_tables(vocab_tbl, cooc_tbl, n_convs,
                                        wfreq_tbl, wcooc_tbl, prior_tbl)
 
-    blocked = add_block_keys(features, cfg)
     # skinny pair rows: dedup is a cheap bucketed keep-first
-    pairs_raw = make_pairs(blocked, cfg)
-    pairs = runner.run("pairs", lambda: dedup_pairs(pairs_raw))
+    pairs = (pairs_mat if pairs_mat is not None
+             else runner.run("pairs", lambda: pairs_lazy))
     if runner.root:
         # salting accounting (north_rule: no silent drops): exact count of
         # non-emitted pairs, summed from the raw first-row markers
@@ -139,5 +191,5 @@ def run_linkage(
             features.select_columns(["conv_id"]),
         ).sort("conv_id"),
     )
-    return LinkageResult(conv_docs, features, vocab, cooc, pairs, scored,
-                         matches, clusters, n_convs)
+    return LinkageResult(conv_docs, features, token_stats, pair_stats,
+                         pairs, scored, matches, clusters, n_convs)

@@ -26,7 +26,7 @@ from ..pipelines.linkage import run_linkage
 
 CORPUS_CACHE = "/tmp/pboh_ray_corpus"
 # the driver's oracle comparison runs at sf0.01 → 2000 convs
-_SQL_TURNS = f"{corpus_dir(CORPUS_CACHE, 2000)}/turns.parquet"
+_SQL_TURNS = f"{corpus_dir(CORPUS_CACHE, 2000)}/turns.parquet/*.parquet"
 
 # canonicalize CTE shared by every SQL twin (string_agg restores turn order)
 _SQL_CONV_DOCS = f"""
@@ -185,16 +185,6 @@ def link_minhash_lsh_candidates(sf_dir: str):
 
     keyed = conv.map_batches(BandKeys, batch_format="pyarrow",
                              batch_size=512, concurrency=(1, 4))
-
-    def pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(set(g["conv_id"].to_pylist()))
-        if len(ids) < 2:
-            return pa.table({"conv_a": pa.array([], type=pa.string()),
-                             "conv_b": pa.array([], type=pa.string())})
-        a, b = np.triu_indices(len(ids), k=1)
-        arr = np.array(ids, dtype=object)
-        return pa.table({"conv_a": pa.array(arr[a], type=pa.string()),
-                         "conv_b": pa.array(arr[b], type=pa.string())})
 
     from ..functions.grouping import bucketed_groups, dedup_keep_first
 

@@ -68,6 +68,16 @@ def split_routes(ds: ray.data.Dataset, key_col: str, *, seed: int = 0,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def write_split(ds: ray.data.Dataset, root: str, key_col: str, *,
+                seed: int = 0) -> None:
+    """The K5 splitter SINK: route by content hash and write one Hive
+    partition directory per split (train-pipeline layout; the reference
+    writes 4 sequential files, SplitFileIntoDevValidationTest.scala:36-40
+    — partitioned Parquet is the resumable 100 TB equivalent)."""
+    split_routes(ds, key_col, seed=seed).write_parquet(
+        root, partition_cols=["split"])
+
+
 def q16_split(sf_dir: str):
     """documents → per-split row counts (hash-routed 4-way split)."""
     from ray.data.aggregate import Sum

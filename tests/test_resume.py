@@ -20,7 +20,8 @@ def test_resume_byte_identical(ray_session, tmp_path):
     first = _clusters_csv(res1)
 
     manifests = set(os.listdir(os.path.join(root, "manifest")))
-    assert {"conv_docs.json", "features.json", "vocab.json", "cooc.json",
+    assert {"conv_docs.json", "features.json", "token_stats.json",
+            "pair_stats.json", "entity_prior.json",
             "pairs.json", "scored.json", "clusters.json"} <= manifests
 
     # simulate kill after 'pairs': drop the checkpoints of later stages

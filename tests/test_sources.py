@@ -1,0 +1,41 @@
+"""TSV line-parser source (S5): schema parity with the parquet reader and
+malformed-line tolerance."""
+
+import pyarrow as pa
+
+from pboh_entity_linking_ray.sources.text_lines import (
+    TURNS_SCHEMA,
+    parse_turn_lines,
+    read_turns_tsv,
+)
+
+
+def test_parse_turn_lines_schema_and_filtering():
+    lines = pa.table({"text": [
+        "c1\t0\tuser\tnone\thello world",
+        "c1\t1\tassistant\tsearch\tfound it",
+        "garbage line without tabs",
+        "c2\tnotanint\tuser\tnone\tbad idx",
+        "c2\t0\tuser\tnone\tok",
+    ]})
+    out = parse_turn_lines(lines)
+    assert out.schema == TURNS_SCHEMA
+    assert out.num_rows == 3
+    assert out["conv_id"].to_pylist() == ["c1", "c1", "c2"]
+    assert out["turn_idx"].to_pylist() == [0, 1, 0]
+    assert out["text"].to_pylist() == ["hello world", "found it", "ok"]
+
+
+def test_read_turns_tsv_roundtrip(tmp_path, ray_session):
+    p = tmp_path / "turns.tsv"
+    p.write_text("a\t0\tuser\tnone\tfirst\n"
+                 "a\t1\tassistant\tgrep\tsecond\n"
+                 "b\t0\tuser\tnone\tthird\n")
+    ds = read_turns_tsv(str(p))
+    df = ds.to_pandas().sort_values(["conv_id", "turn_idx"])
+    assert list(df["text"]) == ["first", "second", "third"]
+    # source-agnostic: canonicalize consumes it directly
+    from pboh_entity_linking_ray.stages.canonicalize import canonicalize
+
+    conv = canonicalize(ds).to_pandas().set_index("conv_id")
+    assert conv.loc["a", "mention_doc"] == "first\nsecond"

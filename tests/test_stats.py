@@ -111,3 +111,20 @@ def test_prior_entities_join_token_domain(ray_session):
     prior = build_mention_prior(conv).to_pandas()
     hit = sum(1 for e in prior["entity"] if int(e) in vocab)
     assert hit / max(1, len(prior)) > 0.99
+
+
+def test_entity_prior_fused_matches_two_stage(ray_session):
+    from pboh_entity_linking_ray.stages.stats import (
+        build_entity_prior,
+        build_entity_prior_from_docs,
+    )
+
+    corpus = generate_corpus(30, 47)
+    conv = _conv_docs(corpus).materialize()
+    two = (build_entity_prior(build_mention_prior(conv)).to_pandas()
+           .sort_values("entity").reset_index(drop=True))
+    one = (build_entity_prior_from_docs(conv).to_pandas()
+           .sort_values("entity").reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(one, two[one.columns.tolist()])
