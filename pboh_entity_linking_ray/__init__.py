@@ -21,5 +21,35 @@ import os as _os
 # canonicalize 5.0 s @ 8 CPUs → 6.8 s @ 32).  This module is imported in
 # every worker before polars is, so the pin lands before the pool exists.
 _os.environ.setdefault("POLARS_MAX_THREADS", "1")
+# BLAS pools have the same machine-sized default
+_os.environ.setdefault("OMP_NUM_THREADS", "1")
+_os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+
+
+def _pin_arrow_in_workers() -> None:
+    """Pin pyarrow's per-process compute pool to the task's 1-CPU slot.
+
+    Arrow sizes its pool to the MACHINE's cores per process; N 1-CPU Ray
+    workers on one node otherwise run N×cores compute threads, so a job
+    at ray.init(num_cpus=2) still consumes most of the box (measured:
+    the linkage pipeline at 2 CPUs ran within 11% of its 4-CPU time).
+    Only workers are pinned — the driver keeps Arrow's default pool for
+    its small fan-in conversions.  This import runs in every worker
+    before the first batch (UDF deserialization imports the package).
+    """
+    try:
+        import ray as _ray
+        from ray._private.worker import WORKER_MODE as _WM
+
+        if (_ray.is_initialized()
+                and _ray._private.worker.global_worker.mode == _WM):
+            import pyarrow as _pa
+
+            _pa.set_cpu_count(1)
+    except Exception:       # never let env pinning break an import
+        pass
+
+
+_pin_arrow_in_workers()
 
 __version__ = "0.1.0"

@@ -45,6 +45,37 @@ def normalize_series(col) -> pl.Series:
     return to_polars(col).str.to_lowercase().str.strip_chars()
 
 
+_HTML_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
+                  "&#39;": "'", "&apos;": "'", "&nbsp;": " "}
+
+
+def normalize_title_series(col) -> pl.Series:
+    """Canonicalize escaped identifier strings (tool names, link targets).
+
+    Capability analog of the reference's ``processTargetLink`` wiki-title
+    canonicalizer (reference: src/main/scala/utils/Normalizer.scala:15-34):
+    HTML-unescape applied TWICE (double-escaped corpora), ``_`` → space,
+    trim, percent-decode, first-letter capitalize.  All passes are
+    vectorized polars string kernels; percent-decoding uses a literal
+    replace per distinct %XX byte found in the column (identifier columns
+    contain at most a handful), never a per-row Python call.
+    """
+    s = to_polars(col)
+    for _ in range(2):                       # double-unescape, like the ref
+        for ent, ch in _HTML_ENTITIES.items():
+            s = s.str.replace_all(ent, ch, literal=True)
+    s = s.str.replace_all("_", " ", literal=True).str.strip_chars()
+    hexes = (s.str.extract_all(r"%[0-9A-Fa-f]{2}").explode().drop_nulls()
+             .unique().to_list())
+    for h in hexes:
+        try:
+            s = s.str.replace_all(h, bytes.fromhex(h[1:]).decode("latin-1"),
+                                  literal=True)
+        except ValueError:
+            pass
+    return s.str.slice(0, 1).str.to_uppercase() + s.str.slice(1)
+
+
 def tokenize_series(col) -> pl.Series:
     """Lowercase text column → list<str> tokens matching TOKEN_PATTERN."""
     return (

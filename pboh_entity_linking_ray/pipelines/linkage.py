@@ -175,6 +175,13 @@ def run_linkage(
         # non-emitted pairs, summed from the raw first-row markers
         from ..stages.blocking import capped_total
         runner.add_metrics("pairs", {"capped_pairs_total": capped_total(pairs_raw)})
+        # missing-evidence accounting (M15 analog — the reference DROPS
+        # mentions absent from its index and counts them as recall loss,
+        # eval/VerifyEDAbstract.scala:49-85): convs with zero content
+        # tokens keep flowing here (sig blocking + Jaro-Winkler still
+        # apply) but the count is surfaced the same way.
+        n_empty = features.filter(expr="n_tokens <= 0").count()
+        runner.add_metrics("features", {"empty_token_convs": n_empty})
     # features re-attach via bucketed co-group joins (no driver-side store)
     enriched = attach_features(pairs, features)
     scored = runner.run("scored", lambda: score_pairs(enriched, stats, cfg))

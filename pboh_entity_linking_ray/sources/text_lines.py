@@ -42,9 +42,27 @@ def parse_turn_lines(t: pa.Table) -> pa.Table:
         .to_arrow().cast(TURNS_SCHEMA)
 
 
-def read_turns_tsv(path: str) -> ray.data.Dataset:
+def read_turns_tsv(path: str, *, normalize_tools: bool = False
+                   ) -> ray.data.Dataset:
     """TSV turns file(s) → turns Dataset (streaming read_text + batch
     parser; the schema matches read_parquet(turns) so every downstream
-    stage is source-agnostic)."""
-    return ray.data.read_text(path).map_batches(
+    stage is source-agnostic).
+
+    ``normalize_tools=True`` runs the wiki-title canonicalizer over the
+    ``tool`` column (double-HTML-unescape + ``_``→space + percent-decode
+    + capitalize — reference: src/main/scala/utils/Normalizer.scala:15-34)
+    for corpora whose tool/link identifiers arrive escaped; off by
+    default to keep byte parity with the Parquet reader.
+    """
+    ds = ray.data.read_text(path).map_batches(
         parse_turn_lines, batch_format="pyarrow")
+    if normalize_tools:
+        from ..functions.text import normalize_title_series
+
+        def canon(t: pa.Table) -> pa.Table:
+            tool = normalize_title_series(t["tool"]).to_arrow()
+            return t.set_column(t.schema.get_field_index("tool"),
+                                "tool", tool.cast(pa.string()))
+
+        ds = ds.map_batches(canon, batch_format="pyarrow")
+    return ds

@@ -122,15 +122,67 @@ def _pin(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ray.data.from_arrow_refs(ds.materialize().to_arrow_refs())
 
 
+def _local_cc(edges: pa.Table) -> pa.Table:
+    """Vectorized driver-side union-find over a SMALL edge table — the
+    finish step once star contraction has shrunk the frontier under
+    ``local_finish_rows``.  Path-halving on int32 index arrays; node ids
+    factorized to indices via np.unique so labels stay the component-min
+    conv_id (same contract as the distributed rounds)."""
+    u = np.asarray(edges["u"]).astype(object)
+    v = np.asarray(edges["v"]).astype(object)
+    nodes, idx = np.unique(np.concatenate([u, v]), return_inverse=True)
+    eu, ev = idx[: len(u)], idx[len(u):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: np.ndarray) -> np.ndarray:
+        while True:
+            p = parent[x]
+            done = parent[p] == p
+            if done.all():
+                return p
+            parent[x] = parent[p]          # path halving
+            x = parent[x]
+
+    # union by min-root: iterate until no edge links two roots (≤ log n
+    # sweeps; each sweep is whole-array numpy)
+    while True:
+        ru, rv = find(eu), find(ev)
+        live = ru != rv
+        if not live.any():
+            break
+        lo = np.minimum(ru[live], rv[live])
+        hi = np.maximum(ru[live], rv[live])
+        # np.minimum.at resolves duplicate hi deterministically (min wins)
+        np.minimum.at(parent, hi, lo)
+    roots = find(np.arange(len(nodes), dtype=np.int64))
+    return pa.table({"conv_id": pa.array(nodes, type=pa.string()),
+                     "cluster_id": pa.array(nodes[roots], type=pa.string())})
+
+
 def connected_components(
-    edges: ray.data.Dataset, max_rounds: int = 50
+    edges: ray.data.Dataset, max_rounds: int = 50,
+    local_finish_rows: int = 5_000_000,
 ) -> ray.data.Dataset:
     """edges(u, v) → labels(conv_id, cluster_id); only nodes present in
-    edges appear (callers union in singletons)."""
+    edges appear (callers union in singletons).
+
+    Hybrid: large-star/small-star rounds (each a bucketed shuffle) run
+    while the frontier exceeds ``local_finish_rows``; below it the edge
+    table — already contracted toward component minima, a few hundred MB
+    at worst — is pulled once and finished with a vectorized union-find.
+    At 100 TB the first rounds do the heavy contraction distributed; the
+    driver finish replaces the last ~log(n) rounds whose per-round
+    barrier latency is serial and anti-scales.
+    """
     cur = _pin(_dedup_edges(edges))
     prev_meta = None
     prev_sum = None
     for _ in range(max_rounds):
+        if cur.count() <= local_finish_rows:
+            tbl = pa.Table.from_pandas(cur.to_pandas(), preserve_index=False)
+            if tbl.num_rows == 0:
+                return ray.data.from_arrow(_LABEL_SCHEMA.empty_table())
+            return ray.data.from_arrow(_local_cc(tbl))
         # no inter-round dedup needed: each star op dedups within its
         # bucket, and bucketing by u makes that a global dedup
         ls = bucketed_groups(_doubled(cur), "u", _large_star,

@@ -270,7 +270,11 @@ def build_pair_stats(features: ray.data.Dataset,
     def partial(t: pa.Table) -> pa.Table:
         return _pair_stats_fused_partial(t, cap, window)
 
-    p = features.map_batches(partial, batch_format="pyarrow", batch_size=512)
+    # larger batches pre-aggregate harder before the exchange: template
+    # corpora repeat token windows across duplicates, so the in-batch
+    # np.unique collapses more pair rows at 2048 than at 512 (combiner-
+    # before-shuffle); peak per-task scratch stays ~70 MB
+    p = features.map_batches(partial, batch_format="pyarrow", batch_size=2048)
     return bucketed_sum_multi(p, ["pair"], {"cooc_partial": "count_conv",
                                             "wcooc_partial": "count_win"})
 

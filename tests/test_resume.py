@@ -48,3 +48,28 @@ def test_manifest_consistency(ray_session, tmp_path):
         scored_m = json.load(f)
     hist = scored_m["metrics"]["score_histogram"]
     assert sum(hist) == scored_m["row_count"]
+
+
+def test_manifest_empty_token_counter(ray_session, tmp_path):
+    """M15 analog: zero-content-token convs are counted in the features
+    manifest (reference drops + counts, eval/VerifyEDAbstract.scala:49-85)."""
+    import json
+
+    import pyarrow as pa
+
+    root = str(tmp_path / "ckpt3")
+    corpus = generate_corpus(40, 7)
+    # two convs whose turns are pure stopwords → zero content tokens
+    extra = pa.table({
+        "conv_id": ["stop_a", "stop_a", "stop_b"],
+        "turn_idx": pa.array([0, 1, 0], type=pa.int32()),
+        "role": ["user", "assistant", "user"],
+        "text": ["the of and to", "a an is it", "was we you your"],
+        "tool": ["none", "none", "none"],
+        "ts": pa.array([0, 1, 0], type=corpus.turns["ts"].type),
+    })
+    turns = pa.concat_tables([corpus.turns.select(extra.column_names), extra])
+    run_linkage(rd.from_arrow(turns), checkpoint_root=root)
+    with open(os.path.join(root, "manifest", "features.json")) as f:
+        feats_m = json.load(f)
+    assert feats_m["metrics"]["empty_token_convs"] == 2

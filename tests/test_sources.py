@@ -39,3 +39,30 @@ def test_read_turns_tsv_roundtrip(tmp_path, ray_session):
 
     conv = canonicalize(ds).to_pandas().set_index("conv_id")
     assert conv.loc["a", "mention_doc"] == "first\nsecond"
+
+
+def test_normalize_title_series():
+    """M2 analog: double-HTML-unescape, _→space, %-decode, capitalize
+    (reference: utils/Normalizer.scala:15-34)."""
+    import polars as pl
+
+    from pboh_entity_linking_ray.functions.text import normalize_title_series
+
+    got = normalize_title_series(pl.Series([
+        "barack_obama",
+        "AT&amp;amp;T",          # double-escaped &
+        "rock %26 roll",         # percent-encoded &
+        "  spaced_out  ",
+        "&quot;quoted&quot;",
+    ])).to_list()
+    assert got == ["Barack obama", "AT&T", "Rock & roll", "Spaced out",
+                   '"quoted"']
+
+
+def test_read_turns_tsv_normalize_tools(tmp_path, ray_session):
+    p = tmp_path / "turns.tsv"
+    p.write_text("a\t0\tuser\tweb_search\thello\n"
+                 "a\t1\tassistant\tgrep%20files\tworld\n")
+    df = (read_turns_tsv(str(p), normalize_tools=True)
+          .to_pandas().sort_values("turn_idx"))
+    assert list(df["tool"]) == ["Web search", "Grep files"]
