@@ -46,6 +46,11 @@ def _pin_arrow_in_workers() -> None:
             import pyarrow as _pa
 
             _pa.set_cpu_count(1)
+            # Arrow's separate IO pool (8/process) is deliberately NOT
+            # pinned: its threads wait on reads rather than compute, and
+            # pinning it measurably slowed every parallelism level
+            # (t16 58s → 70s) without making low-CPU baselines more
+            # honest — see BASELINE.md measurement notes.
     except Exception:       # never let env pinning break an import
         pass
 

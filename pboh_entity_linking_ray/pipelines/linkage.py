@@ -13,6 +13,8 @@ src/main/scala/eval/cweb/RunLoopyAgainstAllGoogleClweb.scala:221-275).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -191,11 +193,17 @@ def run_linkage(
         scored = scored.materialize()  # consumed by both matches and callers
 
     matches = scored.filter(expr="is_match")
+    # within-stage periodic round checkpoints (K4 analog): a crash during
+    # the multi-round star contraction resumes from the newest frontier
+    # under {root}/cc_rounds instead of round 0
+    cc_root = (os.path.join(runner.root, "cc_rounds") if runner.root
+               else None)
     clusters = runner.run(
         "clusters",
         lambda: cluster_matches(
             matches.select_columns(["conv_a", "conv_b"]),
             features.select_columns(["conv_id"]),
+            iter_checkpoint_root=cc_root,
         ).sort("conv_id"),
     )
     return LinkageResult(conv_docs, features, token_stats, pair_stats,

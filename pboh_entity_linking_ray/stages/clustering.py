@@ -20,6 +20,10 @@ contract, FIXTURES.md §3) with no extra pass.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -159,9 +163,44 @@ def _local_cc(edges: pa.Table) -> pa.Table:
                      "cluster_id": pa.array(nodes[roots], type=pa.string())})
 
 
+def _latest_round_ckpt(root: str) -> tuple[int, str] | None:
+    """Newest complete round checkpoint under ``root`` → (round, dir)."""
+    best = None
+    if not os.path.isdir(root):
+        return None
+    for d in os.listdir(root):
+        if d.startswith("round=") and os.path.exists(
+                os.path.join(root, d, "_complete.json")):
+            r = int(d.split("=", 1)[1])
+            if best is None or r > best[0]:
+                best = (r, os.path.join(root, d))
+    return best
+
+
+def _write_round_ckpt(root: str, rnd: int, frontier: ray.data.Dataset) -> None:
+    """Atomically persist one round's edge frontier (tmp dir + rename +
+    marker written last), then drop older rounds — only the newest is
+    ever resumed from, so disk stays bounded at one frontier."""
+    out = os.path.join(root, f"round={rnd}")
+    tmp = out + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    frontier.write_parquet(tmp)
+    with open(os.path.join(tmp, "_complete.json"), "w") as f:
+        json.dump({"round": rnd}, f)
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.replace(tmp, out)
+    for d in os.listdir(root):
+        if d.startswith("round=") and d != f"round={rnd}":
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
 def connected_components(
     edges: ray.data.Dataset, max_rounds: int = 50,
     local_finish_rows: int = 5_000_000,
+    iter_checkpoint_root: str | None = None,
+    checkpoint_every: int = 5,
 ) -> ray.data.Dataset:
     """edges(u, v) → labels(conv_id, cluster_id); only nodes present in
     edges appear (callers union in singletons).
@@ -173,11 +212,30 @@ def connected_components(
     At 100 TB the first rounds do the heavy contraction distributed; the
     driver finish replaces the last ~log(n) rounds whose per-round
     barrier latency is serial and anti-scales.
+
+    ``iter_checkpoint_root`` enables PERIODIC mid-iteration checkpoints
+    (K4 analog — the reference dumps learned weights every 20 SGD
+    rounds, utils/OptimizedRhosMap.scala:89-97 / Learning.scala:345-351):
+    every ``checkpoint_every`` rounds the contracted edge frontier is
+    written atomically; a re-run resumes star contraction from the
+    newest complete round instead of round 0.  The frontier is a valid
+    re-entry point because star rounds are idempotent on their own
+    output (the algorithm converges on any equivalent edge set), so a
+    crash between checkpoints only repeats ≤ ``checkpoint_every`` rounds.
     """
-    cur = _pin(_dedup_edges(edges))
+    start_round = 0
+    resumed = None
+    if iter_checkpoint_root:
+        os.makedirs(iter_checkpoint_root, exist_ok=True)
+        resumed = _latest_round_ckpt(iter_checkpoint_root)
+    if resumed is not None:
+        start_round = resumed[0] + 1
+        cur = _pin(ray.data.read_parquet(resumed[1]))
+    else:
+        cur = _pin(_dedup_edges(edges))
     prev_meta = None
     prev_sum = None
-    for _ in range(max_rounds):
+    for rnd in range(start_round, max_rounds):
         if cur.count() <= local_finish_rows:
             tbl = pa.Table.from_pandas(cur.to_pandas(), preserve_index=False)
             if tbl.num_rows == 0:
@@ -190,6 +248,9 @@ def connected_components(
         ss = bucketed_groups(_doubled(ls), "u", _small_star,
                              repartition=False)
         cur = _pin(ss)
+        if (iter_checkpoint_root and checkpoint_every > 0
+                and (rnd + 1) % checkpoint_every == 0):
+            _write_round_ckpt(iter_checkpoint_root, rnd, cur)
         # cheap metadata pre-check: a changed row count / byte size can't
         # be a fixpoint, so the full checksum aggregate only runs on
         # candidate-converged rounds
@@ -220,7 +281,8 @@ def connected_components(
 
 
 def cluster_matches(
-    matches: ray.data.Dataset, all_convs: ray.data.Dataset
+    matches: ray.data.Dataset, all_convs: ray.data.Dataset,
+    iter_checkpoint_root: str | None = None,
 ) -> ray.data.Dataset:
     """matches(conv_a, conv_b) + the full conv universe → one row per
     conversation (singletons become their own cluster)."""
@@ -229,7 +291,8 @@ def cluster_matches(
                             "v": t["conv_b"].combine_chunks()}).cast(_EDGE_SCHEMA),
         batch_format="pyarrow",
     )
-    labeled = connected_components(edges)
+    labeled = connected_components(
+        edges, iter_checkpoint_root=iter_checkpoint_root)
     self_rows = all_convs.map_batches(
         lambda t: pa.table({"conv_id": t["conv_id"].combine_chunks(),
                             "cluster_id": t["conv_id"].combine_chunks()})

@@ -55,6 +55,49 @@ def test_cluster_matches_includes_singletons(ray_session):
     }
 
 
+def test_cc_distributed_rounds_match_local_finish(ray_session):
+    """local_finish_rows=0 forces pure star-contraction rounds; the
+    result must equal the hybrid (local-finish) path and the oracle."""
+    rng = np.random.default_rng(31)
+    edges = _random_edges(rng, 100, 80)
+    ds = rd.from_arrow(pa.table({
+        "u": [a for a, _ in edges], "v": [b for _, b in edges],
+    }))
+    got = connected_components(ds, local_finish_rows=0).to_pandas()
+    expect = cluster_edges(edges)
+    assert dict(zip(got["conv_id"], got["cluster_id"])) == dict(expect.items())
+
+
+def test_cc_iter_checkpoint_resume(ray_session, tmp_path):
+    """K4 analog (periodic weight dumps, utils/OptimizedRhosMap.scala:89-97):
+    star-round frontiers checkpoint every round; a re-run against the same
+    root resumes from the newest frontier — proven by feeding the resumed
+    run EMPTY edges, which could only produce the full labeling if the
+    checkpointed frontier (not the input) was used."""
+    root = str(tmp_path / "cc_ckpt")
+    nodes = [f"c{i:03d}" for i in range(48)]
+    ds = rd.from_arrow(pa.table({"u": nodes[:-1], "v": nodes[1:]}))
+    base = connected_components(ds, local_finish_rows=0)\
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    ckpt = connected_components(
+        ds, local_finish_rows=0, iter_checkpoint_root=root,
+        checkpoint_every=1,
+    ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert ckpt.equals(base)
+    import os
+    rounds = [d for d in os.listdir(root) if d.startswith("round=")]
+    assert len(rounds) == 1          # older rounds pruned, newest kept
+
+    empty = rd.from_arrow(pa.table({
+        "u": pa.array([], type=pa.string()),
+        "v": pa.array([], type=pa.string())}))
+    resumed = connected_components(
+        empty, local_finish_rows=0, iter_checkpoint_root=root,
+        checkpoint_every=1,
+    ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert resumed.equals(base)
+
+
 def test_cc_edge_order_invariance(ray_session):
     rng = np.random.default_rng(23)
     edges = _random_edges(rng, 60, 50)
