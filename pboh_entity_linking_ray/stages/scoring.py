@@ -1,7 +1,7 @@
 """Pair scoring: candidate pair rows → scored matches.
 
-Features are re-attached to the SKINNY pair rows by two bucketed
-co-group joins on the conversation id (``attach_features``) — the
+Features are re-attached to the SKINNY pair rows by two native
+hash-shuffle joins on the conversation id (``attach_features``) — the
 100 TB-safe exchange: the blocking shuffle never moves token sketches or
 text, and the per-pair feature payload streams through a hash-partitioned
 join instead of a driver-built O(corpus) broadcast store.
@@ -36,7 +36,7 @@ import ray
 import ray.data
 
 from ..config import PipelineConfig, ScorerWeights
-from ..functions.logodds import npmi_pairwise, rho_idf, sorted_lookup
+from ..functions.logodds import HashLookup, npmi_pairwise, rho_idf
 from ..functions.hashing import pack_pairs_np
 from ..functions.similarity import jaro_winkler_batch
 
@@ -54,19 +54,21 @@ def _triu(n: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 class BroadcastStats:
-    """Sorted-array views of the stats tables (vocab df + cooc counts).
+    """Hash-probe views of the stats tables (vocab df + cooc counts).
 
     Key columns arrive bit-cast int64 (Ray groupby-key constraint, see
-    stages/stats.py); they are stored sorted as int64 and every lookup key
-    is bit-cast the same way, so searchsorted semantics stay consistent.
+    stages/stats.py); every lookup key is bit-cast the same way.  Each
+    table is a ``HashLookup`` (vectorized C hash probe) whose table
+    builds lazily on first probe in each worker — measured 11× over the
+    previous sorted-array searchsorted on the cooc tables, whose random
+    binary-search cache misses dominated the scorer
+    (functions/logodds.py:HashLookup).
     """
 
     @staticmethod
-    def _sorted_i64(keys: np.ndarray, vals: np.ndarray):
-        keys = np.ascontiguousarray(keys).view(np.int64) \
-            if keys.dtype == np.uint64 else keys.astype(np.int64)
-        o = np.argsort(keys)
-        return keys[o], vals[o].astype(np.int64)
+    def _as_i64(keys: np.ndarray) -> np.ndarray:
+        return (np.ascontiguousarray(keys).view(np.int64)
+                if keys.dtype == np.uint64 else keys.astype(np.int64))
 
     def __init__(self, vocab_hash: np.ndarray, vocab_df: np.ndarray,
                  cooc_key: np.ndarray, cooc_count: np.ndarray, n_docs: int,
@@ -77,18 +79,19 @@ class BroadcastStats:
                  prior_entity: np.ndarray | None = None,
                  prior_conc_e4: np.ndarray | None = None):
         e = np.empty(0, dtype=np.int64)
-        self.vocab_hash, self.vocab_df = self._sorted_i64(vocab_hash, vocab_df)
-        self.cooc_key, self.cooc_count = self._sorted_i64(cooc_key, cooc_count)
-        self.wfreq_hash, self.wfreq_occ = self._sorted_i64(
-            wfreq_hash if wfreq_hash is not None else e,
-            wfreq_occ if wfreq_occ is not None else e)
-        self.wcooc_key, self.wcooc_count = self._sorted_i64(
-            wcooc_key if wcooc_key is not None else e,
-            wcooc_count if wcooc_count is not None else e)
-        self.prior_entity, self.prior_conc_e4 = self._sorted_i64(
-            prior_entity if prior_entity is not None else e,
-            prior_conc_e4 if prior_conc_e4 is not None else e)
-        self.total_occ = int(self.wfreq_occ.sum()) if len(self.wfreq_occ) else 0
+
+        def mk(k, v) -> HashLookup:
+            k = self._as_i64(k if k is not None else e)
+            v = np.asarray(v if v is not None else e).astype(np.int64)
+            return HashLookup(k, v)
+
+        self.vocab = mk(vocab_hash, vocab_df)
+        self.cooc = mk(cooc_key, cooc_count)
+        self.wfreq = mk(wfreq_hash, wfreq_occ)
+        self.wcooc = mk(wcooc_key, wcooc_count)
+        self.prior = mk(prior_entity, prior_conc_e4)
+        self.total_occ = int(np.asarray(wfreq_occ).sum()) \
+            if wfreq_occ is not None and len(wfreq_occ) else 0
         self.n_docs = int(n_docs)
 
     @staticmethod
@@ -114,13 +117,29 @@ class BroadcastStats:
         )
 
 
+def _bin_offsets_flat(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(large_)binary array of packed uint32 tokens → (row offsets in
+    tokens, flat uint32 values) — zero-copy buffer reinterpretation."""
+    bufs = arr.buffers()
+    odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off = np.frombuffer(bufs[1], dtype=odt)[arr.offset: arr.offset + len(arr) + 1]
+    off = off.astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[off[0]: off[-1]]
+    return (off - off[0]) // 4, data.view(np.uint32)
+
+
 def _padded_tokens(col) -> tuple[np.ndarray, np.ndarray]:
-    """Arrow list<uint32> column → sentinel-padded (B, W) uint64 matrix +
-    per-row lengths (vectorized flat gather; no Python loop)."""
+    """Arrow list<uint32> (or binary-packed uint32, see
+    ``_pack_tokens_binary``) column → sentinel-padded (B, W) uint64 matrix
+    + per-row lengths (vectorized flat gather; no Python loop)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    offsets = np.asarray(arr.offsets).astype(np.int64)
-    offsets = offsets - offsets[0]      # sliced arrays may not start at 0
-    flat = np.asarray(arr.flatten()).astype(np.uint64, copy=False)
+    if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+        offsets, flat32 = _bin_offsets_flat(arr)
+        flat = flat32.astype(np.uint64)
+    else:
+        offsets = np.asarray(arr.offsets).astype(np.int64)
+        offsets = offsets - offsets[0]  # sliced arrays may not start at 0
+        flat = np.asarray(arr.flatten()).astype(np.uint64, copy=False)
     lens = np.diff(offsets)
     n = len(lens)
     width = max(1, int(lens.max(initial=1)))
@@ -133,25 +152,53 @@ def _padded_tokens(col) -> tuple[np.ndarray, np.ndarray]:
     return mat, lens
 
 
-def attach_features(pairs: ray.data.Dataset, features: ray.data.Dataset,
-                    num_buckets: int = 64) -> ray.data.Dataset:
-    """Skinny pair rows ⋈ per-conv features, twice (side a, side b), via
-    bucketed co-group hash joins on the conv id.  A conv id absent from
-    the features table drops its pairs (inner join) instead of silently
-    scoring against a neighbor's features."""
-    from ..functions.grouping import hash_join
+def _pack_tokens_binary(t: pa.Table) -> pa.Table:
+    """list<uint32> tokens → large_binary (flat little-endian uint32
+    bytes), zero-copy on the values buffer.  Ray's native hash-shuffle
+    join (Arrow Acero under the hood) rejects list-typed payload columns;
+    binary payload passes through, and the scorer's ``_padded_tokens``
+    decodes it without copying."""
+    arr = t["tokens"].combine_chunks() if isinstance(t["tokens"], pa.ChunkedArray) \
+        else t["tokens"]
+    off = np.asarray(arr.offsets).astype(np.int64)
+    flat = np.asarray(arr.flatten()).astype(np.uint32, copy=False)
+    packed = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(off) - 1,
+        [None, pa.py_buffer(((off - off[0]) * 4).tobytes()),
+         pa.py_buffer(np.ascontiguousarray(flat).tobytes())])
+    return t.set_column(t.schema.get_field_index("tokens"), "tokens", packed)
 
-    feats = features.select_columns(["conv_id", "jw_text", "tokens"])
+
+def attach_features(pairs: ray.data.Dataset, features: ray.data.Dataset,
+                    num_partitions: int | None = None) -> ray.data.Dataset:
+    """Skinny pair rows ⋈ per-conv features, twice (side a, side b), via
+    Ray Data's native hash-shuffle joins on the conv id (token sketches
+    ride as binary-packed payload — Acero rejects list columns).  A conv
+    id absent from the features table drops its pairs (inner join)
+    instead of silently scoring against a neighbor's features.
+
+    ``num_partitions`` defaults to cluster CPUs: join wall time is flat
+    from CPUs/4 to CPUs aggregators (degrades 2.5× at CPUs×2, when
+    aggregators oversubscribe the map tasks), and the join's output block
+    count IS its partition count — the downstream scorer's parallelism —
+    so the top of the flat range wins."""
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus)
+    feats = features.select_columns(["conv_id", "jw_text", "tokens"]) \
+        .map_batches(_pack_tokens_binary, batch_format="pyarrow")
     fa = feats.rename_columns({"conv_id": "conv_a", "jw_text": "jw_a",
                                "tokens": "tokens_a"})
     fb = feats.rename_columns({"conv_id": "conv_b", "jw_text": "jw_b",
                                "tokens": "tokens_b"})
     # pair_key is derivable from (conv_a, conv_b): drop it before the two
-    # exchanges and let the scorer re-emit it (~35 B/row × 2 sorts saved)
+    # exchanges and let the scorer re-emit it (~35 B/row × 2 joins saved)
     skinny = pairs.select_columns(
         [c for c in pairs.schema().names if c != "pair_key"])
-    with_a = hash_join(skinny, fa, "conv_a", num_buckets)
-    return hash_join(with_a, fb, "conv_b", num_buckets)
+    with_a = skinny.join(fa, "inner", num_partitions=num_partitions,
+                         on=("conv_a",))
+    return with_a.join(fb, "inner", num_partitions=num_partitions,
+                       on=("conv_b",))
 
 
 _FEATURE_COLS = ("jw_a", "jw_b", "tokens_a", "tokens_b")
@@ -182,8 +229,7 @@ class PairScorer:
             return np.zeros(n), jac
         # token ids are 32-bit values → plain astype matches the int64
         # vocab keys (the packed cooc keys below stay bit-cast instead)
-        df = sorted_lookup(sv.astype(np.int64), st.vocab_hash, st.vocab_df,
-                           default=1)
+        df = st.vocab.get(sv.astype(np.int64), default=1)
         idf = rho_idf(df, st.n_docs)
 
         # top-k most-salient shared tokens per row (stable: -idf, token asc)
@@ -203,9 +249,8 @@ class PairScorer:
         # an entity reached by one dominant surface form carries full
         # salience; one smeared over many variants is discounted toward
         # prior_kappa (reference rho's log p̂(e|m), ScorerFull.scala:189-193)
-        if len(st.prior_entity):
-            conc = sorted_lookup(tv.astype(np.int64), st.prior_entity,
-                                 st.prior_conc_e4, default=10000) / 10000.0
+        if len(st.prior):
+            conc = st.prior.get(tv.astype(np.int64), default=10000) / 10000.0
             tidf = tidf * (w.prior_kappa + (1.0 - w.prior_kappa) * conc)
 
         counts = np.bincount(trow, minlength=n)          # l per row
@@ -218,47 +263,77 @@ class PairScorer:
         # ScorerFull.scala:189-193 over EntityWordsProbs windows)
         has_ctx = st.total_occ > 0
         if has_ctx:
-            tocc = sorted_lookup(tv.astype(np.int64), st.wfreq_hash,
-                                 st.wfreq_occ, default=1).astype(np.float64)
+            tocc = st.wfreq.get(tv.astype(np.int64),
+                                default=1).astype(np.float64)
             log_occ = np.log(max(2, st.total_occ))
 
         # pairwise NPMI over each row's top tokens: flat segment triu.
         # the reference's 2/(l-1) max-product normalization times 1/l over
         # the l(l-1)/2 pair terms is exactly the pair MEAN — keeping the
-        # aggregate in [-1, 1] independent of l and of corpus size
+        # aggregate in [-1, 1] independent of l and of corpus size.
+        # Pair INDICES are built per distinct l (the triu shape is shared),
+        # but the expensive stages — key packing, the two cooc hash
+        # probes, NPMI — run ONCE over the concatenation: the previous
+        # per-l probes re-paid the hash-table's cache footprint ~15×.
         lam_sum = np.zeros(n)
         ctx_sum = np.zeros(n)
         seg_starts = np.cumsum(np.r_[0, counts[:-1]])
+        pi_parts: list[np.ndarray] = []
+        pj_parts: list[np.ndarray] = []
+        row_parts: list[np.ndarray] = []
         for l in np.unique(counts):
             if l < 2:
                 continue
             ia, ib = _triu(int(l))
             rsel = np.flatnonzero(counts == l)
             base = seg_starts[rsel]
-            pi = (base[:, None] + ia[None, :]).ravel()
-            pj = (base[:, None] + ib[None, :]).ravel()
-            keys = pack_pairs_np(tv[pi], tv[pj]).view(np.int64)
-            cocit = sorted_lookup(keys, st.cooc_key, st.cooc_count, default=0)
-            lam = npmi_pairwise(cocit, tdf[pi], tdf[pj], st.n_docs, w)
-            per_row = lam.reshape(len(rsel), -1).sum(axis=1)
-            npair = len(ia)
-            lam_sum[rsel] = per_row * (2.0 / (l - 1)) / l
+            pi_parts.append((base[:, None] + ia[None, :]).ravel())
+            pj_parts.append((base[:, None] + ib[None, :]).ravel())
+            row_parts.append(np.repeat(rsel, len(ia)))
+        if pi_parts:
+            pi = np.concatenate(pi_parts)
+            pj = np.concatenate(pj_parts)
+            prow = np.concatenate(row_parts)
+            # CHUNKED pair-term math: one batch expands to ~74 pair terms
+            # per pair; whole-array numpy over the expansion allocates
+            # ~30 MB temporaries per op, and on this memory-bandwidth-
+            # starved host that measured 26× slower than the same math
+            # over cache-resident 256k chunks (npmi 2.77 s → 0.11 s at
+            # 3.7M terms).  Probes and math both run per chunk; per-row
+            # sums accumulate via bincount.
+            lam_rowsum = np.zeros(n)
+            ctx_rowsum = np.zeros(n)
+            CH = 262_144
+            for s in range(0, len(pi), CH):
+                cpi = pi[s: s + CH]
+                cpj = pj[s: s + CH]
+                crow = prow[s: s + CH]
+                keys = pack_pairs_np(tv[cpi], tv[cpj]).view(np.int64)
+                cocit = st.cooc.get(keys, default=0)
+                lam = npmi_pairwise(cocit, tdf[cpi], tdf[cpj], st.n_docs, w)
+                lam_rowsum += np.bincount(crow, weights=lam, minlength=n)
+                if has_ctx:
+                    # symmetrized log(δ·p̂(w|e)/p̂(w) + ξ): p̂(w|e) from
+                    # windowed co-counts, p̂(w) from stream occurrences
+                    wc = st.wcooc.get(keys, default=0).astype(np.float64)
+                    oi = np.maximum(tocc[cpi], 1.0)
+                    oj = np.maximum(tocc[cpj], 1.0)
+                    pw_i = tocc[cpi] / st.total_occ
+                    pw_j = tocc[cpj] / st.total_occ
+                    ctx = 0.5 * (
+                        np.log(w.delta_w_e * (wc / oi)
+                               / np.maximum(pw_j, 1e-12) + w.xi)
+                        + np.log(w.delta_w_e * (wc / oj)
+                                 / np.maximum(pw_i, 1e-12) + w.xi))
+                    ctx_rowsum += np.bincount(crow, weights=ctx, minlength=n)
+            lcnt = counts.astype(np.float64)
+            npair_row = lcnt * (lcnt - 1.0) / 2.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                lam_scale = np.where(counts >= 2,
+                                     (2.0 / (lcnt - 1.0)) / lcnt, 0.0)
+            lam_sum = lam_rowsum * lam_scale
             if has_ctx:
-                # symmetrized log(δ·p̂(w|e)/p̂(w) + ξ): p̂(w|e) from the
-                # windowed co-counts, p̂(w) from stream occurrences
-                wc = sorted_lookup(keys, st.wcooc_key, st.wcooc_count,
-                                   default=0).astype(np.float64)
-                oi = np.maximum(tocc[pi], 1.0)
-                oj = np.maximum(tocc[pj], 1.0)
-                pw_i = tocc[pi] / st.total_occ
-                pw_j = tocc[pj] / st.total_occ
-                ctx = 0.5 * (
-                    np.log(w.delta_w_e * (wc / oi) / np.maximum(pw_j, 1e-12)
-                           + w.xi)
-                    + np.log(w.delta_w_e * (wc / oj) / np.maximum(pw_i, 1e-12)
-                             + w.xi))
-                ctx_sum[rsel] = (ctx.reshape(len(rsel), -1).sum(axis=1)
-                                 / npair) / log_occ
+                ctx_sum = (ctx_rowsum / np.maximum(npair_row, 1.0)) / log_occ
 
         lam_norm = np.clip(lam_sum, 0.0, 1.0)
         lam_norm[counts < 2] = 0.0

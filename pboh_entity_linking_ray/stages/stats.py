@@ -258,25 +258,74 @@ def _pair_stats_fused_partial(batch: pa.Table, cap: int,
     })
 
 
+def _pair_stats_packed_partial(batch: pa.Table, cap: int,
+                               window: int) -> pa.Table:
+    """(pair, packed) partial rows: the conv-level count rides the HIGH
+    32 bits and the window count the LOW 32 of ONE int64 lane, so the
+    exchange moves 16 B/row instead of 24 and the combiner sums a single
+    column.  Exact while a pair's GLOBAL counts stay < 2^31 (conv count)
+    / < 2^32 (window count): lane sums then never carry.  A stop-pair
+    would need > 4.3e9 window co-hits to break this — petabyte-corpus
+    territory; such a build should shard the stats by corpus partition
+    (each shard's totals re-bounded) before union.  The floor-search
+    consumer warns at 2^31 (pipelines/linkage.py)."""
+    ck = _cooc_pair_keys(batch, cap)
+    wk = _wcooc_pair_keys(batch, window)
+    allk = np.concatenate([ck, wk]) if len(ck) or len(wk) else ck
+    if len(allk) == 0:
+        return pa.table({"pair": pa.array([], type=pa.int64()),
+                         "packed": pa.array([], type=pa.int64())})
+    uniq = np.unique(allk)
+    ci = np.searchsorted(uniq, ck)
+    wi = np.searchsorted(uniq, wk)
+    cooc_c = np.bincount(ci, minlength=len(uniq)).astype(np.int64)
+    wcooc_c = np.bincount(wi, minlength=len(uniq)).astype(np.int64)
+    return pa.table({"pair": pa.array(uniq.view(np.int64)),
+                     "packed": pa.array((cooc_c << 32) | wcooc_c)})
+
+
 def build_pair_stats(features: ray.data.Dataset,
-                     cfg: PipelineConfig | None = None) -> ray.data.Dataset:
+                     cfg: PipelineConfig | None = None,
+                     emit_min: int = 1) -> ray.data.Dataset:
     """pair → (count_conv, count_win) — conversation-level and windowed
-    co-occurrence fused into one exchange."""
-    from ..functions.grouping import bucketed_sum_multi
+    co-occurrence fused into one exchange (packed-lane combiner).
+
+    ``emit_min`` > 1 drops keys where BOTH final counts are below it
+    INSIDE the aggregating bucket — the flagship passes its broadcast
+    floor (cooc_min_count) so global singletons (~half the key space at
+    bench scale) never leave the shuffle task."""
+    from ..functions.grouping import bucketed_groups
 
     cfg = cfg or PipelineConfig()
     cap, window = COOC_TOKEN_CAP, cfg.ctx_window
 
     def partial(t: pa.Table) -> pa.Table:
-        return _pair_stats_fused_partial(t, cap, window)
+        return _pair_stats_packed_partial(t, cap, window)
 
-    # larger batches pre-aggregate harder before the exchange: template
-    # corpora repeat token windows across duplicates, so the in-batch
-    # np.unique collapses more pair rows at 2048 than at 512 (combiner-
-    # before-shuffle); peak per-task scratch stays ~70 MB
-    p = features.map_batches(partial, batch_format="pyarrow", batch_size=2048)
-    return bucketed_sum_multi(p, ["pair"], {"cooc_partial": "count_conv",
-                                            "wcooc_partial": "count_win"})
+    def agg(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (pl.from_arrow(t).group_by("pair")
+               .agg(pl.col("packed").sum())
+               .with_columns([
+                   # packed sums are nonnegative (lane bound in the
+                   # partial's docstring) → // and % split the lanes
+                   # (this polars lacks Expr bit-shifts)
+                   (pl.col("packed") // 0x100000000).alias("count_conv"),
+                   (pl.col("packed") % 0x100000000).alias("count_win"),
+               ]).drop("packed"))
+        if emit_min > 1:
+            out = out.filter((pl.col("count_conv") >= emit_min)
+                             | (pl.col("count_win") >= emit_min))
+        return out.to_arrow()
+
+    # larger batches pre-aggregate harder before the exchange (combiner-
+    # before-shuffle); at 4096 convs/batch the in-batch np.unique sees
+    # ~1M window pairs and peak per-task scratch stays ~120 MB
+    p = features.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    # the partial map emits many well-sized blocks already — the extra
+    # pre-groupby repartition exchange would only re-move ~1.5 GB
+    return bucketed_groups(p, "pair", agg, repartition=False)
 
 
 def _mention_prior_partial(batch: pa.Table, sample_mod: int = 1) -> pa.Table:
