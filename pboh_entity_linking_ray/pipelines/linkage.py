@@ -25,13 +25,23 @@ from ..stages.blocking import add_block_keys, dedup_pairs, make_pairs
 from ..stages.canonicalize import canonicalize
 from ..stages.clustering import cluster_matches
 from ..stages.featurize import featurize
-from ..stages.scoring import BroadcastStats, attach_features, score_pairs
+from ..stages.scoring import BroadcastStats, attach_and_score
 from ..stages.stats import (
     build_entity_prior_from_docs,
     build_pair_stats,
     build_token_stats,
 )
 from ..state.checkpoint import StageRunner
+
+
+def _concat_ds(ds: ray.data.Dataset) -> pa.Table:
+    """Driver-side collect of a small Dataset as ONE Arrow table —
+    straight block concat (combine_chunks for dense numpy views), no
+    pandas round-trip (`to_pandas` on a 2M-row table measured 3-4x the
+    cost of the concat it wraps)."""
+    all_blocks = ray.get(ds.to_arrow_refs())
+    blocks = [b for b in all_blocks if b.num_rows] or all_blocks[:1]
+    return pa.concat_tables(blocks, promote_options="default").combine_chunks()
 
 
 def score_histogram(scored: ray.data.Dataset, bins: int = 20) -> list[int]:
@@ -105,8 +115,7 @@ def run_linkage(
     from ..stages.featurize import build_stem_map
 
     stem_map = runner.run("stem_map", lambda: build_stem_map(conv_docs, cfg))
-    stem_ref = ray.put(pa.Table.from_pandas(stem_map.to_pandas(),
-                                            preserve_index=False))
+    stem_ref = ray.put(_concat_ds(stem_map))
     mark("stem_map")
     features = runner.run("features",
                           lambda: featurize(conv_docs, cfg, stem_ref))
@@ -143,8 +152,7 @@ def run_linkage(
     # (reference analog: the min-word-count-20 floor of
     # context/WordFreqPerCorpus.scala:38 and the freq>=3 load filter of
     # index/WordEntityProbsIndex.scala:104).
-    def _collect(ds) -> pa.Table:
-        return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    _collect = _concat_ds
 
     def _collect_view(ds, val: str, floor: int, collect) -> pa.Table:
         """pair_stats residue ≥ floor → driver table (pair, count); the
@@ -158,31 +166,32 @@ def run_linkage(
     pairs_raw = make_pairs(blocked, cfg)
     pairs_lazy = dedup_pairs(pairs_raw)
 
-    # the three stats pulls and the pair generation are mutually
-    # independent — execute them CONCURRENTLY so no single sub-pipeline's
-    # fan-in latency idles the cluster (each Dataset executes on its own
-    # streaming-executor thread; conv_docs/features are pinned blocks)
+    # Heavy distributed jobs run ONE AT A TIME with the whole cluster;
+    # only the two SMALL stats collects (a few thousand rows each, mostly
+    # fan-in latency) overlap the big pair-stats exchange.  Running the
+    # pair-generation shuffle concurrently with pair-stats too (the
+    # earlier 4-thread block) measured 67 s vs 39 s sequential for the
+    # same work at 16 CPUs / 250k convs — four streaming executors
+    # interfere (oversubscribed task launches + object-store pressure)
+    # instead of parallelizing, and the interference grows with CPU
+    # count, which is exactly what the N→4N scaling bar punishes.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(4) as ex:
+    with ThreadPoolExecutor(2) as ex:
         f_tok = ex.submit(
             lambda: _collect(token_stats.filter(expr="df >= 2 or occ >= 2")))
+        # conc_e4 == 10000 is the scorer's missing-entity default → drop
+        f_prior = ex.submit(
+            lambda: _collect(prior.filter(expr="conc_e4 < 10000")))
         # the pair-stats table stays DISTRIBUTED: only the ≥-floor
         # residues are ever collected (below); at bench scale the
         # unfloored table is 23M rows — a driver collect of it was the
         # r1 verdict's "unbounded stats pull" failure mode
-        f_pair = ex.submit(lambda: pair_stats
-                           if runner.root else pair_stats.materialize())
-        # conc_e4 == 10000 is the scorer's missing-entity default → drop
-        f_prior = ex.submit(
-            lambda: _collect(prior.filter(expr="conc_e4 < 10000")))
-        f_pairs = (None if runner.root
-                   else ex.submit(pairs_lazy.materialize))
+        pair_ds = pair_stats if runner.root else pair_stats.materialize()
         tok_tbl = f_tok.result()
-        pair_ds = f_pair.result()
         prior_tbl = f_prior.result()
-        pairs_mat = f_pairs.result() if f_pairs is not None else None
-    mark("stats+pairs(concurrent)")
+    pairs_mat = None if runner.root else pairs_lazy.materialize()
+    mark("stats+pairs")
 
     def _view(tbl: pa.Table, key: str, val: str, out: str,
               floor: int) -> pa.Table:
@@ -196,39 +205,52 @@ def run_linkage(
 
     # windowed cooc under a broadcast budget: raise the count floor until
     # the table fits (deterministic — whole tie levels kept).  The floor
-    # search runs over a DISTRIBUTED histogram of count_win (one
-    # (bin, cnt) table per block, nonzero bins only — O(distinct counts)
-    # rows reach the driver, never O(pairs)).
+    # search runs over a DISTRIBUTED histogram of count_win (nonzero bins
+    # only — O(distinct counts) rows reach the driver, never O(pairs)).
+    # ONE fused scan of the 23M-row pair-stats table yields BOTH the
+    # histogram rows and the conv-cooc residue (its floor is known up
+    # front); only the wcooc residue needs a second, filtered scan once
+    # the floor search finishes — 2 passes total instead of 3.
     _HIST_CAP = 1 << 20
+    _min_floor = cfg.cooc_min_count
 
-    def _win_hist(t: pa.Table) -> pa.Table:
+    def _hist_and_cooc(t: pa.Table) -> pa.Table:
         wc = np.minimum(np.asarray(t["count_win"], dtype=np.int64), _HIST_CAP)
         h = np.bincount(wc)
         nz = np.flatnonzero(h)
-        return pa.table({"bin": pa.array(nz.astype(np.int64)),
-                         "cnt": pa.array(h[nz].astype(np.int64))})
+        cc = np.asarray(t["count_conv"], dtype=np.int64)
+        keep = cc >= _min_floor
+        pk = np.asarray(t["pair"], dtype=np.int64)[keep]
+        kind = np.concatenate([np.zeros(len(nz), dtype=np.int8),
+                               np.ones(len(pk), dtype=np.int8)])
+        ks = np.concatenate([nz.astype(np.int64), pk])
+        vs = np.concatenate([h[nz].astype(np.int64), cc[keep]])
+        return pa.table({"kind": pa.array(kind, type=pa.int8()),
+                         "k": pa.array(ks), "v": pa.array(vs)})
 
-    hist_rows = pa.Table.from_pandas(
-        pair_ds.select_columns(["count_win"])
-        .map_batches(_win_hist, batch_format="pyarrow").to_pandas(),
-        preserve_index=False)
+    fused = _concat_ds(
+        pair_ds.map_batches(_hist_and_cooc, batch_format="pyarrow"))
+    kinds = np.asarray(fused["kind"])
+    f_k = np.asarray(fused["k"])
+    f_v = np.asarray(fused["v"])
+    hist_bins, hist_cnts = f_k[kinds == 0], f_v[kinds == 0]
     hist = np.zeros(_HIST_CAP + 1, dtype=np.int64)
-    np.add.at(hist, np.asarray(hist_rows["bin"]), np.asarray(hist_rows["cnt"]))
+    np.add.at(hist, hist_bins, hist_cnts)
     floor = cfg.cooc_min_count
     if hist[floor:].sum() > cfg.wcooc_max_pairs:
         tail = np.cumsum(hist[::-1])[::-1]     # tail[c] = #pairs count>=c
         floor = int(np.searchsorted(-tail, -cfg.wcooc_max_pairs))
         floor = max(floor, cfg.cooc_min_count)
-    if hist[_HIST_CAP] > 0 and hist_rows.num_rows and \
-            int(np.asarray(hist_rows["bin"]).max()) >= _HIST_CAP:
+    if len(hist_bins) and int(hist_bins.max()) >= _HIST_CAP \
+            and hist[_HIST_CAP] > 0:
         # packed-lane combiner bound (stats.py): counts near 2^31 would
         # carry between lanes — surface loudly rather than corrupt
         import warnings
         warnings.warn("count_win at histogram cap; verify packed-lane "
                       "bound (build_pair_stats) for this corpus")
 
-    cooc_tbl = _collect_view(pair_ds, "count_conv", cfg.cooc_min_count,
-                             _collect)
+    cooc_tbl = pa.table({"pair": pa.array(f_k[kinds == 1]),
+                         "count": pa.array(f_v[kinds == 1])})
     wcooc_tbl = _collect_view(pair_ds, "count_win", floor, _collect)
     n_convs = features.count()
     mark("broadcast_prep")
@@ -250,9 +272,12 @@ def run_linkage(
         # apply) but the count is surfaced the same way.
         n_empty = features.filter(expr="n_tokens <= 0").count()
         runner.add_metrics("features", {"empty_token_convs": n_empty})
-    # features re-attach via bucketed co-group joins (no driver-side store)
-    enriched = attach_features(pairs, features)
-    scored = runner.run("scored", lambda: score_pairs(enriched, stats, cfg))
+    # features re-attach via bucketed co-group joins (no driver-side
+    # store), fused with scoring: the second join's bucket task scores
+    # its joined rows in place (attach_and_score)
+    stats_ref = ray.put(stats)
+    scored = runner.run(
+        "scored", lambda: attach_and_score(pairs, features, stats_ref, cfg))
     if runner.root:
         runner.add_metrics("scored", {"score_histogram": score_histogram(scored)})
     else:

@@ -268,6 +268,7 @@ def make_pairs(blocked: ray.data.Dataset, cfg: PipelineConfig | None = None,
         return _emit_pairs_bucket(ordered, cfg)
 
     return bucketed_groups(blocked, "own_key", per_bucket, num_buckets,
+                           engine="exchange",
                            repartition=False)
 
 
@@ -278,7 +279,8 @@ def dedup_pairs(pairs: ray.data.Dataset, num_buckets: int = 64):
     pair keys (EntityCooccurrenceIndex.scala:103)."""
     from ..functions.grouping import dedup_keep_first
 
-    return dedup_keep_first(pairs, "pair_key", ["block_key"], num_buckets)
+    return dedup_keep_first(pairs, "pair_key", ["block_key"], num_buckets,
+                            engine="exchange")
 
 
 def capped_total(pairs_raw: ray.data.Dataset) -> int:

@@ -57,4 +57,5 @@ def canonicalize(turns: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Dat
     Column-prunes before the shuffle: ``ts`` never leaves the read.
     """
     pruned = turns.select_columns(["conv_id", "turn_idx", "role", "text", "tool"])
-    return bucketed_groups(pruned, "conv_id", _assemble, num_buckets)
+    return bucketed_groups(pruned, "conv_id", _assemble, num_buckets,
+                           engine="exchange")

@@ -237,7 +237,10 @@ def connected_components(
     prev_sum = None
     for rnd in range(start_round, max_rounds):
         if cur.count() <= local_finish_rows:
-            tbl = pa.Table.from_pandas(cur.to_pandas(), preserve_index=False)
+            blks = [b for b in ray.get(cur.to_arrow_refs()) if b.num_rows]
+            tbl = (pa.concat_tables(blks).combine_chunks() if blks
+                   else pa.table({"u": pa.array([], type=pa.string()),
+                                  "v": pa.array([], type=pa.string())}))
             if tbl.num_rows == 0:
                 return ray.data.from_arrow(_LABEL_SCHEMA.empty_table())
             return ray.data.from_arrow(_local_cc(tbl))

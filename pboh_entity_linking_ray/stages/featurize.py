@@ -280,7 +280,7 @@ def build_stem_map(conv_docs, cfg: PipelineConfig | None = None):
 
     ds = conv_docs.map_batches(partial, batch_format="pyarrow",
                                batch_size=1024)
-    return bucketed_groups(ds, "tok", uniq_and_stem)
+    return bucketed_groups(ds, "tok", uniq_and_stem, engine="exchange")
 
 
 def featurize(conv_docs, cfg: PipelineConfig | None = None, stem_ref=None):

