@@ -50,3 +50,50 @@ def test_join_large_keyspace(ray_session):
     got = hash_join(left, right, "k").to_pandas()
     assert len(got) == n // 2
     assert (got["lv"].to_numpy() == got["rv"].to_numpy()).all()
+
+
+def test_exchange_engine_matches_sort_engine(ray_session):
+    """hash_exchange (raw-task MapReduce shuffle) and the sort-based
+    groupby are interchangeable engines: same rows out, and every key's
+    rows land in exactly one bucket invocation."""
+    from pboh_entity_linking_ray.functions.grouping import (
+        bucketed_groups,
+        hash_exchange,
+    )
+
+    rng = np.random.default_rng(7)
+    t = pa.table({
+        "k": rng.integers(0, 500, size=5000),
+        "v": rng.integers(0, 10**9, size=5000),
+    })
+    ds = ray.data.from_arrow(t).repartition(7)
+
+    def per_key_sum(bucket: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(bucket).group_by("k")
+                .agg(pl.col("v").sum().alias("s")).to_arrow())
+
+    a = (hash_exchange(ds, "k", per_key_sum, num_buckets=16).to_pandas()
+         .sort_values("k").reset_index(drop=True))
+    b = (bucketed_groups(ds, "k", per_key_sum, num_buckets=16, engine="sort")
+         .to_pandas().sort_values("k").reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    # one row per key proves each key was fully co-located in ONE bucket
+    assert len(a) == len(set(t["k"].to_pylist()))
+
+
+def test_exchange_engine_join_matches_sort_engine_join(ray_session):
+    left = ray.data.from_arrow(pa.table({
+        "k": [1, 2, 2, 3, 5], "lv": ["a", "b", "c", "d", "e"]}))
+    right = ray.data.from_arrow(pa.table({
+        "k": [2, 3, 3, 4], "rv": [20, 30, 31, 40]}))
+    ex = (hash_join(left, right, "k", engine="exchange").to_pandas()
+          .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    so = (hash_join(left, right, "k", engine="sort").to_pandas()
+          .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(ex, so)
