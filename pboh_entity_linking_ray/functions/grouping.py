@@ -120,6 +120,15 @@ def hash_exchange(ds: ray.data.Dataset, key_col: str, fn,
     sort shuffle's map side, but pinned at once), and per-bucket results
     return as one object each.  All rows of one key land in one bucket —
     the partitioning contract every consumer already assumes.
+
+    Sizing at scale: one bucket (≈ input/num_buckets) must fit a
+    worker's heap, and the intermediate object count is
+    O(num_blocks × num_buckets) — both fine up to a few thousand each
+    (100 TB across 256 nodes ⇒ num_buckets ≈ 2-8k, blocks ≈ several
+    thousand ⇒ ~10M tiny refs, within Ray's object-store metadata
+    budget but worth watching).  Beyond that, exchange in two rounds
+    (bucket by high bits, then low bits) or fall back to the sort
+    engine.
     """
     blocks = ds.to_arrow_refs()
     if not blocks:

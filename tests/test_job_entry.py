@@ -1,0 +1,40 @@
+"""`python -m pboh_entity_linking_ray` job-entry surface (north_rule:
+run end-to-end via `ray job submit`)."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from pboh_entity_linking_ray.__main__ import main
+from pboh_entity_linking_ray.sources.synthetic import generate_corpus
+
+
+def test_job_main_end_to_end(ray_session, tmp_path, capsys):
+    c = generate_corpus(60, 42)
+    turns_p = str(tmp_path / "turns.parquet")
+    labels_p = str(tmp_path / "labels.parquet")
+    out_dir = str(tmp_path / "out")
+    pq.write_table(c.turns, turns_p)
+    pq.write_table(c.labels, labels_p)
+
+    rc = main(["--input", turns_p, "--output", out_dir,
+               "--labels", labels_p,
+               "--checkpoint-root", str(tmp_path / "ckpt")])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["n_convs"] == 60
+    assert metrics["n_clusters"] == 60
+    assert metrics["eval"]["f1"] >= 0.99
+    # clusters parquet written and readable
+    files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    assert files
+    tbl = pq.read_table(out_dir)
+    assert set(tbl.column_names) >= {"conv_id", "cluster_id"}
+    assert tbl.num_rows == 60
+    # resume: second invocation reuses every stage checkpoint
+    rc2 = main(["--input", turns_p, "--output", str(tmp_path / "out2"),
+                "--checkpoint-root", str(tmp_path / "ckpt")])
+    assert rc2 == 0
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2["n_clusters"] == metrics["n_clusters"]
