@@ -269,7 +269,7 @@ def q06_doc_dedup_exact(sf_dir: str):
         )
         return out.to_arrow()
 
-    return bucketed_groups(ds, "text", keep_min)
+    return bucketed_groups(ds, "text", keep_min, engine="exchange")
 
 
 SQL_Q06 = """
@@ -433,7 +433,7 @@ def q14_sessionize(sf_dir: str):
         )
         return out.to_arrow()
 
-    return bucketed_groups(ds, "user_id", sessions)
+    return bucketed_groups(ds, "user_id", sessions, engine="exchange")
 
 
 SQL_Q14 = f"""

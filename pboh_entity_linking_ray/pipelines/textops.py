@@ -323,8 +323,9 @@ def q12_ngram_jaccard_pairs(sf_dir: str):
                          "nb": pa.array(ns[bi][inv]),
                          "inter_p": pa.array(cnt.astype(np.int64))})
 
-    shared = bucketed_groups(rows, "sh", pairs_bucket)
-    agg = bucketed_sum(shared, ["pair", "na", "nb"], "inter_p", "inter")
+    shared = bucketed_groups(rows, "sh", pairs_bucket, engine="exchange")
+    agg = bucketed_sum(shared, ["pair", "na", "nb"], "inter_p", "inter",
+                       engine="exchange")
 
     def finish(t: pa.Table) -> pa.Table:
         pair = np.asarray(t["pair"], dtype=np.int64)
