@@ -306,8 +306,56 @@ def link_eval_metrics(sf_dir: str):
     return eval_report(res.scored, _labels(sf_dir), golden)
 
 
+
+
+def _lines_file(sf_dir: str) -> str:
+    """Deterministic TSV-lines twin of the corpus turns table (S5 reader
+    input), built once beside the corpus cache (atomic tmp+rename)."""
+    import pyarrow.parquet as pq
+
+    d = ensure_corpus(CORPUS_CACHE, sf_to_n_convs(sf_dir))
+    p = os.path.join(d, "turn_lines.parquet")
+    if not os.path.exists(p):
+        import polars as pl
+
+        t = pq.read_table(os.path.join(d, "turns.parquet"),
+                          columns=["conv_id", "turn_idx", "role", "tool",
+                                   "text"])
+        df = pl.from_arrow(t)
+        lines = df.select(pl.concat_str([
+            pl.col("conv_id"), pl.col("turn_idx").cast(pl.String),
+            pl.col("role"), pl.col("tool"), pl.col("text"),
+        ], separator="\t").alias("text"))
+        tmp = p + ".tmp"
+        pq.write_table(lines.to_arrow(), tmp)
+        os.replace(tmp, p)
+    return p
+
+
+def link_parse_lines(sf_dir: str):
+    """S5 line-parser reader, oracle-checked end-to-end: TSV turn lines →
+    vectorized batch parser → canonical turns schema (sources/
+    text_lines.py; reference ad-hoc line parser:
+    src/main/scala/learning/FewParamsLearning.scala:51-65)."""
+    from ..sources.text_lines import parse_turn_lines
+
+    return ray.data.read_parquet(_lines_file(sf_dir)).map_batches(
+        parse_turn_lines, batch_format="pyarrow")
+
+
+SQL_PARSE_LINES = f"""
+SELECT split_part(text, chr(9), 1) AS conv_id,
+       CAST(split_part(text, chr(9), 2) AS INTEGER) AS turn_idx,
+       split_part(text, chr(9), 3) AS role,
+       split_part(text, chr(9), 4) AS tool,
+       split_part(text, chr(9), 5) AS text
+FROM read_parquet('{corpus_dir(CORPUS_CACHE, 2000)}/turn_lines.parquet')
+"""
+
+
 QUERIES = {
     "link_canonicalize": (link_canonicalize, SQL_CANONICALIZE),
+    "link_parse_lines": (link_parse_lines, SQL_PARSE_LINES),
     "link_token_df": (link_token_df, SQL_TOKEN_DF),
     "link_dedup_exact": (link_dedup_exact, SQL_DEDUP_EXACT),
     "link_minhash_lsh_candidates": (link_minhash_lsh_candidates, SQL_MINHASH),
