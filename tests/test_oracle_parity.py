@@ -29,8 +29,10 @@ def _local_sql(sql: str) -> str:
     """linkage SQL twins embed the sf0.01 corpus path (the driver's compare
     scale); point them at the sf0.001 corpus for the local test."""
     local = corpus_dir(linkage_queries.CORPUS_CACHE, sf_to_n_convs(SF_DIR))
-    return sql.replace(linkage_queries._SQL_TURNS,
-                       f"{local}/turns.parquet/*.parquet")
+    sql = sql.replace(linkage_queries._SQL_TURNS,
+                      f"{local}/turns.parquet/*.parquet")
+    # other corpus-relative files (e.g. turn_lines.parquet) share the dir
+    return sql.replace(corpus_dir(linkage_queries.CORPUS_CACHE, 2000), local)
 
 
 @pytest.mark.parametrize("name", sorted(PAIRED))
