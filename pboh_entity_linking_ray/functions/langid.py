@@ -28,6 +28,24 @@ def predict_lang(tokens: set[str]) -> str:
     return best_lang
 
 
+def predict_lang_expr(tokens_col: str):
+    """Vectorized polars expression over a list<str> token column → the
+    same prediction as ``predict_lang`` (marker-set intersection counts,
+    strict argmax in LANG_ORDER, all-zero → 'und') — one kernel pass per
+    batch, never a Python call per document."""
+    import polars as pl
+
+    c = {lang: pl.col(tokens_col)
+                 .list.set_intersection(list(marks)).list.len()
+         for lang, marks in LANG_MARKERS.items()}
+    best = pl.max_horizontal(*c.values())
+    expr = pl.lit("und")
+    # reverse order: earlier languages overwrite later ones on ties
+    for lang in reversed(LANG_ORDER):
+        expr = pl.when(c[lang] == best).then(pl.lit(lang)).otherwise(expr)
+    return pl.when(best == 0).then(pl.lit("und")).otherwise(expr)
+
+
 def sql_case_expr(tokens_col: str) -> str:
     """DuckDB expression computing the same prediction over a list column
     of tokens.  Strict argmax in LANG_ORDER with 'und' for all-zero."""

@@ -153,8 +153,9 @@ def q21_candidate_augment(sf_dir: str):
     container as an extra candidate (reference:
     index/MentEntsFreqIndexWrapper.scala:30-40 unions the containing
     mention's candidate list at frequency 1).  Documents are
-    hash-partitioned; the in-bucket scan is per-doc vectorized substring
-    matching over the distinct token set."""
+    hash-partitioned; the in-bucket scan is a chunked polars self-join
+    with one vectorized literal-contains pass — never a Python loop over
+    token pairs."""
     from ..functions.grouping import bucketed_groups
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -173,32 +174,45 @@ def q21_candidate_augment(sf_dir: str):
 
     rows = ds.map_batches(explode, batch_format="pyarrow", batch_size=512)
 
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("mention", pa.large_string()),
+                            ("candidate", pa.large_string())])
+    pair_budget = 4_000_000  # max within-doc pair rows materialized at once
+
     def augment(bucket: pa.Table) -> pa.Table:
+        """Vectorized containment scan: per chunk of docs, ONE polars
+        self-join on doc_id (bounded n² rows) and ONE vectorized
+        ``str.contains(literal=True)`` — no Python loop over token pairs.
+        Docs are chunked so Σ len(doc)² per join stays under
+        ``pair_budget`` regardless of bucket size."""
         import polars as pl
 
-        df = pl.from_arrow(bucket).sort(["doc_id", "tok"])
-        doc = df["doc_id"].to_numpy()
-        tok = df["tok"].to_numpy()
-        n = len(doc)
-        out_d, out_m, out_c = [], [], []
-        if n:
-            starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
-            bounds = np.append(starts, n)
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                toks = tok[s:e]
-                if not (2 <= len(toks) <= AUG_DOC_CAP):
-                    continue
-                for i, short in enumerate(toks):
-                    for j, longer in enumerate(toks):
-                        if i != j and short in longer and short != longer:
-                            out_d.append(int(doc[s]))
-                            out_m.append(short)
-                            out_c.append(longer)
-        return pa.table({
-            "doc_id": pa.array(out_d, type=pa.int64()),
-            "mention": pa.array(out_m, type=pa.string()),
-            "candidate": pa.array(out_c, type=pa.string()),
-        })
+        df = pl.from_arrow(bucket)
+        live = (df.group_by("doc_id").len()
+                  .filter(pl.col("len").is_between(2, AUG_DOC_CAP)))
+        df = df.join(live.select("doc_id"), on="doc_id").sort("doc_id")
+        if df.height == 0:
+            return out_schema.empty_table()
+        sizes = live.sort("doc_id")
+        pairs_per_doc = (sizes["len"].cast(pl.Int64) ** 2).to_numpy()
+        chunk_of_doc = np.cumsum(pairs_per_doc) // pair_budget
+        doc_chunk = dict(zip(sizes["doc_id"].to_list(), chunk_of_doc))
+        df = df.with_columns(
+            pl.col("doc_id").replace_strict(doc_chunk).alias("__chunk"))
+        outs = []
+        for (_, ), part in df.partition_by("__chunk", as_dict=True).items():
+            p = part.select(["doc_id", "tok"])
+            joined = p.join(p.rename({"tok": "candidate"}), on="doc_id")
+            hit = joined.filter(
+                (pl.col("tok") != pl.col("candidate"))
+                & pl.col("candidate").str.contains(pl.col("tok"),
+                                                   literal=True))
+            outs.append(hit.rename({"tok": "mention"}))
+        out = pl.concat(outs) if outs else None
+        if out is None or out.height == 0:
+            return out_schema.empty_table()
+        return out.select(["doc_id", "mention", "candidate"]) \
+                  .to_arrow().cast(out_schema)
 
     return bucketed_groups(rows, "doc_id", augment)
 

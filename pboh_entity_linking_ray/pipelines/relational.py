@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.langid import predict_lang, sql_case_expr
+from ..functions.langid import predict_lang_expr, sql_case_expr
 from ..functions.text import STOPWORDS
 
 
@@ -380,13 +380,16 @@ def q09_langid(sf_dir: str):
 
     def pred(t: pa.Table) -> pa.Table:
         import polars as pl
-        toks = (
-            pl.from_arrow(t["text"].combine_chunks())
-            .str.to_lowercase().str.extract_all("[a-z0-9]+")
-        )
-        langs = [predict_lang(set(ts)) for ts in toks.to_list()]
-        return pa.table({"doc_id": t["doc_id"],
-                         "pred_lang": pa.array(langs, type=pa.string())})
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(t["doc_id"].combine_chunks()),
+            "toks": pl.from_arrow(t["text"].combine_chunks())
+                      .str.to_lowercase().str.extract_all("[a-z0-9]+"),
+        })
+        out = df.select(
+            "doc_id", predict_lang_expr("toks").alias("pred_lang"))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", t.schema.field("doc_id").type),
+            ("pred_lang", pa.string())]))
 
     return ds.map_batches(pred, batch_format="pyarrow")
 

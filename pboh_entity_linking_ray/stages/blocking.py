@@ -33,9 +33,6 @@ import pyarrow as pa
 import ray.data
 
 from ..config import PipelineConfig
-from ..functions.hashing import hash_strings_u64
-from ..functions.minhash import MinHasher
-
 _PAIR_SCHEMA = pa.schema(
     [
         ("pair_key", pa.string()),
@@ -82,26 +79,28 @@ class BlockKeyEmitter:
             .astype(np.uint64)
         )
         n_keys = cfg.lsh_bands + 1
-        # row i emits keys [b0..b{B-1}, sig]
-        key_mat = np.empty((n, n_keys), dtype=np.uint64)
-        key_mat[:, : cfg.lsh_bands] = band
-        key_mat[:, cfg.lsh_bands] = sig_hash
-        prefix = np.empty((n, n_keys), dtype=object)
-        for b in range(cfg.lsh_bands):
-            prefix[:, b] = f"b{b:02d}:"
-        prefix[:, cfg.lsh_bands] = "s:"
-        flat_keys = [
-            p + str(v) for p, v in zip(prefix.ravel(), key_mat.ravel())
-        ]
-        key_hash = hash_strings_u64(flat_keys, seed=23)
-        idx = np.repeat(np.arange(n), n_keys)
+        # conv i emits keys [b0..b{B-1}, sig]; built COLUMN-major (all b0
+        # keys, then b1, …) so each prefix+digits concat is one vectorized
+        # polars kernel over the whole batch — never a Python string op
+        # per emitted key
+        names = [f"b{b:02d}" for b in range(cfg.lsh_bands)] + ["s"]
+        cols = {f"b{b:02d}": band[:, b] for b in range(cfg.lsh_bands)}
+        cols["s"] = sig_hash
+        keyed = pl.DataFrame(cols).select(
+            (pl.lit(f"{c}:") + pl.col(c).cast(pl.String)).alias(c)
+            for c in names
+        )
+        flat_keys = pl.concat([keyed[c] for c in names])
+        key_hash = flat_keys.hash(seed=23).to_numpy().astype(np.uint64)
+        flat_keys = flat_keys.to_arrow().cast(pa.string())
+        idx = np.tile(np.arange(n), n_keys)
         # skinny projection: only identity + the mh0 used for salted-chunk
         # ordering cross the shuffle; features stay in the FeatureStore
         out = pa.table({
             "conv_id": batch["conv_id"].take(pa.array(idx)),
             "mh0": pa.array(sigs[:, 0].view(np.int64)[idx]),
             "own_key": pa.array(key_hash.view(np.int64)),
-            "block_key": pa.array(flat_keys, type=pa.string()),
+            "block_key": flat_keys,
         })
         return out
 

@@ -24,37 +24,56 @@ SIZE_BUCKETS = [(1, 1), (2, 2), (3, 10), (10, 20), (20, 40), (40, 100),
                 (100, 200), (200, 400), (400, 1000)]
 
 
+def _label_table(labels: pa.Table) -> pa.Table:
+    """(conv_a, conv_b, is_match) → broadcastable (pair_key, gold) Arrow
+    table — the small join side of every judge below."""
+    import pyarrow.compute as pc
+
+    return pa.table({
+        "pair_key": pc.binary_join_element_wise(
+            pc.cast(labels["conv_a"], pa.string()),
+            pc.cast(labels["conv_b"], pa.string()), "\x1f"),
+        "gold": pc.cast(labels["is_match"], pa.bool_()),
+    })
+
+
 def pairwise_metrics(
     scored: ray.data.Dataset, labels: pa.Table
 ) -> dict[str, float]:
     """Micro pairwise P/R/F1 on labeled pairs (metric domain: labeled pairs
     sharing a blocking key — BASELINE.md)."""
+    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    lbl = {
-        a + "\x1f" + b: m
-        for a, b, m in zip(
-            labels["conv_a"].to_pylist(),
-            labels["conv_b"].to_pylist(),
-            labels["is_match"].to_pylist(),
-        )
-    }
-    total_pos = sum(1 for v in lbl.values() if v)
+    lbl = _label_table(labels)
+    total_pos = int(pc.sum(lbl["gold"]).as_py() or 0)
     lbl_ref = ray.put(lbl)
 
     class Judge:
+        """Judges each scored batch via a vectorized polars inner join
+        against the broadcast label table — a true broadcast semi-join
+        (the reference's bulk set intersections, eval/Verifier.scala:24-43),
+        never a Python probe per scored row."""
+
         def __init__(self, ref):
-            self.lbl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            import polars as pl
+
+            t = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.lbl = pl.from_arrow(t)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["pair_key"].to_pylist()
-            pred = np.asarray(t["is_match"])
-            gold = np.array([self.lbl.get(k, -1) for k in keys], dtype=np.int8)
-            labeled = gold >= 0
-            tp = int(np.sum(labeled & pred & (gold == 1)))
-            fp = int(np.sum(labeled & pred & (gold == 0)))
-            fn_present = int(np.sum(labeled & ~pred & (gold == 1)))
-            pos_present = int(np.sum(labeled & (gold == 1)))
+            import polars as pl
+
+            df = pl.DataFrame({
+                "pair_key": pl.from_arrow(t["pair_key"].combine_chunks()),
+                "pred": pl.from_arrow(t["is_match"].combine_chunks()),
+            }).join(self.lbl, on="pair_key", how="inner")
+            pred = df["pred"].to_numpy()
+            gold = df["gold"].to_numpy()
+            tp = int(np.sum(pred & gold))
+            fp = int(np.sum(pred & ~gold))
+            fn_present = int(np.sum(~pred & gold))
+            pos_present = int(np.sum(gold))
             return pa.table({
                 "tp": pa.array([tp], type=pa.int64()),
                 "fp": pa.array([fp], type=pa.int64()),
@@ -88,30 +107,30 @@ def _judged_pairs(scored: ray.data.Dataset, labels: pa.Table) -> pd.DataFrame:
     broadcast semi-join map (distributed), unscored labeled pairs counted
     predicted-negative.  Result is O(|labels|) — the gold table is the
     small side by construction."""
-    lbl_keys = [a + "\x1f" + b for a, b in zip(labels["conv_a"].to_pylist(),
-                                               labels["conv_b"].to_pylist())]
-    lbl = dict(zip(lbl_keys, labels["is_match"].to_pylist()))
+    lbl = _label_table(labels)
     lbl_ref = ray.put(lbl)
 
     def judge(t: pa.Table) -> pa.Table:
-        m = ray.get(lbl_ref)
-        keys = t["pair_key"].to_pylist()
-        gold = np.array([m.get(k, -1) for k in keys], dtype=np.int8)
-        sel = gold >= 0
-        return pa.table({
-            "pair_key": pa.array(np.asarray(keys, dtype=object)[sel]),
-            "pred": pa.array(np.asarray(t["is_match"])[sel]),
-            "gold": pa.array(gold[sel] == 1),
-        })
+        # vectorized broadcast semi-join per batch (polars inner join; the
+        # label table ray.get is a zero-copy object-store view)
+        import polars as pl
+
+        l = pl.from_arrow(ray.get(lbl_ref))
+        df = pl.DataFrame({
+            "pair_key": pl.from_arrow(t["pair_key"].combine_chunks()),
+            "pred": pl.from_arrow(t["is_match"].combine_chunks()),
+        }).join(l, on="pair_key", how="inner")
+        return df.select(["pair_key", "pred", "gold"]).to_arrow()
 
     got = scored.map_batches(judge, batch_format="pyarrow",
                              batch_size=8192).to_pandas()
-    missing = set(lbl_keys) - set(got["pair_key"])
+    lbl_df = lbl.to_pandas()
+    miss = lbl_df[~lbl_df["pair_key"].isin(got["pair_key"])]
     miss_df = pd.DataFrame({
-        "pair_key": sorted(missing),
+        "pair_key": miss["pair_key"].to_numpy(),
         "pred": False,
-        "gold": [bool(lbl[k]) for k in sorted(missing)],
-    })
+        "gold": miss["gold"].astype(bool).to_numpy(),
+    }).sort_values("pair_key", ignore_index=True)
     return pd.concat([got, miss_df], ignore_index=True)
 
 
