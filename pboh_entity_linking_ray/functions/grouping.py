@@ -68,36 +68,68 @@ def bucketed_groups(ds: ray.data.Dataset, key_col: str, fn,
 
 
 @ray.remote
-def _exchange_split(tbl: pa.Table, key_col: str, num_buckets: int):
-    """Map side of the hash exchange: one block → ``num_buckets`` bucket
-    slices (sort-by-bucket + zero-copy slice; O(n log n) local, no
-    driver involvement)."""
+def _exchange_split(tbl, key_col: str, num_buckets: int,
+                    inner: int = 1, stage: int = 0, n_out: int | None = None):
+    """Map side of the hash exchange: one block → ``n_out`` slices
+    (sort-by-slice + zero-copy slice; O(n log n) local, no driver
+    involvement).  The fine bucket of a row is ``hash % num_buckets``;
+    ``stage=0`` slices by its HIGH part (``fine // inner`` — the flat
+    exchange is the ``inner=1`` case) and ``stage=1`` by its LOW part
+    (``fine % inner``, the second round of the hierarchical exchange)."""
     import polars as pl
 
+    if not isinstance(tbl, pa.Table):          # pandas block from upstream
+        tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+    if n_out is None:
+        n_out = num_buckets
     if tbl.num_rows == 0:
-        return tuple(tbl for _ in range(num_buckets))
+        out = tuple(tbl for _ in range(n_out))
+        return out if n_out > 1 else out[0]
     h = pl.from_arrow(tbl[key_col].combine_chunks()).hash(seed=17).to_numpy()
-    b = (h % np.uint64(num_buckets)).astype(np.int64)
-    order = np.argsort(b, kind="stable")
+    f = (h % np.uint64(num_buckets)).astype(np.int64)
+    s = (f // inner) if stage == 0 else (f % inner)
+    order = np.argsort(s, kind="stable")
     sorted_tbl = tbl.take(pa.array(order))
-    counts = np.bincount(b, minlength=num_buckets)
+    counts = np.bincount(s, minlength=n_out)
     offs = np.concatenate(([0], np.cumsum(counts)))
-    return tuple(sorted_tbl.slice(offs[i], counts[i])
-                 for i in range(num_buckets))
+    out = tuple(sorted_tbl.slice(offs[i], counts[i]) for i in range(n_out))
+    return out if n_out > 1 else out[0]
+
+
+@ray.remote
+def _exchange_concat(*parts: pa.Table) -> pa.Table:
+    """Consolidation between the two rounds of the hierarchical
+    exchange: merge one outer bucket's slices from one map-task group
+    into a single block (restores ~input-sized blocks so round 2's
+    ref count is blocks/√B × B instead of blocks × B)."""
+    live = [p for p in parts if p.num_rows]
+    return (pa.concat_tables(live, promote_options="default") if live
+            else parts[0])
 
 
 @ray.remote
 def _exchange_apply(fn, *parts: pa.Table) -> pa.Table:
     """Reduce side: concat one bucket's slices from every map task and
-    run the vectorized per-bucket ``fn``."""
+    run the vectorized per-bucket ``fn``.
+
+    CONTRACT: ``fn`` may receive a fully-EMPTY table (sparse keys leave
+    buckets with no rows — unlike the sort engine's map_groups, which
+    never sees empty groups) and must return the same output schema for
+    empty and non-empty input."""
     live = [p for p in parts if p.num_rows]
     bucket = (pa.concat_tables(live, promote_options="default") if live
               else parts[0])
     return fn(bucket)
 
 
+# above this many buckets the flat exchange's O(blocks × buckets) ref
+# count starts to dominate → switch to the two-round hierarchy
+TWO_ROUND_THRESHOLD = 256
+
+
 def hash_exchange(ds: ray.data.Dataset, key_col: str, fn,
-                  num_buckets: int = 64) -> ray.data.Dataset:
+                  num_buckets: int = 64,
+                  two_round: bool | None = None) -> ray.data.Dataset:
     """``bucketed_groups`` semantics on a DIRECT MapReduce hash exchange
     (raw Ray tasks) instead of Ray Data's sort-based groupby.
 
@@ -105,45 +137,111 @@ def hash_exchange(ds: ray.data.Dataset, key_col: str, fn,
     samples key ranges, sorts every block, and merge-reduces — measured
     ~34 s per exchange for a 1.9M-row / 240 MB feature join at 16 CPUs,
     where the actual required work (hash, split, concat) is O(n) and
-    takes ~2 s.  Here each input block is split into ``num_buckets``
-    zero-copy slices (one Ray task per block, ``num_returns`` bucket
-    objects), and each bucket concatenates its slices from every map task
-    and runs ``fn`` (one Ray task per bucket) — the classic two-stage
-    shuffle, expressed in ~20 lines because the object store IS the
-    exchange fabric.  On a multi-node cluster the bucket tasks pull only
-    their own slices (Ray locality-schedules against the largest input),
-    exactly like a map-reduce shuffle fetch.
+    takes ~2 s.  Each input block is split into bucket slices (one Ray
+    task per block, ``num_returns`` bucket objects), and each bucket
+    concatenates its slices from every map task and runs ``fn`` (one Ray
+    task per bucket) — the classic two-stage shuffle, expressed in ~30
+    lines because the object store IS the exchange fabric.  On a
+    multi-node cluster the bucket tasks pull only their own slices (Ray
+    locality-schedules against the largest input), exactly like a
+    map-reduce shuffle fetch.
 
-    Trade-offs vs the Dataset groupby (use ``bucketed_groups`` when they
-    matter): the input is materialized through ``to_arrow_refs`` (no
-    streaming backpressure into the exchange — same peak footprint as the
-    sort shuffle's map side, but pinned at once), and per-bucket results
-    return as one object each.  All rows of one key land in one bucket —
-    the partitioning contract every consumer already assumes.
+    **Streaming intake**: input blocks are consumed through
+    ``iter_internal_ref_bundles`` — split tasks launch as upstream
+    operators emit blocks, overlapping the exchange's map side with
+    upstream compute instead of materializing the whole input first.
+    (The reduce side is still a barrier — that is what a shuffle is.)
 
-    Sizing at scale: one bucket (≈ input/num_buckets) must fit a
-    worker's heap, and the intermediate object count is
-    O(num_blocks × num_buckets) — both fine up to a few thousand each
-    (100 TB across 256 nodes ⇒ num_buckets ≈ 2-8k, blocks ≈ several
-    thousand ⇒ ~10M tiny refs, within Ray's object-store metadata
-    budget but worth watching).  Beyond that, exchange in two rounds
-    (bucket by high bits, then low bits) or fall back to the sort
-    engine.
+    **Hierarchical two-round mode** (automatic above
+    ``TWO_ROUND_THRESHOLD`` buckets, or forced with ``two_round=True``):
+    the flat exchange creates O(blocks × buckets) intermediate refs —
+    fine to a few thousand of each, but at 100 TB-scale bucket counts
+    (≥ 2k) the object-store metadata bill explodes.  Instead, round 1
+    exchanges by the HIGH part of the bucket id into ``outer ≈ √B``
+    coarse groups, consolidating each group's slices per ``outer``-sized
+    band of map tasks back into input-sized blocks; round 2 re-splits
+    those consolidated blocks by the LOW part and applies ``fn`` per
+    fine bucket.  Ref count drops from O(blocks × B) to
+    O(blocks × √B)·2, and no task ever holds more than ~the larger of
+    (input block × outer / outer) and one fine bucket.
+
+    CONTRACT (both engines): ``fn`` must tolerate an EMPTY input table
+    (sparse keys ⇒ empty buckets reach ``fn``, unlike the sort engine's
+    map_groups) and must emit a stable schema regardless of input size.
+    All rows of one key land in one fine bucket — the partitioning
+    contract every consumer assumes.  Bucket results return in fine-
+    bucket order in both modes.
     """
-    blocks = ds.to_arrow_refs()
-    if not blocks:
-        return ds
-    split = _exchange_split.options(num_returns=num_buckets)
-    cols = [[] for _ in range(num_buckets)]
-    for ref in blocks:
-        outs = split.remote(ref, key_col, num_buckets)
-        if num_buckets == 1:
+    refs = _stream_block_refs(ds)
+    if two_round is None:
+        two_round = num_buckets > TWO_ROUND_THRESHOLD
+
+    if not two_round:
+        split = _exchange_split.options(num_returns=num_buckets)
+        cols: list[list] = [[] for _ in range(num_buckets)]
+        empty = True
+        for ref in refs:
+            empty = False
+            outs = split.remote(ref, key_col, num_buckets)
+            if num_buckets == 1:
+                outs = [outs]
+            for i, r in enumerate(outs):
+                cols[i].append(r)
+        if empty:
+            return ds
+        out_refs = [_exchange_apply.remote(fn, *cols[i])
+                    for i in range(num_buckets)]
+        return ray.data.from_arrow_refs(out_refs)
+
+    outer = max(2, int(np.ceil(np.sqrt(num_buckets))))
+    inner = int(np.ceil(num_buckets / outer))
+    outer = int(np.ceil(num_buckets / inner))   # trim overshoot
+    split1 = _exchange_split.options(num_returns=outer)
+
+    # round 1: block → outer coarse slices, consolidated per band of
+    # ``outer`` map tasks (band width = outer keeps consolidated blocks
+    # at ~input block size)
+    oc: list[list] = [[] for _ in range(outer)]
+    empty = True
+    for ref in refs:
+        empty = False
+        outs = split1.remote(ref, key_col, num_buckets, inner, 0, outer)
+        if outer == 1:
             outs = [outs]
-        for i, r in enumerate(outs):
-            cols[i].append(r)
-    out_refs = [_exchange_apply.remote(fn, *cols[i])
-                for i in range(num_buckets)]
+        for o, r in enumerate(outs):
+            oc[o].append(r)
+    if empty:
+        return ds
+    cons: list[list] = [
+        [_exchange_concat.remote(*oc[o][g:g + outer])
+         for g in range(0, len(oc[o]), outer)]
+        for o in range(outer)
+    ]
+
+    # round 2: consolidated block → inner fine slices, apply per bucket
+    out_refs = []
+    for o in range(outer):
+        inner_o = min(inner, num_buckets - o * inner)
+        split2 = _exchange_split.options(num_returns=inner_o)
+        parts2: list[list] = [[] for _ in range(inner_o)]
+        for cref in cons[o]:
+            outs = split2.remote(cref, key_col, num_buckets, inner, 1,
+                                 inner_o)
+            if inner_o == 1:
+                outs = [outs]
+            for i, r in enumerate(outs):
+                parts2[i].append(r)
+        out_refs.extend(_exchange_apply.remote(fn, *parts2[i])
+                        for i in range(inner_o))
     return ray.data.from_arrow_refs(out_refs)
+
+
+def _stream_block_refs(ds: ray.data.Dataset):
+    """Yield the dataset's block refs as the streaming executor produces
+    them (no whole-input materialization before the exchange's map side
+    starts)."""
+    for bundle in ds.iter_internal_ref_bundles():
+        yield from bundle.block_refs
 
 
 def bucketed_sum(ds: ray.data.Dataset, key_cols: list[str], sum_col: str,

@@ -97,3 +97,67 @@ def test_exchange_engine_join_matches_sort_engine_join(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(ex, so)
+
+
+def test_two_round_exchange_matches_flat(ray_session):
+    """Hierarchical (two-round) hash_exchange returns exactly the flat
+    exchange's rows AND bucket order at >=1024 buckets — the 100 TB ref-
+    count path (functions/grouping.py: round 1 by fine//inner, round 2
+    by fine%inner)."""
+    from pboh_entity_linking_ray.functions.grouping import hash_exchange
+
+    rng = np.random.default_rng(11)
+    t = pa.table({
+        "k": pa.array([f"c{v}" for v in rng.integers(0, 3000, size=20000)]),
+        "v": rng.integers(0, 10**9, size=20000),
+    })
+    ds = ray.data.from_arrow(t).repartition(13)
+
+    def per_key_sum(bucket: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(bucket).group_by("k")
+                .agg(pl.col("v").sum().alias("s"))
+                .sort("k")
+                .to_arrow().cast(pa.schema([("k", pa.string()),
+                                            ("s", pa.int64())])))
+
+    flat = hash_exchange(ds, "k", per_key_sum, num_buckets=1024,
+                         two_round=False).to_pandas()
+    two = hash_exchange(ds, "k", per_key_sum, num_buckets=1024,
+                        two_round=True).to_pandas()
+    import pandas as pd
+
+    # bucket order is identical (fine-bucket major in both modes), so the
+    # UNSORTED frames must already agree
+    pd.testing.assert_frame_equal(flat, two)
+    assert len(flat) == len(set(t["k"].to_pylist()))
+
+
+def test_exchange_sparse_keys_empty_buckets(ray_session):
+    """num_buckets >> distinct keys: fn receives EMPTY buckets (the
+    documented contract) and the result is still exactly the per-key
+    aggregate — in both flat and two-round modes."""
+    from pboh_entity_linking_ray.functions.grouping import hash_exchange
+
+    t = pa.table({"k": pa.array(["a", "b", "c"] * 50),
+                  "v": pa.array(list(range(150)))})
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    seen_empty = []
+
+    def agg(bucket: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if bucket.num_rows == 0:
+            seen_empty.append(1)
+        return (pl.from_arrow(bucket).group_by("k")
+                .agg(pl.col("v").sum().alias("s"))
+                .to_arrow().cast(pa.schema([("k", pa.string()),
+                                            ("s", pa.int64())])))
+
+    for mode in (False, True):
+        out = (hash_exchange(ds, "k", agg, num_buckets=512, two_round=mode)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        assert list(out["k"]) == ["a", "b", "c"]
+        assert out["s"].sum() == sum(range(150))
