@@ -95,6 +95,13 @@ class PipelineConfig:
                                 # the same way, Learning.scala:128)
     # --- execution ---
     scorer_batch_size: int = 4096
+    # --- pluggable scoring (SURVEY §2.10; reference Scorer trait,
+    # loopybeliefpropagation/Scorer.scala:7-14 with ScorerFull /
+    # ScorerFullLearnedParams as the two shipped impls) ---
+    scorer: str = "full"        # key into stages.scoring.SCORERS; "full"
+                                # = string-sim + PBoH stats, "stringsim"
+                                # = the reference's ARGMAX-style baseline
+                                # (string similarity only)
     # --- weights ---
     weights: ScorerWeights = field(default_factory=ScorerWeights)
     # --- determinism ---

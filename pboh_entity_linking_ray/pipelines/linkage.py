@@ -63,7 +63,8 @@ def score_histogram(scored: ray.data.Dataset, bins: int = 20) -> list[int]:
 
 class LinkageResult:
     def __init__(self, conv_docs, features, token_stats, pair_stats,
-                 pairs, scored, matches, clusters, n_convs):
+                 pairs, scored, matches, clusters, n_convs,
+                 stats_ref=None):
         self.conv_docs = conv_docs
         self.features = features
         self.token_stats = token_stats
@@ -73,6 +74,8 @@ class LinkageResult:
         self.matches = matches
         self.clusters = clusters
         self.n_convs = n_convs
+        self.stats_ref = stats_ref  # broadcast BroadcastStats object ref
+                                    # (re-scoring / differential baselines)
 
 
 def _phase_logger():
@@ -300,4 +303,5 @@ def run_linkage(
     )
     mark("cluster_plan")
     return LinkageResult(conv_docs, features, token_stats, pair_stats,
-                         pairs, scored, matches, clusters, n_convs)
+                         pairs, scored, matches, clusters, n_convs,
+                         stats_ref=stats_ref)

@@ -308,6 +308,19 @@ def link_eval_metrics(sf_dir: str):
 
 
 
+def link_scorer_differential(sf_dir: str):
+    """Pluggable-scorer differential baseline (SURVEY §2.10/§5.2;
+    reference LBP-vs-ARGMAX comparison, eval/EvalOnDatasets.scala:
+    192-195): full scorer vs string-sim-only over the SAME attached pair
+    set — micro P/R/F1 of both, decision overlap, and labeled score
+    margins."""
+    from ..stages.evaluate import scorer_differential
+
+    res, cfg = _run(sf_dir)
+    return scorer_differential(res.pairs, res.features, res.stats_ref,
+                               _labels(sf_dir), cfg)
+
+
 def _lines_file(sf_dir: str) -> str:
     """Deterministic TSV-lines twin of the corpus turns table (S5 reader
     input), built once beside the corpus cache (atomic tmp+rename)."""
@@ -363,4 +376,5 @@ QUERIES = {
     "link_clusters": (link_clusters, None),
     "link_block_inventory": (link_block_inventory, None),
     "link_eval_metrics": (link_eval_metrics, None),
+    "link_scorer_differential": (link_scorer_differential, None),
 }

@@ -205,6 +205,121 @@ def eval_report(scored: ray.data.Dataset, labels: pa.Table,
     return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
 
 
+def _labeled_margin(scored: ray.data.Dataset, labels: pa.Table) -> float:
+    """Separation margin on labeled pairs: min positive score − max
+    negative score (distributed min/max over a broadcast judge join; a
+    labeled positive the engine never scored counts as score 0)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    lbl = _label_table(labels)
+    total_pos = int(pc.sum(lbl["gold"]).as_py() or 0)
+    ref = ray.put(lbl)
+
+    def j(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        l = pl.from_arrow(ray.get(ref))
+        df = pl.DataFrame({
+            "pair_key": pl.from_arrow(t["pair_key"].combine_chunks()),
+            "score": pl.from_arrow(t["score"].combine_chunks()),
+        }).join(l, on="pair_key", how="inner")
+        pos = df.filter(pl.col("gold"))["score"]
+        neg = df.filter(~pl.col("gold"))["score"]
+        return pa.table({
+            "min_pos": pa.array([float(pos.min()) if len(pos) else 1e9]),
+            "max_neg": pa.array([float(neg.max()) if len(neg) else -1e9]),
+            "n_pos": pa.array([len(pos)], type=pa.int64()),
+        })
+
+    agg = scored.map_batches(j, batch_format="pyarrow").aggregate(
+        Min("min_pos", alias_name="min_pos"),
+        Max("max_neg", alias_name="max_neg"),
+        Sum("n_pos", alias_name="n_pos"))
+    min_pos = float(agg.get("min_pos") if agg.get("min_pos") is not None else 1e9)
+    if int(agg.get("n_pos") or 0) < total_pos:
+        min_pos = 0.0   # an unscored labeled positive scores 0
+    max_neg = float(agg.get("max_neg") if agg.get("max_neg") is not None else -1e9)
+    return min_pos - max_neg
+
+
+def scorer_differential(pairs: ray.data.Dataset, features: ray.data.Dataset,
+                        stats_ref, labels: pa.Table,
+                        cfg=None, baseline: str = "stringsim") -> pa.Table:
+    """Differential scorer baseline (SURVEY §5.2; the reference ships the
+    same comparison as LBP vs ARGMAX, eval/EvalOnDatasets.scala:192-195):
+    score the SAME attached pair set with the configured scorer and with
+    the ``baseline`` scorer (default: string-similarity only), report
+    both micro P/R/F1 plus the decision overlap between them.
+
+    One row: (n_pairs, match_full, match_base, match_both, agree_pct,
+    p/r/f1 of both, delta_f1, margin_full, margin_base) — the margins
+    (min labeled-positive score − max labeled-negative score) quantify
+    what the corpus statistics buy even when both F1s saturate on a
+    clean fixture."""
+    from dataclasses import replace as dc_replace
+
+    from ray.data.aggregate import Sum
+
+    from ..config import PipelineConfig
+    from ..functions.grouping import hash_join
+    from .scoring import attach_features, score_pairs
+
+    cfg = cfg or PipelineConfig()
+    attached = attach_features(pairs, features).materialize()
+    full = score_pairs(attached, stats_ref, cfg).materialize()
+    base = score_pairs(attached, stats_ref,
+                       dc_replace(cfg, scorer=baseline)).materialize()
+    m_full = pairwise_metrics(full, labels)
+    m_base = pairwise_metrics(base, labels)
+    margin_full = _labeled_margin(full, labels)
+    margin_base = _labeled_margin(base, labels)
+
+    fs = full.select_columns(["pair_key", "is_match"]) \
+        .rename_columns({"is_match": "m_full"})
+    bs = base.select_columns(["pair_key", "is_match"]) \
+        .rename_columns({"is_match": "m_base"})
+
+    def counts(t: pa.Table) -> pa.Table:
+        mf = np.asarray(t["m_full"])
+        mb = np.asarray(t["m_base"])
+        return pa.table({
+            "n": pa.array([t.num_rows], type=pa.int64()),
+            "match_full": pa.array([int(mf.sum())], type=pa.int64()),
+            "match_base": pa.array([int(mb.sum())], type=pa.int64()),
+            "match_both": pa.array([int((mf & mb).sum())], type=pa.int64()),
+            "agree": pa.array([int((mf == mb).sum())], type=pa.int64()),
+        })
+
+    agg = hash_join(fs, bs, "pair_key", num_buckets=16).map_batches(
+        counts, batch_format="pyarrow"
+    ).aggregate(Sum("n", alias_name="n"),
+                Sum("match_full", alias_name="match_full"),
+                Sum("match_base", alias_name="match_base"),
+                Sum("match_both", alias_name="match_both"),
+                Sum("agree", alias_name="agree"))
+    n = int(agg.get("n") or 0)
+    return pa.table({
+        "n_pairs": pa.array([n], type=pa.int64()),
+        "match_full": pa.array([int(agg.get("match_full") or 0)],
+                               type=pa.int64()),
+        "match_base": pa.array([int(agg.get("match_base") or 0)],
+                               type=pa.int64()),
+        "match_both": pa.array([int(agg.get("match_both") or 0)],
+                               type=pa.int64()),
+        "agree_pct": pa.array([(agg.get("agree") or 0) / n if n else 1.0]),
+        "precision_full": pa.array([m_full["precision"]]),
+        "recall_full": pa.array([m_full["recall"]]),
+        "f1_full": pa.array([m_full["f1"]]),
+        "precision_base": pa.array([m_base["precision"]]),
+        "recall_base": pa.array([m_base["recall"]]),
+        "f1_base": pa.array([m_base["f1"]]),
+        "delta_f1": pa.array([m_full["f1"] - m_base["f1"]]),
+        "margin_full": pa.array([margin_full]),
+        "margin_base": pa.array([margin_base]),
+    })
+
+
 def cluster_size_histogram(clusters: ray.data.Dataset) -> pd.DataFrame:
     """cluster size → count, bucketed per the reference's scheme."""
     sizes = clusters.groupby("cluster_id").count().to_pandas()

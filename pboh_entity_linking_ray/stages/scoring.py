@@ -185,6 +185,13 @@ def attach_features(pairs: ray.data.Dataset, features: ray.data.Dataset,
     larger, while the bucketed co-group rides the ordinary task pool.
     Token sketches still ride binary-packed (smaller shuffle payload and
     a zero-copy decode in ``_padded_tokens``)."""
+    return _attach(pairs, features, num_buckets)
+
+
+def _attach(pairs: ray.data.Dataset, features: ray.data.Dataset,
+            num_buckets: int = 64, post=None) -> ray.data.Dataset:
+    """Shared body of ``attach_features`` (post=None) and
+    ``attach_and_score`` (post=the fused scorer)."""
     feats = features.select_columns(["conv_id", "jw_text", "tokens"]) \
         .map_batches(_pack_tokens_binary, batch_format="pyarrow")
     fa = feats.rename_columns({"conv_id": "conv_a", "jw_text": "jw_a",
@@ -201,13 +208,28 @@ def attach_features(pairs: ray.data.Dataset, features: ray.data.Dataset,
     # from resolved blocks instead of dragging the first exchange's task
     # graph along (measured 29 s chained-lazy vs 18 s with the barrier)
     with_a = hash_join(skinny, fa, "conv_a", num_buckets).materialize()
-    return hash_join(with_a, fb, "conv_b", num_buckets)
+    return hash_join(with_a, fb, "conv_b", num_buckets, post=post)
 
 
 _FEATURE_COLS = ("jw_a", "jw_b", "tokens_a", "tokens_b")
 
 
 class PairScorer:
+    """The full scorer: string similarity (Jaro-Winkler + token Jaccard)
+    blended with the PBoH log-odds terms (rho salience, lambda PMI,
+    window-context, mention prior).
+
+    This is one implementation of the engine's pluggable scorer surface
+    (SURVEY §2.10; reference ``Scorer`` trait,
+    loopybeliefpropagation/Scorer.scala:7-14): any callable class with
+    this constructor signature ``(stats_ref, cfg)`` and a
+    ``__call__(pa.Table) -> pa.Table`` emitting the scored-pair schema
+    (pair_key, jw, jaccard, pboh, score, is_match appended to the input's
+    non-feature columns) can be registered in ``SCORERS`` and selected
+    via ``PipelineConfig.scorer``."""
+
+    pboh_weight: float = 1.0   # weight of the PBoH term in the blend
+
     def __init__(self, stats_ref, cfg: PipelineConfig | None = None):
         self.cfg = cfg or PipelineConfig()
         self.w: ScorerWeights = self.cfg.weights
@@ -215,16 +237,23 @@ class PairScorer:
             ray.get(stats_ref) if isinstance(stats_ref, ray.ObjectRef) else stats_ref
         )
 
-    def _pboh_and_jac(self, A, la, B, lb) -> tuple[np.ndarray, np.ndarray]:
-        w, st, cfg = self.w, self.stats, self.cfg
-        n = len(la)
-        log_n = np.log(max(2, st.n_docs))
-
+    @staticmethod
+    def _shared_and_jac(A, la, B, lb):
+        """Sorted-merge shared-token mask + token Jaccard for a batch of
+        pairs (pure numpy, no stats needed)."""
         S = np.sort(np.concatenate([A, B], axis=1), axis=1)
         dup = (S[:, 1:] == S[:, :-1]) & (S[:, 1:] != _SENTINEL)
         n_shared = dup.sum(axis=1)
         denom = la + lb - n_shared
         jac = np.where(denom > 0, n_shared / np.maximum(denom, 1), 0.0)
+        return S, dup, jac
+
+    def _pboh_and_jac(self, A, la, B, lb) -> tuple[np.ndarray, np.ndarray]:
+        w, st, cfg = self.w, self.stats, self.cfg
+        n = len(la)
+        log_n = np.log(max(2, st.n_docs))
+
+        S, dup, jac = self._shared_and_jac(A, la, B, lb)
 
         rows = np.nonzero(dup)[0]
         sv = S[:, 1:][dup]                       # shared tokens, row-major
@@ -366,7 +395,9 @@ class PairScorer:
         B, lb = _padded_tokens(batch["tokens_b"])
         pboh, jac = self._pboh_and_jac(A, la, B, lb)
 
-        score = (w.w_jw * jw + w.w_jac * jac + pboh) / (w.w_jw + w.w_jac + 1.0)
+        pw = self.pboh_weight
+        score = (w.w_jw * jw + w.w_jac * jac + pw * pboh) / (
+            w.w_jw + w.w_jac + pw)
         out = batch.drop_columns(list(_FEATURE_COLS))
         # recompute the pair key dropped before the attach exchanges
         out = out.append_column(
@@ -384,6 +415,44 @@ class PairScorer:
         return out
 
 
+class StringSimScorer(PairScorer):
+    """String-similarity-only scorer — the differential baseline (the
+    reference ships the same comparison as LBP vs ARGMAX,
+    eval/EvalOnDatasets.scala:192-195): Jaro-Winkler + token Jaccard,
+    no PBoH statistics.  The ``pboh`` output column is all-zero and the
+    blend excludes it, so the Δ against the full scorer isolates exactly
+    what the corpus statistics buy."""
+
+    pboh_weight = 0.0
+
+    def __init__(self, stats_ref=None, cfg: PipelineConfig | None = None):
+        # stats are deliberately unused; the signature stays uniform so
+        # the scorer is selectable via PipelineConfig.scorer alone
+        self.cfg = cfg or PipelineConfig()
+        self.w = self.cfg.weights
+        self.stats = None
+
+    def _pboh_and_jac(self, A, la, B, lb) -> tuple[np.ndarray, np.ndarray]:
+        _, _, jac = self._shared_and_jac(A, la, B, lb)
+        return np.zeros(len(la)), jac
+
+
+# the pluggable-scorer registry (SURVEY §2.10): users add an entry and
+# select it with PipelineConfig(scorer=<name>) — the engine analog of the
+# reference's two shipped Scorer impls (ScorerFull /
+# ScorerFullLearnedParams.scala:13-55)
+SCORERS: dict[str, type] = {
+    "full": PairScorer,
+    "stringsim": StringSimScorer,
+}
+
+
+def register_scorer(name: str, cls: type) -> None:
+    """Register a custom scorer class (constructor ``(stats_ref, cfg)``,
+    callable over pyarrow pair batches — see PairScorer docstring)."""
+    SCORERS[name] = cls
+
+
 _SCORER_CACHE: dict[str, PairScorer] = {}
 
 
@@ -393,12 +462,14 @@ def _scorer_for(stats_ref, cfg: PipelineConfig) -> PairScorer:
     (RunLoopyAgainstAllGoogleClweb.scala:31-42): the broadcast stats are
     ray.get()'d once per process (zero-copy numpy views into the shared
     object store) and reused by every task that lands on the worker."""
-    key = (stats_ref.hex() if isinstance(stats_ref, ray.ObjectRef)
-           else str(id(stats_ref)))
+    ref_key = (stats_ref.hex() if isinstance(stats_ref, ray.ObjectRef)
+               else str(id(stats_ref)))
+    key = f"{cfg.scorer}:{ref_key}"
     sc = _SCORER_CACHE.get(key)
     if sc is None:
-        sc = PairScorer(stats_ref, cfg)
-        _SCORER_CACHE.clear()   # one stats table per pipeline run
+        sc = SCORERS[cfg.scorer](stats_ref, cfg)
+        if len(_SCORER_CACHE) > 4:   # one stats table per pipeline run
+            _SCORER_CACHE.clear()
         _SCORER_CACHE[key] = sc
     return sc
 
@@ -435,22 +506,10 @@ def attach_and_score(pairs: ray.data.Dataset, features: ray.data.Dataset,
     scored rows).  Measured at 250k convs / 16 CPUs: the unfused
     attach→score path spends ~27 s, of which ~6 s is the extra
     materialization hop this removes."""
-    from ..functions.grouping import hash_join
-
     cfg = cfg or PipelineConfig()
     stats_ref = stats if isinstance(stats, ray.ObjectRef) else ray.put(stats)
-
-    feats = features.select_columns(["conv_id", "jw_text", "tokens"]) \
-        .map_batches(_pack_tokens_binary, batch_format="pyarrow")
-    fa = feats.rename_columns({"conv_id": "conv_a", "jw_text": "jw_a",
-                               "tokens": "tokens_a"})
-    fb = feats.rename_columns({"conv_id": "conv_b", "jw_text": "jw_b",
-                               "tokens": "tokens_b"})
-    skinny = pairs.select_columns(
-        [c for c in pairs.schema().names if c != "pair_key"])
 
     def score_bucket(joined: pa.Table) -> pa.Table:
         return _scorer_for(stats_ref, cfg)(joined)
 
-    with_a = hash_join(skinny, fa, "conv_a", num_buckets).materialize()
-    return hash_join(with_a, fb, "conv_b", num_buckets, post=score_bucket)
+    return _attach(pairs, features, num_buckets, post=score_bucket)

@@ -39,3 +39,40 @@ def test_scored_pairs_unique(linkage200):
 def test_cluster_size_histogram(linkage200):
     hist = cluster_size_histogram(linkage200.clusters)
     assert hist["n_convs"].sum() == 200
+
+
+def test_scorer_differential(linkage200, corpus200):
+    """Pluggable-scorer differential (SURVEY §2.10/§5.2): the full scorer
+    is at least as accurate as the string-sim-only baseline at the
+    shipped threshold, and its labeled separation margin is strictly
+    wider — the measurable value of the PBoH statistics (reference
+    LBP-vs-ARGMAX pattern, eval/EvalOnDatasets.scala:192-195)."""
+    from pboh_entity_linking_ray.stages.evaluate import scorer_differential
+
+    res = linkage200
+    rep = scorer_differential(res.pairs, res.features, res.stats_ref,
+                              corpus200.labels).to_pandas().iloc[0]
+    assert rep["f1_full"] >= rep["f1_base"]
+    assert rep["f1_full"] >= 0.99
+    assert rep["margin_full"] > rep["margin_base"]
+    assert 0.0 < rep["agree_pct"] <= 1.0
+    assert rep["n_pairs"] > 0
+
+
+def test_scorer_registry_selects_baseline(ray_session):
+    """PipelineConfig.scorer plugs a different scorer into the fused
+    attach+score path; the stringsim scorer emits all-zero pboh."""
+    from dataclasses import replace
+
+    import ray.data as rd
+
+    from pboh_entity_linking_ray.config import PipelineConfig
+    from pboh_entity_linking_ray.pipelines.linkage import run_linkage
+    from pboh_entity_linking_ray.sources.synthetic import generate_corpus
+
+    c = generate_corpus(80, 7)
+    cfg = replace(PipelineConfig(), scorer="stringsim")
+    res = run_linkage(rd.from_arrow(c.turns), cfg)
+    sp = res.scored.to_pandas()
+    assert (sp["pboh"] == 0.0).all()
+    assert sp["score"].between(0, 1).all()
