@@ -133,7 +133,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 
 def _hwcal_worker(n_iter, q, core):
-    """One pinned process streaming a private 512 MB triad (a = b*s + c)."""
+    """One pinned process streaming a private 192 MB working set
+    (three 64 MB arrays) through a two-kernel triad a = b*s + c."""
     import numpy as np
     os.sched_setaffinity(0, {core})
     n = 64_000_000 // 8
@@ -166,7 +167,12 @@ def hwcal(levels=(2, 4, 8, 16), n_iter=20, reps=3) -> dict:
             ts = [q.get() for _ in ps]
             for p in ps:
                 p.join()
-            traffic = ncpu * n_iter * 3 * 64_000_000  # bytes (2r + 1w)
+            # two kernels make 5 explicit 64 MB array passes per iter
+            # (r b, w a; r a, r c, w a) — write-allocate adds more, so
+            # absolute GB/s is still a floor; level-to-level RATIOS (the
+            # hw_ceiling use) are exact either way
+            traffic = ncpu * n_iter * 5 * 64_000_000
+
             best = max(best, traffic / max(ts) / 1e9)
         out[ncpu] = round(best, 2)                    # GB/s aggregate
     return out
@@ -243,7 +249,12 @@ def main():
     import ray
 
     ray.shutdown()
-    result = results[0]
+    result = dict(results[0])
+    # the untouched first pass (cold session): consumers can tell the
+    # warm-min composite from what a single cold run actually achieved
+    result["cold"] = {"queries": dict(results[0]["queries"]),
+                      "value": results[0]["value"],
+                      "pairs_per_sec": results[0]["pairs_per_sec"]}
     best_link = min(results, key=lambda r: r["queries"]["link_pipeline"])
     result["queries"] = {q: min(r["queries"][q] for r in results)
                         for q in result["queries"]}

@@ -50,8 +50,14 @@ def main(argv: list[str] | None = None) -> int:
     import ray.data
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+        # under `ray job submit` the entrypoint process starts
+        # UNinitialized and must attach to the running cluster —
+        # address=None auto-detects RAY_ADDRESS / a local cluster;
+        # forcing address="local" here would silently run head-node-only
+        import os
+
+        ray.init(address=os.environ.get("RAY_ADDRESS"),
+                 include_dashboard=False, logging_level="ERROR")
 
     from dataclasses import replace
 

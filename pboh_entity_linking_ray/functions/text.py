@@ -45,6 +45,40 @@ def normalize_series(col) -> pl.Series:
     return to_polars(col).str.to_lowercase().str.strip_chars()
 
 
+def wiki_url_to_title(col) -> pl.Series:
+    """Freebase/Wikipedia URL → page title (SURVEY §2 M3; reference
+    ``extractWikipURL``, utils/Utils.scala:4-30): take the path after
+    ``wikipedia/en/``, drop the 2 trailing junk characters the freebase
+    dump lines carry, unescape freebase's ``$XXXX`` sequences (the
+    UTF-16 code unit as 4 hex digits), and turn underscores into spaces.
+
+    NOTE: the reference loop as written never advances past a non-'$'
+    character and feeds '$'+3 chars to parseInt — it cannot run as
+    printed; we implement the documented freebase escape format it
+    plainly intends ('$' + 4 hex digits).
+
+    Vectorized: extract/slice/underscore passes are polars kernels; the
+    ``$XXXX`` unescape falls back to a compiled-regex pass over ONLY the
+    rows containing '$' (rare in real dumps)."""
+    import re
+
+    s = to_polars(col)
+    ent = (
+        pl.DataFrame({"u": s})
+        .select(e=pl.col("u").str.extract(r"wikipedia/en/(.*)$", 1))
+        .select(e=pl.col("e").str.slice(0, pl.col("e").str.len_chars() - 2))
+    )["e"]
+    has = ent.str.contains(r"\$")
+    if bool(has.any()):
+        pat = re.compile(r"\$([0-9A-Fa-f]{4})")
+        idx = np.flatnonzero(has.fill_null(False).to_numpy())
+        vals = ent.to_list()
+        for i in idx:
+            vals[i] = pat.sub(lambda m: chr(int(m.group(1), 16)), vals[i])
+        ent = pl.Series("e", vals, dtype=pl.String)
+    return ent.str.replace_all("_", " ", literal=True)
+
+
 _HTML_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
                   "&#39;": "'", "&apos;": "'", "&nbsp;": " "}
 

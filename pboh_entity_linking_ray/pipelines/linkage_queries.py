@@ -142,12 +142,9 @@ def _mh_perm(j: int, h32: np.ndarray) -> np.ndarray:
     return ((2 * j + 1) * h32 + 7919 * j + 13) % _MH_PRIME
 
 
-def link_minhash_lsh_candidates(sf_dir: str):
-    """MinHash-LSH candidate pairs with DuckDB-reproducible hashing
-    (md5_number_lower % 2^32; permutations h_j = ((2j+1)h + 7919j+13) mod
-    4294967291).  The engine's production blocking uses the fast xxhash
-    MinHasher (stages/featurize.py); this md5 variant exists so the LSH
-    *algorithm* itself is oracle-checked end-to-end."""
+def _md5_band_keys(sf_dir: str) -> ray.data.Dataset:
+    """(conv_id, band, bkey) rows on the DuckDB-reproducible md5 MinHash
+    (shared by the LSH-candidates query and the block inventory)."""
     conv = canonicalize(_turns(sf_dir))
 
     class BandKeys:
@@ -183,8 +180,17 @@ def link_minhash_lsh_candidates(sf_dir: str):
                 "bkey": pa.array(out_key, type=pa.string()),
             })
 
-    keyed = conv.map_batches(BandKeys, batch_format="pyarrow",
-                             batch_size=512, concurrency=(1, 4))
+    return conv.map_batches(BandKeys, batch_format="pyarrow",
+                            batch_size=512, concurrency=(1, 4))
+
+
+def link_minhash_lsh_candidates(sf_dir: str):
+    """MinHash-LSH candidate pairs with DuckDB-reproducible hashing
+    (md5_number_lower % 2^32; permutations h_j = ((2j+1)h + 7919j+13) mod
+    4294967291).  The engine's production blocking uses the fast xxhash
+    MinHasher (stages/featurize.py); this md5 variant exists so the LSH
+    *algorithm* itself is oracle-checked end-to-end."""
+    keyed = _md5_band_keys(sf_dir)
 
     from ..functions.grouping import bucketed_groups, dedup_keep_first
 
@@ -228,8 +234,7 @@ def link_minhash_lsh_candidates(sf_dir: str):
     ).select_columns(["conv_a", "conv_b"])
 
 
-SQL_MINHASH = f"""
-WITH {_SQL_CONV_DOCS},
+_SQL_BANDS_CTE = f"""{_SQL_CONV_DOCS},
 tok AS (
   SELECT conv_id,
          unnest(list_distinct(regexp_extract_all(lower(mention_doc),
@@ -246,10 +251,28 @@ bands AS (
   SELECT conv_id, j // 2 AS band,
          string_agg(mv::VARCHAR, ',' ORDER BY j) AS bkey
   FROM mh GROUP BY conv_id, j // 2
-)
+)"""
+
+SQL_MINHASH = f"""
+WITH {_SQL_BANDS_CTE}
 SELECT DISTINCT a.conv_id AS conv_a, b.conv_id AS conv_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bkey = b.bkey AND a.conv_id < b.conv_id
+"""
+
+
+def link_block_inventory_md5(sf_dir: str):
+    """Oracle-checked block inventory: (band, bkey) → member count over
+    the md5-MinHash band keys (the SQL-twin-able variant of
+    ``link_block_inventory``; same bands CTE as the LSH candidates)."""
+    counted = _md5_band_keys(sf_dir).groupby(["band", "bkey"]).count()
+    return counted.rename_columns({"count()": "n_members"})
+
+
+SQL_BLOCK_INV_MD5 = f"""
+WITH {_SQL_BANDS_CTE}
+SELECT band, bkey, count(*) AS n_members
+FROM bands GROUP BY band, bkey
 """
 
 
@@ -372,6 +395,7 @@ QUERIES = {
     "link_token_df": (link_token_df, SQL_TOKEN_DF),
     "link_dedup_exact": (link_dedup_exact, SQL_DEDUP_EXACT),
     "link_minhash_lsh_candidates": (link_minhash_lsh_candidates, SQL_MINHASH),
+    "link_block_inventory_md5": (link_block_inventory_md5, SQL_BLOCK_INV_MD5),
     "link_pairs_scored": (link_pairs_scored, None),
     "link_clusters": (link_clusters, None),
     "link_block_inventory": (link_block_inventory, None),

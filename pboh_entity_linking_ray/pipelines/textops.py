@@ -447,8 +447,79 @@ WHERE a.doc_id IN (SELECT doc_id FROM live)
 GROUP BY 1, 2 HAVING count(*) >= {FREQ_PAIR_MIN}
 """
 
+# --- q22: freebase URL → wiki title (SURVEY §2 M3) --------------------------
+
+_FB_PREFIX = "http://rdf.freebase.com/ns/wikipedia/en/"
+# deterministic escape injected per doc (covers three distinct $XXXX
+# codes so the unescape path is actually exercised)
+_FB_ESCAPES = {0: "$0027", 1: "$0026", 2: "$002C"}
+
+
+def q22_url_titles(sf_dir: str):
+    """M3 port (reference utils/Utils.scala:4-30): freebase dump URL →
+    wiki page title.  URLs are synthesized deterministically from each
+    document's first two tokens (escape code keyed by doc_id % 3, two
+    trailing junk chars like the dump lines), then run through the real
+    extractor ``wiki_url_to_title`` — the oracle twin reproduces both
+    construction and extraction in DuckDB string ops."""
+    from ..functions.text import wiki_url_to_title
+
+    def build(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(t["doc_id"].combine_chunks()),
+            "toks": pl.from_arrow(t["text"].combine_chunks())
+                      .str.to_lowercase().str.extract_all("[a-z0-9]+"),
+        }).filter(pl.col("toks").list.len() >= 2)
+        df = df.with_columns(
+            t1=pl.col("toks").list.get(0),
+            t2=pl.col("toks").list.get(1),
+            esc=(pl.col("doc_id") % 3).replace_strict(_FB_ESCAPES),
+        ).with_columns(
+            url=(pl.lit(_FB_PREFIX) + pl.col("t1") + pl.col("esc")
+                 + pl.lit("_") + pl.col("t2") + pl.lit('">')),
+        )
+        out = df.select(["doc_id", "url"]).with_columns(
+            title=wiki_url_to_title(df["url"]))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", t.schema.field("doc_id").type),
+            ("url", pa.string()), ("title", pa.string())]))
+
+    return _docs(sf_dir).map_batches(build, batch_format="pyarrow")
+
+
+SQL_Q22 = f"""
+WITH two AS (
+  SELECT doc_id, toks[1] AS t1, toks[2] AS t2,
+         CASE doc_id % 3 WHEN 0 THEN '$0027' WHEN 1 THEN '$0026'
+              ELSE '$002C' END AS esc
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 2
+),
+urls AS (
+  SELECT doc_id,
+         '{_FB_PREFIX}' || t1 || esc || '_' || t2 || '">' AS url
+  FROM two
+),
+cut AS (
+  SELECT doc_id, url,
+         substr(e, 1, length(e) - 2) AS e
+  FROM (SELECT doc_id, url,
+               regexp_extract(url, 'wikipedia/en/(.*)$', 1) AS e
+        FROM urls)
+)
+SELECT doc_id, url,
+       replace(replace(replace(replace(e, '$0027', chr(39)),
+               '$0026', chr(38)), '$002C', chr(44)), '_', ' ') AS title
+FROM cut
+"""
+
+
 QUERIES = {
     "q12_ngram_jaccard_pairs": (q12_ngram_jaccard_pairs, SQL_Q12),
+    "q22_url_titles": (q22_url_titles, SQL_Q22),
     "q20_frequent_pairs": (q20_frequent_pairs, SQL_Q20),
     "q13_simhash": (q13_simhash, SQL_Q13),
     "q15_winnow_fingerprints": (q15_winnow_fingerprints, SQL_Q15),

@@ -68,3 +68,21 @@ def test_shingles():
     assert shingles(["a", "b", "c", "d"], 3) == ["a b c", "b c d"]
     assert shingles(["a", "b"], 3) == ["a b"]
     assert shingles([], 3) == []
+
+
+def test_wiki_url_to_title_m3():
+    """M3 (reference utils/Utils.scala:4-30): path extract after
+    wikipedia/en/, 2-char tail drop, $XXXX (4 hex) unescape,
+    underscores to spaces."""
+    import polars as pl
+
+    from pboh_entity_linking_ray.functions.text import wiki_url_to_title
+
+    urls = pl.Series([
+        'http://rdf.freebase.com/ns/wikipedia/en/Apple$0027s_Law">',
+        'http://rdf.freebase.com/ns/wikipedia/en/Plain_Title">',
+        'http://rdf.freebase.com/ns/wikipedia/en/A$0026B$002CC">',
+        'http://rdf.freebase.com/ns/wikipedia/en/Unicode$00E9_x">',
+    ])
+    out = wiki_url_to_title(urls).to_list()
+    assert out == ["Apple's Law", "Plain Title", "A&B,C", "Unicodeé x"]
