@@ -290,25 +290,162 @@ def ann_lsh(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K):
         return pa.concat_tables(outs) if outs else empty
 
     partial = bucketed_groups(indexed, "bucket", probe)
+    return bucketed_groups(partial, "query_id",
+                           lambda b: _merge_topk_bucket(b, k))
 
-    def merge_topk(bucket: pa.Table) -> pa.Table:
-        q = np.asarray(bucket["query_id"])
-        if len(q) == 0:
-            return bucket
-        cos = np.asarray(bucket["cos_e6"])
-        vid = np.asarray(bucket["vec_id"])
-        # a vector may reach one query through several probe buckets
-        import polars as pl
 
-        df = pl.from_arrow(bucket).unique(subset=["query_id", "vec_id"])
-        q = df["query_id"].to_numpy()
-        cos = df["cos_e6"].to_numpy()
-        vid = df["vec_id"].to_numpy()
-        m = _topk_mask(q, cos, vid, k)
-        return pl.DataFrame({"query_id": q[m], "vec_id": vid[m],
-                             "cos_e6": cos[m]}).to_arrow()
+def _merge_topk_bucket(bucket: pa.Table, k: int) -> pa.Table:
+    """Per-query top-k merge of partial candidate rows (a vector may
+    reach one query through several probe buckets → dedup first)."""
+    if bucket.num_rows == 0:
+        return bucket
+    import polars as pl
 
-    return bucketed_groups(partial, "query_id", merge_topk)
+    df = pl.from_arrow(bucket).unique(subset=["query_id", "vec_id"])
+    q = df["query_id"].to_numpy()
+    cos = df["cos_e6"].to_numpy()
+    vid = df["vec_id"].to_numpy()
+    m = _topk_mask(q, cos, vid, k)
+    return pl.DataFrame({"query_id": q[m], "vec_id": vid[m],
+                         "cos_e6": cos[m]}).to_arrow()
+
+
+IVF_CELLS = 32            # inverted-file cells (coarse quantizer size)
+IVF_NPROBE = 4            # cells probed per query
+
+
+def _ivf_centroids(sf_dir: str, n_cells: int) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: hash-sampled seed vectors +
+    ONE distributed Lloyd step.
+
+    The refinement is the pre-aggregation pattern: every batch assigns
+    its vectors to the nearest seed and emits ≤ n_cells partial
+    (sum, count) rows — the driver only ever sees O(blocks × n_cells)
+    tiny partials, never the corpus."""
+    emb = _read_embeddings(sf_dir)
+    n = emb.count()
+    mod = max(1, n // (4 * n_cells))
+
+    def keep_seeds(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        return t.filter(pa.array(ids % mod == 0))
+
+    seed_tbl = _concat_small(
+        emb.map_batches(keep_seeds, batch_format="pyarrow")
+           .limit(4 * n_cells))
+    s_ids, s_mat = _matrix(seed_tbl)
+    order = np.argsort(s_ids)[:n_cells]
+    seeds = _normalize(s_mat[order])
+    sref = ray.put(seeds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = ray.get(sref)
+        _, mat = _matrix(t)
+        mn = _normalize(mat)
+        c = np.argmax(mn @ s.T, axis=1)
+        sums = np.zeros_like(s)
+        np.add.at(sums, c, mn)
+        counts = np.bincount(c, minlength=len(s))
+        return pa.table({
+            "cell": pa.array(np.arange(len(s), dtype=np.int64)),
+            "cnt": pa.array(counts.astype(np.int64)),
+            "vsum": pa.array(list(sums), type=pa.list_(pa.float64())),
+        })
+
+    parts = _concat_small(emb.map_batches(partial, batch_format="pyarrow",
+                                          batch_size=4096))
+    cell = np.asarray(parts["cell"])
+    cnt = np.asarray(parts["cnt"])
+    vs = np.asarray(parts["vsum"].combine_chunks().flatten(),
+                    dtype=np.float64).reshape(len(cell), -1)
+    sums = np.zeros_like(seeds)
+    np.add.at(sums, cell, vs)
+    counts = np.zeros(len(seeds), dtype=np.int64)
+    np.add.at(counts, cell, cnt)
+    live = counts > 0
+    out = seeds.copy()
+    out[live] = sums[live] / counts[live, None]
+    return _normalize(out)
+
+
+def _concat_small(ds: ray.data.Dataset) -> pa.Table:
+    refs = ds.to_arrow_refs()
+    tbls = [t for t in ray.get(refs) if t.num_rows] or ray.get(refs[:1])
+    return pa.concat_tables(tbls, promote_options="default")
+
+
+def ann_ivf_topk(sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K):
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer —
+    the second scale path beside ``ann_lsh``:
+
+    train:  deterministic seeds + one distributed Lloyd step
+            (``_ivf_centroids``; partial sums inside map_batches);
+    index:  map_batches assigns each vector to its nearest centroid;
+    shuffle: hash-partition by cell (all of a cell's vectors co-locate);
+    probe:  each cell group scans only the queries whose IVF_NPROBE
+            nearest centroids include it → per-(cell × query) partial
+            top-k;
+    reduce: per-query top-k merge (shared with ann_lsh).
+    Approximate → no SQL oracle; recall vs exact is asserted in pytest
+    on the planted-cluster corpus."""
+    from ..functions.grouping import bucketed_groups
+
+    cents = _ivf_centroids(sf_dir, IVF_CELLS)
+    q_ids, q_mat = _query_side(sf_dir, n_queries)
+    q_mat = _normalize(q_mat)
+    qcos = q_mat @ cents.T                               # (nq, cells)
+    nprobe = min(IVF_NPROBE, cents.shape[0])
+    probe_cells = np.argsort(-qcos, axis=1)[:, :nprobe]
+    probe_of: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for c in probe_cells[qi]:
+            probe_of.setdefault(int(c), []).append(qi)
+    cref = ray.put(cents)
+    qref = ray.put((q_ids, q_mat,
+                    {c: np.array(v) for c, v in probe_of.items()}))
+
+    def add_cell(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        _, mat = _matrix(t)
+        a = np.argmax(_normalize(mat) @ c.T, axis=1)
+        return t.append_column("cell", pa.array(a.astype(np.int64)))
+
+    indexed = _read_embeddings(sf_dir).map_batches(
+        add_cell, batch_format="pyarrow", batch_size=4096)
+
+    def probe(group: pa.Table) -> pa.Table:
+        qi_ids, qi_mat, probes = ray.get(qref)
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "cos_e6": pa.array([], type=pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        ids, mat = _matrix(group)
+        cell = np.asarray(group["cell"])
+        outs = []
+        for c in np.unique(cell):
+            qsel = probes.get(int(c))
+            if qsel is None:
+                continue
+            sel = cell == c
+            m_ids, m_mat = ids[sel], mat[sel]
+            cos = _cos_e6(m_mat, qi_mat[qsel])
+            qcol = np.repeat(qi_ids[qsel][None, :], len(m_ids), axis=0).ravel()
+            vcol = np.repeat(m_ids, len(qsel))
+            flat = cos.ravel()
+            keep = qcol != vcol
+            qcol, vcol, flat = qcol[keep], vcol[keep], flat[keep]
+            if len(qcol) == 0:
+                continue
+            msk = _topk_mask(qcol, flat, vcol, k)
+            outs.append(pa.table({"query_id": pa.array(qcol[msk]),
+                                  "vec_id": pa.array(vcol[msk]),
+                                  "cos_e6": pa.array(flat[msk])}))
+        return pa.concat_tables(outs) if outs else empty
+
+    partial = bucketed_groups(indexed, "cell", probe)
+    return bucketed_groups(partial, "query_id",
+                           lambda b: _merge_topk_bucket(b, k))
 
 
 def ann_neardup_lsh(sf_dir: str):
@@ -372,5 +509,6 @@ QUERIES = {
     "q10_knn_bruteforce": (q10_knn_bruteforce, SQL_Q10),
     "q11_embedding_neardup": (q11_embedding_neardup, SQL_Q11),
     "ann_lsh_topk": (ann_lsh, None),        # approximate → rows-only check
+    "ann_ivf_topk": (ann_ivf_topk, None),   # approximate → rows-only check
     "ann_neardup_lsh": (ann_neardup_lsh, None),
 }

@@ -84,3 +84,26 @@ def test_neardup_lsh_subset_on_testdata(ray_session):
     p11 = set(map(tuple, q11[["vec_a", "vec_b", "cos_e6"]].to_numpy()))
     pnd = set(map(tuple, nd[["vec_a", "vec_b", "cos_e6"]].to_numpy()))
     assert pnd <= p11 and len(pnd) > 0
+
+
+def test_ann_ivf_finds_planted_neighbors(planted_dir, ray_session):
+    """IVF scale path: on the planted-cluster corpus each query's 3 noisy
+    near-copies (cos≈0.99) land in the query's own or a probed cell."""
+    got = ann.ann_ivf_topk(planted_dir).to_pandas()
+    hits = 0
+    for q in range(ann.N_QUERIES):
+        copies = {q // 4 * 4 + i for i in range(4)} - {q}
+        found = set(got.loc[got["query_id"] == q, "vec_id"])
+        hits += len(copies & found)
+    assert hits / (ann.N_QUERIES * 3) >= 0.8
+
+
+def test_ann_ivf_rows_are_true_cosines(planted_dir, ray_session):
+    """Every IVF output row carries the EXACT cosine (in-cell verify)."""
+    got = ann.ann_ivf_topk(planted_dir).to_pandas()
+    ids, m = _brute(planted_dir)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    cos = ann._cos_e6(m, m)
+    for q, v, c in got[["query_id", "vec_id", "cos_e6"]].to_numpy():
+        assert cos[pos[int(q)], pos[int(v)]] == int(c)
+    assert (got.groupby("query_id").size() <= ann.TOP_K).all()
