@@ -102,6 +102,10 @@ class PipelineConfig:
                                 # = string-sim + PBoH stats, "stringsim"
                                 # = the reference's ARGMAX-style baseline
                                 # (string similarity only)
+    blockers: tuple = ("minhash", "signature")
+                                # keys into stages.blocking.BLOCKERS —
+                                # which block-key families emit candidate
+                                # rows (SURVEY §2.10 Blocker surface)
     # --- weights ---
     weights: ScorerWeights = field(default_factory=ScorerWeights)
     # --- determinism ---

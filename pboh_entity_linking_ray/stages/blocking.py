@@ -44,6 +44,40 @@ _PAIR_SCHEMA = pa.schema(
 )
 
 
+def _minhash_blocker(emitter: "BlockKeyEmitter", batch: pa.Table,
+                     sigs: np.ndarray) -> dict[str, np.ndarray]:
+    """MinHash-LSH band keys: lsh_bands u64 keys per conversation."""
+    cfg = emitter.cfg
+    band = emitter.mh.band_keys(sigs, cfg.lsh_bands, cfg.lsh_rows)  # (n, B)
+    return {f"b{b:02d}": band[:, b] for b in range(cfg.lsh_bands)}
+
+
+def _signature_blocker(emitter: "BlockKeyEmitter", batch: pa.Table,
+                       sigs: np.ndarray) -> dict[str, np.ndarray]:
+    """Tool/role-signature key: one u64 key per conversation."""
+    import polars as pl
+
+    return {"s": pl.from_arrow(batch["sig"].combine_chunks())
+                   .hash(seed=13).to_numpy().astype(np.uint64)}
+
+
+# pluggable Blocker registry (SURVEY §2.10 new-engine surface, sibling of
+# stages/scoring.py:SCORERS): a blocker maps a feature batch to named u64
+# key columns; every key family selected in PipelineConfig.blockers emits
+# one skinny (conv_id × key) row per conversation
+BLOCKERS: dict[str, object] = {
+    "minhash": _minhash_blocker,
+    "signature": _signature_blocker,
+}
+
+
+def register_blocker(name: str, fn) -> None:
+    """Register a custom blocker ``fn(emitter, batch, sigs) ->
+    dict[key_name, uint64 ndarray]`` selectable via
+    ``PipelineConfig.blockers``."""
+    BLOCKERS[name] = fn
+
+
 class BlockKeyEmitter:
     """features → one row per (conv, block_key); all feature cols duplicated."""
 
@@ -71,21 +105,18 @@ class BlockKeyEmitter:
         sigs = np.asarray(batch["minhash"].combine_chunks().flatten()).reshape(
             n, cfg.num_perm
         )
-        band = self.mh.band_keys(sigs, cfg.lsh_bands, cfg.lsh_rows)  # (n, B)
-        sig_hash = (
-            pl.from_arrow(batch["sig"].combine_chunks())
-            .hash(seed=13)
-            .to_numpy()
-            .astype(np.uint64)
-        )
-        n_keys = cfg.lsh_bands + 1
-        # conv i emits keys [b0..b{B-1}, sig]; built COLUMN-major (all b0
+        # pluggable key families (SURVEY §2.10's Blocker surface): each
+        # registered blocker maps the feature batch to named u64 key
+        # columns; cfg.blockers selects which families emit
+        cols: dict[str, np.ndarray] = {}
+        for name in cfg.blockers:
+            cols.update(BLOCKERS[name](self, batch, sigs))
+        names = list(cols)
+        n_keys = len(names)
+        # conv i emits keys [family keys…]; built COLUMN-major (all b0
         # keys, then b1, …) so each prefix+digits concat is one vectorized
         # polars kernel over the whole batch — never a Python string op
         # per emitted key
-        names = [f"b{b:02d}" for b in range(cfg.lsh_bands)] + ["s"]
-        cols = {f"b{b:02d}": band[:, b] for b in range(cfg.lsh_bands)}
-        cols["s"] = sig_hash
         keyed = pl.DataFrame(cols).select(
             (pl.lit(f"{c}:") + pl.col(c).cast(pl.String)).alias(c)
             for c in names

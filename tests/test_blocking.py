@@ -72,3 +72,30 @@ def test_oversized_block_pair_budget(ray_session):
     for bk, m in hot.items():
         total = int(m) * (int(m) - 1) // 2
         assert emitted.get(bk, 0) <= total // 2
+
+
+def test_blocker_registry_selects_families(ray_session):
+    """PipelineConfig.blockers picks which key families emit (SURVEY
+    §2.10 Blocker surface): signature-only emits exactly one s: key per
+    conversation; the default emits lsh_bands b-keys plus s."""
+    from dataclasses import replace
+
+    import ray.data as rd
+
+    from pboh_entity_linking_ray.config import PipelineConfig
+    from pboh_entity_linking_ray.stages.blocking import add_block_keys
+    from pboh_entity_linking_ray.stages.canonicalize import canonicalize
+    from pboh_entity_linking_ray.stages.featurize import featurize
+    from pboh_entity_linking_ray.sources.synthetic import generate_corpus
+
+    c = generate_corpus(40, 5)
+    cfg = PipelineConfig()
+    feats = featurize(canonicalize(rd.from_arrow(c.turns)), cfg).materialize()
+
+    sig_only = add_block_keys(
+        feats, replace(cfg, blockers=("signature",))).to_pandas()
+    assert len(sig_only) == 40
+    assert sig_only["block_key"].str.startswith("s:").all()
+
+    full = add_block_keys(feats, cfg).to_pandas()
+    assert len(full) == 40 * (cfg.lsh_bands + 1)
