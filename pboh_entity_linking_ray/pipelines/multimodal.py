@@ -100,7 +100,126 @@ def mm_features(sf_dir: str):
     )
 
 
+FRAME_BYTES = 256     # fake-video frame size (bytes per frame window)
+FRAME_STRIDE = 4      # sample every 4th frame
+
+
+def mm_frame_sample(sf_dir: str):
+    """Video-style frame sampling plumbing (oracle-checked): the payload
+    is treated as a frame sequence of FRAME_BYTES windows; every
+    FRAME_STRIDE-th frame is emitted as (doc_id, frame_idx, frame_off,
+    frame_len).  Fully vectorized (np.repeat over per-doc frame counts);
+    the real decode of each window is the stubbed codec path."""
+    ds = encode_payloads(sf_dir).select_columns(["doc_id", "n_bytes"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n_bytes"], dtype=np.int64)
+        n_frames = (n + FRAME_BYTES - 1) // FRAME_BYTES
+        n_sampled = (n_frames + FRAME_STRIDE - 1) // FRAME_STRIDE
+        rep = np.repeat(np.arange(len(n)), n_sampled)
+        # frame index within each doc: global arange minus each doc's
+        # segment start, times the stride
+        total = int(n_sampled.sum())
+        starts = np.concatenate(([0], np.cumsum(n_sampled)[:-1]))
+        local = np.arange(total) - np.repeat(starts, n_sampled)
+        fidx = local * FRAME_STRIDE
+        off = fidx * FRAME_BYTES
+        ln = np.minimum(FRAME_BYTES, n[rep] - off)
+        return pa.table({
+            "doc_id": t["doc_id"].take(pa.array(rep)),
+            "frame_idx": pa.array(fidx),
+            "frame_off": pa.array(off),
+            "frame_len": pa.array(ln),
+        })
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+SQL_MM_FRAMES = f"""
+SELECT doc_id,
+       unnest(range(0, (n_bytes + {FRAME_BYTES - 1}) // {FRAME_BYTES},
+                    {FRAME_STRIDE})) AS frame_idx,
+       frame_idx * {FRAME_BYTES} AS frame_off,
+       least({FRAME_BYTES}, n_bytes - frame_off) AS frame_len
+FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents)
+"""
+
+
+RESIZE_TARGET = 32    # fit into a TARGET×TARGET box, aspect preserved
+
+
+def mm_resize_meta(sf_dir: str):
+    """Resize plumbing (oracle-checked): integer aspect-preserving fit of
+    (width, height) into a RESIZE_TARGET box — scale in e4 fixed point,
+    exactly reproducible in SQL.  The pixel resample itself is the
+    stubbed codec path."""
+    ds = mm_decode_meta(sf_dir)
+
+    def rs(t: pa.Table) -> pa.Table:
+        w = np.asarray(t["width"], dtype=np.int64)
+        h = np.asarray(t["height"], dtype=np.int64)
+        s_e4 = np.minimum(RESIZE_TARGET * 10000 // w,
+                          RESIZE_TARGET * 10000 // h)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "width": t["width"], "height": t["height"],
+            "scale_e4": pa.array(s_e4),
+            "new_w": pa.array(np.maximum(1, w * s_e4 // 10000)),
+            "new_h": pa.array(np.maximum(1, h * s_e4 // 10000)),
+        })
+
+    return ds.map_batches(rs, batch_format="pyarrow")
+
+
+SQL_MM_RESIZE = f"""
+SELECT doc_id, width, height,
+       least({RESIZE_TARGET} * 10000 // width,
+             {RESIZE_TARGET} * 10000 // height) AS scale_e4,
+       greatest(1, width * scale_e4 // 10000) AS new_w,
+       greatest(1, height * scale_e4 // 10000) AS new_h
+FROM (SELECT doc_id,
+             16 + (octet_length(encode(text)) % 64) AS width,
+             16 + ((octet_length(encode(text)) // 64) % 64) AS height
+      FROM documents)
+"""
+
+
+def mm_frame_features(sf_dir: str):
+    """Actor-pool per-frame feature extraction over the REAL payload
+    byte windows (rows-only; the feature is the fake byte-histogram —
+    the codec hook is the stubbed MediaDecoder 'real' path)."""
+
+    class FrameFeatures:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            doc_out, idx_out, feats = [], [], []
+            payloads = t["payload"].to_pylist()
+            docs = t["doc_id"].to_pylist()
+            for d, p in zip(docs, payloads):
+                arr = np.frombuffer(p, dtype=np.uint8)
+                for f in range(0, (len(arr) + FRAME_BYTES - 1) // FRAME_BYTES,
+                               FRAME_STRIDE):
+                    win = arr[f * FRAME_BYTES:(f + 1) * FRAME_BYTES]
+                    hist, _ = np.histogram(win, bins=FEATURE_DIM,
+                                           range=(0, 256))
+                    doc_out.append(d)
+                    idx_out.append(f)
+                    feats.append(((hist * 10000) // max(1, len(win)))
+                                 .astype(np.int64).tolist())
+            return pa.table({
+                "doc_id": pa.array(doc_out, type=t.schema.field("doc_id").type),
+                "frame_idx": pa.array(idx_out, type=pa.int64()),
+                "features_e4": pa.array(feats, type=pa.list_(pa.int64())),
+            })
+
+    return encode_payloads(sf_dir).map_batches(
+        FrameFeatures, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4), num_cpus=1)
+
+
 QUERIES = {
     "mm_decode_meta": (mm_decode_meta, SQL_MM_META),
+    "mm_frame_sample": (mm_frame_sample, SQL_MM_FRAMES),
+    "mm_resize_meta": (mm_resize_meta, SQL_MM_RESIZE),
     "mm_features": (mm_features, None),
+    "mm_frame_features": (mm_frame_features, None),
 }
