@@ -35,6 +35,9 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pboh_entity_linking_ray")
     ap.add_argument("--input", required=True,
                     help="turns parquet file or directory")
+    ap.add_argument("--format", default="parquet",
+                    help="input reader from sources.READERS "
+                         "(parquet | tsv | a registered plugin)")
     ap.add_argument("--output", required=True,
                     help="output directory for the clusters parquet")
     ap.add_argument("--checkpoint-root", default=None,
@@ -69,7 +72,9 @@ def main(argv: list[str] | None = None) -> int:
         cfg = replace(cfg, weights=replace(cfg.weights,
                                            match_threshold=args.match_threshold))
 
-    turns = ray.data.read_parquet(args.input)
+    from .sources import read_turns
+
+    turns = read_turns(args.input, args.format)
     res = run_linkage(turns, cfg, checkpoint_root=args.checkpoint_root)
     res.clusters.write_parquet(args.output)
 

@@ -1,0 +1,37 @@
+"""Dataset-plugin surface (SURVEY §2.10 row 1).
+
+The reference documents "produce ``Array[(docName, …)]``" as THE way to
+add a dataset (reference: README.md:23; example plugin
+eval/datasets/AQUAINT_MSNBC_ACE04.scala).  The engine equivalent: a
+reader registry mapping a format name to ``fn(path) -> ray.data.Dataset``
+emitting the canonical turns schema (``conv_id, turn_idx, role, text,
+tool[, ts]`` — sources/text_lines.py:TURNS_SCHEMA); every downstream
+stage is source-agnostic, so registering a reader IS adding a dataset.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from .text_lines import read_turns_tsv
+
+
+def _read_parquet_turns(path: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(path)
+
+
+READERS: dict[str, object] = {
+    "parquet": _read_parquet_turns,
+    "tsv": read_turns_tsv,
+}
+
+
+def register_reader(name: str, fn) -> None:
+    """Register a custom dataset reader ``fn(path) -> Dataset`` emitting
+    the canonical turns schema."""
+    READERS[name] = fn
+
+
+def read_turns(path: str, format: str = "parquet") -> ray.data.Dataset:
+    """Open a turns dataset through the plugin registry."""
+    return READERS[format](path)

@@ -66,3 +66,54 @@ def test_read_turns_tsv_normalize_tools(tmp_path, ray_session):
     df = (read_turns_tsv(str(p), normalize_tools=True)
           .to_pandas().sort_values("turn_idx"))
     assert list(df["tool"]) == ["Web search", "Grep files"]
+
+
+def test_reader_registry_tsv_matches_parquet(tmp_path, ray_session):
+    """Dataset-plugin surface (SURVEY §2.10 row 1): the tsv reader opened
+    through the registry yields the same turns as the parquet reader."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pboh_entity_linking_ray.sources import READERS, read_turns
+    from pboh_entity_linking_ray.sources.synthetic import generate_corpus
+
+    assert set(READERS) >= {"parquet", "tsv"}
+    c = generate_corpus(30, 3)
+    pdir = os.path.join(str(tmp_path), "turns.parquet")
+    pq.write_table(c.turns, pdir)
+    lines = [
+        f"{r['conv_id']}\t{r['turn_idx']}\t{r['role']}\t{r['tool']}\t{r['text']}"
+        for r in c.turns.select(
+            ["conv_id", "turn_idx", "role", "tool", "text"]).to_pylist()
+    ]
+    tpath = os.path.join(str(tmp_path), "turns.tsv")
+    with open(tpath, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    a = (read_turns(pdir, "parquet").to_pandas()[cols]
+         .astype({"turn_idx": "int32"})
+         .sort_values(cols).reset_index(drop=True))
+    b = (read_turns(tpath, "tsv").to_pandas()[cols]
+         .sort_values(cols).reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_register_reader_plugin(ray_session):
+    """A registered custom reader is reachable through read_turns."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pboh_entity_linking_ray.sources import read_turns, register_reader
+
+    def tiny(path):
+        return rd.from_arrow(pa.table({
+            "conv_id": ["c1"], "turn_idx": pa.array([0], type=pa.int32()),
+            "role": ["user"], "text": [path], "tool": [""]}))
+
+    register_reader("tiny", tiny)
+    out = read_turns("hello", "tiny").to_pandas()
+    assert list(out["text"]) == ["hello"]
