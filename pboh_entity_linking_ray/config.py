@@ -95,6 +95,11 @@ class PipelineConfig:
                                 # the same way, Learning.scala:128)
     # --- execution ---
     scorer_batch_size: int = 4096
+    rows_per_bucket: int = 25_000   # exchange sizing: ~keyed rows per
+                                # hash bucket (functions/grouping.py:
+                                # buckets_for); bucket counts grow with
+                                # the corpus and the two-round exchange
+                                # engages automatically past 256
     # --- pluggable scoring (SURVEY §2.10; reference Scorer trait,
     # loopybeliefpropagation/Scorer.scala:7-14 with ScorerFull /
     # ScorerFullLearnedParams as the two shipped impls) ---

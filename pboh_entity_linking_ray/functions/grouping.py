@@ -127,6 +127,20 @@ def _exchange_apply(fn, *parts: pa.Table) -> pa.Table:
 TWO_ROUND_THRESHOLD = 256
 
 
+def buckets_for(n_rows: int, rows_per_bucket: int = 25_000,
+                lo: int = 64) -> int:
+    """Exchange bucket count sized to the input: ~``rows_per_bucket``
+    keyed rows per bucket (one bucket must fit a worker's heap), rounded
+    up to a power of two, floored at ``lo``.  Crossing
+    TWO_ROUND_THRESHOLD automatically engages the hierarchical
+    two-round exchange — this is how the flagship's shuffles keep
+    working unchanged from 20k conversations to 100 TB."""
+    import math
+
+    need = max(1, int(n_rows) // max(1, rows_per_bucket))
+    return max(lo, 1 << math.ceil(math.log2(need)))
+
+
 def hash_exchange(ds: ray.data.Dataset, key_col: str, fn,
                   num_buckets: int = 64,
                   two_round: bool | None = None) -> ray.data.Dataset:

@@ -130,17 +130,27 @@ def run_linkage(
         # that is the 100 TB path; materialize() is only for small runs.)
         features = features.materialize()
     mark("featurize")
+    # size every exchange to the corpus: ~rows_per_bucket keyed rows per
+    # bucket (one bucket must fit a worker), power of two — crossing 256
+    # engages the hierarchical two-round exchange automatically, so the
+    # same pipeline code holds from 20k convs to 100 TB
+    from ..functions.grouping import buckets_for
+
+    n_convs = features.count()
+    nb = buckets_for(n_convs, cfg.rows_per_bucket)
 
     # fused stats builds: token-level (vocab df + stream occ) and
     # pair-level (conv cooc + window cooc) each cost ONE pass over
     # features and ONE exchange (stages/stats.py fused partials)
-    token_stats = runner.run("token_stats", lambda: build_token_stats(features))
+    token_stats = runner.run(
+        "token_stats", lambda: build_token_stats(features, num_buckets=nb))
     # emit_min pushes the broadcast floor INTO the aggregating shuffle
     # task: global singleton pairs (~half the key space) are dropped
     # before any downstream pass or checkpoint write
     pair_stats = runner.run(
         "pair_stats",
-        lambda: build_pair_stats(features, cfg, emit_min=cfg.cooc_min_count))
+        lambda: build_pair_stats(features, cfg, emit_min=cfg.cooc_min_count,
+                                 num_buckets=nb))
     prior = runner.run(
         "entity_prior",
         lambda: build_entity_prior_from_docs(conv_docs,
@@ -166,8 +176,8 @@ def run_linkage(
         return pa.table({"pair": t["pair"], "count": t[val]})
 
     blocked = add_block_keys(features, cfg)
-    pairs_raw = make_pairs(blocked, cfg)
-    pairs_lazy = dedup_pairs(pairs_raw)
+    pairs_raw = make_pairs(blocked, cfg, num_buckets=nb)
+    pairs_lazy = dedup_pairs(pairs_raw, num_buckets=nb)
 
     # Heavy distributed jobs run ONE AT A TIME with the whole cluster;
     # only the two SMALL stats collects (a few thousand rows each, mostly
@@ -255,7 +265,6 @@ def run_linkage(
     cooc_tbl = pa.table({"pair": pa.array(f_k[kinds == 1]),
                          "count": pa.array(f_v[kinds == 1])})
     wcooc_tbl = _collect_view(pair_ds, "count_win", floor, _collect)
-    n_convs = features.count()
     mark("broadcast_prep")
     stats = BroadcastStats.from_tables(vocab_tbl, cooc_tbl, n_convs,
                                        wfreq_tbl, wcooc_tbl, prior_tbl)
@@ -280,7 +289,8 @@ def run_linkage(
     # its joined rows in place (attach_and_score)
     stats_ref = ray.put(stats)
     scored = runner.run(
-        "scored", lambda: attach_and_score(pairs, features, stats_ref, cfg))
+        "scored", lambda: attach_and_score(pairs, features, stats_ref, cfg,
+                                           num_buckets=nb))
     if runner.root:
         runner.add_metrics("scored", {"score_histogram": score_histogram(scored)})
     else:

@@ -222,7 +222,8 @@ def _token_stats_fused_partial(batch: pa.Table) -> pa.Table:
     return out.to_arrow()
 
 
-def build_token_stats(features: ray.data.Dataset) -> ray.data.Dataset:
+def build_token_stats(features: ray.data.Dataset,
+                      num_buckets: int = 64) -> ray.data.Dataset:
     """token_hash → (df, occ) — vocab and stream frequency fused into one
     exchange (bucketed_sum_multi)."""
     from ..functions.grouping import bucketed_sum_multi
@@ -232,7 +233,7 @@ def build_token_stats(features: ray.data.Dataset) -> ray.data.Dataset:
     )
     return bucketed_sum_multi(partial, ["token_hash"],
                               {"df_partial": "df", "occ_partial": "occ"},
-                              engine="exchange")
+                              num_buckets, engine="exchange")
 
 
 def _pair_stats_fused_partial(batch: pa.Table, cap: int,
@@ -287,7 +288,8 @@ def _pair_stats_packed_partial(batch: pa.Table, cap: int,
 
 def build_pair_stats(features: ray.data.Dataset,
                      cfg: PipelineConfig | None = None,
-                     emit_min: int = 1) -> ray.data.Dataset:
+                     emit_min: int = 1,
+                     num_buckets: int = 64) -> ray.data.Dataset:
     """pair → (count_conv, count_win) — conversation-level and windowed
     co-occurrence fused into one exchange (packed-lane combiner).
 
@@ -326,7 +328,7 @@ def build_pair_stats(features: ray.data.Dataset,
     p = features.map_batches(partial, batch_format="pyarrow", batch_size=4096)
     # the partial map emits many well-sized blocks already — the extra
     # pre-groupby repartition exchange would only re-move ~1.5 GB
-    return bucketed_groups(p, "pair", agg, engine="exchange")
+    return bucketed_groups(p, "pair", agg, num_buckets, engine="exchange")
 
 
 def _mention_prior_partial(batch: pa.Table, sample_mod: int = 1) -> pa.Table:

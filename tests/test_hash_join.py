@@ -161,3 +161,17 @@ def test_exchange_sparse_keys_empty_buckets(ray_session):
                .to_pandas().sort_values("k").reset_index(drop=True))
         assert list(out["k"]) == ["a", "b", "c"]
         assert out["s"].sum() == sum(range(150))
+
+
+def test_buckets_for_sizing():
+    from pboh_entity_linking_ray.functions.grouping import (
+        TWO_ROUND_THRESHOLD,
+        buckets_for,
+    )
+
+    assert buckets_for(20_000) == 64            # floor
+    assert buckets_for(250_000) == 64           # 10 buckets needed -> floor
+    assert buckets_for(3_200_000) == 128        # 128 x 25k
+    assert buckets_for(100_000_000) == 4096     # two-round territory
+    assert buckets_for(100_000_000) > TWO_ROUND_THRESHOLD
+    assert buckets_for(0) == 64
