@@ -23,11 +23,12 @@ from pboh_entity_linking_ray.pipelines import (
     multimodal,
     relational,
     sampling,
+    temporal,
     textops,
 )
 
 _ALL = {}
-for mod in (relational, textops, sampling, fuzzy, ann, multimodal,
+for mod in (relational, textops, sampling, temporal, fuzzy, ann, multimodal,
             linkage_queries):
     _ALL.update(mod.QUERIES)
 

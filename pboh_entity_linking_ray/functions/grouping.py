@@ -366,6 +366,83 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
                            repartition=False)
 
 
+def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, by: str,
+              on: str, num_buckets: int = 64,
+              suffix: str = "_r") -> ray.data.Dataset:
+    """Distributed as-of join (inequality join Ray Data has no native
+    operator for): each left row picks the most recent right row with
+    the same ``by`` key and ``right.on <= left.on`` (backward match,
+    ties on the timestamp included); unmatched left rows keep nulls
+    (left join).
+
+    Partitioning contract: both sides hash-partition on the EQUALITY
+    key ``by`` into the same buckets — ONE union + ONE hash exchange,
+    the same co-group idiom as ``hash_join`` — so every (left, right)
+    pair that could match meets in exactly one bucket; no global sort
+    of either side.  Inside a bucket both sides sort by ``on`` and a
+    single vectorized ``polars.join_asof`` merge resolves every left
+    row (O(n log n) per bucket, merge itself linear).
+
+    Right-side non-key columns are renamed with ``suffix``; the right
+    match timestamp comes back as ``on + suffix``.  If several right
+    rows share an exact (by, on) pair the one that wins is
+    engine-ordering-dependent — project the right side to columns
+    determined by (by, on) when exact tie determinism matters.
+    """
+    lf = [(f.name, f.type) for f in left.schema().base_schema]
+    rf = [(f.name, f.type) for f in right.schema().base_schema]
+    l_names = [n for n, _ in lf]
+    r_map = {n: (n if n == by else n + suffix) for n, _ in rf}
+    r_fields = [(r_map[n], t) for n, t in rf if n != by]
+    overlap = set(l_names) & {n for n, _ in r_fields}
+    if overlap:
+        raise ValueError(f"asof_join column collision: {sorted(overlap)}")
+    all_fields = lf + r_fields
+    out_schema = pa.schema(all_fields)
+    on_r = on + suffix
+
+    def align(side: int, names_in: dict[str, str]):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for name, typ in all_fields:
+                src = names_in.get(name)
+                if src is not None and src in t.column_names:
+                    col = t[src]
+                    cols[name] = col.cast(typ) if col.type != typ else col
+                else:
+                    cols[name] = pa.nulls(n, type=typ)
+            cols[SIDE_COL] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return f
+
+    both = left.map_batches(
+        align(0, {n: n for n in l_names}), batch_format="pyarrow"
+    ).union(right.map_batches(
+        align(1, {r_map[n]: n for n, _ in rf}), batch_format="pyarrow"))
+
+    l_cols = l_names
+    r_cols = [by] + [n for n, _ in r_fields]
+
+    def asof_bucket(bucket: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(bucket)
+        lhs = df.filter(pl.col(SIDE_COL) == 0).select(l_cols).sort(on)
+        rhs = df.filter(pl.col(SIDE_COL) == 1).select(r_cols).sort(on_r)
+        out = lhs.join_asof(rhs, left_on=on, right_on=on_r, by=by,
+                            strategy="backward")
+        # polars drops the right-on column from the output; recover it:
+        # a backward match timestamp IS the matched right row's ``on``
+        if on_r not in out.columns:
+            out = out.with_columns(pl.lit(None).alias(on_r))
+        return (out.select([n for n, _ in all_fields])
+                .to_arrow().cast(out_schema))
+
+    return hash_exchange(both, by, asof_bucket, num_buckets)
+
+
 def dedup_keep_first(ds: ray.data.Dataset, key_col: str,
                      order_cols: list[str] | None = None,
                      num_buckets: int = 64,

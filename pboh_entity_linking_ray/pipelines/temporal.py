@@ -1,0 +1,171 @@
+"""Temporal operators Ray Data has no native form for: distributed as-of
+join and event-time sliding-window aggregation.
+
+Both are prompt-listed custom-operator families ("as-of join, range join,
+windowed aggregate") and both follow the repo's bucketed co-group idiom:
+hash-partition on the equality key with ONE exchange, then resolve each
+bucket with a single vectorized polars kernel (``join_asof`` /
+``rolling_sum_by``).  No global time sort — event-time order is only ever
+needed WITHIN one key's rows, which co-locate by construction.
+
+Reference analog: the reference keeps per-document windows positional
+(context window extraction, SURVEY.md §2 M6); these queries are the
+event-time generalisation a transcript pipeline needs (e.g. "state of the
+account as of this turn", "activity in the 3 h before this message").
+
+Scale notes (100 TB): both queries shuffle only the skinny projected
+columns (ids + timestamp + integer-cents measure, ~32 B/row); per-bucket
+work is O(n log n) sort + linear merge; window state never exceeds one
+bucket.  Hot users are bounded by the per-key data itself (a window/asof
+needs a key's full history co-located — the same contract as any
+PARTITION BY engine); ``num_buckets`` scales with the corpus-sized rule
+in ``functions.grouping``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.grouping import asof_join, hash_exchange
+
+
+def _cents(col: pa.ChunkedArray) -> pa.Array:
+    """floor(x*100+0.5) as int64 — float sums are order-dependent across
+    engines; integer cents make both sides exact (same trick as q01)."""
+    return pa.array(np.floor(np.asarray(col) * 100 + 0.5).astype(np.int64))
+
+
+# --- q23: as-of join (most recent order state as of each event) -----------
+
+def q23_asof_join(sf_dir: str):
+    """For every event, the most recent order the same user placed at or
+    before the event time (backward as-of match), with the order day's
+    totals.  Inner flavour: events with no prior order are dropped (keeps
+    the driver hash free of nullable-int representation skew)."""
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "user_id", "ts"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+
+    def order_day(t: pa.Table) -> pa.Table:
+        # partial per-batch combine; the exchange inside asof_join
+        # co-locates per-user rows, where duplicates (same user, same day,
+        # split across batches) collapse in the per-bucket dedup below
+        import polars as pl
+
+        df = pl.from_arrow(pa.table({
+            "user_id": t["o_custkey"],
+            "ts": t["o_orderdate"],
+            "o_key": t["o_orderkey"],
+            "cents": _cents(t["o_totalprice"]),
+        }))
+        out = df.group_by(["user_id", "ts"]).agg(
+            pl.col("o_key").max().alias("last_orderkey"),
+            pl.col("cents").sum().alias("total_cents"),
+            pl.len().cast(pl.Int64).alias("n_orders"),
+        )
+        return out.to_arrow()
+
+    # deterministic one-row-per-(user, day) right side: the as-of winner
+    # is then unique, so the value hash is engine-independent
+    right = hash_exchange(
+        orders.map_batches(order_day, batch_format="pyarrow"),
+        "user_id",
+        lambda t: _dedup_order_day(t),
+        num_buckets=16)
+
+    joined = asof_join(events, right, by="user_id", on="ts", num_buckets=16)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.filter(t["last_orderkey_r"].is_valid())
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _dedup_order_day(t: pa.Table) -> pa.Table:
+    import polars as pl
+
+    return (pl.from_arrow(t).group_by(["user_id", "ts"]).agg(
+        pl.col("last_orderkey").max(),
+        pl.col("total_cents").sum(),
+        pl.col("n_orders").sum(),
+    ).to_arrow())
+
+
+SQL_Q23 = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate AS ts,
+         max(o_orderkey) AS last_orderkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS total_cents,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       o.ts AS ts_r, o.last_orderkey AS last_orderkey_r,
+       o.total_cents AS total_cents_r, o.n_orders AS n_orders_r
+FROM events e ASOF JOIN o
+  ON e.user_id = o.user_id AND e.ts >= o.ts
+"""
+
+
+# --- q24: sliding event-time window (3 h trailing per user) ---------------
+
+def q24_sliding_window(sf_dir: str):
+    """Per event: count and value-sum of the same user's events in the
+    trailing 3-hour window [ts - 3h, ts] (RANGE semantics — all rows at
+    the boundary and at the current timestamp included).
+
+    One hash exchange on user_id; each bucket sorts its users' rows once
+    and computes both aggregates with vectorized ``rolling_sum_by``
+    (closed="both" == SQL RANGE ... PRECEDING AND CURRENT ROW, including
+    peer rows at the current timestamp — verified against DuckDB)."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "v_cents": _cents(t["value"]),
+        })
+
+    def window_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (pl.from_arrow(t).sort(["user_id", "ts"])
+              .with_columns(__one=pl.lit(1, dtype=pl.Int64)))
+        out = df.with_columns(
+            w_cnt=pl.col("__one").rolling_sum_by(
+                "ts", window_size="3h", closed="both").over("user_id"),
+            w_sum_cents=pl.col("v_cents").rolling_sum_by(
+                "ts", window_size="3h", closed="both").over("user_id"),
+        ).select(["event_id", "user_id", "ts", "w_cnt", "w_sum_cents"])
+        return out.to_arrow()
+
+    return hash_exchange(
+        events.map_batches(project, batch_format="pyarrow"),
+        "user_id", window_bucket, num_buckets=16)
+
+
+SQL_Q24 = """
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS w_cnt,
+       CAST(sum(v_cents) OVER w AS BIGINT) AS w_sum_cents
+FROM (SELECT event_id, user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 3 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES = {
+    "q23_asof_join": (q23_asof_join, SQL_Q23),
+    "q24_sliding_window": (q24_sliding_window, SQL_Q24),
+}

@@ -11,6 +11,7 @@ from pboh_entity_linking_ray.pipelines import (
     multimodal,
     relational,
     sampling,
+    temporal,
     textops,
 )
 from pboh_entity_linking_ray.sources.synthetic import corpus_dir, sf_to_n_convs
@@ -18,7 +19,7 @@ from pboh_entity_linking_ray.sources.synthetic import corpus_dir, sf_to_n_convs
 SF_DIR = "/root/testdata/sf0.001"
 
 PAIRED = {}
-for mod in (relational, textops, sampling, fuzzy, ann, multimodal,
+for mod in (relational, textops, sampling, temporal, fuzzy, ann, multimodal,
             linkage_queries):
     for name, (fn, sql) in mod.QUERIES.items():
         if sql is not None:

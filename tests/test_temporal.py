@@ -1,0 +1,57 @@
+"""asof_join operator semantics: backward match, tie inclusion, left-join
+nulls for unmatched rows, and sparse buckets (num_buckets >> keys)."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from pboh_entity_linking_ray.functions.grouping import asof_join
+
+
+def _ts(*days):
+    return pa.array([pd.Timestamp(f"2024-01-{d:02d}") for d in days],
+                    type=pa.timestamp("us"))
+
+
+def test_asof_backward_with_ties_and_unmatched(ray_session):
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2, 3], type=pa.int64()),
+        "ts": _ts(5, 10, 20, 7, 9),
+        "lid": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], type=pa.int64()),
+        "ts": _ts(10, 15, 8),
+        "rv": pa.array([100, 200, 300], type=pa.int64()),
+    }))
+    out = (asof_join(left, right, by="k", on="ts", num_buckets=8)
+           .to_pandas().sort_values("lid").reset_index(drop=True))
+
+    # lid 0: k=1 ts=5  -> no right row at/before 5 -> null
+    # lid 1: k=1 ts=10 -> exact tie with right ts=10 (included) -> 100
+    # lid 2: k=1 ts=20 -> latest at/before is ts=15 -> 200
+    # lid 3: k=2 ts=7  -> right k=2 is ts=8 (after)  -> null
+    # lid 4: k=3 ts=9  -> no right rows for k=3 at all -> null
+    assert out["rv_r"].tolist()[1] == 100
+    assert out["rv_r"].tolist()[2] == 200
+    assert pd.isna(out["rv_r"][0]) and pd.isna(out["rv_r"][3])
+    assert pd.isna(out["rv_r"][4])
+    assert out["ts_r"][2] == pd.Timestamp("2024-01-15")
+    assert len(out) == 5  # left join: every left row survives
+
+
+def test_asof_column_collision_rejected(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([1], type=pa.int64()),
+        "ts": _ts(1),
+        "x_r": pa.array([1], type=pa.int64()),
+    }))
+    other = ray.data.from_arrow(pa.table({
+        "k": pa.array([1], type=pa.int64()),
+        "ts": _ts(1),
+        "x": pa.array([2], type=pa.int64()),
+    }))
+    import pytest
+
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(ds, other, by="k", on="ts")
