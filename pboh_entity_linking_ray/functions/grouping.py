@@ -443,6 +443,84 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, by: str,
     return hash_exchange(both, by, asof_bucket, num_buckets)
 
 
+def interval_join(left: ray.data.Dataset, right: ray.data.Dataset, by: str,
+                  on: str, start: str, end: str, num_buckets: int = 64,
+                  suffix: str = "_r", post=None) -> ray.data.Dataset:
+    """Distributed range (interval) join — the second inequality join Ray
+    Data lacks natively: each left point row (``by``, ``on``) matches
+    every right interval row (``by``, ``start``, ``end``) with the same
+    key and ``start <= on < end`` (half-open, inner join).
+
+    Same partitioning contract as ``asof_join``: ONE union + ONE hash
+    exchange on the equality key co-locates every possibly-matching
+    pair; inside a bucket a vectorized polars equality join on ``by``
+    followed by the interval filter resolves the matches.  Per-key work
+    is O(points × intervals) for that key — the join's true output bound
+    when intervals overlap — so, as with any PARTITION BY engine, a key's
+    full history must fit one bucket task; size ``num_buckets`` with
+    ``buckets_for`` and keep hot keys' interval counts bounded upstream.
+
+    ``post`` (``fn(pa.Table) -> pa.Table``) runs on each bucket's joined
+    rows INSIDE the bucket task — the same fusion hook as ``hash_join``:
+    a consumer that immediately aggregates per interval (intervals
+    belong to one key, hence one bucket) collapses the join output
+    before it ever crosses an operator boundary.
+
+    Right-side non-key columns (including ``start``/``end``) come back
+    renamed with ``suffix``.
+    """
+    lf = [(f.name, f.type) for f in left.schema().base_schema]
+    rf = [(f.name, f.type) for f in right.schema().base_schema]
+    l_names = [n for n, _ in lf]
+    r_map = {n: (n if n == by else n + suffix) for n, _ in rf}
+    r_fields = [(r_map[n], t) for n, t in rf if n != by]
+    overlap = set(l_names) & {n for n, _ in r_fields}
+    if overlap:
+        raise ValueError(f"interval_join column collision: {sorted(overlap)}")
+    all_fields = lf + r_fields
+    out_schema = pa.schema(all_fields)
+    start_r, end_r = start + suffix, end + suffix
+
+    def align(side: int, names_in: dict[str, str]):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for name, typ in all_fields:
+                src = names_in.get(name)
+                if src is not None and src in t.column_names:
+                    col = t[src]
+                    cols[name] = col.cast(typ) if col.type != typ else col
+                else:
+                    cols[name] = pa.nulls(n, type=typ)
+            cols[SIDE_COL] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return f
+
+    both = left.map_batches(
+        align(0, {n: n for n in l_names}), batch_format="pyarrow"
+    ).union(right.map_batches(
+        align(1, {r_map[n]: n for n, _ in rf}), batch_format="pyarrow"))
+
+    l_cols = l_names
+    r_cols = [by] + [n for n, _ in r_fields]
+
+    def interval_bucket(bucket: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(bucket)
+        lhs = df.filter(pl.col(SIDE_COL) == 0).select(l_cols)
+        rhs = df.filter(pl.col(SIDE_COL) == 1).select(r_cols)
+        out = (lhs.join(rhs, on=by, how="inner")
+               .filter((pl.col(on) >= pl.col(start_r))
+                       & (pl.col(on) < pl.col(end_r))))
+        joined = (out.select([n for n, _ in all_fields])
+                  .to_arrow().cast(out_schema))
+        return post(joined) if post is not None else joined
+
+    return hash_exchange(both, by, interval_bucket, num_buckets)
+
+
 def dedup_keep_first(ds: ray.data.Dataset, key_col: str,
                      order_cols: list[str] | None = None,
                      num_buckets: int = 64,

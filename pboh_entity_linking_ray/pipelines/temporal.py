@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from ..functions.grouping import asof_join, hash_exchange
+from ..functions.grouping import asof_join, hash_exchange, interval_join
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -165,7 +165,75 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+# --- q25: range (interval) join (events within 7 days after each order) ---
+
+def q25_interval_join(sf_dir: str):
+    """Per purchase event (the interval anchor): count and value-sum of
+    the same user's events in the half-open 2 hours after the purchase,
+    the purchase itself excluded.
+
+    ``interval_join`` with the per-anchor aggregate FUSED into the bucket
+    task (``post`` hook): an anchor's interval lives entirely in its
+    user's bucket, so the join output collapses to one row per matched
+    anchor before leaving the task — the exchange moves only skinny point
+    and interval rows, never the joined cross product."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value", "event_type"])
+
+    def ev_project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "v_cents": _cents(t["value"]),
+        })
+
+    def iv_project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table({
+            "user_id": t["user_id"],
+            "start": t["ts"],
+            "end": pc.add(t["ts"], pa.scalar(datetime.timedelta(hours=2))),
+            "anchor_id": t["event_id"],
+        })
+
+    def per_anchor(joined: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(joined)
+                .filter(pl.col("ts") > pl.col("start_r"))
+                .group_by("anchor_id_r").agg(
+                    pl.len().cast(pl.Int64).alias("n_follow"),
+                    pl.col("v_cents").sum().alias("sum_cents"),
+                ).rename({"anchor_id_r": "anchor_id"}).to_arrow())
+
+    return interval_join(
+        events.map_batches(ev_project, batch_format="pyarrow"),
+        events.map_batches(iv_project, batch_format="pyarrow"),
+        by="user_id", on="ts", start="start", end="end",
+        num_buckets=16, post=per_anchor)
+
+
+SQL_Q25 = """
+SELECT a.event_id AS anchor_id,
+       count(*) AS n_follow,
+       CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM events a JOIN events e
+  ON e.user_id = a.user_id
+ AND e.ts > a.ts
+ AND e.ts < a.ts + INTERVAL 2 HOUR
+WHERE a.event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q23_asof_join": (q23_asof_join, SQL_Q23),
     "q24_sliding_window": (q24_sliding_window, SQL_Q24),
+    "q25_interval_join": (q25_interval_join, SQL_Q25),
 }

@@ -40,6 +40,34 @@ def test_asof_backward_with_ties_and_unmatched(ray_session):
     assert len(out) == 5  # left join: every left row survives
 
 
+def test_interval_join_half_open_and_sparse_buckets(ray_session):
+    from pboh_entity_linking_ray.functions.grouping import interval_join
+
+    points = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2, 3], type=pa.int64()),
+        "ts": _ts(5, 10, 15, 7, 9),
+        "pid": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+    }))
+    intervals = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], type=pa.int64()),
+        "start": _ts(5, 10, 8),
+        "end": _ts(10, 20, 9),
+        "iid": pa.array([10, 11, 12], type=pa.int64()),
+    }))
+    # num_buckets >> distinct keys exercises empty-bucket stability
+    out = (interval_join(points, intervals, by="k", on="ts",
+                         start="start", end="end", num_buckets=32)
+           .to_pandas().sort_values(["pid", "iid_r"]).reset_index(drop=True))
+
+    # pid 0 (k=1, ts=5):  in [5,10) only            -> iid 10
+    # pid 1 (k=1, ts=10): end of [5,10) is EXCLUSIVE, start of [10,20)
+    #                     is inclusive               -> iid 11 only
+    # pid 2 (k=1, ts=15): in [10,20)                 -> iid 11
+    # pid 3 (k=2, ts=7):  before [8,9)               -> no match (inner)
+    # pid 4 (k=3, ts=9):  no k=3 intervals           -> no match
+    assert list(zip(out["pid"], out["iid_r"])) == [(0, 10), (1, 11), (2, 11)]
+
+
 def test_asof_column_collision_rejected(ray_session):
     ds = ray.data.from_arrow(pa.table({
         "k": pa.array([1], type=pa.int64()),
