@@ -81,3 +81,15 @@ def pack_pairs_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def pair_key_str(a: str, b: str) -> str:
     """Canonical unordered string pair key (lexicographic min first)."""
     return f"{a}\x1f{b}" if a <= b else f"{b}\x1f{a}"
+
+
+def popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit population count (SWAR; numpy < 2.0 has no
+    ``bitwise_count``).  Returns int64 counts."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + \
+        ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)) \
+        .astype(np.int64)

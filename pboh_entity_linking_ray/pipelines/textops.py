@@ -69,25 +69,44 @@ def _distinct_doc_tokens(t: pa.Table):
     return df
 
 
-def _simhash_bits(rid: np.ndarray, hs: np.ndarray, n_rows: int) -> list[str]:
+def _simhash_maj(rid: np.ndarray, hs: np.ndarray):
     """SimHash-64 bit-majority core, fully vectorized over the flat
     (row, token-hash) stream: per-row segment sums of ±1 bit contributions
-    via reduceat.  Shared by the md5 oracle twin and the fast variant."""
-    out = ["0" * 64] * n_rows
-    if len(rid) == 0:
-        return out
+    via reduceat.  Returns (segment row ids, (n_seg, 64) majority bool
+    matrix, bit 0 in column 0).  Shared by the md5 oracle twin, the fast
+    variant and the banded near-dup join."""
     o = np.argsort(rid, kind="stable")
     rid, hs = rid[o], hs[o]
     bits_idx = np.arange(64, dtype=np.uint64)
     signs = (2 * ((hs[:, None] >> bits_idx[None, :]) & np.uint64(1))
              .astype(np.int64) - 1)
     starts = np.flatnonzero(np.r_[True, rid[1:] != rid[:-1]])
-    seg_rid = rid[starts]
-    maj = np.add.reduceat(signs, starts, axis=0) > 0          # (n_seg, 64)
+    return rid[starts], np.add.reduceat(signs, starts, axis=0) > 0
+
+
+def _simhash_bits(rid: np.ndarray, hs: np.ndarray, n_rows: int) -> list[str]:
+    """Per-row SimHash as a 64-char bit string (bit 63 first); rows with
+    no tokens hash to the all-zeros string."""
+    out = ["0" * 64] * n_rows
+    if len(rid) == 0:
+        return out
+    seg_rid, maj = _simhash_maj(rid, hs)
     chars = np.where(maj[:, ::-1], "1", "0")                  # bit 63 first
     for i, r in enumerate(seg_rid):
         out[int(r)] = "".join(chars[i])
     return out
+
+
+def _simhash_u64(rid: np.ndarray, hs: np.ndarray, n_rows: int) -> np.ndarray:
+    """Per-row SimHash as a uint64 value (same bits as ``_simhash_bits``)."""
+    vals = np.zeros(n_rows, dtype=np.uint64)
+    if len(rid) == 0:
+        return vals
+    seg_rid, maj = _simhash_maj(rid, hs)
+    pw = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    vals[seg_rid.astype(np.int64)] = (maj * pw[None, :]).sum(
+        axis=1, dtype=np.uint64)
+    return vals
 
 
 class SimHasher:
@@ -149,6 +168,131 @@ UNION ALL
 SELECT doc_id, repeat('0', 64) AS simhash_bits
 FROM documents
 WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) = 0
+"""
+
+
+# --- SimHash banded near-dup join -------------------------------------------
+
+SIMHASH_BANDS = 4        # 4 × 16-bit bands: pigeonhole guarantees every pair
+SIMHASH_MAX_HAMMING = 3  # at Hamming ≤ 3 shares at least one identical band
+
+
+def q26_simhash_neardup(sf_dir: str):
+    """SimHash near-duplicate JOIN — the signature stage (q13) taken to
+    pairs at scale.  Each doc's 64-bit SimHash is cut into 4 × 16-bit
+    bands (the LSH keys); ONE hash exchange on the band key co-locates
+    every candidate pair (pigeonhole: Hamming ≤ 3 ⇒ at least one band
+    identical), the bucket task generates in-band pairs with size-batched
+    triu and verifies them exactly with a vectorized SWAR popcount, and
+    lowest-matching-band ownership dedups across bands WITHOUT a second
+    exchange (a pair is emitted only by its first matching band — both
+    docs carry every band, so the owning band's bucket always sees it).
+
+    Output is exactly {(a, b): popcount(sim_a ^ sim_b) ≤ 3} over docs
+    with ≥ 1 token (zero-token docs would form an artificial all-zeros
+    clique; the SQL twin excludes them the same way), which the DuckDB
+    twin computes directly via BIT xor — the banding is pure execution
+    strategy, invisible in the result.  md5 token hashes for oracle
+    parity; ``simhash_fast``'s whole-column xxhash drops in unchanged
+    for production.  At corpus scale the exchange moves 4 skinny
+    (key, id, sim) rows per doc and per-bucket work is bounded by true
+    near-dup cluster sizes, never the corpus."""
+    from ..functions.grouping import hash_exchange
+    from ..functions.hashing import popcount_u64
+
+    NB, K = SIMHASH_BANDS, SIMHASH_MAX_HAMMING
+    M16 = np.uint64(0xFFFF)
+
+    class BandEmitter:
+        def __init__(self):
+            self.cache: dict[str, int] = {}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = _distinct_doc_tokens(t)
+            hs = _md5_cached(self.cache, df["tok"].to_list())
+            rid = df["rid"].to_numpy().astype(np.int64)
+            sims = _simhash_u64(rid, hs, t.num_rows)
+            ids = np.asarray(t["doc_id"], dtype=np.int64)
+            seen = np.zeros(t.num_rows, dtype=bool)
+            seen[np.unique(rid)] = True          # drop zero-token docs
+            sims, ids = sims[seen], ids[seen]
+            n = len(ids)
+            band = np.repeat(np.arange(NB, dtype=np.uint64), n)
+            simr = np.tile(sims, NB)
+            key = (band << np.uint64(16)) | \
+                  ((simr >> (band * np.uint64(16))) & M16)
+            return pa.table({
+                "band_key": pa.array(key.view(np.int64)),
+                "doc_id": pa.array(np.tile(ids, NB)),
+                "sim": pa.array(simr.view(np.int64)),
+            })
+
+    rows = _docs(sf_dir).map_batches(BandEmitter, batch_format="pyarrow",
+                                     batch_size=256, concurrency=(1, 4))
+
+    EMPTY = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64()),
+                      "hamming": pa.array([], type=pa.int64())})
+
+    def pairs_bucket(bucket: pa.Table) -> pa.Table:
+        if bucket.num_rows == 0:
+            return EMPTY
+        key = np.asarray(bucket["band_key"], dtype=np.int64)
+        ids = np.asarray(bucket["doc_id"], dtype=np.int64)
+        sims = np.asarray(bucket["sim"], dtype=np.int64)
+        o = np.lexsort((ids, key))
+        key, ids, sims = key[o], ids[o], sims[o]
+        n = len(key)
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        bounds = np.append(starts, n)
+        sizes = np.diff(bounds)
+        ap, bp = [], []
+        ok = sizes >= 2
+        for m in np.unique(sizes[ok]):
+            ia, ib = np.triu_indices(int(m), k=1)
+            base = bounds[:-1][ok & (sizes == m)]
+            ap.append((base[:, None] + ia[None, :]).ravel())
+            bp.append((base[:, None] + ib[None, :]).ravel())
+        if not ap:
+            return EMPTY
+        ai, bi = np.concatenate(ap), np.concatenate(bp)
+        sa, sb = sims[ai].view(np.uint64), sims[bi].view(np.uint64)
+        ham = popcount_u64(sa ^ sb)
+        pband = key[ai] >> 16                    # this pair's band index
+        keep = ham <= K
+        for j in range(NB - 1):                  # lowest-band ownership
+            eq = (((sa >> np.uint64(16 * j)) & M16)
+                  == ((sb >> np.uint64(16 * j)) & M16))
+            keep &= ~(eq & (pband > j))
+        return pa.table({"doc_a": pa.array(ids[ai][keep]),
+                         "doc_b": pa.array(ids[bi][keep]),
+                         "hamming": pa.array(ham[keep])})
+
+    return hash_exchange(rows, "band_key", pairs_bucket, num_buckets=64)
+
+
+SQL_Q26 = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+  FROM documents
+),
+b AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (md5_number_lower(t) >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tok CROSS JOIN generate_series(0, 63) g(bit)
+  GROUP BY doc_id, bit
+),
+sh AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY bit DESC)::BIT AS sig
+  FROM b GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, c.sig)) AS BIGINT) AS hamming
+FROM sh a JOIN sh c ON a.doc_id < c.doc_id
+WHERE bit_count(xor(a.sig, c.sig)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
@@ -522,6 +666,7 @@ QUERIES = {
     "q22_url_titles": (q22_url_titles, SQL_Q22),
     "q20_frequent_pairs": (q20_frequent_pairs, SQL_Q20),
     "q13_simhash": (q13_simhash, SQL_Q13),
+    "q26_simhash_neardup": (q26_simhash_neardup, SQL_Q26),
     "q15_winnow_fingerprints": (q15_winnow_fingerprints, SQL_Q15),
     # production variants: whole-column xxhash instead of md5 — no SQL
     # twin possible (DuckDB lacks xxhash); pytest ties their algorithmic

@@ -30,6 +30,30 @@ def test_simhash_core_tie_is_zero():
     assert _simhash_bits(rid, hs, 1)[0] == "0" * 64
 
 
+def test_simhash_u64_matches_bits():
+    from pboh_entity_linking_ray.pipelines.textops import _simhash_u64
+
+    rng = np.random.default_rng(7)
+    rid = np.repeat(np.arange(20, dtype=np.int64), rng.integers(0, 6, 20))
+    hs = rng.integers(0, 2**63, len(rid)).astype(np.uint64) * np.uint64(2) \
+        + (rng.integers(0, 2, len(rid))).astype(np.uint64)
+    bits = _simhash_bits(rid, hs, 20)
+    vals = _simhash_u64(rid, hs, 20)
+    assert [int(b, 2) for b in bits] == [int(v) for v in vals]
+
+
+def test_popcount_u64_matches_python():
+    from pboh_entity_linking_ray.functions.hashing import popcount_u64
+
+    rng = np.random.default_rng(11)
+    xs = rng.integers(0, 2**63, 1000).astype(np.uint64) * np.uint64(2) \
+        + (rng.integers(0, 2, 1000)).astype(np.uint64)
+    xs[:3] = [0, 1, 0xFFFFFFFFFFFFFFFF]
+    got = popcount_u64(xs)
+    assert got.dtype == np.int64
+    assert got.tolist() == [bin(int(x)).count("1") for x in xs]
+
+
 def test_doc_shingles_matches_naive():
     t = pa.table({
         "doc_id": [1, 2, 3],
