@@ -538,3 +538,32 @@ def dedup_keep_first(ds: ray.data.Dataset, key_col: str,
         return out.to_arrow().cast(t.schema)
 
     return bucketed_groups(ds, key_col, fn, num_buckets, engine=engine)
+
+
+def topk_per_group(ds: ray.data.Dataset, group_col: str, order_col: str,
+                   k: int, *, descending: bool = True,
+                   tie_cols: list[str] | None = None,
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """Deterministic top-k rows per group (ordered by ``order_col``,
+    ties broken by ``tie_cols`` ascending).
+
+    Two-level, combiner-first: a per-BATCH partial top-k runs inside
+    ``map_batches`` — each map task forwards at most k rows per group it
+    saw — so the exchange that follows moves O(k × groups) skinny rows,
+    never the input; the per-bucket final pass resolves across batches.
+    This is the grouped analog of the global partial-top-k pattern in
+    ``stages/featurize.py`` / ann's per-batch top-k."""
+    ties = tie_cols or []
+
+    def cut(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        out = (df.sort([order_col, *ties],
+                       descending=[descending] + [False] * len(ties))
+               .group_by(group_col, maintain_order=True).head(k))
+        return out.select(df.columns).to_arrow().cast(t.schema)
+
+    partial = ds.map_batches(cut, batch_format="pyarrow")
+    return bucketed_groups(partial, group_col, cut, num_buckets,
+                           engine="exchange")

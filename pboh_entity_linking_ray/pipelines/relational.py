@@ -458,6 +458,81 @@ SELECT user_id, session_idx, count(*) AS n_events,
 FROM s GROUP BY 1, 2
 """
 
+# --- q28: deterministic top-k per group -------------------------------------
+
+TOPK_PER_GROUP_K = 3
+
+
+def q28_topk_per_group(sf_dir: str):
+    """Longest 3 documents per language (ties by doc_id) via the
+    combiner-first ``topk_per_group`` operator: each map task forwards at
+    most k rows per group, the exchange moves O(k × groups) rows."""
+    from ..functions.grouping import topk_per_group
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return topk_per_group(docs, "lang", "n_chars", TOPK_PER_GROUP_K,
+                          descending=True, tie_cols=["doc_id"])
+
+
+SQL_Q28 = f"""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents)
+WHERE rn <= {TOPK_PER_GROUP_K}
+"""
+
+
+# --- q29: exact distributed quantiles ---------------------------------------
+
+QUANTILES_E4 = (2500, 5000, 7500, 9000, 9900)
+
+
+def q29_doc_len_quantiles(sf_dir: str):
+    """Exact quantiles of doc length, distributed: per-batch value
+    counts (combiner) → one small exchange keyed on the VALUE → driver
+    cumsum over the distinct-value histogram.  The driver sees
+    O(distinct values) rows — the same bounded-floor pattern as the
+    flagship's histogram budget search (pipelines/linkage.py) — never
+    the rows themselves; a global sort-based quantile would shuffle the
+    whole table instead.  Quantile index matches DuckDB quantile_disc:
+    value at sorted position max(1, ceil(q·n)), computed in exact
+    integer arithmetic."""
+    from ..functions.grouping import bucketed_sum
+
+    docs = _t(sf_dir, "documents", columns=["n_chars"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(t).group_by("n_chars")
+                .len(name="c").with_columns(pl.col("c").cast(pl.Int64))
+                .to_arrow())
+
+    hist = bucketed_sum(docs.map_batches(counts, batch_format="pyarrow"),
+                        ["n_chars"], "c", "c", engine="exchange")
+    h = hist.to_pandas().sort_values("n_chars").reset_index(drop=True)
+    cum = h["c"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    vals = h["n_chars"].to_numpy()
+    out_q, out_v = [], []
+    for q_e4 in QUANTILES_E4:
+        rank = max(1, -(-q_e4 * n // 10_000))          # ceil, exact ints
+        out_q.append(q_e4)
+        out_v.append(int(vals[np.searchsorted(cum, rank)]))
+    return pa.table({"q_e4": pa.array(out_q, type=pa.int64()),
+                     "value": pa.array(out_v, type=pa.int64())})
+
+
+SQL_Q29 = f"""
+SELECT unnest([{", ".join(str(q) for q in QUANTILES_E4)}]) AS q_e4,
+       unnest(quantile_disc(n_chars,
+              [{", ".join(f"{q / 10_000}" for q in QUANTILES_E4)}])) AS value
+FROM documents
+"""
+
+
 QUERIES = {
     "q01_lineitem_agg": (q01_lineitem_agg, SQL_Q01),
     "q02_customer_revenue": (q02_customer_revenue, SQL_Q02),
@@ -469,4 +544,6 @@ QUERIES = {
     "q08_quality_score": (q08_quality_score, SQL_Q08),
     "q09_langid": (q09_langid, SQL_Q09),
     "q14_sessionize": (q14_sessionize, SQL_Q14),
+    "q28_topk_per_group": (q28_topk_per_group, SQL_Q28),
+    "q29_doc_len_quantiles": (q29_doc_len_quantiles, SQL_Q29),
 }

@@ -132,6 +132,63 @@ WHERE md5_number_lower('{SAMPLE_SEED}:' || doc_id::VARCHAR) % {SPLIT_MOD}
 """
 
 
+def stratified_sample(ds: ray.data.Dataset, key_col: str, strata_col: str,
+                      rates_e4: dict[str, int], default_e4: int, *,
+                      seed: int = SAMPLE_SEED,
+                      hasher: str = "fast") -> ray.data.Dataset:
+    """Per-stratum deterministic sampling — the rebalancing step of a
+    training-data pipeline (e.g. downsample the dominant language,
+    upweight the rare ones) as ONE streaming map: a row survives iff its
+    seeded content hash falls under its stratum's rate (permille-of-10k).
+
+    Content-hash routing (not RNG) keeps the sample stable under
+    re-runs, resumes and repartitioning, and the per-stratum thresholds
+    are a plain dict lookup vectorized through polars ``replace_strict``
+    — no shuffle, no per-row Python.  ``rates_e4`` is a SMALL table
+    (strata counts, not rows); at cluster scale it ships once inside the
+    map closure exactly like the broadcast lookups everywhere else."""
+
+    def f(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        keys = pl.from_arrow(t[key_col].combine_chunks()).cast(pl.String)
+        if hasher == "md5":
+            r = _route_md5([f"{seed}:{k}" for k in keys], 0)
+        else:
+            r = (hash_strings_u64(str(seed) + ":" + keys, seed=seed)
+                 % np.uint64(SPLIT_MOD)).astype(np.int64)
+        thr = (pl.from_arrow(t[strata_col].combine_chunks())
+               .replace_strict(rates_e4, default=default_e4,
+                               return_dtype=pl.Int64).to_numpy())
+        return t.filter(pa.array(r < thr))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# stratified rates for q27: keep 5% of English docs, 40% of everything
+# else — the classic rebalance-away-from-the-head-language shape
+STRAT_RATES_E4 = {"en": 500}
+STRAT_DEFAULT_E4 = 4000
+
+
+def q27_stratified_sample(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    return stratified_sample(ds, "doc_id", "lang", STRAT_RATES_E4,
+                             STRAT_DEFAULT_E4, hasher="md5")
+
+
+_STRAT_CASE = ("CASE " + " ".join(
+    f"WHEN lang = '{s}' THEN {r}" for s, r in STRAT_RATES_E4.items())
+    + f" ELSE {STRAT_DEFAULT_E4} END")
+
+SQL_Q27 = f"""
+SELECT doc_id, lang FROM documents
+WHERE md5_number_lower('{SAMPLE_SEED}:' || doc_id::VARCHAR) % {SPLIT_MOD}
+      < {_STRAT_CASE}
+"""
+
+
 def q18_shuffle_head(sf_dir: str):
     """Seeded global shuffle (T8 recast), evidenced by its first
     SHUFFLE_HEAD rows: sort by the seeded content hash (ties by doc_id)
@@ -162,4 +219,5 @@ QUERIES = {
     "q16_split": (q16_split, SQL_Q16),
     "q17_sample": (q17_sample, SQL_Q17),
     "q18_shuffle_head": (q18_shuffle_head, SQL_Q18),
+    "q27_stratified_sample": (q27_stratified_sample, SQL_Q27),
 }

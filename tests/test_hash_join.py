@@ -175,3 +175,27 @@ def test_buckets_for_sizing():
     assert buckets_for(100_000_000) == 4096     # two-round territory
     assert buckets_for(100_000_000) > TWO_ROUND_THRESHOLD
     assert buckets_for(0) == 64
+
+
+def test_topk_per_group_matches_pandas(ray_session):
+    from pboh_entity_linking_ray.functions.grouping import topk_per_group
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    t = pa.table({
+        "g": rng.integers(0, 40, n),
+        "score": rng.integers(0, 50, n),        # heavy ties
+        "rid": np.arange(n, dtype=np.int64),
+    })
+    # many small blocks so partial top-k runs per batch before the final
+    ds = ray.data.from_arrow(t).repartition(16)
+    got = (topk_per_group(ds, "g", "score", 5, tie_cols=["rid"])
+           .to_pandas().sort_values(["g", "score", "rid"],
+                                    ascending=[True, False, True])
+           .reset_index(drop=True))
+    exp = (t.to_pandas()
+           .sort_values(["score", "rid"], ascending=[False, True])
+           .groupby("g", sort=True).head(5)
+           .sort_values(["g", "score", "rid"], ascending=[True, False, True])
+           .reset_index(drop=True)[got.columns.tolist()])
+    assert got.equals(exp)

@@ -46,3 +46,23 @@ def test_split_md5_and_fast_agree_on_shape(ray_session):
         counts = df["split"].value_counts()
         assert counts.get("index", 0) > counts.get("val", 0)
         assert len(df) == 2000
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    from pboh_entity_linking_ray.pipelines.sampling import stratified_sample
+
+    n = 4000
+    t = pa.table({
+        "doc_id": list(range(n)),
+        "lang": ["en" if i % 2 else "de" for i in range(n)],
+    })
+    ds = ray.data.from_arrow(t)
+    out = stratified_sample(ds, "doc_id", "lang", {"en": 1000}, 5000)
+    a = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (stratified_sample(ray.data.from_arrow(t), "doc_id", "lang",
+                           {"en": 1000}, 5000)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)                       # deterministic
+    rates = a.groupby("lang").size() / (n / 2)
+    assert 0.05 <= rates["en"] <= 0.15       # ~10% of en
+    assert 0.42 <= rates["de"] <= 0.58       # ~50% default stratum
