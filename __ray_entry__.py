@@ -18,6 +18,7 @@ from typing import Any
 
 from pboh_entity_linking_ray.pipelines import (
     ann,
+    cardinality,
     fuzzy,
     linkage_queries,
     multimodal,
@@ -29,7 +30,7 @@ from pboh_entity_linking_ray.pipelines import (
 
 _ALL = {}
 for mod in (relational, textops, sampling, temporal, fuzzy, ann, multimodal,
-            linkage_queries):
+            cardinality, linkage_queries):
     _ALL.update(mod.QUERIES)
 
 

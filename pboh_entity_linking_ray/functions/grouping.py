@@ -306,6 +306,10 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     bucket), never a driver-side collect of either side.  Non-key column
     names must be disjoint; rename before joining.
 
+    ``how`` ∈ {"inner", "left", "semi", "anti"} (polars semantics);
+    semi/anti return LEFT columns only and ship only the right side's
+    key column through the exchange.
+
     Reference analog: the doc-text ⋈ anchors groupByKey co-group
     (reference: src/main/scala/context/EntityWordsProbs.scala:198-202) —
     the reference's only join device beyond broadcast lookups.
@@ -319,12 +323,18 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     lf = [(f.name, f.type) for f in left.schema().base_schema]
     rf = [(f.name, f.type) for f in right.schema().base_schema]
     l_names = [n for n, _ in lf]
-    r_rest = [(n, t) for n, t in rf if n != on]
+    # semi/anti joins return left rows only — the right side contributes
+    # nothing but key existence, so only its KEY column rides the
+    # exchange (the skinny-probe optimization; dedup upstream if the
+    # right side is huge and key-repetitive)
+    filtering = how in ("semi", "anti")
+    r_rest = [] if filtering else [(n, t) for n, t in rf if n != on]
     overlap = set(l_names) & {n for n, _ in r_rest}
     if overlap:
         raise ValueError(f"hash_join column collision: {sorted(overlap)}")
     all_fields = lf + r_rest
-    out_schema = pa.schema(all_fields)
+    out_fields = lf if filtering else all_fields
+    out_schema = pa.schema(out_fields)
 
     def align(side: int):
         def f(t: pa.Table) -> pa.Table:
@@ -355,7 +365,7 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
         lhs = df.filter(pl.col(SIDE_COL) == 0).select(l_cols)
         rhs = df.filter(pl.col(SIDE_COL) == 1).select(r_cols)
         out = lhs.join(rhs, on=on, how=how)
-        joined = out.select([n for n, _ in all_fields]).to_arrow().cast(out_schema)
+        joined = out.select([n for n, _ in out_fields]).to_arrow().cast(out_schema)
         return post(joined) if post is not None else joined
 
     if engine == "exchange":

@@ -458,6 +458,42 @@ SELECT user_id, session_idx, count(*) AS n_events,
 FROM s GROUP BY 1, 2
 """
 
+# --- q30: distributed anti join ---------------------------------------------
+
+BIG_ORDER_MIN = 300_000
+
+
+def q30_customers_without_big_orders(sf_dir: str):
+    """Anti join (TPC-H Q22 shape): customers who never placed an order
+    above BIG_ORDER_MIN.  The same bucketed hash exchange as the inner
+    join, but only the right side's KEY column rides the shuffle (the
+    probe filter is applied before the exchange) and each bucket
+    resolves existence with a vectorized polars anti join — the
+    distributed NOT EXISTS."""
+    from ..functions.grouping import hash_join
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def big(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], BIG_ORDER_MIN))
+        return t.select(["o_custkey"]).rename_columns(["c_custkey"])
+
+    big_orders = (_t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+                  .map_batches(big, batch_format="pyarrow"))
+    out = hash_join(cust, big_orders, "c_custkey", how="anti")
+    return out.map_batches(lambda t: _round_cols(t, {"c_acctbal": 2}),
+                           batch_format="pyarrow")
+
+
+SQL_Q30 = f"""
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > {BIG_ORDER_MIN})
+"""
+
+
 # --- q28: deterministic top-k per group -------------------------------------
 
 TOPK_PER_GROUP_K = 3
@@ -546,4 +582,6 @@ QUERIES = {
     "q14_sessionize": (q14_sessionize, SQL_Q14),
     "q28_topk_per_group": (q28_topk_per_group, SQL_Q28),
     "q29_doc_len_quantiles": (q29_doc_len_quantiles, SQL_Q29),
+    "q30_customers_without_big_orders":
+        (q30_customers_without_big_orders, SQL_Q30),
 }

@@ -199,3 +199,22 @@ def test_topk_per_group_matches_pandas(ray_session):
            .sort_values(["g", "score", "rid"], ascending=[True, False, True])
            .reset_index(drop=True)[got.columns.tolist()])
     assert got.equals(exp)
+
+
+def test_semi_and_anti_join(ray_session):
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "v": pa.array([10, 20, 30, 40], type=pa.int64()),
+    }))
+    # duplicate right keys must not duplicate semi output
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 2, 4, 9], type=pa.int64()),
+        "w": pa.array([1, 2, 3, 4], type=pa.int64()),
+    }))
+    semi = (hash_join(left, right, "k", how="semi")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    anti = (hash_join(left, right, "k", how="anti")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    assert semi["k"].tolist() == [2, 4] and semi["v"].tolist() == [20, 40]
+    assert anti["k"].tolist() == [1, 3] and anti["v"].tolist() == [10, 30]
+    assert list(semi.columns) == ["k", "v"]   # left columns only

@@ -6,6 +6,7 @@ import pytest
 from pboh_entity_linking_ray.oracle import compare
 from pboh_entity_linking_ray.pipelines import (
     ann,
+    cardinality,
     fuzzy,
     linkage_queries,
     multimodal,
@@ -20,7 +21,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 PAIRED = {}
 for mod in (relational, textops, sampling, temporal, fuzzy, ann, multimodal,
-            linkage_queries):
+            cardinality, linkage_queries):
     for name, (fn, sql) in mod.QUERIES.items():
         if sql is not None:
             PAIRED[name] = (fn, sql)
@@ -45,7 +46,7 @@ def test_query_matches_oracle(name, ray_session):
 
 
 ROWS_ONLY = {}
-for mod in (textops, ann, multimodal, linkage_queries):
+for mod in (textops, ann, multimodal, cardinality, linkage_queries):
     for name, (fn, sql) in mod.QUERIES.items():
         if sql is None and name not in ("link_pairs_scored", "link_clusters",
                                         "link_eval_metrics"):
