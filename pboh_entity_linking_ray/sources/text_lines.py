@@ -42,6 +42,35 @@ def parse_turn_lines(t: pa.Table) -> pa.Table:
         .to_arrow().cast(TURNS_SCHEMA)
 
 
+def conform_turns(t: pa.Table) -> pa.Table:
+    """Project/cast any column superset onto the canonical turns schema;
+    missing optional columns become nulls.  Lets structured readers
+    (JSONL/CSV/Parquet-with-extras) share one normalization step."""
+    n = t.num_rows
+    cols = {}
+    for field in TURNS_SCHEMA:
+        if field.name in t.column_names:
+            c = t[field.name]
+            cols[field.name] = c.cast(field.type) if c.type != field.type else c
+        else:
+            cols[field.name] = pa.nulls(n, type=field.type)
+    return pa.table(cols)
+
+
+def read_turns_jsonl(path: str) -> ray.data.Dataset:
+    """JSONL turns source: one JSON object per line carrying the
+    canonical field names (``ray.data.read_json`` streams and infers);
+    extra keys are dropped, missing optional keys become nulls."""
+    return (ray.data.read_json(path)
+            .map_batches(conform_turns, batch_format="pyarrow"))
+
+
+def read_turns_csv(path: str) -> ray.data.Dataset:
+    """Headered CSV turns source via ``ray.data.read_csv``."""
+    return (ray.data.read_csv(path)
+            .map_batches(conform_turns, batch_format="pyarrow"))
+
+
 def read_turns_tsv(path: str, *, normalize_tools: bool = False
                    ) -> ray.data.Dataset:
     """TSV turns file(s) → turns Dataset (streaming read_text + batch

@@ -117,3 +117,48 @@ def test_register_reader_plugin(ray_session):
     register_reader("tiny", tiny)
     out = read_turns("hello", "tiny").to_pandas()
     assert list(out["text"]) == ["hello"]
+
+
+def test_jsonl_and_csv_readers_match_tsv(tmp_path, ray_session):
+    """All structured readers land on the identical canonical schema and
+    values for the same logical rows."""
+    import json
+
+    from pboh_entity_linking_ray.sources import read_turns
+
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user",
+         "tool": "", "text": "hello there"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant",
+         "tool": "search", "text": "hi!"},
+        {"conv_id": "c2", "turn_idx": 0, "role": "user",
+         "tool": "", "text": "bye, comma"},
+    ]
+    jp = tmp_path / "t.jsonl"
+    jp.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    cp = tmp_path / "t.csv"
+    cp.write_text("conv_id,turn_idx,role,tool,text\n" + "".join(
+        f'{r["conv_id"]},{r["turn_idx"]},{r["role"]},{r["tool"]},'
+        f'"{r["text"]}"\n' for r in rows))
+
+    j = read_turns(str(jp), "jsonl").to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    c = read_turns(str(cp), "csv").to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert list(j.columns) == ["conv_id", "turn_idx", "role", "text", "tool"]
+    assert list(c.columns) == list(j.columns)
+    assert j["text"].tolist() == ["hello there", "hi!", "bye, comma"]
+    # CSV reads empty strings as nulls; compare on the non-optional cols
+    for col in ("conv_id", "turn_idx", "role", "text"):
+        assert j[col].tolist() == c[col].tolist()
+
+
+def test_jsonl_reader_missing_optional_column(tmp_path, ray_session):
+    from pboh_entity_linking_ray.sources import read_turns
+
+    jp = tmp_path / "t.jsonl"
+    jp.write_text('{"conv_id": "c", "turn_idx": 0, "role": "user", '
+                  '"text": "x", "extra": 9}\n')
+    out = read_turns(str(jp), "jsonl").to_pandas()
+    assert out["tool"].isna().all()           # missing optional → nulls
+    assert "extra" not in out.columns         # extras dropped
