@@ -22,6 +22,7 @@ from pboh_entity_linking_ray.pipelines import (
     fuzzy,
     linkage_queries,
     multimodal,
+    prep,
     relational,
     sampling,
     temporal,
@@ -30,7 +31,7 @@ from pboh_entity_linking_ray.pipelines import (
 
 _ALL = {}
 for mod in (relational, textops, sampling, temporal, fuzzy, ann, multimodal,
-            cardinality, linkage_queries):
+            cardinality, prep, linkage_queries):
     _ALL.update(mod.QUERIES)
 
 

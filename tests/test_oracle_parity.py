@@ -10,6 +10,7 @@ from pboh_entity_linking_ray.pipelines import (
     fuzzy,
     linkage_queries,
     multimodal,
+    prep,
     relational,
     sampling,
     temporal,
@@ -21,7 +22,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 PAIRED = {}
 for mod in (relational, textops, sampling, temporal, fuzzy, ann, multimodal,
-            cardinality, linkage_queries):
+            cardinality, prep, linkage_queries):
     for name, (fn, sql) in mod.QUERIES.items():
         if sql is not None:
             PAIRED[name] = (fn, sql)
