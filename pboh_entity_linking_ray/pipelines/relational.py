@@ -501,6 +501,63 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+# --- q33: pivot (long → wide conditional aggregation) -----------------------
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q33_pivot_user_events(sf_dir: str):
+    """Pivot: one row per user with a count column per event type plus a
+    total.  Per-batch partial pivot (each map task emits at most one row
+    per user it saw), then ONE exchange summing all six columns — the
+    fused-stats pattern; never a shuffle per pivoted column."""
+    from ..functions.grouping import bucketed_sum_multi
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(t).group_by("user_id").agg(
+            *[(pl.col("event_type") == ty).sum().cast(pl.Int64)
+              .alias(f"n_{ty}") for ty in PIVOT_TYPES],
+            pl.len().cast(pl.Int64).alias("n_total"),
+        ).to_arrow())
+
+    part = ev.map_batches(partial, batch_format="pyarrow")
+    cols = {f"n_{ty}": f"n_{ty}" for ty in PIVOT_TYPES}
+    cols["n_total"] = "n_total"
+    return bucketed_sum_multi(part, ["user_id"], cols, engine="exchange")
+
+
+SQL_Q33 = "SELECT user_id, " + ", ".join(
+    f"CAST(sum(CASE WHEN event_type = '{ty}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_{ty}" for ty in PIVOT_TYPES
+) + ", count(*) AS n_total FROM events GROUP BY 1"
+
+
+def q34_unpivot_user_events(sf_dir: str):
+    """Unpivot (wide → long melt) of the q33 pivot — a pure streaming
+    map over the wide table, no shuffle beyond the pivot's own."""
+
+    def melt(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = pl.from_arrow(t).unpivot(
+            on=[f"n_{ty}" for ty in PIVOT_TYPES], index="user_id",
+            variable_name="event_type", value_name="n",
+        ).with_columns(pl.col("event_type").str.strip_prefix("n_"))
+        return out.to_arrow()
+
+    return q33_pivot_user_events(sf_dir).map_batches(
+        melt, batch_format="pyarrow")
+
+
+SQL_Q34 = "WITH p AS (" + SQL_Q33 + ") " + " UNION ALL ".join(
+    f"SELECT user_id, '{ty}' AS event_type, n_{ty} AS n FROM p"
+    for ty in PIVOT_TYPES)
+
+
 # --- q28: deterministic top-k per group -------------------------------------
 
 TOPK_PER_GROUP_K = 3
@@ -591,4 +648,6 @@ QUERIES = {
     "q29_doc_len_quantiles": (q29_doc_len_quantiles, SQL_Q29),
     "q30_customers_without_big_orders":
         (q30_customers_without_big_orders, SQL_Q30),
+    "q33_pivot_user_events": (q33_pivot_user_events, SQL_Q33),
+    "q34_unpivot_user_events": (q34_unpivot_user_events, SQL_Q34),
 }
