@@ -314,29 +314,29 @@ IVF_CELLS = 32            # inverted-file cells (coarse quantizer size)
 IVF_NPROBE = 4            # cells probed per query
 
 
-def _ivf_centroids(sf_dir: str, n_cells: int) -> np.ndarray:
-    """Deterministic IVF coarse quantizer: hash-sampled seed vectors +
-    ONE distributed Lloyd step.
-
-    The refinement is the pre-aggregation pattern: every batch assigns
-    its vectors to the nearest seed and emits ≤ n_cells partial
-    (sum, count) rows — the driver only ever sees O(blocks × n_cells)
-    tiny partials, never the corpus."""
-    emb = _read_embeddings(sf_dir)
+def _hash_seeds(emb: ray.data.Dataset, k: int) -> np.ndarray:
+    """Deterministic seed centroids: hash-sampled vectors (every
+    ``mod``-th id), lowest ids win — reproducible under repartitioning."""
     n = emb.count()
-    mod = max(1, n // (4 * n_cells))
+    mod = max(1, n // (4 * k))
 
     def keep_seeds(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["vec_id"], dtype=np.int64)
         return t.filter(pa.array(ids % mod == 0))
 
     seed_tbl = _concat_small(
-        emb.map_batches(keep_seeds, batch_format="pyarrow")
-           .limit(4 * n_cells))
+        emb.map_batches(keep_seeds, batch_format="pyarrow").limit(4 * k))
     s_ids, s_mat = _matrix(seed_tbl)
-    order = np.argsort(s_ids)[:n_cells]
-    seeds = _normalize(s_mat[order])
-    sref = ray.put(seeds)
+    order = np.argsort(s_ids)[:k]
+    return _normalize(s_mat[order])
+
+
+def _lloyd_step(emb: ray.data.Dataset, cents: np.ndarray) -> np.ndarray:
+    """ONE distributed Lloyd step (spherical/cosine): every batch
+    assigns its vectors to the nearest centroid and emits ≤ k partial
+    (sum, count) rows — the driver only ever sees O(blocks × k) tiny
+    partials, never the corpus.  Empty cells keep their old centroid."""
+    sref = ray.put(cents)
 
     def partial(t: pa.Table) -> pa.Table:
         s = ray.get(sref)
@@ -358,14 +358,62 @@ def _ivf_centroids(sf_dir: str, n_cells: int) -> np.ndarray:
     cnt = np.asarray(parts["cnt"])
     vs = np.asarray(parts["vsum"].combine_chunks().flatten(),
                     dtype=np.float64).reshape(len(cell), -1)
-    sums = np.zeros_like(seeds)
+    sums = np.zeros_like(cents)
     np.add.at(sums, cell, vs)
-    counts = np.zeros(len(seeds), dtype=np.int64)
+    counts = np.zeros(len(cents), dtype=np.int64)
     np.add.at(counts, cell, cnt)
     live = counts > 0
-    out = seeds.copy()
+    out = cents.copy()
     out[live] = sums[live] / counts[live, None]
     return _normalize(out)
+
+
+def _ivf_centroids(sf_dir: str, n_cells: int) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: hash-sampled seed vectors +
+    ONE distributed Lloyd step (shared with ``kmeans_embeddings``)."""
+    emb = _read_embeddings(sf_dir)
+    return _lloyd_step(emb, _hash_seeds(emb, n_cells))
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 10
+KMEANS_TOL = 1e-6
+
+
+def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
+                      iters: int = KMEANS_ITERS):
+    """Distributed spherical k-means over the embedding column — the
+    iterative-algorithm pattern: per-iteration cost is one streaming
+    pass emitting O(blocks × k) partials (`_lloyd_step`), the driver
+    holds only the k × dim centroid matrix, and iteration stops early
+    when no centroid moves more than KMEANS_TOL in cosine.  The final
+    assignment is one more streaming map; nothing ever materializes the
+    corpus.  Deterministic (hash-sampled seeds) → rows-only driver
+    check + pytest pins determinism and inertia descent."""
+    emb = _read_embeddings(sf_dir)
+    cents = _hash_seeds(emb, k)
+    for _ in range(iters):
+        new = _lloyd_step(emb, cents)
+        moved = float(np.max(1.0 - np.sum(new * cents, axis=1)))
+        cents = new
+        if moved < KMEANS_TOL:
+            break
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        s = ray.get(cref)
+        ids, mat = _matrix(t)
+        mn = _normalize(mat)
+        sims = mn @ s.T
+        c = np.argmax(sims, axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "cluster": pa.array(c.astype(np.int64)),
+            "sim_e6": pa.array((np.max(sims, axis=1) * 1e6)
+                               .astype(np.int64)),
+        })
+
+    return emb.map_batches(assign, batch_format="pyarrow")
 
 
 def _concat_small(ds: ray.data.Dataset) -> pa.Table:
@@ -511,4 +559,7 @@ QUERIES = {
     "ann_lsh_topk": (ann_lsh, None),        # approximate → rows-only check
     "ann_ivf_topk": (ann_ivf_topk, None),   # approximate → rows-only check
     "ann_neardup_lsh": (ann_neardup_lsh, None),
+    # iterative algorithm → rows-only check; pytest pins determinism
+    # and inertia descent (tests/test_ann.py)
+    "kmeans_embeddings": (kmeans_embeddings, None),
 }

@@ -107,3 +107,41 @@ def test_ann_ivf_rows_are_true_cosines(planted_dir, ray_session):
     for q, v, c in got[["query_id", "vec_id", "cos_e6"]].to_numpy():
         assert cos[pos[int(q)], pos[int(v)]] == int(c)
     assert (got.groupby("query_id").size() <= ann.TOP_K).all()
+
+
+def test_kmeans_deterministic_and_descending(ray_session):
+    """kmeans: deterministic across runs, clusters in range, and the
+    shared _lloyd_step strictly improves (or holds) mean assignment
+    similarity from the hash seeds."""
+    import ray.data
+
+    from pboh_entity_linking_ray.pipelines.ann import (
+        _hash_seeds,
+        _lloyd_step,
+        _matrix,
+        _normalize,
+        _read_embeddings,
+        kmeans_embeddings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = (kmeans_embeddings(sf).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    b = (kmeans_embeddings(sf).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    assert a.equals(b)
+    assert a["cluster"].between(0, 7).all()
+    assert a["cluster"].nunique() > 1
+
+    emb = _read_embeddings(sf)
+    _, mat = _matrix(emb.take_batch(10_000, batch_format="pyarrow"))
+    mn = _normalize(mat)
+
+    def mean_sim(c):
+        return float(np.mean(np.max(mn @ c.T, axis=1)))
+
+    seeds = _hash_seeds(emb, 8)
+    c1 = _lloyd_step(emb, seeds)
+    c2 = _lloyd_step(emb, c1)
+    assert mean_sim(c1) >= mean_sim(seeds) - 1e-12
+    assert mean_sim(c2) >= mean_sim(c1) - 1e-12
