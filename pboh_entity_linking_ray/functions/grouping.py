@@ -189,6 +189,16 @@ def hash_exchange(ds: ray.data.Dataset, key_col: str, fn,
     contract every consumer assumes.  Bucket results return in fine-
     bucket order in both modes.
     """
+    def empty_result() -> ray.data.Dataset:
+        # zero input blocks: honor the fn contract anyway — apply fn to
+        # an empty table of the input schema so consumers see fn's
+        # OUTPUT schema, not the raw input union schema (which for the
+        # join wrappers contains the internal __side column)
+        sch = ds.schema(fetch_if_missing=False)
+        if sch is None:
+            return ds
+        return ray.data.from_arrow(fn(sch.base_schema.empty_table()))
+
     refs = _stream_block_refs(ds)
     if two_round is None:
         two_round = num_buckets > TWO_ROUND_THRESHOLD
@@ -205,7 +215,7 @@ def hash_exchange(ds: ray.data.Dataset, key_col: str, fn,
             for i, r in enumerate(outs):
                 cols[i].append(r)
         if empty:
-            return ds
+            return empty_result()
         out_refs = [_exchange_apply.remote(fn, *cols[i])
                     for i in range(num_buckets)]
         return ray.data.from_arrow_refs(out_refs)
@@ -228,7 +238,7 @@ def hash_exchange(ds: ray.data.Dataset, key_col: str, fn,
         for o, r in enumerate(outs):
             oc[o].append(r)
     if empty:
-        return ds
+        return empty_result()
     cons: list[list] = [
         [_exchange_concat.remote(*oc[o][g:g + outer])
          for g in range(0, len(oc[o]), outer)]
@@ -376,6 +386,48 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
                            repartition=False)
 
 
+def _sided_union(left: ray.data.Dataset, right: ray.data.Dataset, by: str,
+                 suffix: str, op_name: str):
+    """Shared plumbing of the two-sided join wrappers (asof/interval):
+    derive the joint output schema (right non-key columns renamed with
+    ``suffix``), reject collisions, align both sides onto it with a
+    ``__side`` tag, and union them for the single hash exchange.
+    Returns (both, l_cols, r_cols, all_fields, out_schema)."""
+    lf = [(f.name, f.type) for f in left.schema().base_schema]
+    rf = [(f.name, f.type) for f in right.schema().base_schema]
+    l_names = [n for n, _ in lf]
+    r_map = {n: (n if n == by else n + suffix) for n, _ in rf}
+    r_fields = [(r_map[n], t) for n, t in rf if n != by]
+    overlap = set(l_names) & {n for n, _ in r_fields}
+    if overlap:
+        raise ValueError(f"{op_name} column collision: {sorted(overlap)}")
+    all_fields = lf + r_fields
+    out_schema = pa.schema(all_fields)
+
+    def align(side: int, names_in: dict[str, str]):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for name, typ in all_fields:
+                src = names_in.get(name)
+                if src is not None and src in t.column_names:
+                    col = t[src]
+                    cols[name] = col.cast(typ) if col.type != typ else col
+                else:
+                    cols[name] = pa.nulls(n, type=typ)
+            cols[SIDE_COL] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return f
+
+    both = left.map_batches(
+        align(0, {n: n for n in l_names}), batch_format="pyarrow"
+    ).union(right.map_batches(
+        align(1, {r_map[n]: n for n, _ in rf}), batch_format="pyarrow"))
+    r_cols = [by] + [n for n, _ in r_fields]
+    return both, l_names, r_cols, all_fields, out_schema
+
+
 def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, by: str,
               on: str, num_buckets: int = 64,
               suffix: str = "_r") -> ray.data.Dataset:
@@ -399,54 +451,24 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, by: str,
     engine-ordering-dependent — project the right side to columns
     determined by (by, on) when exact tie determinism matters.
     """
-    lf = [(f.name, f.type) for f in left.schema().base_schema]
-    rf = [(f.name, f.type) for f in right.schema().base_schema]
-    l_names = [n for n, _ in lf]
-    r_map = {n: (n if n == by else n + suffix) for n, _ in rf}
-    r_fields = [(r_map[n], t) for n, t in rf if n != by]
-    overlap = set(l_names) & {n for n, _ in r_fields}
-    if overlap:
-        raise ValueError(f"asof_join column collision: {sorted(overlap)}")
-    all_fields = lf + r_fields
-    out_schema = pa.schema(all_fields)
+    both, l_cols, r_cols, all_fields, out_schema = _sided_union(
+        left, right, by, suffix, "asof_join")
     on_r = on + suffix
-
-    def align(side: int, names_in: dict[str, str]):
-        def f(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            cols = {}
-            for name, typ in all_fields:
-                src = names_in.get(name)
-                if src is not None and src in t.column_names:
-                    col = t[src]
-                    cols[name] = col.cast(typ) if col.type != typ else col
-                else:
-                    cols[name] = pa.nulls(n, type=typ)
-            cols[SIDE_COL] = pa.array(np.full(n, side, dtype=np.int8))
-            return pa.table(cols)
-
-        return f
-
-    both = left.map_batches(
-        align(0, {n: n for n in l_names}), batch_format="pyarrow"
-    ).union(right.map_batches(
-        align(1, {r_map[n]: n for n, _ in rf}), batch_format="pyarrow"))
-
-    l_cols = l_names
-    r_cols = [by] + [n for n, _ in r_fields]
 
     def asof_bucket(bucket: pa.Table) -> pa.Table:
         import polars as pl
 
+        tmp = "__asof_on"
         df = pl.from_arrow(bucket)
         lhs = df.filter(pl.col(SIDE_COL) == 0).select(l_cols).sort(on)
-        rhs = df.filter(pl.col(SIDE_COL) == 1).select(r_cols).sort(on_r)
-        out = lhs.join_asof(rhs, left_on=on, right_on=on_r, by=by,
+        # join on a DUPLICATE of the right-on column so the matched
+        # row's timestamp always survives as the plain data column
+        # ``on_r`` — polars versions differ on whether join_asof keeps
+        # or drops its right_on key
+        rhs = (df.filter(pl.col(SIDE_COL) == 1).select(r_cols).sort(on_r)
+               .with_columns(pl.col(on_r).alias(tmp)))
+        out = lhs.join_asof(rhs, left_on=on, right_on=tmp, by=by,
                             strategy="backward")
-        # polars drops the right-on column from the output; recover it:
-        # a backward match timestamp IS the matched right row's ``on``
-        if on_r not in out.columns:
-            out = out.with_columns(pl.lit(None).alias(on_r))
         return (out.select([n for n, _ in all_fields])
                 .to_arrow().cast(out_schema))
 
@@ -479,41 +501,9 @@ def interval_join(left: ray.data.Dataset, right: ray.data.Dataset, by: str,
     Right-side non-key columns (including ``start``/``end``) come back
     renamed with ``suffix``.
     """
-    lf = [(f.name, f.type) for f in left.schema().base_schema]
-    rf = [(f.name, f.type) for f in right.schema().base_schema]
-    l_names = [n for n, _ in lf]
-    r_map = {n: (n if n == by else n + suffix) for n, _ in rf}
-    r_fields = [(r_map[n], t) for n, t in rf if n != by]
-    overlap = set(l_names) & {n for n, _ in r_fields}
-    if overlap:
-        raise ValueError(f"interval_join column collision: {sorted(overlap)}")
-    all_fields = lf + r_fields
-    out_schema = pa.schema(all_fields)
+    both, l_cols, r_cols, all_fields, out_schema = _sided_union(
+        left, right, by, suffix, "interval_join")
     start_r, end_r = start + suffix, end + suffix
-
-    def align(side: int, names_in: dict[str, str]):
-        def f(t: pa.Table) -> pa.Table:
-            n = t.num_rows
-            cols = {}
-            for name, typ in all_fields:
-                src = names_in.get(name)
-                if src is not None and src in t.column_names:
-                    col = t[src]
-                    cols[name] = col.cast(typ) if col.type != typ else col
-                else:
-                    cols[name] = pa.nulls(n, type=typ)
-            cols[SIDE_COL] = pa.array(np.full(n, side, dtype=np.int8))
-            return pa.table(cols)
-
-        return f
-
-    both = left.map_batches(
-        align(0, {n: n for n in l_names}), batch_format="pyarrow"
-    ).union(right.map_batches(
-        align(1, {r_map[n]: n for n, _ in rf}), batch_format="pyarrow"))
-
-    l_cols = l_names
-    r_cols = [by] + [n for n, _ in r_fields]
 
     def interval_bucket(bucket: pa.Table) -> pa.Table:
         import polars as pl

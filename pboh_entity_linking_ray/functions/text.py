@@ -57,25 +57,22 @@ def wiki_url_to_title(col) -> pl.Series:
     printed; we implement the documented freebase escape format it
     plainly intends ('$' + 4 hex digits).
 
-    Vectorized: extract/slice/underscore passes are polars kernels; the
-    ``$XXXX`` unescape falls back to a compiled-regex pass over ONLY the
-    rows containing '$' (rare in real dumps)."""
-    import re
-
+    Vectorized end-to-end: extract/slice/underscore passes are polars
+    kernels, and the ``$XXXX`` unescape is one literal ``replace_all``
+    per DISTINCT escape code found in the column (a handful of
+    codepoints in real dumps) — the same distinct-escape trick as
+    ``normalize_title_series``'s percent-decoder, never per-row
+    Python."""
     s = to_polars(col)
     ent = (
         pl.DataFrame({"u": s})
         .select(e=pl.col("u").str.extract(r"wikipedia/en/(.*)$", 1))
         .select(e=pl.col("e").str.slice(0, pl.col("e").str.len_chars() - 2))
     )["e"]
-    has = ent.str.contains(r"\$")
-    if bool(has.any()):
-        pat = re.compile(r"\$([0-9A-Fa-f]{4})")
-        idx = np.flatnonzero(has.fill_null(False).to_numpy())
-        vals = ent.to_list()
-        for i in idx:
-            vals[i] = pat.sub(lambda m: chr(int(m.group(1), 16)), vals[i])
-        ent = pl.Series("e", vals, dtype=pl.String)
+    escapes = (ent.str.extract_all(r"\$[0-9A-Fa-f]{4}").explode()
+               .drop_nulls().unique().to_list())
+    for esc in escapes:
+        ent = ent.str.replace_all(esc, chr(int(esc[1:], 16)), literal=True)
     return ent.str.replace_all("_", " ", literal=True)
 
 

@@ -316,7 +316,10 @@ IVF_NPROBE = 4            # cells probed per query
 
 def _hash_seeds(emb: ray.data.Dataset, k: int) -> np.ndarray:
     """Deterministic seed centroids: hash-sampled vectors (every
-    ``mod``-th id), lowest ids win — reproducible under repartitioning."""
+    ``mod``-th id), lowest ids win — reproducible under repartitioning.
+    ALL ~4k sampled candidates are collected (a ``limit`` would truncate
+    in block-arrival order, making the seed set layout-dependent); the
+    candidate set is ~n/mod ≈ 4k skinny rows by construction."""
     n = emb.count()
     mod = max(1, n // (4 * k))
 
@@ -325,7 +328,7 @@ def _hash_seeds(emb: ray.data.Dataset, k: int) -> np.ndarray:
         return t.filter(pa.array(ids % mod == 0))
 
     seed_tbl = _concat_small(
-        emb.map_batches(keep_seeds, batch_format="pyarrow").limit(4 * k))
+        emb.map_batches(keep_seeds, batch_format="pyarrow"))
     s_ids, s_mat = _matrix(seed_tbl)
     order = np.argsort(s_ids)[:k]
     return _normalize(s_mat[order])

@@ -114,6 +114,10 @@ def mm_frame_sample(sf_dir: str):
 
     def sample(t: pa.Table) -> pa.Table:
         n = np.asarray(t["n_bytes"], dtype=np.int64)
+        if len(n) == 0:
+            empty = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": t["doc_id"], "frame_idx": empty,
+                             "frame_off": empty, "frame_len": empty})
         n_frames = (n + FRAME_BYTES - 1) // FRAME_BYTES
         n_sampled = (n_frames + FRAME_STRIDE - 1) // FRAME_STRIDE
         rep = np.repeat(np.arange(len(n)), n_sampled)

@@ -615,6 +615,10 @@ def q29_doc_len_quantiles(sf_dir: str):
     h = hist.to_pandas().sort_values("n_chars").reset_index(drop=True)
     cum = h["c"].cumsum().to_numpy()
     n = int(cum[-1]) if len(cum) else 0
+    if n == 0:        # empty input → the SQL twin's (q_e4, NULL) rows
+        return pa.table({
+            "q_e4": pa.array(list(QUANTILES_E4), type=pa.int64()),
+            "value": pa.nulls(len(QUANTILES_E4), type=pa.int64())})
     vals = h["n_chars"].to_numpy()
     out_q, out_v = [], []
     for q_e4 in QUANTILES_E4:

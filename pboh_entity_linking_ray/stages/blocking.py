@@ -81,12 +81,19 @@ def register_blocker(name: str, fn) -> None:
 class BlockKeyEmitter:
     """features → one row per (conv, block_key); all feature cols duplicated."""
 
-    def __init__(self, cfg: PipelineConfig | None = None):
+    def __init__(self, cfg: PipelineConfig | None = None,
+                 blocker_fns: list | None = None):
         from .featurize import _mh_for
 
         self.cfg = cfg or PipelineConfig()
         # reuse MinHasher only for band folding of the stored signature
         self.mh = _mh_for(self.cfg)
+        # blocker fns are resolved from the registry on the DRIVER
+        # (add_block_keys) and shipped in the closure: a worker process
+        # re-imports this module WITHOUT the user's register_blocker
+        # call, so a name lookup here would KeyError for custom plugins
+        self.blocker_fns = (blocker_fns if blocker_fns is not None
+                            else [BLOCKERS[n] for n in self.cfg.blockers])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -109,8 +116,8 @@ class BlockKeyEmitter:
         # registered blocker maps the feature batch to named u64 key
         # columns; cfg.blockers selects which families emit
         cols: dict[str, np.ndarray] = {}
-        for name in cfg.blockers:
-            cols.update(BLOCKERS[name](self, batch, sigs))
+        for fn in self.blocker_fns:
+            cols.update(fn(self, batch, sigs))
         names = list(cols)
         n_keys = len(names)
         # conv i emits keys [family keys…]; built COLUMN-major (all b0
@@ -138,9 +145,10 @@ class BlockKeyEmitter:
 
 def add_block_keys(features: ray.data.Dataset, cfg: PipelineConfig | None = None):
     cfg = cfg or PipelineConfig()
+    blocker_fns = [BLOCKERS[n] for n in cfg.blockers]  # resolve on the DRIVER
 
     def emit(batch: pa.Table) -> pa.Table:
-        return BlockKeyEmitter(cfg)(batch)
+        return BlockKeyEmitter(cfg, blocker_fns)(batch)
 
     return features.map_batches(emit, batch_format="pyarrow", batch_size=1024)
 

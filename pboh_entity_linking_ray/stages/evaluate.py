@@ -207,13 +207,16 @@ def eval_report(scored: ray.data.Dataset, labels: pa.Table,
 
 def _labeled_margin(scored: ray.data.Dataset, labels: pa.Table) -> float:
     """Separation margin on labeled pairs: min positive score − max
-    negative score (distributed min/max over a broadcast judge join; a
-    labeled positive the engine never scored counts as score 0)."""
+    negative score (distributed min/max over a broadcast judge join).
+    A labeled pair the engine never scored counts as score 0 on BOTH
+    sides (never-blocked = treated as non-match), so the sentinels the
+    batch minima/maxima start from can never leak into the result."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Max, Min, Sum
 
     lbl = _label_table(labels)
     total_pos = int(pc.sum(lbl["gold"]).as_py() or 0)
+    total_neg = lbl.num_rows - total_pos
     ref = ray.put(lbl)
 
     def j(t: pa.Table) -> pa.Table:
@@ -230,16 +233,20 @@ def _labeled_margin(scored: ray.data.Dataset, labels: pa.Table) -> float:
             "min_pos": pa.array([float(pos.min()) if len(pos) else 1e9]),
             "max_neg": pa.array([float(neg.max()) if len(neg) else -1e9]),
             "n_pos": pa.array([len(pos)], type=pa.int64()),
+            "n_neg": pa.array([len(neg)], type=pa.int64()),
         })
 
     agg = scored.map_batches(j, batch_format="pyarrow").aggregate(
         Min("min_pos", alias_name="min_pos"),
         Max("max_neg", alias_name="max_neg"),
-        Sum("n_pos", alias_name="n_pos"))
+        Sum("n_pos", alias_name="n_pos"),
+        Sum("n_neg", alias_name="n_neg"))
     min_pos = float(agg.get("min_pos") if agg.get("min_pos") is not None else 1e9)
-    if int(agg.get("n_pos") or 0) < total_pos:
-        min_pos = 0.0   # an unscored labeled positive scores 0
+    if int(agg.get("n_pos") or 0) < total_pos or total_pos == 0:
+        min_pos = min(min_pos, 0.0) if total_pos else 0.0
     max_neg = float(agg.get("max_neg") if agg.get("max_neg") is not None else -1e9)
+    if int(agg.get("n_neg") or 0) < total_neg or total_neg == 0:
+        max_neg = max(max_neg, 0.0) if total_neg else 0.0
     return min_pos - max_neg
 
 

@@ -456,20 +456,28 @@ def register_scorer(name: str, cls: type) -> None:
 _SCORER_CACHE: dict[str, PairScorer] = {}
 
 
-def _scorer_for(stats_ref, cfg: PipelineConfig) -> PairScorer:
+def _scorer_for(cls: type, stats_ref, cfg: PipelineConfig) -> PairScorer:
     """Once-per-worker-process scorer — the exact analog of the
     reference's singleton-per-JVM index objects
     (RunLoopyAgainstAllGoogleClweb.scala:31-42): the broadcast stats are
     ray.get()'d once per process (zero-copy numpy views into the shared
-    object store) and reused by every task that lands on the worker."""
+    object store) and reused by every task that lands on the worker.
+
+    Takes the scorer CLASS (resolved from the registry on the DRIVER and
+    shipped in the task closure), never a registry name: a worker
+    process re-imports this module without the user's
+    ``register_scorer`` call, so name resolution inside the task would
+    KeyError for every custom plugin.  Cache capped at 2 entries (the
+    full + baseline differential pair) so a long-lived worker never
+    pins more than two broadcast stats tables."""
     ref_key = (stats_ref.hex() if isinstance(stats_ref, ray.ObjectRef)
                else str(id(stats_ref)))
-    key = f"{cfg.scorer}:{ref_key}"
+    key = f"{cls.__module__}.{cls.__qualname__}:{ref_key}"
     sc = _SCORER_CACHE.get(key)
     if sc is None:
-        sc = SCORERS[cfg.scorer](stats_ref, cfg)
-        if len(_SCORER_CACHE) > 4:   # one stats table per pipeline run
-            _SCORER_CACHE.clear()
+        if len(_SCORER_CACHE) >= 2:
+            _SCORER_CACHE.pop(next(iter(_SCORER_CACHE)))
+        sc = cls(stats_ref, cfg)
         _SCORER_CACHE[key] = sc
     return sc
 
@@ -483,9 +491,10 @@ def score_pairs(pairs_with_features: ray.data.Dataset, stats: BroadcastStats,
     the ``attach_features`` columns (jw_a/jw_b/tokens_a/tokens_b)."""
     cfg = cfg or PipelineConfig()
     stats_ref = stats if isinstance(stats, ray.ObjectRef) else ray.put(stats)
+    scorer_cls = SCORERS[cfg.scorer]      # resolve on the DRIVER
 
     def score_batch(batch: pa.Table) -> pa.Table:
-        return _scorer_for(stats_ref, cfg)(batch)
+        return _scorer_for(scorer_cls, stats_ref, cfg)(batch)
 
     return pairs_with_features.map_batches(
         score_batch,
@@ -508,8 +517,9 @@ def attach_and_score(pairs: ray.data.Dataset, features: ray.data.Dataset,
     materialization hop this removes."""
     cfg = cfg or PipelineConfig()
     stats_ref = stats if isinstance(stats, ray.ObjectRef) else ray.put(stats)
+    scorer_cls = SCORERS[cfg.scorer]      # resolve on the DRIVER
 
     def score_bucket(joined: pa.Table) -> pa.Table:
-        return _scorer_for(stats_ref, cfg)(joined)
+        return _scorer_for(scorer_cls, stats_ref, cfg)(joined)
 
     return _attach(pairs, features, num_buckets, post=score_bucket)

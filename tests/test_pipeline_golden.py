@@ -76,3 +76,39 @@ def test_scorer_registry_selects_baseline(ray_session):
     sp = res.scored.to_pandas()
     assert (sp["pboh"] == 0.0).all()
     assert sp["score"].between(0, 1).all()
+
+
+def test_custom_registered_scorer_reaches_workers(ray_session):
+    """Custom plugin defined outside the engine package (locally, as in
+    a driver script — cloudpickle ships it by value into workers, where
+    the registry dict is fresh): the regression this pins is registry
+    name-resolution happening on the DRIVER, not inside the task, which
+    would KeyError for every plugin."""
+    from dataclasses import replace
+
+    import ray.data as rd
+
+    from pboh_entity_linking_ray.config import PipelineConfig
+    from pboh_entity_linking_ray.pipelines.linkage import run_linkage
+    from pboh_entity_linking_ray.sources.synthetic import generate_corpus
+    from pboh_entity_linking_ray.stages.scoring import register_scorer
+
+    class TaggedScorer:
+        def __init__(self, stats_ref, cfg=None):
+            from pboh_entity_linking_ray.stages.scoring import StringSimScorer
+
+            self._inner = StringSimScorer(stats_ref, cfg)
+
+        def __call__(self, batch):
+            import pyarrow.compute as pc
+
+            out = self._inner(batch)
+            i = out.schema.get_field_index("pboh")
+            return out.set_column(i, "pboh", pc.add(out["pboh"], 42.0))
+
+    register_scorer("tagged", TaggedScorer)
+    c = generate_corpus(80, 7)
+    cfg = replace(PipelineConfig(), scorer="tagged")
+    res = run_linkage(rd.from_arrow(c.turns), cfg)
+    sp = res.scored.to_pandas()
+    assert (sp["pboh"] == 42.0).all()     # the plugin actually ran remotely
