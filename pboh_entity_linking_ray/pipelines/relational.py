@@ -465,6 +465,68 @@ SELECT user_id, session_idx, count(*) AS n_events,
 FROM s GROUP BY 1, 2
 """
 
+# --- q35: exact per-group quantiles (fully distributed) ----------------------
+
+QUANTILES_E4 = (2500, 5000, 7500, 9000, 9900)   # shared with q29
+
+
+def q35_doc_len_quantiles_by_lang(sf_dir: str):
+    """q29's exact quantiles per GROUP, with zero driver work: per-batch
+    (lang, value) counts → ONE exchange keyed on the group → each bucket
+    holds its groups' whole histograms and computes every quantile with
+    a vectorized cumsum/searchsorted.  Same integer quantile_disc rank
+    arithmetic as q29."""
+    from ..functions.grouping import hash_exchange
+
+    docs = _t(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(t).group_by(["lang", "n_chars"])
+                .len(name="c").with_columns(pl.col("c").cast(pl.Int64))
+                .to_arrow())
+
+    def bucket_quantiles(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0:
+            return pa.table({"lang": pa.array([], type=pa.large_string()),
+                             "q_e4": pa.array([], type=pa.int64()),
+                             "value": pa.array([], type=pa.int64())})
+        df = (pl.from_arrow(t).group_by(["lang", "n_chars"])
+              .agg(pl.col("c").sum()).sort(["lang", "n_chars"]))
+        langs = df["lang"].to_numpy()
+        vals = df["n_chars"].to_numpy()
+        cnts = df["c"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, langs[1:] != langs[:-1]])
+        bounds = np.append(starts, len(langs))
+        out_l, out_q, out_v = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            cum = np.cumsum(cnts[s:e])
+            n = int(cum[-1])
+            for q_e4 in QUANTILES_E4:
+                rank = max(1, -(-q_e4 * n // 10_000))
+                out_l.append(langs[s])
+                out_q.append(q_e4)
+                out_v.append(int(vals[s:e][np.searchsorted(cum, rank)]))
+        return pa.table({"lang": pa.array(out_l, type=pa.large_string()),
+                         "q_e4": pa.array(out_q, type=pa.int64()),
+                         "value": pa.array(out_v, type=pa.int64())})
+
+    part = docs.map_batches(counts, batch_format="pyarrow")
+    return hash_exchange(part, "lang", bucket_quantiles, num_buckets=16)
+
+
+SQL_Q35 = f"""
+SELECT lang,
+       unnest([{", ".join(str(q) for q in QUANTILES_E4)}]) AS q_e4,
+       unnest(quantile_disc(n_chars,
+              [{", ".join(f"{q / 10_000}" for q in QUANTILES_E4)}])) AS value
+FROM documents GROUP BY lang
+"""
+
+
 # --- q30: distributed anti join ---------------------------------------------
 
 BIG_ORDER_MIN = 300_000
@@ -584,10 +646,7 @@ WHERE rn <= {TOPK_PER_GROUP_K}
 """
 
 
-# --- q29: exact distributed quantiles ---------------------------------------
-
-QUANTILES_E4 = (2500, 5000, 7500, 9000, 9900)
-
+# --- q29: exact distributed quantiles (QUANTILES_E4 defined at q35) ---------
 
 def q29_doc_len_quantiles(sf_dir: str):
     """Exact quantiles of doc length, distributed: per-batch value
@@ -654,4 +713,6 @@ QUERIES = {
         (q30_customers_without_big_orders, SQL_Q30),
     "q33_pivot_user_events": (q33_pivot_user_events, SQL_Q33),
     "q34_unpivot_user_events": (q34_unpivot_user_events, SQL_Q34),
+    "q35_doc_len_quantiles_by_lang":
+        (q35_doc_len_quantiles_by_lang, SQL_Q35),
 }
