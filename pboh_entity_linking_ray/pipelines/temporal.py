@@ -232,8 +232,51 @@ GROUP BY 1
 """
 
 
+# --- q36: lag/lead window (per-user previous-event gap + transition) --------
+
+def q36_event_lag(sf_dir: str):
+    """Per event: the same user's PREVIOUS event id, the gap to it in
+    microseconds (exact at the column's timestamp precision), and the previous event's type (the lag/lead window
+    family).  One hash exchange on the user co-locates each user's
+    history; inside a bucket a vectorized polars sort + ``shift`` over
+    the user partition resolves every row — the standard recipe for any
+    ``lag``/``lead``/cumulative window on this engine.  Deterministic
+    tie order (ts, event_id) mirrored in the SQL window's ORDER BY."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+
+    def lag_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        out = df.with_columns(
+            pl.col("event_id").shift(1).over("user_id")
+              .alias("prev_event_id"),
+            ((pl.col("ts") - pl.col("ts").shift(1).over("user_id"))
+             .dt.total_microseconds().cast(pl.Int64)).alias("gap_us"),
+            pl.col("event_type").shift(1).over("user_id")
+              .alias("prev_type"),
+        ).select(["event_id", "user_id", "prev_event_id", "gap_us",
+                  "prev_type"])
+        return out.to_arrow()
+
+    return hash_exchange(events, "user_id", lag_bucket, num_buckets=16)
+
+
+SQL_Q36 = """
+SELECT event_id, user_id,
+       lag(event_id) OVER w AS prev_event_id,
+       CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap_us,
+       lag(event_type) OVER w AS prev_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
     "q23_asof_join": (q23_asof_join, SQL_Q23),
     "q24_sliding_window": (q24_sliding_window, SQL_Q24),
     "q25_interval_join": (q25_interval_join, SQL_Q25),
+    "q36_event_lag": (q36_event_lag, SQL_Q36),
 }
