@@ -563,6 +563,48 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+# --- q37: Bloom-prefiltered semi join ----------------------------------------
+
+BIG_PURCHASE_MIN = 150
+
+
+def q37_events_of_big_purchasers(sf_dir: str):
+    """All events of users who ever made a purchase above
+    BIG_PURCHASE_MIN — a semi join whose probe side (every event) is the
+    big one.  ``bloom_filter_join`` builds a Bloom filter of the
+    qualifying users in one streaming pass, broadcasts it once, and
+    drops definite-non-member probe rows BEFORE the exchange; the
+    in-bucket exact join removes the Bloom's false positives, so the
+    result is exactly the plain semi join / EXISTS."""
+    import pyarrow.compute as pc
+
+    from ..functions.bloom import bloom_filter_join
+
+    events = _t(sf_dir, "events",
+                ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def buyers(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.equal(t["event_type"], "purchase"),
+                             pc.greater(t["value"], BIG_PURCHASE_MIN)))
+        return t.select(["user_id"])
+
+    right = events.map_batches(buyers, batch_format="pyarrow")
+    out = bloom_filter_join(
+        events.select_columns(["event_id", "user_id", "event_type"]),
+        right, "user_id", how="semi", m_bits=1 << 20)
+    return out
+
+
+SQL_Q37 = f"""
+SELECT event_id, user_id, event_type
+FROM events e
+WHERE EXISTS (SELECT 1 FROM events p
+              WHERE p.user_id = e.user_id
+                AND p.event_type = 'purchase'
+                AND p.value > {BIG_PURCHASE_MIN})
+"""
+
+
 # --- q33: pivot (long → wide conditional aggregation) -----------------------
 
 PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -715,4 +757,6 @@ QUERIES = {
     "q34_unpivot_user_events": (q34_unpivot_user_events, SQL_Q34),
     "q35_doc_len_quantiles_by_lang":
         (q35_doc_len_quantiles_by_lang, SQL_Q35),
+    "q37_events_of_big_purchasers":
+        (q37_events_of_big_purchasers, SQL_Q37),
 }

@@ -218,3 +218,39 @@ def test_semi_and_anti_join(ray_session):
     assert semi["k"].tolist() == [2, 4] and semi["v"].tolist() == [20, 40]
     assert anti["k"].tolist() == [1, 3] and anti["v"].tolist() == [10, 30]
     assert list(semi.columns) == ["k", "v"]   # left columns only
+
+
+def test_bloom_filter_join_matches_plain(ray_session):
+    """Bloom pre-filter is pure work-motion: semi and anti results are
+    byte-identical to the plain hash_join, including at a tiny m_bits
+    where false positives are guaranteed to occur."""
+    from pboh_entity_linking_ray.functions.bloom import (
+        _member_mask,
+        bloom_filter_join,
+        build_bloom,
+    )
+    from pboh_entity_linking_ray.functions.grouping import hash_join
+
+    rng = np.random.default_rng(5)
+    left = ray.data.from_arrow(pa.table({
+        "k": rng.integers(0, 3000, 4000),
+        "v": np.arange(4000, dtype=np.int64),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": rng.integers(0, 1500, 400),
+        "w": np.arange(400, dtype=np.int64),
+    }))
+    for how in ("semi", "anti"):
+        exp = (hash_join(left, right.select_columns(["k"]), "k", how=how)
+               .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+        # m_bits=4096 for 400 keys → dense filter, real false positives
+        got = (bloom_filter_join(left, right.select_columns(["k"]), "k",
+                                 how=how, m_bits=4096)
+               .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+        assert got.equals(exp), how
+
+    # no false negatives ever: every true member passes the mask
+    words = build_bloom(right, "k", m_bits=4096)
+    rk = right.to_pandas()["k"].unique()
+    mask = _member_mask(pa.chunked_array([pa.array(rk)]), words, 4096)
+    assert mask.all()
