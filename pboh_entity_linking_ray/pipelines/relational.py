@@ -563,6 +563,88 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+# --- q38: three-table join pipeline (TPC-H Q3 shape) -------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1995-03-15"
+
+
+def q38_shipping_priority(sf_dir: str):
+    """TPC-H Q3: top unshipped orders of one market segment by revenue —
+    the multi-join composition test.  Chain: lineitem pre-aggregated
+    per batch THEN per orderkey (combiner before the exchange) ⋈ orders
+    date-filtered and SEMI-joined to the segment's customers (only the
+    key column of the build side ever shuffles) → sort + limit.  Three
+    exchanges total, every one over pre-shrunk skinny rows."""
+    import pyarrow.compute as pc
+
+    from ..functions.grouping import bucketed_sum, hash_join
+
+    line = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = t.filter(pc.greater(t["l_shipdate"],
+                                pa.scalar(Q3_DATE).cast(t["l_shipdate"].type)))
+        ext = np.asarray(t["l_extendedprice"])
+        dis = np.asarray(t["l_discount"])
+        rev = np.floor(ext * (1 - dis) * 100 + 0.5).astype(np.int64)
+        return (pl.DataFrame({
+            "l_orderkey": pl.from_arrow(t["l_orderkey"].combine_chunks()),
+            "rev": pl.Series(rev),
+        }).group_by("l_orderkey").agg(pl.col("rev").sum()).to_arrow())
+
+    rev = bucketed_sum(line.map_batches(rev_partial, batch_format="pyarrow"),
+                       ["l_orderkey"], "rev", "revenue_e2",
+                       engine="exchange")
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def seg(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], Q3_SEGMENT))
+        return t.select(["c_custkey"]).rename_columns(["o_custkey"])
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def odate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["o_orderdate"],
+                                pa.scalar(Q3_DATE).cast(t["o_orderdate"].type)))
+
+    def o_project(t: pa.Table) -> pa.Table:
+        # explicit map projection: lazy select/rename on an exchange
+        # output doesn't propagate into Dataset.schema(), which the next
+        # hash_join derives its output fields from
+        return pa.table({"l_orderkey": t["o_orderkey"],
+                         "o_orderdate": t["o_orderdate"],
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    o_seg = hash_join(orders.map_batches(odate, batch_format="pyarrow"),
+                      cust.map_batches(seg, batch_format="pyarrow"),
+                      "o_custkey", how="semi") \
+        .map_batches(o_project, batch_format="pyarrow")
+
+    joined = hash_join(rev, o_seg, "l_orderkey")
+    return joined.sort(["revenue_e2", "l_orderkey"],
+                       descending=[True, False]).limit(10)
+
+
+SQL_Q38 = f"""
+SELECT l_orderkey,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_e2,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < DATE '{Q3_DATE}' AND l_shipdate > DATE '{Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_e2 DESC, l_orderkey LIMIT 10
+"""
+
+
 # --- q37: Bloom-prefiltered semi join ----------------------------------------
 
 BIG_PURCHASE_MIN = 150
@@ -759,4 +841,5 @@ QUERIES = {
         (q35_doc_len_quantiles_by_lang, SQL_Q35),
     "q37_events_of_big_purchasers":
         (q37_events_of_big_purchasers, SQL_Q37),
+    "q38_shipping_priority": (q38_shipping_priority, SQL_Q38),
 }
