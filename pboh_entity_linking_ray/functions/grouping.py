@@ -320,6 +320,12 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     semi/anti return LEFT columns only and ship only the right side's
     key column through the exchange.
 
+    CAVEAT: output fields derive from each input's ``Dataset.schema()``.
+    A lazy ``select_columns``/``rename_columns`` applied to an exchange
+    output does NOT propagate into that schema (observed on Ray 2.49) —
+    project with an explicit ``map_batches`` instead (see
+    relational.q38's ``o_project``).
+
     Reference analog: the doc-text ⋈ anchors groupByKey co-group
     (reference: src/main/scala/context/EntityWordsProbs.scala:198-202) —
     the reference's only join device beyond broadcast lookups.
