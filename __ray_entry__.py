@@ -17,6 +17,7 @@ from collections.abc import Callable
 from typing import Any
 
 from pboh_entity_linking_ray.pipelines import (
+    analytics,
     ann,
     cardinality,
     fuzzy,
@@ -30,8 +31,8 @@ from pboh_entity_linking_ray.pipelines import (
 )
 
 _ALL = {}
-for mod in (relational, textops, sampling, temporal, fuzzy, ann, multimodal,
-            cardinality, prep, linkage_queries):
+for mod in (relational, textops, sampling, temporal, analytics, fuzzy, ann,
+            multimodal, cardinality, prep, linkage_queries):
     _ALL.update(mod.QUERIES)
 
 

@@ -1,0 +1,241 @@
+"""Analytic (window / OLAP) operators: per-group ranking, running
+cumulative aggregates, ROLLUP hierarchies, and grouped ordered collect.
+
+All four follow the engine's single-exchange window recipe (the same one
+``temporal.q36_event_lag`` uses for lag/lead): hash-partition on the
+PARTITION BY key with ONE ``hash_exchange``, then resolve every window
+function inside the bucket with a vectorized polars kernel (``rank`` /
+``cum_sum`` / ``str.join`` over sorted partitions).  A window only ever
+needs one key's rows co-located — never a global sort — so the shuffle
+moves each row exactly once, skinny-projected.
+
+Reference analog: the reference ranks candidate entities per mention and
+accumulates per-document scores positionally (SURVEY.md §2 M10/T2-T5,
+``md/MentionDetectionSpark.scala``-family top-k pruning); these queries
+are the explicit SQL-window generalisation of that per-partition
+rank/accumulate pattern.
+
+Scale notes (100 TB): per-bucket work is O(n log n) sort + linear window
+pass; bucket state never exceeds one bucket's rows (``buckets_for`` sizes
+bucket count from the corpus).  ROLLUP's upper tiers re-aggregate the
+already-tiny base tier — the driver never sees row-level data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.grouping import hash_exchange
+
+
+def _cents(col: pa.ChunkedArray) -> pa.Array:
+    """floor(x*100+0.5) as int64 — integer cents make cross-engine sums
+    exact (same trick as q01/q23)."""
+    return pa.array(np.floor(np.asarray(col) * 100 + 0.5).astype(np.int64))
+
+
+def _orders_cents(sf_dir: str, extra: list[str] | None = None):
+    cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    cols += extra or []
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def project(t: pa.Table) -> pa.Table:
+        keep = {c: t[c] for c in cols if c != "o_totalprice"}
+        keep["cents"] = _cents(t["o_totalprice"])
+        return pa.table(keep)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+# --- q39: per-group ranking (row_number / rank / dense_rank) ---------------
+
+def q39_order_rank(sf_dir: str):
+    """Every order with its row_number, rank, and dense_rank among the
+    same customer's orders by price descending (ties broken by orderkey
+    for row_number only — rank/dense_rank see true price ties, exactly
+    SQL semantics).  One exchange on the customer; polars ``rank`` over
+    the partition resolves all three variants in one vectorized pass."""
+
+    def rank_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t).sort(["o_custkey", "cents", "o_orderkey"],
+                                   descending=[False, True, False])
+        out = df.with_columns(
+            rn=pl.int_range(pl.len()).over("o_custkey").cast(pl.Int64) + 1,
+            rnk=pl.col("cents").rank("min", descending=True)
+                  .over("o_custkey").cast(pl.Int64),
+            drnk=pl.col("cents").rank("dense", descending=True)
+                   .over("o_custkey").cast(pl.Int64),
+        ).select(["o_orderkey", "o_custkey", "cents", "rn", "rnk", "drnk"])
+        return out.to_arrow()
+
+    return hash_exchange(_orders_cents(sf_dir), "o_custkey", rank_bucket,
+                         num_buckets=16)
+
+
+SQL_Q39 = """
+SELECT o_orderkey, o_custkey, cents,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY cents DESC, o_orderkey) AS rn,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk
+FROM (SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY cents DESC)
+"""
+
+
+# --- q40: running cumulative aggregate per partition -----------------------
+
+def q40_running_revenue(sf_dir: str):
+    """Per order: the customer's cumulative revenue and order count up to
+    and including it, in (orderdate, orderkey) order — the running-total
+    window family (SUM/COUNT OVER ... ROWS UNBOUNDED PRECEDING).  Exact
+    integer cents; one exchange, one sorted cumulative pass per bucket."""
+
+    def cum_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t).sort(["o_custkey", "o_orderdate", "o_orderkey"])
+        out = df.with_columns(
+            run_cents=pl.col("cents").cum_sum().over("o_custkey"),
+            run_n=(pl.int_range(pl.len()).over("o_custkey") + 1)
+                  .cast(pl.Int64),
+        ).select(["o_orderkey", "o_custkey", "o_orderdate",
+                  "run_cents", "run_n"])
+        return out.to_arrow()
+
+    return hash_exchange(_orders_cents(sf_dir), "o_custkey", cum_bucket,
+                         num_buckets=16)
+
+
+SQL_Q40 = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(sum(cents) OVER w AS BIGINT) AS run_cents,
+       count(*) OVER w AS run_n
+FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- q41: ROLLUP hierarchy (year → priority → grand total) -----------------
+
+def q41_rollup_revenue(sf_dir: str):
+    """Order count and revenue by ROLLUP(year, priority): the full
+    (year, priority) tier, per-year subtotals, and the grand total, with
+    NULLs marking rolled-up levels exactly as SQL ROLLUP does.
+
+    Distribution shape: per-batch partial combine (the only pass over
+    row-level data) → ONE small exchange keyed on year whose buckets
+    emit both the base tier and their year subtotals → the grand total
+    re-aggregates the O(years) subtotal rows in a final one-bucket pass.
+    The driver never touches row-level data; upper tiers cost
+    O(distinct years × priorities)."""
+    import pyarrow.compute as pc
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(pa.table({
+            "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            "prio": t["o_orderpriority"],
+            "cents": _cents(t["o_totalprice"]),
+        }))
+        return (df.group_by(["yr", "prio"])
+                .agg(pl.col("cents").sum().alias("rev_cents"),
+                     pl.len().cast(pl.Int64).alias("n_orders"))
+                .to_arrow())
+
+    def year_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        base = (df.group_by(["yr", "prio"])
+                .agg(pl.col("rev_cents").sum(), pl.col("n_orders").sum()))
+        yr = (base.group_by("yr")
+              .agg(pl.col("rev_cents").sum(), pl.col("n_orders").sum())
+              .with_columns(prio=pl.lit(None, dtype=pl.String)))
+        return pl.concat([base, yr.select(base.columns)]).to_arrow()
+
+    tiers = hash_exchange(orders.map_batches(partial, batch_format="pyarrow"),
+                          "yr", year_bucket, num_buckets=4)
+
+    def grand(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        total = (df.filter(pl.col("prio").is_null())   # year subtotals only
+                 .select(pl.lit(None, dtype=pl.Int64).alias("yr"),
+                         pl.lit(None, dtype=pl.String).alias("prio"),
+                         pl.col("rev_cents").sum(),
+                         pl.col("n_orders").sum()))
+        return pl.concat([df.select(total.columns), total]).to_arrow()
+
+    # the tier table is O(years × priorities) rows — a single-bucket
+    # finishing pass, not a data shuffle
+    return hash_exchange(tiers, "n_orders", grand, num_buckets=1)
+
+
+SQL_Q41 = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       o_orderpriority AS prio,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS rev_cents,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP(yr, prio)
+"""
+
+
+# --- q42: grouped ordered collect (string_agg) ------------------------------
+
+def q42_priority_timeline(sf_dir: str):
+    """Per customer: their order priorities concatenated in
+    (orderdate, orderkey) order — the grouped ordered-collect family
+    (string_agg / array_agg ... ORDER BY).  One exchange on the
+    customer; each bucket sorts its partitions once and joins the
+    strings vectorized."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def collect_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t).sort(["o_custkey", "o_orderdate", "o_orderkey"])
+        out = (df.group_by("o_custkey", maintain_order=True)
+               .agg(pl.col("o_orderpriority").str.join(",")
+                    .alias("prio_seq"),
+                    pl.len().cast(pl.Int64).alias("n_orders")))
+        return out.to_arrow()
+
+    return hash_exchange(orders, "o_custkey", collect_bucket, num_buckets=16)
+
+
+SQL_Q42 = """
+SELECT o_custkey,
+       string_agg(o_orderpriority, ','
+                  ORDER BY o_orderdate, o_orderkey) AS prio_seq,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+QUERIES = {
+    "q39_order_rank": (q39_order_rank, SQL_Q39),
+    "q40_running_revenue": (q40_running_revenue, SQL_Q40),
+    "q41_rollup_revenue": (q41_rollup_revenue, SQL_Q41),
+    "q42_priority_timeline": (q42_priority_timeline, SQL_Q42),
+}

@@ -5,6 +5,7 @@ import pytest
 
 from pboh_entity_linking_ray.oracle import compare
 from pboh_entity_linking_ray.pipelines import (
+    analytics,
     ann,
     cardinality,
     fuzzy,
@@ -21,8 +22,8 @@ from pboh_entity_linking_ray.sources.synthetic import corpus_dir, sf_to_n_convs
 SF_DIR = "/root/testdata/sf0.001"
 
 PAIRED = {}
-for mod in (relational, textops, sampling, temporal, fuzzy, ann, multimodal,
-            cardinality, prep, linkage_queries):
+for mod in (relational, textops, sampling, temporal, analytics, fuzzy, ann,
+            multimodal, cardinality, prep, linkage_queries):
     for name, (fn, sql) in mod.QUERIES.items():
         if sql is not None:
             PAIRED[name] = (fn, sql)
