@@ -573,3 +573,60 @@ def topk_per_group(ds: ray.data.Dataset, group_col: str, order_col: str,
     partial = ds.map_batches(cut, batch_format="pyarrow")
     return bucketed_groups(partial, group_col, cut, num_buckets,
                            engine="exchange")
+
+
+def broadcast_join(large: ray.data.Dataset, small: "pa.Table", on: str,
+                   how: str = "inner", post=None,
+                   concurrency: int | tuple[int, int] = (1, 8),
+                   batch_size: int | None = None) -> ray.data.Dataset:
+    """Map-side (broadcast) join: a streaming large side ⋈ a bounded
+    driver-resident dimension table, with NO shuffle of the large side.
+
+    The canonical small-dimension pattern the prompt calls out: ``small``
+    is ``ray.put`` into the object store ONCE; each join actor reads it
+    zero-copy and builds its polars frame ONCE in ``__init__`` (never
+    per batch); every large-side batch then joins locally inside
+    ``map_batches``.  Contrast ``hash_join``, which exchanges BOTH sides
+    — use that when neither side fits in a worker's heap.
+
+    Contract: ``small`` must fit in one worker's heap (dimension tables,
+    lookup maps — NOT a second fact table); it is deduplicated on ``on``
+    is NOT required — duplicate keys multiply rows exactly like SQL.
+
+    ``how`` ∈ {"inner", "left", "semi", "anti"} (polars semantics;
+    semi/anti keep only large-side columns).  ``post`` fuses a consumer
+    (e.g. a partial aggregate) into the join task so wide joined rows
+    never cross an operator boundary.
+
+    Reference analog: the reference's index wrappers resolve mentions
+    against broadcast in-memory maps on every worker
+    (src/main/scala/index/AllIndexesBox.scala) — this is that pattern as
+    a first-class relational operator.
+    """
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"broadcast_join: unsupported how={how!r}")
+    keep_small = [] if how in ("semi", "anti") else \
+        [n for n in small.column_names if n != on]
+    lf = {f.name for f in large.schema().base_schema}
+    overlap = lf & set(keep_small)
+    if overlap:
+        raise ValueError(f"broadcast_join column collision: {sorted(overlap)}")
+    small_ref = ray.put(small.select([on] + keep_small))
+
+    class _Join:
+        def __init__(self):
+            import polars as pl
+
+            # zero-copy plasma read + one frame build per ACTOR
+            self.rhs = pl.from_arrow(ray.get(small_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import polars as pl
+
+            out = (pl.from_arrow(t)
+                   .join(self.rhs, on=on, how=how,
+                         maintain_order="left").to_arrow())
+            return post(out) if post is not None else out
+
+    return large.map_batches(_Join, batch_format="pyarrow",
+                             concurrency=concurrency, batch_size=batch_size)

@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from ..functions.grouping import hash_exchange
+from ..functions.grouping import broadcast_join, hash_exchange
 
 
 def _cents(col: pa.ChunkedArray) -> pa.Array:
@@ -233,9 +233,76 @@ GROUP BY o_custkey
 """
 
 
+# --- q43: star-schema broadcast join (fact ⋈ small dims, no shuffle) --------
+
+def q43_nation_revenue(sf_dir: str):
+    """Revenue and order count per (nation, market segment): the orders
+    fact stream broadcast-joined against the customer⋈nation dimension —
+    the canonical small-side pattern.  The dims are read ONCE at the
+    driver (they are bounded: nation is 25 rows; customer is the
+    dimension of this star), pre-joined there, ``ray.put`` once, and
+    every join actor builds its frame once in ``__init__`` — the fact
+    table never shuffles.  A per-batch partial aggregate is FUSED into
+    the join task (``post``), so only O(nations × segments) partial rows
+    per batch leave it; one tiny exchange finishes the sum."""
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    dim = (pl.from_arrow(cust)
+           .join(pl.from_arrow(nation),
+                 left_on="c_nationkey", right_on="n_nationkey")
+           .select(pl.col("c_custkey").alias("o_custkey"),
+                   pl.col("n_name"), pl.col("c_mktsegment"))
+           .to_arrow())
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    def partial(joined: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(joined).group_by(["n_name", "c_mktsegment"])
+                .agg(pl.col("cents").sum().alias("rev_cents"),
+                     pl.len().cast(pl.Int64).alias("n_orders"))
+                .to_arrow())
+
+    def final(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(t).group_by(["n_name", "c_mktsegment"])
+                .agg(pl.col("rev_cents").sum(), pl.col("n_orders").sum())
+                .to_arrow())
+
+    joined = broadcast_join(
+        orders.map_batches(project, batch_format="pyarrow"),
+        dim, on="o_custkey", post=partial)
+    return hash_exchange(joined, "n_name", final, num_buckets=4)
+
+
+SQL_Q43 = """
+SELECT n_name, c_mktsegment,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS rev_cents,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q39_order_rank": (q39_order_rank, SQL_Q39),
     "q40_running_revenue": (q40_running_revenue, SQL_Q40),
     "q41_rollup_revenue": (q41_rollup_revenue, SQL_Q41),
     "q42_priority_timeline": (q42_priority_timeline, SQL_Q42),
+    "q43_nation_revenue": (q43_nation_revenue, SQL_Q43),
 }
