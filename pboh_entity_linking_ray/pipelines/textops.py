@@ -661,8 +661,139 @@ FROM cut
 """
 
 
+# --- q44: df-weighted (TF-IDF-family) similarity join -----------------------
+
+TFIDF_STOP_DF = 200      # tokens in more docs than this carry ~no signal
+                         # AND would emit O(df²) pairs — stop-token guard,
+                         # same semantic as JAC_STOP_DF (mirrored in SQL)
+TFIDF_W_SCALE = 100_000  # weight = tf * (W_SCALE // df): an integer-exact
+                         # inverse-document-frequency surrogate — floor
+                         # division keeps BOTH engines bit-identical where
+                         # a float ln(N/df) could round differently
+TFIDF_MIN_WDOT = 10_000_000  # keep pairs with weighted dot >= this.
+                             # NOTE: w is df-reciprocal, so absolute
+                             # wdot shrinks as the corpus (and every df)
+                             # grows — an absolute threshold is corpus-
+                             # relative; rank per doc (topk_per_group on
+                             # doc_a) for a scale-free variant
+
+
+def q44_tfidf_pairs(sf_dir: str):
+    """Sparse TF-IDF-weighted similarity join over the documents table:
+    for every doc pair sharing a non-stop token, the weighted dot product
+    Σ_t w_a(t)·w_b(t) with w = tf · ⌊W_SCALE/df⌋, thresholded.
+
+    Same inverted-index shape as q12 but WEIGHTED: explode to
+    (doc, token, tf) rows (one vectorized polars pass, whole doc in its
+    row so tf is batch-local-exact), ONE exchange on the token — df is
+    then exact in-bucket (each doc contributes one row per distinct
+    token) so no second df-broadcast pass is needed — triu pair emission
+    batched by group size with per-pair partial products, bucketed sum,
+    threshold.  All arithmetic int64: max w ≈ tf·W_SCALE/2 ≈ 5e6, per-
+    token product ≤ 2.5e13, dot ≤ ~1e16 — no overflow, no float drift.
+
+    Scale notes (100 TB): identical profile to q12 — the exchange moves
+    (doc_id, token-hashable string, tf) rows once; stop-df caps any
+    token's pair fan-out at STOP_DF²/2; per-bucket work is vectorized
+    numpy over group-size batches."""
+    from ..functions.grouping import bucketed_groups, bucketed_sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(t["doc_id"].combine_chunks()).cast(pl.Int64),
+            "tok": pl.from_arrow(t["text"].combine_chunks())
+                     .str.to_lowercase().str.extract_all("[a-z0-9]+"),
+        }).explode("tok").drop_nulls("tok")
+        out = (df.group_by(["doc_id", "tok"])
+               .agg(pl.len().cast(pl.Int64).alias("tf")))
+        return out.to_arrow()
+
+    rows = _docs(sf_dir).map_batches(explode, batch_format="pyarrow",
+                                     batch_size=512)
+
+    empty = pa.table({"pair": pa.array([], type=pa.int64()),
+                      "wdot_p": pa.array([], type=pa.int64())})
+
+    def pairs_bucket(bucket: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(bucket).sort(["tok", "doc_id"])
+        ids = df["doc_id"].to_numpy()
+        tf = df["tf"].to_numpy()
+        tokv = df["tok"].to_numpy()
+        n = len(ids)
+        if n == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, tokv[1:] != tokv[:-1]])
+        bounds = np.append(starts, n)
+        sizes = np.diff(bounds)
+        # df is exact here: all (doc, token) rows of a token co-locate
+        w = tf * (TFIDF_W_SCALE // np.repeat(sizes, sizes))
+        ap, bp = [], []
+        ok = (sizes >= 2) & (sizes <= TFIDF_STOP_DF)
+        for m in np.unique(sizes[ok]):
+            ia, ib = np.triu_indices(int(m), k=1)
+            base = bounds[:-1][ok & (sizes == m)]
+            ap.append((base[:, None] + ia[None, :]).ravel())
+            bp.append((base[:, None] + ib[None, :]).ravel())
+        if not ap:
+            return empty
+        ai = np.concatenate(ap)
+        bi = np.concatenate(bp)
+        pair = ids[ai] * (1 << 32) + ids[bi]     # in-group sort → a < b
+        prod = w[ai] * w[bi]
+        # in-bucket partial sum: the same pair repeats across tokens
+        upair, inv = np.unique(pair, return_inverse=True)
+        wdot = np.zeros(len(upair), dtype=np.int64)
+        np.add.at(wdot, inv, prod)
+        return pa.table({"pair": pa.array(upair),
+                         "wdot_p": pa.array(wdot)})
+
+    shared = bucketed_groups(rows, "tok", pairs_bucket, engine="exchange")
+    agg = bucketed_sum(shared, ["pair"], "wdot_p", "wdot",
+                       engine="exchange")
+
+    def finish(t: pa.Table) -> pa.Table:
+        pair = np.asarray(t["pair"], dtype=np.int64)
+        wdot = np.asarray(t["wdot"], dtype=np.int64)
+        keep = wdot >= TFIDF_MIN_WDOT
+        return pa.table({
+            "doc_a": pa.array(pair[keep] >> 32),
+            "doc_b": pa.array(pair[keep] & 0xFFFFFFFF),
+            "wdot": pa.array(wdot[keep]),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_Q44 = f"""
+WITH tok AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS tok
+        FROM documents)
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT doc_id, tok,
+         tf * ({TFIDF_W_SCALE} // count(*) OVER (PARTITION BY tok)) AS w,
+         count(*) OVER (PARTITION BY tok) AS df
+  FROM tok
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(sum(a.w * b.w) AS BIGINT) AS wdot
+FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+WHERE a.df BETWEEN 2 AND {TFIDF_STOP_DF}
+GROUP BY 1, 2
+HAVING CAST(sum(a.w * b.w) AS BIGINT) >= {TFIDF_MIN_WDOT}
+"""
+
+
 QUERIES = {
     "q12_ngram_jaccard_pairs": (q12_ngram_jaccard_pairs, SQL_Q12),
+    "q44_tfidf_pairs": (q44_tfidf_pairs, SQL_Q44),
     "q22_url_titles": (q22_url_titles, SQL_Q22),
     "q20_frequent_pairs": (q20_frequent_pairs, SQL_Q20),
     "q13_simhash": (q13_simhash, SQL_Q13),
