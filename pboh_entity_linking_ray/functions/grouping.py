@@ -104,7 +104,16 @@ def _exchange_concat(*parts: pa.Table) -> pa.Table:
     ref count is blocks/√B × B instead of blocks × B)."""
     live = [p for p in parts if p.num_rows]
     return (pa.concat_tables(live, promote_options="default") if live
-            else parts[0])
+            else _widest(parts))
+
+
+def _widest(parts) -> pa.Table:
+    """Empty-bucket representative: the part with the most columns.
+    Ray's map operators can emit zero-COLUMN empty blocks (an empty
+    output bundle carries no schema); blindly taking ``parts[0]`` would
+    then hand ``fn`` a schema-less table even though sibling map tasks'
+    slices carry the real schema."""
+    return max(parts, key=lambda p: p.num_columns)
 
 
 @ray.remote
@@ -118,7 +127,13 @@ def _exchange_apply(fn, *parts: pa.Table) -> pa.Table:
     empty and non-empty input."""
     live = [p for p in parts if p.num_rows]
     bucket = (pa.concat_tables(live, promote_options="default") if live
-              else parts[0])
+              else _widest(parts))
+    if bucket.num_columns == 0:
+        # EVERY upstream block was a schema-less empty (a map over an
+        # entirely-empty dataset emits 0-column blocks): there is no
+        # schema to hand fn, so propagate the inert empty — consumers
+        # treat 0-column 0-row blocks as no-ops
+        return bucket
     return fn(bucket)
 
 
@@ -195,7 +210,9 @@ def hash_exchange(ds: ray.data.Dataset, key_col: str, fn,
         # OUTPUT schema, not the raw input union schema (which for the
         # join wrappers contains the internal __side column)
         sch = ds.schema(fetch_if_missing=False)
-        if sch is None:
+        if sch is None or len(sch.base_schema) == 0:
+            # unknown or zero-column schema (a map over an exchange
+            # output loses it, see module caveat): nothing to hand fn
             return ds
         return ray.data.from_arrow(fn(sch.base_schema.empty_table()))
 

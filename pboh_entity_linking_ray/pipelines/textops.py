@@ -663,40 +663,49 @@ FROM cut
 
 # --- q44: df-weighted (TF-IDF-family) similarity join -----------------------
 
-TFIDF_STOP_DF = 200      # tokens in more docs than this carry ~no signal
-                         # AND would emit O(df²) pairs — stop-token guard,
+TFIDF_STOP_DF = 1000     # terms in more docs than this carry ~no signal
+                         # AND would emit O(df²) pairs — stop-term guard,
                          # same semantic as JAC_STOP_DF (mirrored in SQL)
 TFIDF_W_SCALE = 100_000  # weight = tf * (W_SCALE // df): an integer-exact
                          # inverse-document-frequency surrogate — floor
                          # division keeps BOTH engines bit-identical where
                          # a float ln(N/df) could round differently
-TFIDF_MIN_WDOT = 10_000_000  # keep pairs with weighted dot >= this.
-                             # NOTE: w is df-reciprocal, so absolute
-                             # wdot shrinks as the corpus (and every df)
-                             # grows — an absolute threshold is corpus-
-                             # relative; rank per doc (topk_per_group on
-                             # doc_a) for a scale-free variant
+TFIDF_TOP_K = 3          # keep each doc's K most similar partners.
+                         # Rank-based, NOT an absolute wdot threshold:
+                         # w is df-reciprocal, so absolute scores shrink
+                         # as the corpus (and every df) grows — a fixed
+                         # cutoff that works at sf0.001 returns nothing
+                         # at sf0.1; per-doc rank is scale-free
 
 
 def q44_tfidf_pairs(sf_dir: str):
     """Sparse TF-IDF-weighted similarity join over the documents table:
-    for every doc pair sharing a non-stop token, the weighted dot product
-    Σ_t w_a(t)·w_b(t) with w = tf · ⌊W_SCALE/df⌋, thresholded.
+    for every doc pair sharing a non-stop term, the weighted dot product
+    Σ_t w_a(t)·w_b(t) with w = tf · ⌊W_SCALE/df⌋; each doc keeps its
+    TOP_K highest-scoring partners (combiner-first ``topk_per_group``).
+
+    Terms are the same 3-token shingles as q12 (NOT single words: the
+    synthetic documents table has a ~31-word vocabulary, so every word
+    is a stop-word — only word SEQUENCES are discriminative), but kept
+    with COUNTS: tf = how often the shingle occurs in the doc.
 
     Same inverted-index shape as q12 but WEIGHTED: explode to
-    (doc, token, tf) rows (one vectorized polars pass, whole doc in its
-    row so tf is batch-local-exact), ONE exchange on the token — df is
+    (doc, term, tf) rows (one vectorized polars pass, whole doc in its
+    row so tf is batch-local-exact), ONE exchange on the term — df is
     then exact in-bucket (each doc contributes one row per distinct
-    token) so no second df-broadcast pass is needed — triu pair emission
+    term) so no second df-broadcast pass is needed — triu pair emission
     batched by group size with per-pair partial products, bucketed sum,
-    threshold.  All arithmetic int64: max w ≈ tf·W_SCALE/2 ≈ 5e6, per-
-    token product ≤ 2.5e13, dot ≤ ~1e16 — no overflow, no float drift.
+    per-doc top-k.  All arithmetic int64: max w ≈ tf·W_SCALE/2 ≈ 5e6,
+    per-term product ≤ 2.5e13, dot ≤ ~1e16 — no overflow, no float
+    drift.
 
     Scale notes (100 TB): identical profile to q12 — the exchange moves
-    (doc_id, token-hashable string, tf) rows once; stop-df caps any
-    token's pair fan-out at STOP_DF²/2; per-bucket work is vectorized
-    numpy over group-size batches."""
+    (doc_id, term string, tf) rows once; stop-df caps any term's pair
+    fan-out at STOP_DF²/2; per-bucket work is vectorized numpy over
+    group-size batches."""
     from ..functions.grouping import bucketed_groups, bucketed_sum
+
+    k = JAC_SHINGLE_K
 
     def explode(t: pa.Table) -> pa.Table:
         import polars as pl
@@ -706,7 +715,11 @@ def q44_tfidf_pairs(sf_dir: str):
             "tok": pl.from_arrow(t["text"].combine_chunks())
                      .str.to_lowercase().str.extract_all("[a-z0-9]+"),
         }).explode("tok").drop_nulls("tok")
-        out = (df.group_by(["doc_id", "tok"])
+        sh = df.with_columns(
+            pl.concat_str([pl.col("tok").shift(-i).over("doc_id")
+                           for i in range(k)], separator=" ").alias("tok")
+        ).drop_nulls("tok")
+        out = (sh.group_by(["doc_id", "tok"])
                .agg(pl.len().cast(pl.Int64).alias("tf")))
         return out.to_arrow()
 
@@ -755,25 +768,31 @@ def q44_tfidf_pairs(sf_dir: str):
     agg = bucketed_sum(shared, ["pair"], "wdot_p", "wdot",
                        engine="exchange")
 
-    def finish(t: pa.Table) -> pa.Table:
+    def unpack(t: pa.Table) -> pa.Table:
         pair = np.asarray(t["pair"], dtype=np.int64)
-        wdot = np.asarray(t["wdot"], dtype=np.int64)
-        keep = wdot >= TFIDF_MIN_WDOT
         return pa.table({
-            "doc_a": pa.array(pair[keep] >> 32),
-            "doc_b": pa.array(pair[keep] & 0xFFFFFFFF),
-            "wdot": pa.array(wdot[keep]),
+            "doc_a": pa.array(pair >> 32),
+            "doc_b": pa.array(pair & 0xFFFFFFFF),
+            "wdot": pa.array(np.asarray(t["wdot"], dtype=np.int64)),
         })
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    from ..functions.grouping import topk_per_group
+
+    return topk_per_group(agg.map_batches(unpack, batch_format="pyarrow"),
+                          "doc_a", "wdot", TFIDF_TOP_K,
+                          descending=True, tie_cols=["doc_b"])
 
 
 SQL_Q44 = f"""
 WITH tok AS (
   SELECT doc_id, tok, count(*) AS tf
-  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
-               AS tok
-        FROM documents)
+  FROM (SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(toks) - {JAC_SHINGLE_K - 1}, 0)),
+            i -> list_aggregate(toks[i : i + {JAC_SHINGLE_K - 1}],
+                                'string_agg', ' '))) AS tok
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                     AS toks
+              FROM documents))
   GROUP BY 1, 2
 ),
 w AS (
@@ -782,12 +801,16 @@ w AS (
          count(*) OVER (PARTITION BY tok) AS df
   FROM tok
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(sum(a.w * b.w) AS BIGINT) AS wdot
-FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
-WHERE a.df BETWEEN 2 AND {TFIDF_STOP_DF}
-GROUP BY 1, 2
-HAVING CAST(sum(a.w * b.w) AS BIGINT) >= {TFIDF_MIN_WDOT}
+SELECT doc_a, doc_b, wdot FROM (
+  SELECT doc_a, doc_b, wdot,
+         row_number() OVER (PARTITION BY doc_a
+                            ORDER BY wdot DESC, doc_b) AS rn
+  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(sum(a.w * b.w) AS BIGINT) AS wdot
+        FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        WHERE a.df BETWEEN 2 AND {TFIDF_STOP_DF}
+        GROUP BY 1, 2))
+WHERE rn <= {TFIDF_TOP_K}
 """
 
 

@@ -254,3 +254,58 @@ def test_bloom_filter_join_matches_plain(ray_session):
     rk = right.to_pandas()["k"].unique()
     mask = _member_mask(pa.chunked_array([pa.array(rk)]), words, 4096)
     assert mask.all()
+
+
+def test_exchange_tolerates_zero_column_empty_blocks(ray_session):
+    """Ray map operators can emit zero-COLUMN empty blocks (an empty
+    output bundle carries no schema).  An exchange bucket whose live
+    slices are all empty must hand fn a table with the REAL schema (the
+    widest part), never the schema-less one."""
+    from pboh_entity_linking_ray.functions.grouping import hash_exchange
+
+    real = pa.table({"k": pa.array(["a", "b"] * 20),
+                     "v": pa.array(list(range(40)))})
+    ds = ray.data.from_arrow([pa.table({}), real])
+
+    def agg(bucket: pa.Table) -> pa.Table:
+        import polars as pl
+
+        assert bucket.num_columns == 2, "fn saw a schema-less bucket"
+        return (pl.from_arrow(bucket).group_by("k")
+                .agg(pl.col("v").sum().alias("s"))
+                .to_arrow().cast(pa.schema([("k", pa.string()),
+                                            ("s", pa.int64())])))
+
+    for mode in (False, True):
+        out = (hash_exchange(ds, "k", agg, num_buckets=64, two_round=mode)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        assert list(out["k"]) == ["a", "b"]
+        assert out["s"].sum() == sum(range(40))
+
+
+def test_chained_exchange_over_fully_empty_dataset(ray_session):
+    """An exchange whose upstream produced NO rows at all (e.g. a filter
+    matched nothing): Ray's map operator then emits only schema-less
+    empty blocks, and a SECOND exchange downstream must flow them through
+    as inert empties instead of handing fn a zero-column table."""
+    import pyarrow.compute as pc
+
+    from pboh_entity_linking_ray.functions.grouping import hash_exchange
+
+    t = pa.table({"k": pa.array([1, 2, 3] * 20),
+                  "v": pa.array(list(range(60)))})
+
+    def nothing(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["v"], 10_000))   # always empty
+
+    def ident(b: pa.Table) -> pa.Table:
+        assert b.num_columns in (0, 2)
+        return b
+
+    ds = ray.data.from_arrow(t).repartition(4)
+    first = hash_exchange(ds.map_batches(nothing, batch_format="pyarrow"),
+                          "k", ident, num_buckets=8)
+    second = hash_exchange(first.map_batches(lambda b: b,
+                                             batch_format="pyarrow"),
+                           "k", ident, num_buckets=8)
+    assert second.count() == 0
