@@ -274,9 +274,81 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# --- q45: funnel analysis (ordered event-sequence matching) -----------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q45_funnel(sf_dir: str):
+    """Per user: the strict-order funnel view → click → purchase — the
+    earliest view, the earliest click AFTER that view, the earliest
+    purchase AFTER that click, and the stage count reached (1–3).  Users
+    with no view are not in the funnel.
+
+    One hash exchange on the user; inside a bucket each stage is ONE
+    vectorized conditional-min window over the user partition
+    (``filter(...).min().over(user)``), each referencing the previous
+    stage's timestamp — no sort, no per-row Python, O(stages · n) per
+    bucket.  The general recipe for any ordered-sequence / funnel /
+    retention query on this engine."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+
+    def funnel_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        et = pl.col("event_type")
+        df = df.with_columns(
+            v_ts=pl.col("ts").filter(et == FUNNEL_STAGES[0])
+                   .min().over("user_id"))
+        df = df.with_columns(
+            c_ts=pl.col("ts").filter((et == FUNNEL_STAGES[1])
+                                     & (pl.col("ts") > pl.col("v_ts")))
+                   .min().over("user_id"))
+        df = df.with_columns(
+            p_ts=pl.col("ts").filter((et == FUNNEL_STAGES[2])
+                                     & (pl.col("ts") > pl.col("c_ts")))
+                   .min().over("user_id"))
+        out = (df.group_by("user_id")
+               .agg(pl.col("v_ts").first(), pl.col("c_ts").first(),
+                    pl.col("p_ts").first())
+               .filter(pl.col("v_ts").is_not_null())
+               .with_columns(
+                   stage=(1 + pl.col("c_ts").is_not_null().cast(pl.Int64)
+                          + pl.col("p_ts").is_not_null().cast(pl.Int64))))
+        return out.to_arrow()
+
+    return hash_exchange(events, "user_id", funnel_bucket, num_buckets=16)
+
+
+SQL_Q45 = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1
+)
+SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts,
+       CAST(1 + CASE WHEN c.c_ts IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS stage
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
 QUERIES = {
     "q23_asof_join": (q23_asof_join, SQL_Q23),
     "q24_sliding_window": (q24_sliding_window, SQL_Q24),
     "q25_interval_join": (q25_interval_join, SQL_Q25),
     "q36_event_lag": (q36_event_lag, SQL_Q36),
+    "q45_funnel": (q45_funnel, SQL_Q45),
 }
