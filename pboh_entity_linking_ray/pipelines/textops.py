@@ -814,9 +814,67 @@ WHERE rn <= {TFIDF_TOP_K}
 """
 
 
+# --- q46: document chunking (fixed token windows with stride) ---------------
+
+CHUNK_SIZE = 16      # tokens per chunk
+CHUNK_STRIDE = 8     # overlap = SIZE - STRIDE; tail fragments kept
+
+
+def q46_chunk_documents(sf_dir: str):
+    """Split every document into fixed-size overlapping token chunks —
+    the context-window preparation step of any LLM training/RAG
+    pipeline.  Pure per-batch flat-map (no shuffle at all): one
+    vectorized polars pass tokenizes, builds the stride grid with
+    ``int_ranges``, explodes, and slices each chunk out of the doc's
+    token list.  Embarrassingly parallel at any scale; output rows
+    carry (doc_id, chunk_id, n_toks, chunk)."""
+    def chunk(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(t["doc_id"].combine_chunks()).cast(pl.Int64),
+            "toks": pl.from_arrow(t["text"].combine_chunks())
+                      .str.to_lowercase().str.extract_all("[a-z0-9]+"),
+        }).with_columns(n=pl.col("toks").list.len().cast(pl.Int64))
+        out = (df.filter(pl.col("n") > 0)
+               .with_columns(start=pl.int_ranges(0, pl.col("n"),
+                                                 CHUNK_STRIDE))
+               .explode("start")
+               .with_columns(
+                   chunk_id=(pl.col("start") // CHUNK_STRIDE).cast(pl.Int64),
+                   n_toks=pl.min_horizontal(
+                       pl.lit(CHUNK_SIZE, dtype=pl.Int64),
+                       pl.col("n") - pl.col("start")).cast(pl.Int64),
+                   chunk=pl.col("toks").list.slice(pl.col("start"),
+                                                   CHUNK_SIZE)
+                           .list.join(" "),
+               )
+               .select(["doc_id", "chunk_id", "n_toks", "chunk"]))
+        return out.to_arrow()
+
+    return _docs(sf_dir).map_batches(chunk, batch_format="pyarrow",
+                                     batch_size=512)
+
+
+SQL_Q46 = f"""
+SELECT doc_id,
+       CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(least({CHUNK_SIZE}, len(toks) - s + 1) AS BIGINT) AS n_toks,
+       list_aggregate(toks[s : s + {CHUNK_SIZE - 1}], 'string_agg', ' ')
+           AS chunk
+FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks),
+             {CHUNK_STRIDE})) AS s
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                   AS toks
+            FROM documents)
+      WHERE len(toks) > 0)
+"""
+
+
 QUERIES = {
     "q12_ngram_jaccard_pairs": (q12_ngram_jaccard_pairs, SQL_Q12),
     "q44_tfidf_pairs": (q44_tfidf_pairs, SQL_Q44),
+    "q46_chunk_documents": (q46_chunk_documents, SQL_Q46),
     "q22_url_titles": (q22_url_titles, SQL_Q22),
     "q20_frequent_pairs": (q20_frequent_pairs, SQL_Q20),
     "q13_simhash": (q13_simhash, SQL_Q13),
