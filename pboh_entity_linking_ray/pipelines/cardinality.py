@@ -152,7 +152,115 @@ def hll_distinct_users(sf_dir: str):
     return hash_exchange(merged, "event_type", finish, num_buckets=16)
 
 
+# --- q47: Misra–Gries / SpaceSaving heavy hitters ---------------------------
+
+HH_K = 64          # counters per summary.  The documents vocabulary is
+                   # ~31 tokens, so at k=64 the sketch never compresses
+                   # and the driver row is EXACT (oracle-paired); the
+                   # sketch regime (k < distinct keys) is pinned by
+                   # tests/test_cardinality.py against exact counts
+MG_ERR_KEY = "\x00__mg_err__"   # sentinel row carrying subtracted mass
+
+
+def _mg_partial(k: int):
+    """Per-batch Misra–Gries compression: exact batch counts, then if
+    more than ``k`` keys survive, subtract the (k+1)-th largest count
+    from every counter and drop the non-positive ones.  Each key loses
+    at most t, so emitting one sentinel row with t keeps the global
+    undercount bound Σt mergeable by plain addition."""
+    def fn(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (pl.from_arrow(t).group_by("tok")
+              .agg(pl.len().cast(pl.Int64).alias("cnt_lo"))
+              .with_columns(err=pl.lit(0, dtype=pl.Int64)))
+        if len(df) > k:
+            thr = int(df["cnt_lo"].sort(descending=True)[k])
+            df = (df.with_columns((pl.col("cnt_lo") - thr).alias("cnt_lo"))
+                  .filter(pl.col("cnt_lo") > 0))
+            df = pl.concat([df, pl.DataFrame({
+                "tok": [MG_ERR_KEY],
+                "cnt_lo": [0],
+                "err": [thr],
+            }, schema={"tok": df["tok"].dtype, "cnt_lo": pl.Int64,
+                       "err": pl.Int64})])
+        return df.to_arrow()
+
+    return fn
+
+
+def mg_heavy_hitters(tokens: ray.data.Dataset, k: int = HH_K,
+                     top: int | None = None) -> ray.data.Dataset:
+    """Distributed mergeable heavy-hitters sketch (Misra–Gries /
+    SpaceSaving family; public algorithm, Misra & Gries 1982).
+
+    Shape: per-batch compress (≤ k+1 skinny rows leave each map task
+    regardless of input size — the sketch property) → ONE exchange on
+    the key summing lower bounds exactly → a single-bucket finish that
+    totals the subtracted mass and keeps the ``top`` largest counters.
+    Output: (tok, count_lo, count_hi) with
+    count_lo ≤ true count ≤ count_hi = count_lo + Σ subtracted.
+    Every key whose true count exceeds Σ subtracted (≤ n/k per merge
+    round) survives in at least one partial, so true heavy hitters are
+    never lost.  The finish bucket sees O(k × map tasks) rows, never
+    the input."""
+    from ..functions.grouping import hash_exchange
+
+    def sum_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(t).group_by("tok")
+                .agg(pl.col("cnt_lo").sum(), pl.col("err").sum())
+                .to_arrow())
+
+    def finish(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        err = int(df.filter(pl.col("tok") == MG_ERR_KEY)["err"].sum())
+        out = (df.filter(pl.col("tok") != MG_ERR_KEY)
+               .sort(["cnt_lo", "tok"], descending=[True, False]))
+        if top is not None:
+            out = out.head(top)
+        return (out.with_columns(
+                    count_hi=(pl.col("cnt_lo") + err).cast(pl.Int64))
+                .rename({"cnt_lo": "count_lo"})
+                .select(["tok", "count_lo", "count_hi"])
+                .to_arrow())
+
+    partials = tokens.map_batches(_mg_partial(k), batch_format="pyarrow")
+    summed = hash_exchange(partials, "tok", sum_bucket, num_buckets=64)
+    return hash_exchange(summed, "err", finish, num_buckets=1)
+
+
+def q47_heavy_tokens(sf_dir: str):
+    """Heavy-hitter tokens over the documents corpus via the MG sketch
+    (exact regime at k=HH_K ≥ vocabulary, see HH_K note)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.DataFrame({
+            "tok": pl.from_arrow(t["text"].combine_chunks())
+                     .str.to_lowercase().str.extract_all("[a-z0-9]+"),
+        }).explode("tok").drop_nulls("tok").to_arrow())
+
+    return mg_heavy_hitters(docs.map_batches(toks, batch_format="pyarrow"),
+                            k=HH_K)
+
+
+SQL_Q47 = """
+SELECT tok, count(*) AS count_lo, count(*) AS count_hi
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q31_distinct_users": (q31_distinct_users, SQL_Q31),
     "hll_distinct_users": (hll_distinct_users, None),
+    "q47_heavy_tokens": (q47_heavy_tokens, SQL_Q47),
 }

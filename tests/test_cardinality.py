@@ -37,3 +37,35 @@ def test_hll_tracks_exact(ray_session):
     for ty in exact.index:
         rel = abs(est[ty] - exact[ty]) / max(1, exact[ty])
         assert rel <= 0.05, (ty, int(est[ty]), int(exact[ty]))
+
+
+def test_mg_heavy_hitters_sketch_regime(ray_session):
+    """k << distinct keys: every key with true count > Σ subtracted mass
+    must survive, and [count_lo, count_hi] must bracket the true count."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+
+    from pboh_entity_linking_ray.pipelines.cardinality import mg_heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # zipf-ish stream: few heavy keys, long tail
+    keys = [f"hot{i}" for i in range(3) for _ in range(500 - 120 * i)]
+    keys += [f"t{i}" for i in rng.integers(0, 400, size=2000)]
+    rng.shuffle(keys)
+    truth = collections.Counter(keys)
+
+    ds = ray.data.from_arrow(pa.table({"tok": keys})).repartition(8)
+    got = mg_heavy_hitters(ds, k=8).to_pandas().set_index("tok")
+
+    err = int((got["count_hi"] - got["count_lo"]).iloc[0])
+    assert err > 0, "k=8 over ~400 keys must compress"
+    for tok, true_n in truth.items():
+        if true_n > err:
+            assert tok in got.index, (tok, true_n, err)
+        if tok in got.index:
+            lo, hi = int(got.loc[tok, "count_lo"]), int(got.loc[tok, "count_hi"])
+            assert lo <= true_n <= hi, (tok, lo, true_n, hi)
+    # the three engineered heavy keys are unmissable
+    assert {"hot0", "hot1", "hot2"} <= set(got.index)
