@@ -299,10 +299,68 @@ GROUP BY 1, 2
 """
 
 
+# --- q48: skew-resilient salted join ----------------------------------------
+
+def q48_salted_segment_activity(sf_dir: str):
+    """Event count and value per (market segment, event type), joining
+    the events fact against the customer dimension through
+    ``salted_join`` (salt=4): each hot user's events spread across 4
+    buckets while the replicated customer rows follow them — the
+    skew-resilient join pattern for fact tables with heavy keys.  The
+    per-batch aggregate is fused into the join bucket (``post``), so
+    only O(segments × types) partial rows leave each bucket; one tiny
+    exchange finishes.  Output is provably identical to the unsalted
+    join (tests/test_hash_join.py parity suite)."""
+    from ..functions.grouping import salted_join
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
+
+    def ev_project(t: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": t["user_id"],
+                         "event_type": t["event_type"],
+                         "v_cents": _cents(t["value"])})
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+
+    def partial(joined: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(joined)
+                .group_by(["c_mktsegment", "event_type"])
+                .agg(pl.col("v_cents").sum().alias("sum_cents"),
+                     pl.len().cast(pl.Int64).alias("n_events"))
+                .to_arrow())
+
+    def final(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(t).group_by(["c_mktsegment", "event_type"])
+                .agg(pl.col("sum_cents").sum(), pl.col("n_events").sum())
+                .to_arrow())
+
+    joined = salted_join(
+        events.map_batches(ev_project, batch_format="pyarrow"),
+        cust, on="c_custkey", salt=4, post=partial)
+    return hash_exchange(joined, "c_mktsegment", final, num_buckets=4)
+
+
+SQL_Q48 = """
+SELECT c_mktsegment, event_type,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+       count(*) AS n_events
+FROM events JOIN customer ON c_custkey = user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q39_order_rank": (q39_order_rank, SQL_Q39),
     "q40_running_revenue": (q40_running_revenue, SQL_Q40),
     "q41_rollup_revenue": (q41_rollup_revenue, SQL_Q41),
     "q42_priority_timeline": (q42_priority_timeline, SQL_Q42),
     "q43_nation_revenue": (q43_nation_revenue, SQL_Q43),
+    "q48_salted_segment_activity": (q48_salted_segment_activity, SQL_Q48),
 }

@@ -309,3 +309,33 @@ def test_chained_exchange_over_fully_empty_dataset(ray_session):
                                              batch_format="pyarrow"),
                            "k", ident, num_buckets=8)
     assert second.count() == 0
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_salted_join_matches_hash_join(ray_session, how):
+    """salted_join must be output-identical to hash_join for every how,
+    including a hot key holding most of the left side."""
+    import numpy as np
+
+    from pboh_entity_linking_ray.functions.grouping import (hash_join,
+                                                            salted_join)
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    k = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 50, size=n))
+    left = ray.data.from_arrow(pa.table({
+        "k": k.astype("int64"), "lv": np.arange(n)})).repartition(6)
+    right = ray.data.from_arrow(pa.table({
+        "k": np.arange(0, 50, 2, dtype="int64"),
+        "rv": np.arange(25) * 10})).repartition(3)
+
+    def norm(ds):
+        df = ds.to_pandas()
+        return (df.sort_values(df.columns.tolist())
+                .reset_index(drop=True))
+
+    import pandas as pd
+
+    want = norm(hash_join(left, right, "k", how=how))
+    got = norm(salted_join(left, right, "k", salt=5, how=how))
+    pd.testing.assert_frame_equal(got, want)
