@@ -259,8 +259,77 @@ GROUP BY 1
 """
 
 
+# --- approximate quantiles (bounded-memory histogram sketch) ----------------
+
+QSKETCH_BINS = 4096
+QSKETCH_QS_E4 = (100, 2500, 5000, 7500, 9900)
+
+
+def approx_quantiles(ds: ray.data.Dataset, col: str,
+                     qs_e4=QSKETCH_QS_E4,
+                     bins: int = QSKETCH_BINS) -> pa.Table:
+    """Bounded-memory approximate quantiles for CONTINUOUS columns — the
+    scale path beside the exact value-histogram quantiles (q29/q35),
+    which are only bounded when the column has bounded distinct values.
+
+    Two passes, both trivially mergeable: (1) per-batch min/max partials
+    → tiny reduce; (2) per-batch fixed-width histogram over [mn, mx]
+    (≤ ``bins`` skinny partial rows per batch regardless of input size)
+    → one small exchange summing per bin → cumsum over O(bins) rows.
+    The reported value is the matched bin's UPPER edge, so the error is
+    one-sided and ≤ (mx − mn)/bins by construction.  Driver-side state
+    is O(bins); the data is never collected or sorted."""
+    from ..functions.grouping import bucketed_sum
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col], dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table({"mn": pa.array([], type=pa.float64()),
+                             "mx": pa.array([], type=pa.float64())})
+        return pa.table({"mn": [float(v.min())], "mx": [float(v.max())]})
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    if len(mm) == 0:
+        return pa.table({"q_e4": pa.array(list(qs_e4), type=pa.int64()),
+                         "value": pa.nulls(len(qs_e4), type=pa.float64())})
+    mn, mx = float(mm["mn"].min()), float(mm["mx"].max())
+    width = (mx - mn) or 1.0
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col], dtype=np.float64)
+        v = v[~np.isnan(v)]
+        b = np.clip(((v - mn) * bins / width).astype(np.int64), 0, bins - 1)
+        counts = np.bincount(b, minlength=bins)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "c": pa.array(counts[nz].astype(np.int64))})
+
+    summed = bucketed_sum(ds.map_batches(hist_partial, batch_format="pyarrow"),
+                          ["bin"], "c", "c", engine="exchange")
+    h = summed.to_pandas().sort_values("bin").reset_index(drop=True)
+    cum = h["c"].cumsum().to_numpy()
+    n = int(cum[-1])
+    out_v = []
+    for q_e4 in qs_e4:
+        rank = max(1, -(-q_e4 * n // 10_000))          # ceil, exact ints
+        b = int(h["bin"].to_numpy()[np.searchsorted(cum, rank)])
+        out_v.append(mn + (b + 1) * width / bins)      # upper edge
+    return pa.table({"q_e4": pa.array(list(qs_e4), type=pa.int64()),
+                     "value": pa.array(out_v, type=pa.float64())})
+
+
+def quantile_sketch_value(sf_dir: str):
+    """Histogram-sketch quantiles of the continuous events.value column
+    (no SQL twin — the sketch is approximate by design; pytest pins it
+    within one bin width of DuckDB's exact quantiles)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return approx_quantiles(ds, "value")
+
+
 QUERIES = {
     "q31_distinct_users": (q31_distinct_users, SQL_Q31),
     "hll_distinct_users": (hll_distinct_users, None),
     "q47_heavy_tokens": (q47_heavy_tokens, SQL_Q47),
+    "quantile_sketch_value": (quantile_sketch_value, None),
 }

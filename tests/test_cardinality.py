@@ -69,3 +69,28 @@ def test_mg_heavy_hitters_sketch_regime(ray_session):
             assert lo <= true_n <= hi, (tok, lo, true_n, hi)
     # the three engineered heavy keys are unmissable
     assert {"hot0", "hot1", "hot2"} <= set(got.index)
+
+
+def test_quantile_sketch_within_one_bin(ray_session):
+    """Histogram-sketch quantiles must land within one bin width of the
+    exact quantiles, one-sided (reported value >= exact)."""
+    import duckdb
+
+    from pboh_entity_linking_ray.pipelines.cardinality import (
+        QSKETCH_BINS, QSKETCH_QS_E4, quantile_sketch_value)
+
+    SF = "/root/testdata/sf0.001"
+    got = quantile_sketch_value(SF).to_pandas().set_index("q_e4")["value"]
+
+    con = duckdb.connect()
+    lo, hi, rng = con.execute(
+        f"SELECT min(value), max(value), max(value) - min(value) "
+        f"FROM '{SF}/events.parquet'").fetchone()
+    binw = rng / QSKETCH_BINS
+    for q in QSKETCH_QS_E4:
+        exact = con.execute(
+            f"SELECT quantile_disc(value, {q / 10_000}) "
+            f"FROM '{SF}/events.parquet'").fetchone()[0]
+        v = float(got[q])
+        assert exact <= v + 1e-9, (q, v, exact)
+        assert v - exact <= binw + 1e-9, (q, v, exact, binw)
