@@ -196,12 +196,58 @@ def _subprocess_run(ncpu: int, extra_env: dict | None = None,
     return json.loads(out.strip().splitlines()[-1])
 
 
+OPS_DEFAULT = [
+    "q23_asof_join", "q24_sliding_window", "q25_interval_join",
+    "q26_simhash_neardup", "q27_stratified_sample", "q28_topk_per_group",
+    "q29_doc_len_quantiles", "q30_customers_without_big_orders",
+    "q31_distinct_users", "q32_prep_corpus", "q33_pivot_user_events",
+    "q34_unpivot_user_events", "q35_doc_len_quantiles_by_lang",
+    "q36_event_lag", "q37_events_of_big_purchasers",
+    "q38_shipping_priority", "q39_order_rank", "q40_running_revenue",
+    "q41_rollup_revenue", "q42_priority_timeline", "q43_nation_revenue",
+    "q44_tfidf_pairs", "q45_funnel", "q46_chunk_documents",
+    "q47_heavy_tokens", "q48_salted_segment_activity", "q49_chunk_dedup",
+    "hll_distinct_users", "quantile_sketch_value",
+]
+
+
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if "--hwcal" in sys.argv:
         print(json.dumps({"triad_gbs_by_cores": hwcal()}))
+        return
+
+    if "--ops" in sys.argv:
+        # wall time per non-headline operator query (positional names
+        # select a subset); one warm pass first so query #1 doesn't pay
+        # worker spawn
+        names = [a for a in sys.argv[1:] if not a.startswith("-")]
+        names = names or OPS_DEFAULT
+        _init_ray(num_cpus)
+        import ray.data
+
+        import __ray_entry__ as e
+        qs = e.queries()
+
+        def _warm(t):
+            import numpy  # noqa: F401
+            import polars  # noqa: F401
+            return t.slice(0, 1)
+
+        (ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+         .map_batches(_warm, batch_format="pyarrow").count())
+        ops: dict[str, float] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            out = qs[name](sf_dir)
+            if hasattr(out, "count"):
+                out.count()
+            ops[name] = round(time.perf_counter() - t0, 3)
+        print(json.dumps({"ops": ops,
+                          "sf": os.path.basename(os.path.normpath(sf_dir)),
+                          "num_cpus": num_cpus}))
         return
 
     if "--scaling" in sys.argv:

@@ -871,10 +871,40 @@ FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks),
 """
 
 
+# --- q49: chunk-level exact dedup (composed q46 → dedup_keep_first) ---------
+
+def q49_chunk_dedup(sf_dir: str):
+    """Training-data boilerplate removal: chunk every document (q46),
+    then keep ONE canonical copy of each distinct chunk text — the
+    lowest (doc_id, chunk_id) owner wins, deterministically.  Composed
+    entirely from existing operators: the shuffle-free chunker feeds
+    ``dedup_keep_first`` on the chunk text (one exchange; all copies of
+    a chunk co-locate by text hash).  Overlapping strides make repeated
+    boilerplate appear many times — the survivor ratio is the dedup
+    win a real corpus would see."""
+    from ..functions.grouping import dedup_keep_first
+
+    chunks = q46_chunk_documents(sf_dir)
+    return dedup_keep_first(chunks, "chunk",
+                            order_cols=["doc_id", "chunk_id"],
+                            engine="exchange")
+
+
+SQL_Q49 = f"""
+WITH chunks AS ({SQL_Q46})
+SELECT doc_id, chunk_id, n_toks, chunk FROM (
+  SELECT *, row_number() OVER (PARTITION BY chunk
+                               ORDER BY doc_id, chunk_id) AS rn
+  FROM chunks)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q12_ngram_jaccard_pairs": (q12_ngram_jaccard_pairs, SQL_Q12),
     "q44_tfidf_pairs": (q44_tfidf_pairs, SQL_Q44),
     "q46_chunk_documents": (q46_chunk_documents, SQL_Q46),
+    "q49_chunk_dedup": (q49_chunk_dedup, SQL_Q49),
     "q22_url_titles": (q22_url_titles, SQL_Q22),
     "q20_frequent_pairs": (q20_frequent_pairs, SQL_Q20),
     "q13_simhash": (q13_simhash, SQL_Q13),
