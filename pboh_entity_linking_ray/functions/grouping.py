@@ -324,6 +324,23 @@ SKEY_COL = "__skey"
 SALT_COL = "__salt"
 
 
+def _empty_side_fallback(left: ray.data.Dataset, right, how: str):
+    """Join inputs may be schema-less: Ray loses the schema of a fully-
+    EMPTY dataset (e.g. after repartition of 0 rows), so the output
+    schema cannot be derived.  The ROW semantics are still well-defined
+    — resolve them, omitting the unknowable missing side's columns
+    (degraded schema on an empty or pass-through result; the inert-empty
+    convention, see _exchange_apply).  Returns None when both sides
+    carry schemas and the join should proceed normally."""
+    if left.schema() is None:
+        return left                       # no left rows → no output rows
+    if isinstance(right, ray.data.Dataset) and right.schema() is None:
+        # empty right: inner/semi drop every left row; anti keeps them
+        # all; "left" keeps them all (null right columns unknowable)
+        return left.limit(0) if how in ("inner", "semi") else left
+    return None
+
+
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
               num_buckets: int = 64, how: str = "inner",
               post=None, engine: str = "exchange") -> ray.data.Dataset:
@@ -355,6 +372,9 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     the wide joined table never crosses an operator boundary through the
     object store.
     """
+    fb = _empty_side_fallback(left, right, how)
+    if fb is not None:
+        return fb
     lf = [(f.name, f.type) for f in left.schema().base_schema]
     rf = [(f.name, f.type) for f in right.schema().base_schema]
     l_names = [n for n, _ in lf]
@@ -624,6 +644,8 @@ def broadcast_join(large: ray.data.Dataset, small: "pa.Table", on: str,
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"broadcast_join: unsupported how={how!r}")
+    if large.schema() is None:
+        return large                     # schema-less empty large side
     keep_small = [] if how in ("semi", "anti") else \
         [n for n in small.column_names if n != on]
     lf = {f.name for f in large.schema().base_schema}
@@ -675,6 +697,9 @@ def salted_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     """
     if salt < 2:
         return hash_join(left, right, on, num_buckets, how, post)
+    fb = _empty_side_fallback(left, right, how)
+    if fb is not None:
+        return fb
     lf = [(f.name, f.type) for f in left.schema().base_schema]
     rf = [(f.name, f.type) for f in right.schema().base_schema]
     l_names = [n for n, _ in lf]
