@@ -614,22 +614,46 @@ def topk_per_group(ds: ray.data.Dataset, group_col: str, order_col: str,
                            engine="exchange")
 
 
+# per-WORKER-PROCESS cache of broadcast dimension frames, keyed by the
+# object ref: the first batch a worker sees pays one zero-copy plasma
+# read + polars frame build, every later batch (from any task) reuses it.
+# Plain tasks + a process cache beat an actor pool here: the warm Ray
+# worker pool serves immediately (no per-actor spin-up/import), and the
+# stage composes/fuses like any other map.  Bounded: dims are small by
+# contract; evict oldest beyond a handful.
+_BCAST_CACHE: dict = {}
+_BCAST_CACHE_MAX = 8
+
+
+def _bcast_frame(ref):
+    import polars as pl
+
+    key = ref.hex()
+    rhs = _BCAST_CACHE.get(key)
+    if rhs is None:
+        rhs = pl.from_arrow(ray.get(ref))
+        if len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+        _BCAST_CACHE[key] = rhs
+    return rhs
+
+
 def broadcast_join(large: ray.data.Dataset, small: "pa.Table", on: str,
                    how: str = "inner", post=None,
-                   concurrency: int | tuple[int, int] = (1, 8),
                    batch_size: int | None = None) -> ray.data.Dataset:
     """Map-side (broadcast) join: a streaming large side ⋈ a bounded
     driver-resident dimension table, with NO shuffle of the large side.
 
     The canonical small-dimension pattern the prompt calls out: ``small``
-    is ``ray.put`` into the object store ONCE; each join actor reads it
-    zero-copy and builds its polars frame ONCE in ``__init__`` (never
-    per batch); every large-side batch then joins locally inside
-    ``map_batches``.  Contrast ``hash_join``, which exchanges BOTH sides
-    — use that when neither side fits in a worker's heap.
+    is ``ray.put`` into the object store ONCE; each worker process reads
+    it zero-copy and builds its polars frame ONCE (``_bcast_frame``
+    process cache — never per batch, never re-shipped per task); every
+    large-side batch then joins locally inside ``map_batches``.
+    Contrast ``hash_join``, which exchanges BOTH sides — use that when
+    neither side fits in a worker's heap.
 
     Contract: ``small`` must fit in one worker's heap (dimension tables,
-    lookup maps — NOT a second fact table); it is deduplicated on ``on``
+    lookup maps — NOT a second fact table); deduplication on ``on``
     is NOT required — duplicate keys multiply rows exactly like SQL.
 
     ``how`` ∈ {"inner", "left", "semi", "anti"} (polars semantics;
@@ -654,23 +678,16 @@ def broadcast_join(large: ray.data.Dataset, small: "pa.Table", on: str,
         raise ValueError(f"broadcast_join column collision: {sorted(overlap)}")
     small_ref = ray.put(small.select([on] + keep_small))
 
-    class _Join:
-        def __init__(self):
-            import polars as pl
+    def join_batch(t: pa.Table) -> pa.Table:
+        import polars as pl
 
-            # zero-copy plasma read + one frame build per ACTOR
-            self.rhs = pl.from_arrow(ray.get(small_ref))
+        out = (pl.from_arrow(t)
+               .join(_bcast_frame(small_ref), on=on, how=how,
+                     maintain_order="left").to_arrow())
+        return post(out) if post is not None else out
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            import polars as pl
-
-            out = (pl.from_arrow(t)
-                   .join(self.rhs, on=on, how=how,
-                         maintain_order="left").to_arrow())
-            return post(out) if post is not None else out
-
-    return large.map_batches(_Join, batch_format="pyarrow",
-                             concurrency=concurrency, batch_size=batch_size)
+    return large.map_batches(join_batch, batch_format="pyarrow",
+                             batch_size=batch_size)
 
 
 def salted_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
