@@ -20,6 +20,7 @@ from pboh_entity_linking_ray.pipelines import (
     analytics,
     ann,
     cardinality,
+    curation,
     fuzzy,
     linkage_queries,
     multimodal,
@@ -32,7 +33,7 @@ from pboh_entity_linking_ray.pipelines import (
 
 _ALL = {}
 for mod in (relational, textops, sampling, temporal, analytics, fuzzy, ann,
-            multimodal, cardinality, prep, linkage_queries):
+            multimodal, cardinality, curation, prep, linkage_queries):
     _ALL.update(mod.QUERIES)
 
 

@@ -1,0 +1,314 @@
+"""Training-data curation operators over the documents table.
+
+Three first-class curation stages a 100 TB pretraining pipeline runs
+between raw ingest and tokenization, each expressed as a single
+embarrassingly-parallel ``map_batches`` pass (NO shuffle — every
+per-document statistic is computed inside the batch that holds the
+document, so these stages stream at scan speed on any cluster size):
+
+- q50 decontamination: flag training documents whose token-shingle sets
+  overlap a benchmark/eval split.  The benchmark side of the semi-join
+  is tiny at any corpus scale (eval suites are MBs, not TBs), so it is
+  collected once, broadcast via ``ray.put``, and probed per batch with a
+  vectorized ``searchsorted`` — the classic broadcast semi-join, never a
+  shuffle.  (Reference analog: the solution ∩ ground-truth set probes of
+  eval/Verifier.scala:24-43, recast as corpus hygiene.)
+- q51 PII scrub: count + redact email/phone/IPv4 spans with compiled
+  regexes shared by polars (rust-regex) and DuckDB (RE2) — the pattern
+  subset used here (character classes, ``\\d``, ``\\b``, bounded reps)
+  behaves identically in both engines, which is what makes the oracle
+  twin exact.  Counts are taken on the ORIGINAL text; redaction applies
+  email → phone → IP in that fixed order.
+- q52 repetition filter: Gopher-style repetition statistics — duplicate
+  -token fraction and most-frequent-bigram fraction, both e4 fixed-point
+  via INTEGER division (``//`` in polars, ``//`` in DuckDB) so the twin
+  matches bit-for-bit — plus the keep/drop verdict.
+
+The md5 (``md5_number_lower``) hashing in q50 exists for oracle parity
+(both engines join on the same 64-bit value, so even a collision is
+mirrored); a production run would swap in ``hash_strings_u64`` exactly
+like simhash_fast / winnow_fast do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.hashing import md5_lower64
+from .textops import _doc_shingles, _md5_cached
+
+DECON_W = 3          # shingle width for contamination overlap
+DECON_BENCH_MOD = 20  # doc_id % 20 == 0 → benchmark/eval split
+
+# Regex subset chosen to mean the same thing in rust-regex and RE2.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+REP_DUP_MAX_E4 = 9000   # drop docs with > 90% duplicate tokens
+REP_BIGRAM_MAX_E4 = 1500  # or > 15% of bigrams being one bigram
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=list(columns))
+
+
+# --- q50: decontamination against a benchmark split -------------------------
+
+def _bench_shingles(t: pa.Table) -> pa.Table:
+    """Distinct md5 shingle hashes of the benchmark split of one batch."""
+    ids = np.asarray(t["doc_id"], dtype=np.int64)
+    bench = t.filter(pa.array(ids % DECON_BENCH_MOD == 0))
+    df = _doc_shingles(bench, DECON_W)
+    hs = np.unique(_md5_cached(_MD5_CACHE, df["sh"].to_list()))
+    # bit-cast: Ray blocks carry int64 (uint64 ≥ 2^63 breaks Ray
+    # aggregates, CLAUDE.md); the driver views back and re-sorts.
+    return pa.table({"h": pa.array(hs.view(np.int64), type=pa.int64())})
+
+
+# Warm-task process caches (see grouping._BCAST_CACHE for the rationale:
+# plain tasks on warm workers beat an actor pool and compose/fuse freely).
+_BENCH_CACHE: dict = {}
+_MD5_CACHE: dict[str, int] = {}
+
+
+def _bench_array(ref) -> np.ndarray:
+    key = ref.hex()
+    arr = _BENCH_CACHE.get(key)
+    if arr is None:
+        arr = ray.get(ref)                       # sorted uint64 ndarray
+        _BENCH_CACHE.clear()                     # one live bench set/process
+        _BENCH_CACHE[key] = arr
+    return arr
+
+
+def _contam_probe(t: pa.Table, bench_ref) -> pa.Table:
+    """Per-batch overlap of each training doc's shingle set against the
+    broadcast benchmark hash set (sorted uint64 → searchsorted probe)."""
+    bench = _bench_array(bench_ref)
+    all_ids = np.asarray(t["doc_id"], dtype=np.int64)
+    train = t.filter(pa.array(all_ids % DECON_BENCH_MOD != 0))
+    ids = np.asarray(train["doc_id"], dtype=np.int64)
+    df = _doc_shingles(train, DECON_W)
+    if len(df) == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "n_shingles": pa.array([], type=pa.int64()),
+                         "n_overlap": pa.array([], type=pa.int64()),
+                         "contam_e4": pa.array([], type=pa.int64())})
+    rid = df["rid"].to_numpy().astype(np.int64)
+    hs = _md5_cached(_MD5_CACHE, df["sh"].to_list())
+    if len(bench):
+        pos = np.searchsorted(bench, hs)
+        hit = ((pos < len(bench))
+               & (bench[np.minimum(pos, len(bench) - 1)] == hs))
+    else:
+        hit = np.zeros(len(hs), dtype=bool)
+    n_sh = np.bincount(rid, minlength=train.num_rows).astype(np.int64)
+    n_ov = np.bincount(rid, weights=hit.astype(np.float64),
+                       minlength=train.num_rows).astype(np.int64)
+    keep = n_ov > 0
+    n_sh, n_ov = n_sh[keep], n_ov[keep]
+    return pa.table({
+        "doc_id": pa.array(ids[keep], type=pa.int64()),
+        "n_shingles": pa.array(n_sh, type=pa.int64()),
+        "n_overlap": pa.array(n_ov, type=pa.int64()),
+        "contam_e4": pa.array(10000 * n_ov // n_sh, type=pa.int64()),
+    })
+
+
+def q50_decontaminate(sf_dir: str):
+    """Benchmark split = doc_id % 20 == 0; emit every training doc whose
+    DECON_W-token shingle set intersects the benchmark shingle set, with
+    e4 fixed-point contamination fraction.  Benchmark hashes are collected
+    once (the small side by construction), broadcast, and probed per batch
+    — zero shuffles end to end."""
+    bench_parts = [
+        np.asarray(b["h"]).view(np.uint64)
+        for b in _docs(sf_dir)
+        .map_batches(_bench_shingles, batch_format="pyarrow",
+                     batch_size=256)
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    bench = (np.unique(np.concatenate(bench_parts)) if bench_parts
+             else np.empty(0, dtype=np.uint64))
+    bench_ref = ray.put(bench)
+    return _docs(sf_dir).map_batches(
+        _contam_probe, fn_kwargs={"bench_ref": bench_ref},
+        batch_format="pyarrow", batch_size=256)
+
+
+SQL_Q50 = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         md5_number_lower(unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(t) - {DECON_W - 1}, 0)),
+             i -> list_aggregate(t[i : i + {DECON_W - 1}], 'string_agg', ' ')
+         )))) AS h
+  FROM toks
+),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0),
+train AS (SELECT doc_id, h FROM sh WHERE doc_id % {DECON_BENCH_MOD} <> 0),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
+ov AS (
+  SELECT t.doc_id, count(*) AS n_overlap
+  FROM train t JOIN bench b USING (h)
+  GROUP BY t.doc_id
+)
+SELECT ov.doc_id,
+       tot.n_shingles,
+       ov.n_overlap,
+       CAST(10000 * ov.n_overlap // tot.n_shingles AS BIGINT) AS contam_e4
+FROM ov JOIN tot USING (doc_id)
+"""
+
+
+# --- q51: PII scan + redaction -----------------------------------------------
+
+def q51_pii_scrub(sf_dir: str):
+    """Count email/phone/IPv4 matches on the raw text and emit the
+    redacted text (email → phone → IP replacement order).  One vectorized
+    polars pass per batch; embarrassingly parallel."""
+    def scrub(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        txt = pl.from_arrow(t["text"].combine_chunks())
+        out = pl.DataFrame({
+            "doc_id": pl.from_arrow(t["doc_id"].combine_chunks())
+                        .cast(pl.Int64),
+            "n_email": txt.str.count_matches(PII_EMAIL).cast(pl.Int64),
+            "n_phone": txt.str.count_matches(PII_PHONE).cast(pl.Int64),
+            "n_ip": txt.str.count_matches(PII_IP).cast(pl.Int64),
+            "clean_text": txt
+                .str.replace_all(PII_EMAIL, "<EMAIL>")
+                .str.replace_all(PII_PHONE, "<PHONE>")
+                .str.replace_all(PII_IP, "<IP>"),
+        })
+        return out.to_arrow()
+
+    return _docs(sf_dir).map_batches(scrub, batch_format="pyarrow",
+                                     batch_size=1024)
+
+
+SQL_Q51 = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{PII_IP}')) AS BIGINT) AS n_ip,
+       regexp_replace(regexp_replace(regexp_replace(
+           text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{PII_PHONE}', '<PHONE>', 'g'),
+                 '{PII_IP}', '<IP>', 'g') AS clean_text
+FROM documents
+"""
+
+
+# --- q52: repetition / boilerplate filter ------------------------------------
+
+def q52_repetition_filter(sf_dir: str):
+    """Gopher-style repetition stats per doc: duplicate-token fraction and
+    top-bigram fraction (both e4 via integer division) plus the keep
+    verdict.  Pure per-doc math — one polars pass, no shuffle."""
+    def rep(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        n = t.num_rows
+        df = pl.DataFrame({
+            "rid": pl.int_range(0, n, eager=True),
+            "tok": pl.from_arrow(t["text"].combine_chunks())
+                     .str.to_lowercase().str.extract_all("[a-z0-9]+"),
+        })
+        base = df.select(
+            "rid",
+            pl.col("tok").list.len().cast(pl.Int64).alias("n_tokens"),
+            pl.col("tok").list.unique().list.len().cast(pl.Int64)
+              .alias("n_distinct"),
+        )
+        bg = (df.explode("tok").drop_nulls("tok")
+                .with_columns(pl.concat_str(
+                    [pl.col("tok"), pl.col("tok").shift(-1).over("rid")],
+                    separator=" ").alias("bg"))
+                .drop_nulls("bg")
+                .group_by("rid", "bg").len()
+                .group_by("rid").agg(pl.col("len").max().alias("top_bg")))
+        out = (base.join(bg, on="rid", how="left")
+               .with_columns(pl.col("top_bg").fill_null(0).cast(pl.Int64))
+               .with_columns(
+                   dup_e4=pl.when(pl.col("n_tokens") > 0)
+                            .then(10000 * (pl.col("n_tokens")
+                                           - pl.col("n_distinct"))
+                                  // pl.col("n_tokens")).otherwise(0),
+                   top_bigram_e4=pl.when(pl.col("n_tokens") > 1)
+                                   .then(10000 * pl.col("top_bg")
+                                         // (pl.col("n_tokens") - 1))
+                                   .otherwise(0),
+               )
+               .with_columns(keep=((pl.col("dup_e4") <= REP_DUP_MAX_E4)
+                                   & (pl.col("top_bigram_e4")
+                                      <= REP_BIGRAM_MAX_E4))
+                             .cast(pl.Int64))
+               .sort("rid"))
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+            "n_tokens": out["n_tokens"].to_arrow(),
+            "dup_e4": out["dup_e4"].to_arrow(),
+            "top_bigram_e4": out["top_bigram_e4"].to_arrow(),
+            "keep": out["keep"].to_arrow(),
+        })
+
+    return _docs(sf_dir).map_batches(rep, batch_format="pyarrow",
+                                     batch_size=1024)
+
+
+SQL_Q52 = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct
+  FROM toks
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, greatest(len(t) - 1, 0)),
+             i -> t[i] || ' ' || t[i + 1])) AS b
+  FROM toks
+),
+bgtop AS (
+  SELECT doc_id, max(c) AS top_bg
+  FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+  GROUP BY doc_id
+)
+SELECT base.doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN n_tokens > 0
+            THEN 10000 * (n_tokens - n_distinct) // n_tokens
+            ELSE 0 END AS BIGINT) AS dup_e4,
+       CAST(CASE WHEN n_tokens > 1
+            THEN 10000 * coalesce(top_bg, 0) // (n_tokens - 1)
+            ELSE 0 END AS BIGINT) AS top_bigram_e4,
+       CAST((CASE WHEN n_tokens > 0
+             THEN 10000 * (n_tokens - n_distinct) // n_tokens ELSE 0 END)
+                <= {REP_DUP_MAX_E4}
+            AND (CASE WHEN n_tokens > 1
+                 THEN 10000 * coalesce(top_bg, 0) // (n_tokens - 1)
+                 ELSE 0 END) <= {REP_BIGRAM_MAX_E4} AS BIGINT) AS keep
+FROM base LEFT JOIN bgtop USING (doc_id)
+"""
+
+
+QUERIES = {
+    "q50_decontaminate": (q50_decontaminate, SQL_Q50),
+    "q51_pii_scrub": (q51_pii_scrub, SQL_Q51),
+    "q52_repetition_filter": (q52_repetition_filter, SQL_Q52),
+}

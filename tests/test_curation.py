@@ -1,0 +1,96 @@
+"""Curation operators: PII scrub on text that actually contains PII
+(the synthetic sf tables contain none, so the oracle-parity run there
+only proves the no-op path), decontamination set semantics, and the
+repetition filter's fixed-point boundaries."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pboh_entity_linking_ray.oracle import compare
+from pboh_entity_linking_ray.pipelines import curation
+
+SF_DIR = "/root/testdata/sf0.001"
+
+PII_DOCS = [
+    "contact me at alice.smith+dev@example.co.uk or 555-867-5309 x12",
+    "server at 192.168.0.1 and 10.0.0.255, call 800 555 1212 today",
+    "no pii here, just plain text about tables and joins",
+    "bob@corp.io wrote to carol_99@mail.example.com from 127.0.0.1",
+    "",
+    "almost an ip 1234.5.6.7 and almost a phone 12-345-6789",
+]
+
+
+@pytest.fixture(scope="module")
+def pii_dir(tmp_path_factory):
+    """A documents.parquet with real PII so the scrub paths are non-trivial;
+    query fns take sf_dir, so a tmp dir with the same layout drops in."""
+    d = tmp_path_factory.mktemp("piidocs")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(PII_DOCS)), type=pa.int64()),
+            "text": pa.array(PII_DOCS, type=pa.string()),
+            "lang": pa.array(["en"] * len(PII_DOCS)),
+            "source": pa.array(["t"] * len(PII_DOCS)),
+            "n_chars": pa.array([len(s) for s in PII_DOCS], type=pa.int64()),
+        }),
+        d / "documents.parquet",
+    )
+    # oracle.duckdb_conn registers a view per sf table — link the rest
+    import os
+
+    from pboh_entity_linking_ray.oracle import TABLES
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    return str(d)
+
+
+def test_pii_scrub_matches_oracle_on_real_pii(ray_session, pii_dir):
+    ok, msg = compare(curation.q51_pii_scrub(pii_dir),
+                      curation.SQL_Q51, pii_dir)
+    assert ok, msg
+
+
+def test_pii_scrub_redacts_and_counts(ray_session, pii_dir):
+    got = (curation.q51_pii_scrub(pii_dir).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert got.loc[0, "n_email"] == 1
+    assert got.loc[0, "n_phone"] == 1
+    assert "<EMAIL>" in got.loc[0, "clean_text"]
+    assert "<PHONE>" in got.loc[0, "clean_text"]
+    assert got.loc[1, "n_ip"] == 2
+    assert got.loc[1, "n_phone"] == 1
+    assert got.loc[1, "clean_text"].count("<IP>") == 2
+    # untouched rows come through verbatim
+    assert got.loc[2, "clean_text"] == PII_DOCS[2]
+    assert got.loc[2, ["n_email", "n_phone", "n_ip"]].sum() == 0
+    assert got.loc[3, "n_email"] == 2
+    assert got.loc[3, "n_ip"] == 1
+    assert got.loc[4, "clean_text"] == ""
+    # \b guards: 1234.5.6.7 is not an IPv4 hit, 12-345-6789 not a phone
+    assert got.loc[5, "n_ip"] == 0
+    assert got.loc[5, "n_phone"] == 0
+
+
+def test_decontaminate_flags_only_overlapping_training_docs(ray_session):
+    got = curation.q50_decontaminate(SF_DIR).to_pandas()
+    # benchmark docs are never in the output; fractions are sane e4
+    assert (got["doc_id"] % curation.DECON_BENCH_MOD != 0).all()
+    assert (got["n_overlap"] >= 1).all()
+    assert (got["n_overlap"] <= got["n_shingles"]).all()
+    assert (got["contam_e4"]
+            == 10000 * got["n_overlap"] // got["n_shingles"]).all()
+    assert len(got) > 0  # 3-token shingles do collide in the corpus
+
+
+def test_repetition_filter_verdicts(ray_session):
+    got = curation.q52_repetition_filter(SF_DIR).to_pandas()
+    assert len(got) == 500  # every doc gets a verdict — filter, not join
+    expect = ((got["dup_e4"] <= curation.REP_DUP_MAX_E4)
+              & (got["top_bigram_e4"] <= curation.REP_BIGRAM_MAX_E4))
+    assert (got["keep"] == expect.astype(np.int64)).all()
+    # word-salad corpus: high duplicate-token fractions, mixed verdicts
+    assert got["dup_e4"].max() > 5000

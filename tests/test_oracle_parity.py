@@ -8,6 +8,7 @@ from pboh_entity_linking_ray.pipelines import (
     analytics,
     ann,
     cardinality,
+    curation,
     fuzzy,
     linkage_queries,
     multimodal,
@@ -23,7 +24,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 PAIRED = {}
 for mod in (relational, textops, sampling, temporal, analytics, fuzzy, ann,
-            multimodal, cardinality, prep, linkage_queries):
+            multimodal, cardinality, curation, prep, linkage_queries):
     for name, (fn, sql) in mod.QUERIES.items():
         if sql is not None:
             PAIRED[name] = (fn, sql)
