@@ -207,6 +207,7 @@ OPS_DEFAULT = [
     "q41_rollup_revenue", "q42_priority_timeline", "q43_nation_revenue",
     "q44_tfidf_pairs", "q45_funnel", "q46_chunk_documents",
     "q47_heavy_tokens", "q48_salted_segment_activity", "q49_chunk_dedup",
+    "q50_decontaminate", "q51_pii_scrub", "q52_repetition_filter",
     "hll_distinct_users", "quantile_sketch_value",
 ]
 

@@ -307,8 +307,124 @@ FROM base LEFT JOIN bgtop USING (doc_id)
 """
 
 
+# --- q53: training-sequence packing (concat-then-chunk) ----------------------
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+def q53_pack_sequences(sf_dir: str):
+    """Assign every document its (sequence id, token offset) under
+    concat-then-chunk packing: documents are concatenated in doc_id order
+    within each source stream and the token stream is cut every
+    PACK_BUDGET tokens (docs may straddle a cut; they belong to the
+    sequence their first token lands in) — the standard pretraining
+    sequence-packing layout.
+
+    Shape: one vectorized token-count pass (text never leaves the scan
+    task — only the skinny (doc_id, source, n_tokens) rows move), ONE
+    exchange on the packing stream key, one sorted cumulative pass per
+    bucket.  The stream key (here ``source``) is the unit of sequential
+    packing by definition; streams pack independently, so the operator
+    scales with the number of streams regardless of corpus size."""
+    from ..functions.grouping import hash_exchange
+
+    def tok_count(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return pl.DataFrame({
+            "doc_id": pl.from_arrow(t["doc_id"].combine_chunks())
+                        .cast(pl.Int64),
+            "source": pl.from_arrow(t["source"].combine_chunks())
+                        .cast(pl.String),
+            "n_tokens": pl.from_arrow(t["text"].combine_chunks())
+                          .str.to_lowercase().str.count_matches("[a-z0-9]+")
+                          .cast(pl.Int64),
+        }).to_arrow()
+
+    skinny = _docs(sf_dir, columns=("doc_id", "text", "source")) \
+        .map_batches(tok_count, batch_format="pyarrow", batch_size=1024)
+
+    def pack_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t).sort(["source", "doc_id"])
+        out = df.with_columns(
+            cum_before=(pl.col("n_tokens").cum_sum().over("source")
+                        - pl.col("n_tokens")),
+        ).with_columns(
+            seq_id=pl.col("cum_before") // PACK_BUDGET,
+            seq_offset=pl.col("cum_before") % PACK_BUDGET,
+        ).select(["doc_id", "source", "n_tokens", "seq_id", "seq_offset"])
+        return out.to_arrow()
+
+    return hash_exchange(skinny, "source", pack_bucket, num_buckets=8)
+
+
+SQL_Q53 = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+             AS cum_before
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
+# --- q54: quality-weighted deterministic sampling -----------------------------
+
+SAMPLE_SCALE_E4 = 20  # acceptance p_e4 = min(10000, n_chars * 20)
+
+
+def q54_weighted_sample(sf_dir: str):
+    """Data mixing by quality weight: keep each doc with probability
+    proportional to its quality signal (here n_chars, capped at 1), decided
+    by a DETERMINISTIC hash threshold — md5(doc_id) % 1e4 < p_e4 — so the
+    sample is reproducible, resumable, and identical on any cluster shape
+    (the property fixed-seed samplers lose under re-partitioning).  Pure
+    per-row math on pruned columns; no shuffle.  md5 is the oracle-parity
+    hash; a production run swaps in hash_strings_u64 (xxhash) exactly like
+    simhash_fast does."""
+    def pick(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        chars = np.asarray(t["n_chars"], dtype=np.int64)
+        p_e4 = np.minimum(10000, chars * SAMPLE_SCALE_E4)
+        hs = _md5_cached(_MD5_CACHE, [str(i) for i in ids])
+        keep = (hs % np.uint64(10000)).astype(np.int64) < p_e4
+        return pa.table({
+            "doc_id": pa.array(ids[keep], type=pa.int64()),
+            "n_chars": pa.array(chars[keep], type=pa.int64()),
+            "p_e4": pa.array(p_e4[keep], type=pa.int64()),
+        })
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"]) \
+        .map_batches(pick, batch_format="pyarrow", batch_size=4096)
+
+
+SQL_Q54 = f"""
+SELECT doc_id, n_chars,
+       least(10000, n_chars * {SAMPLE_SCALE_E4}) AS p_e4
+FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000
+      < least(10000, n_chars * {SAMPLE_SCALE_E4})
+"""
+
+
 QUERIES = {
     "q50_decontaminate": (q50_decontaminate, SQL_Q50),
     "q51_pii_scrub": (q51_pii_scrub, SQL_Q51),
     "q52_repetition_filter": (q52_repetition_filter, SQL_Q52),
+    "q53_pack_sequences": (q53_pack_sequences, SQL_Q53),
+    "q54_weighted_sample": (q54_weighted_sample, SQL_Q54),
 }

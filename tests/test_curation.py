@@ -94,3 +94,27 @@ def test_repetition_filter_verdicts(ray_session):
     assert (got["keep"] == expect.astype(np.int64)).all()
     # word-salad corpus: high duplicate-token fractions, mixed verdicts
     assert got["dup_e4"].max() > 5000
+
+
+def test_pack_sequences_invariants(ray_session):
+    got = (curation.q53_pack_sequences(SF_DIR).to_pandas()
+           .sort_values(["source", "doc_id"]).reset_index(drop=True))
+    B = curation.PACK_BUDGET
+    assert (got["seq_offset"] < B).all() and (got["seq_offset"] >= 0).all()
+    for _, g in got.groupby("source"):
+        cum = g["n_tokens"].cumsum() - g["n_tokens"]
+        assert (g["seq_id"] == cum // B).all()       # contiguous token stream
+        assert g["seq_id"].is_monotonic_increasing   # packing follows order
+
+
+def test_weighted_sample_deterministic_and_proportional(ray_session):
+    a = curation.q54_weighted_sample(SF_DIR).to_pandas().sort_values("doc_id")
+    b = curation.q54_weighted_sample(SF_DIR).to_pandas().sort_values("doc_id")
+    assert a.equals(b.reset_index(drop=True).set_axis(a.index))
+    # acceptance tracks the weight: docs at the p=1 cap ALL survive
+    full = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    capped = full.loc[full["n_chars"] * curation.SAMPLE_SCALE_E4 >= 10000,
+                      "doc_id"]
+    assert set(capped) <= set(a["doc_id"])
+    assert 0 < len(a) <= len(full)
