@@ -27,13 +27,14 @@ from pboh_entity_linking_ray.pipelines import (
     prep,
     relational,
     sampling,
+    search,
     temporal,
     textops,
 )
 
 _ALL = {}
 for mod in (relational, textops, sampling, temporal, analytics, fuzzy, ann,
-            multimodal, cardinality, curation, prep, linkage_queries):
+            multimodal, cardinality, curation, search, prep, linkage_queries):
     _ALL.update(mod.QUERIES)
 
 

@@ -15,6 +15,7 @@ from pboh_entity_linking_ray.pipelines import (
     prep,
     relational,
     sampling,
+    search,
     temporal,
     textops,
 )
@@ -24,7 +25,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 PAIRED = {}
 for mod in (relational, textops, sampling, temporal, analytics, fuzzy, ann,
-            multimodal, cardinality, curation, prep, linkage_queries):
+            multimodal, cardinality, curation, search, prep, linkage_queries):
     for name, (fn, sql) in mod.QUERIES.items():
         if sql is not None:
             PAIRED[name] = (fn, sql)
