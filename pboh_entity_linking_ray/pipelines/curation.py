@@ -86,19 +86,14 @@ def _bench_array(ref) -> np.ndarray:
     return arr
 
 
-def _contam_probe(t: pa.Table, bench_ref) -> pa.Table:
-    """Per-batch overlap of each training doc's shingle set against the
-    broadcast benchmark hash set (sorted uint64 → searchsorted probe)."""
-    bench = _bench_array(bench_ref)
-    all_ids = np.asarray(t["doc_id"], dtype=np.int64)
-    train = t.filter(pa.array(all_ids % DECON_BENCH_MOD != 0))
-    ids = np.asarray(train["doc_id"], dtype=np.int64)
+def _overlap_counts(train: pa.Table, bench: np.ndarray):
+    """(n_shingles, n_overlap) int64 arrays, one entry per ``train`` row:
+    distinct DECON_W-shingle count and how many of those hash into the
+    sorted benchmark set (searchsorted probe)."""
     df = _doc_shingles(train, DECON_W)
     if len(df) == 0:
-        return pa.table({"doc_id": pa.array([], type=pa.int64()),
-                         "n_shingles": pa.array([], type=pa.int64()),
-                         "n_overlap": pa.array([], type=pa.int64()),
-                         "contam_e4": pa.array([], type=pa.int64())})
+        z = np.zeros(train.num_rows, dtype=np.int64)
+        return z, z.copy()
     rid = df["rid"].to_numpy().astype(np.int64)
     hs = _md5_cached(_MD5_CACHE, df["sh"].to_list())
     if len(bench):
@@ -110,6 +105,17 @@ def _contam_probe(t: pa.Table, bench_ref) -> pa.Table:
     n_sh = np.bincount(rid, minlength=train.num_rows).astype(np.int64)
     n_ov = np.bincount(rid, weights=hit.astype(np.float64),
                        minlength=train.num_rows).astype(np.int64)
+    return n_sh, n_ov
+
+
+def _contam_probe(t: pa.Table, bench_ref) -> pa.Table:
+    """Per-batch overlap of each training doc's shingle set against the
+    broadcast benchmark hash set."""
+    bench = _bench_array(bench_ref)
+    all_ids = np.asarray(t["doc_id"], dtype=np.int64)
+    train = t.filter(pa.array(all_ids % DECON_BENCH_MOD != 0))
+    ids = np.asarray(train["doc_id"], dtype=np.int64)
+    n_sh, n_ov = _overlap_counts(train, bench)
     keep = n_ov > 0
     n_sh, n_ov = n_sh[keep], n_ov[keep]
     return pa.table({
@@ -120,13 +126,11 @@ def _contam_probe(t: pa.Table, bench_ref) -> pa.Table:
     })
 
 
-def q50_decontaminate(sf_dir: str):
-    """Benchmark split = doc_id % 20 == 0; emit every training doc whose
-    DECON_W-token shingle set intersects the benchmark shingle set, with
-    e4 fixed-point contamination fraction.  Benchmark hashes are collected
-    once (the small side by construction), broadcast, and probed per batch
-    — zero shuffles end to end."""
-    bench_parts = [
+def _collect_bench_set(sf_dir: str):
+    """Distinct md5 shingle hashes of the benchmark split, collected once
+    (the small side by construction — eval suites are MBs at any corpus
+    scale) and ``ray.put`` for per-batch probing."""
+    parts = [
         np.asarray(b["h"]).view(np.uint64)
         for b in _docs(sf_dir)
         .map_batches(_bench_shingles, batch_format="pyarrow",
@@ -134,9 +138,18 @@ def q50_decontaminate(sf_dir: str):
         .iter_batches(batch_format="pyarrow")
         if b.num_rows
     ]
-    bench = (np.unique(np.concatenate(bench_parts)) if bench_parts
+    bench = (np.unique(np.concatenate(parts)) if parts
              else np.empty(0, dtype=np.uint64))
-    bench_ref = ray.put(bench)
+    return ray.put(bench)
+
+
+def q50_decontaminate(sf_dir: str):
+    """Benchmark split = doc_id % 20 == 0; emit every training doc whose
+    DECON_W-token shingle set intersects the benchmark shingle set, with
+    e4 fixed-point contamination fraction.  Benchmark hashes are collected
+    once (the small side by construction), broadcast, and probed per batch
+    — zero shuffles end to end."""
+    bench_ref = _collect_bench_set(sf_dir)
     return _docs(sf_dir).map_batches(
         _contam_probe, fn_kwargs={"bench_ref": bench_ref},
         batch_format="pyarrow", batch_size=256)
@@ -213,58 +226,62 @@ FROM documents
 
 # --- q52: repetition / boilerplate filter ------------------------------------
 
+def _rep_stats_batch(t: pa.Table) -> pa.Table:
+    """Per-doc repetition stats for one batch (shared by q52 and the
+    composed q56 chain): n_tokens, dup_e4, top_bigram_e4, keep."""
+    import polars as pl
+
+    n = t.num_rows
+    df = pl.DataFrame({
+        "rid": pl.int_range(0, n, eager=True),
+        "tok": pl.from_arrow(t["text"].combine_chunks())
+                 .str.to_lowercase().str.extract_all("[a-z0-9]+"),
+    })
+    base = df.select(
+        "rid",
+        pl.col("tok").list.len().cast(pl.Int64).alias("n_tokens"),
+        pl.col("tok").list.unique().list.len().cast(pl.Int64)
+          .alias("n_distinct"),
+    )
+    bg = (df.explode("tok").drop_nulls("tok")
+            .with_columns(pl.concat_str(
+                [pl.col("tok"), pl.col("tok").shift(-1).over("rid")],
+                separator=" ").alias("bg"))
+            .drop_nulls("bg")
+            .group_by("rid", "bg").len()
+            .group_by("rid").agg(pl.col("len").max().alias("top_bg")))
+    out = (base.join(bg, on="rid", how="left")
+           .with_columns(pl.col("top_bg").fill_null(0).cast(pl.Int64))
+           .with_columns(
+               dup_e4=pl.when(pl.col("n_tokens") > 0)
+                        .then(10000 * (pl.col("n_tokens")
+                                       - pl.col("n_distinct"))
+                              // pl.col("n_tokens")).otherwise(0),
+               top_bigram_e4=pl.when(pl.col("n_tokens") > 1)
+                               .then(10000 * pl.col("top_bg")
+                                     // (pl.col("n_tokens") - 1))
+                               .otherwise(0),
+           )
+           .with_columns(keep=((pl.col("dup_e4") <= REP_DUP_MAX_E4)
+                               & (pl.col("top_bigram_e4")
+                                  <= REP_BIGRAM_MAX_E4))
+                         .cast(pl.Int64))
+           .sort("rid"))
+    return pa.table({
+        "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+        "n_tokens": out["n_tokens"].to_arrow(),
+        "dup_e4": out["dup_e4"].to_arrow(),
+        "top_bigram_e4": out["top_bigram_e4"].to_arrow(),
+        "keep": out["keep"].to_arrow(),
+    })
+
+
 def q52_repetition_filter(sf_dir: str):
     """Gopher-style repetition stats per doc: duplicate-token fraction and
     top-bigram fraction (both e4 via integer division) plus the keep
     verdict.  Pure per-doc math — one polars pass, no shuffle."""
-    def rep(t: pa.Table) -> pa.Table:
-        import polars as pl
-
-        n = t.num_rows
-        df = pl.DataFrame({
-            "rid": pl.int_range(0, n, eager=True),
-            "tok": pl.from_arrow(t["text"].combine_chunks())
-                     .str.to_lowercase().str.extract_all("[a-z0-9]+"),
-        })
-        base = df.select(
-            "rid",
-            pl.col("tok").list.len().cast(pl.Int64).alias("n_tokens"),
-            pl.col("tok").list.unique().list.len().cast(pl.Int64)
-              .alias("n_distinct"),
-        )
-        bg = (df.explode("tok").drop_nulls("tok")
-                .with_columns(pl.concat_str(
-                    [pl.col("tok"), pl.col("tok").shift(-1).over("rid")],
-                    separator=" ").alias("bg"))
-                .drop_nulls("bg")
-                .group_by("rid", "bg").len()
-                .group_by("rid").agg(pl.col("len").max().alias("top_bg")))
-        out = (base.join(bg, on="rid", how="left")
-               .with_columns(pl.col("top_bg").fill_null(0).cast(pl.Int64))
-               .with_columns(
-                   dup_e4=pl.when(pl.col("n_tokens") > 0)
-                            .then(10000 * (pl.col("n_tokens")
-                                           - pl.col("n_distinct"))
-                                  // pl.col("n_tokens")).otherwise(0),
-                   top_bigram_e4=pl.when(pl.col("n_tokens") > 1)
-                                   .then(10000 * pl.col("top_bg")
-                                         // (pl.col("n_tokens") - 1))
-                                   .otherwise(0),
-               )
-               .with_columns(keep=((pl.col("dup_e4") <= REP_DUP_MAX_E4)
-                                   & (pl.col("top_bigram_e4")
-                                      <= REP_BIGRAM_MAX_E4))
-                             .cast(pl.Int64))
-               .sort("rid"))
-        return pa.table({
-            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
-            "n_tokens": out["n_tokens"].to_arrow(),
-            "dup_e4": out["dup_e4"].to_arrow(),
-            "top_bigram_e4": out["top_bigram_e4"].to_arrow(),
-            "keep": out["keep"].to_arrow(),
-        })
-
-    return _docs(sf_dir).map_batches(rep, batch_format="pyarrow",
+    return _docs(sf_dir).map_batches(_rep_stats_batch,
+                                     batch_format="pyarrow",
                                      batch_size=1024)
 
 
@@ -343,21 +360,23 @@ def q53_pack_sequences(sf_dir: str):
 
     skinny = _docs(sf_dir, columns=("doc_id", "text", "source")) \
         .map_batches(tok_count, batch_format="pyarrow", batch_size=1024)
+    return hash_exchange(skinny, "source", _pack_bucket, num_buckets=8)
 
-    def pack_bucket(t: pa.Table) -> pa.Table:
-        import polars as pl
 
-        df = pl.from_arrow(t).sort(["source", "doc_id"])
-        out = df.with_columns(
-            cum_before=(pl.col("n_tokens").cum_sum().over("source")
-                        - pl.col("n_tokens")),
-        ).with_columns(
-            seq_id=pl.col("cum_before") // PACK_BUDGET,
-            seq_offset=pl.col("cum_before") % PACK_BUDGET,
-        ).select(["doc_id", "source", "n_tokens", "seq_id", "seq_offset"])
-        return out.to_arrow()
+def _pack_bucket(t: pa.Table) -> pa.Table:
+    """One sorted cumulative pass per stream bucket: (seq_id, seq_offset)
+    from running token offsets (shared by q53 and the q56 chain)."""
+    import polars as pl
 
-    return hash_exchange(skinny, "source", pack_bucket, num_buckets=8)
+    df = pl.from_arrow(t).sort(["source", "doc_id"])
+    out = df.with_columns(
+        cum_before=(pl.col("n_tokens").cum_sum().over("source")
+                    - pl.col("n_tokens")),
+    ).with_columns(
+        seq_id=pl.col("cum_before") // PACK_BUDGET,
+        seq_offset=pl.col("cum_before") % PACK_BUDGET,
+    ).select(["doc_id", "source", "n_tokens", "seq_id", "seq_offset"])
+    return out.to_arrow()
 
 
 SQL_Q53 = f"""
@@ -421,10 +440,141 @@ WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000
 """
 
 
+# --- q56: the composed curation chain ----------------------------------------
+
+DECON_DROP_E4 = 2000  # drop training docs with ≥ 20% benchmark overlap
+
+
+def q56_curate_and_pack(sf_dir: str):
+    """The end-to-end corpus-curation chain, fused: training split →
+    decontaminate (q50) → repetition filter (q52) → quality-weighted
+    deterministic sample (q54) → sequence packing (q53), producing the
+    packed layout of exactly the surviving documents.
+
+    Every per-document decision (contamination probe, repetition stats,
+    sample hash) happens in ONE ``map_batches`` pass — a doc is read
+    once and never crosses an operator boundary until it has survived
+    all three filters; only survivors' skinny (doc_id, source, n_tokens)
+    rows reach the single packing exchange.  Total data movement: one
+    scan + one tiny benchmark broadcast + one skinny exchange,
+    regardless of corpus size."""
+    from ..functions.grouping import hash_exchange
+
+    bench_ref = _collect_bench_set(sf_dir)
+
+    def curate(t: pa.Table) -> pa.Table:
+        bench = _bench_array(bench_ref)
+        all_ids = np.asarray(t["doc_id"], dtype=np.int64)
+        train = t.filter(pa.array(all_ids % DECON_BENCH_MOD != 0))
+        ids = np.asarray(train["doc_id"], dtype=np.int64)
+        chars = np.asarray(train["n_chars"], dtype=np.int64)
+        n_sh, n_ov = _overlap_counts(train, bench)
+        contam_e4 = np.where(n_sh > 0, 10000 * n_ov // np.maximum(n_sh, 1),
+                             0)
+        rep = _rep_stats_batch(train)
+        rep_keep = np.asarray(rep["keep"], dtype=np.int64) == 1
+        p_e4 = np.minimum(10000, chars * SAMPLE_SCALE_E4)
+        hs = _md5_cached(_MD5_CACHE, [str(i) for i in ids])
+        sampled = (hs % np.uint64(10000)).astype(np.int64) < p_e4
+        survive = (contam_e4 < DECON_DROP_E4) & rep_keep & sampled
+        out = train.filter(pa.array(survive))
+        return pa.table({
+            "doc_id": out["doc_id"].combine_chunks().cast(pa.int64()),
+            "source": out["source"].combine_chunks().cast(pa.string()),
+            "n_tokens": pa.array(
+                np.asarray(rep["n_tokens"], dtype=np.int64)[survive],
+                type=pa.int64()),
+        })
+
+    skinny = _docs(sf_dir, columns=("doc_id", "text", "source", "n_chars")) \
+        .map_batches(curate, batch_format="pyarrow", batch_size=256)
+    return hash_exchange(skinny, "source", _pack_bucket, num_buckets=8)
+
+
+SQL_Q56 = f"""
+WITH toks AS (
+  SELECT doc_id, source, n_chars,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+  WHERE doc_id % {DECON_BENCH_MOD} <> 0
+),
+sh AS (
+  SELECT doc_id,
+         md5_number_lower(unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(t) - {DECON_W - 1}, 0)),
+             i -> list_aggregate(t[i : i + {DECON_W - 1}], 'string_agg', ' ')
+         )))) AS h
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT md5_number_lower(unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(t) - {DECON_W - 1}, 0)),
+             i -> list_aggregate(t[i : i + {DECON_W - 1}], 'string_agg', ' ')
+         )))) AS h
+  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents WHERE doc_id % {DECON_BENCH_MOD} = 0)
+),
+contam AS (
+  SELECT sh.doc_id,
+         count(*) AS n_shingles,
+         count(*) FILTER (WHERE bench.h IS NOT NULL) AS n_overlap
+  FROM sh LEFT JOIN bench USING (h)
+  GROUP BY sh.doc_id
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, greatest(len(t) - 1, 0)),
+             i -> t[i] || ' ' || t[i + 1])) AS b
+  FROM toks
+),
+bgtop AS (
+  SELECT doc_id, max(c) AS top_bg
+  FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+  GROUP BY doc_id
+),
+rep AS (
+  SELECT toks.doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(t) > 0
+              THEN 10000 * (len(t) - len(list_distinct(t))) // len(t)
+              ELSE 0 END AS dup_e4,
+         CASE WHEN len(t) > 1
+              THEN 10000 * coalesce(top_bg, 0) // (len(t) - 1)
+              ELSE 0 END AS top_bigram_e4
+  FROM toks LEFT JOIN bgtop USING (doc_id)
+),
+surv AS (
+  SELECT toks.doc_id, toks.source, rep.n_tokens
+  FROM toks
+  JOIN rep USING (doc_id)
+  LEFT JOIN contam USING (doc_id)
+  WHERE coalesce(10000 * contam.n_overlap // contam.n_shingles, 0)
+            < {DECON_DROP_E4}
+    AND rep.dup_e4 <= {REP_DUP_MAX_E4}
+    AND rep.top_bigram_e4 <= {REP_BIGRAM_MAX_E4}
+    AND md5_number_lower(CAST(toks.doc_id AS VARCHAR)) % 10000
+            < least(10000, toks.n_chars * {SAMPLE_SCALE_E4})
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+             AS cum_before
+  FROM surv
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
 QUERIES = {
     "q50_decontaminate": (q50_decontaminate, SQL_Q50),
     "q51_pii_scrub": (q51_pii_scrub, SQL_Q51),
     "q52_repetition_filter": (q52_repetition_filter, SQL_Q52),
     "q53_pack_sequences": (q53_pack_sequences, SQL_Q53),
     "q54_weighted_sample": (q54_weighted_sample, SQL_Q54),
+    "q56_curate_and_pack": (q56_curate_and_pack, SQL_Q56),
 }

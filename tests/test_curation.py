@@ -107,6 +107,28 @@ def test_pack_sequences_invariants(ray_session):
         assert g["seq_id"].is_monotonic_increasing   # packing follows order
 
 
+def test_curate_chain_composes_the_standalone_filters(ray_session):
+    """q56 survivors == docs passing q50-threshold ∧ q52 keep ∧ q54 sample,
+    and their packing matches q53 semantics on the surviving subset."""
+    packed = (curation.q56_curate_and_pack(SF_DIR).to_pandas()
+              .sort_values(["source", "doc_id"]).reset_index(drop=True))
+    contam = curation.q50_decontaminate(SF_DIR).to_pandas()
+    dropped_contam = set(
+        contam.loc[contam["contam_e4"] >= curation.DECON_DROP_E4, "doc_id"])
+    rep = curation.q52_repetition_filter(SF_DIR).to_pandas()
+    sampled = set(curation.q54_weighted_sample(SF_DIR)
+                  .to_pandas()["doc_id"])
+    expect = set(rep.loc[rep["keep"] == 1, "doc_id"]) & sampled
+    expect -= dropped_contam
+    expect = {d for d in expect if d % curation.DECON_BENCH_MOD != 0}
+    assert set(packed["doc_id"]) == expect
+    B = curation.PACK_BUDGET
+    for _, g in packed.groupby("source"):
+        cum = g["n_tokens"].cumsum() - g["n_tokens"]
+        assert (g["seq_id"] == cum // B).all()
+        assert (g["seq_offset"] == cum % B).all()
+
+
 def test_weighted_sample_deterministic_and_proportional(ray_session):
     a = curation.q54_weighted_sample(SF_DIR).to_pandas().sort_values("doc_id")
     b = curation.q54_weighted_sample(SF_DIR).to_pandas().sort_values("doc_id")
