@@ -900,7 +900,55 @@ WHERE rn = 1
 """
 
 
+# --- q57: BPE-ish token counting ---------------------------------------------
+
+# GPT-2-style pretokenizer, restricted to the regex dialect rust-regex
+# (polars) and RE2 (DuckDB) share: contraction suffixes, space-prefixed
+# letter/digit runs, space-prefixed punctuation runs, whitespace runs.
+# (The real GPT-2 pattern's trailing-space lookahead branch is dropped —
+# neither engine supports lookahead; the count semantics are fixed HERE.)
+BPE_PAT = (r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+           r"| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def q57_bpe_token_count(sf_dir: str):
+    """Token-budget accounting per doc: BPE-ish pretokenizer count,
+    whitespace-word count, and their e4 ratio (tokens-per-word — the
+    fertility estimate a budget planner multiplies corpus word counts
+    by).  One vectorized regex pass per batch; no shuffle."""
+    def count(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        txt = pl.from_arrow(t["text"].combine_chunks())
+        n_bpe = txt.str.count_matches(BPE_PAT).cast(pl.Int64)
+        n_word = txt.str.count_matches(r"\S+").cast(pl.Int64)
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+            "n_bpe": n_bpe.to_arrow(),
+            "n_words": n_word.to_arrow(),
+            "fertility_e4": (10000 * n_bpe
+                             // n_word.clip(lower_bound=1)).to_arrow(),
+        })
+
+    return _docs(sf_dir).map_batches(count, batch_format="pyarrow",
+                                     batch_size=2048)
+
+
+_BPE_SQL = BPE_PAT.replace("'", "''")   # escape the quote for the SQL literal
+
+SQL_Q57 = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+       CAST(10000 * len(regexp_extract_all(text, '{_BPE_SQL}'))
+            // greatest(len(regexp_extract_all(text, '\\S+')), 1) AS BIGINT)
+           AS fertility_e4
+FROM documents
+"""
+
+
 QUERIES = {
+    "q57_bpe_token_count": (q57_bpe_token_count, SQL_Q57),
     "q12_ngram_jaccard_pairs": (q12_ngram_jaccard_pairs, SQL_Q12),
     "q44_tfidf_pairs": (q44_tfidf_pairs, SQL_Q44),
     "q46_chunk_documents": (q46_chunk_documents, SQL_Q46),

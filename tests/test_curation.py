@@ -75,6 +75,20 @@ def test_pii_scrub_redacts_and_counts(ray_session, pii_dir):
     assert got.loc[5, "n_phone"] == 0
 
 
+def test_bpe_token_count_parity_on_punctuation_rich_text(ray_session,
+                                                         pii_dir):
+    """q57's BPE-ish regex must mean the same thing in rust-regex and
+    RE2 on text with contractions, punctuation runs, digits and mixed
+    case — the sf corpus is [a-z ]-only, so parity there is weak."""
+    from pboh_entity_linking_ray.pipelines import textops
+    ok, msg = compare(textops.q57_bpe_token_count(pii_dir),
+                      textops.SQL_Q57, pii_dir)
+    assert ok, msg
+    got = textops.q57_bpe_token_count(pii_dir).to_pandas()
+    nonempty = got[got["n_words"] > 0]
+    assert (nonempty["n_bpe"] >= nonempty["n_words"]).all()  # fertility ≥ 1
+
+
 def test_decontaminate_flags_only_overlapping_training_docs(ray_session):
     got = curation.q50_decontaminate(SF_DIR).to_pandas()
     # benchmark docs are never in the output; fractions are sane e4
