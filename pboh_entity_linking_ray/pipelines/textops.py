@@ -900,6 +900,92 @@ WHERE rn = 1
 """
 
 
+# --- q58: near-dup clusters (connected components over q12 pairs) -------------
+
+NEARDUP_MIN_E4 = 500   # cluster edges: jaccard ≥ 0.05
+
+
+def q58_neardup_clusters(sf_dir: str):
+    """Near-duplicate GROUPS, not just pairs: connected components over
+    the q12 similarity graph at NEARDUP_MIN_E4, labels = component-min
+    doc_id.  Runs the flagship star-contraction engine
+    (stages/clustering.py: large-star/small-star rounds, bounded driver
+    finish) — this row makes the distributed CC algorithm itself
+    oracle-checked against a DuckDB recursive CTE, complementing the
+    rows-only link_clusters.  doc ids travel as zero-padded strings so
+    the engine's string-min label contract equals integer min."""
+    from ..stages.clustering import connected_components
+
+    pairs = q12_ngram_jaccard_pairs(sf_dir)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (pl.from_arrow(t)
+              .filter(pl.col("jac_e4") >= NEARDUP_MIN_E4)
+              .select(
+                  pl.col("doc_a").cast(pl.String).str.zfill(8).alias("u"),
+                  pl.col("doc_b").cast(pl.String).str.zfill(8).alias("v"),
+              ))
+        return df.to_arrow().cast(
+            pa.schema([("u", pa.string()), ("v", pa.string())]))
+
+    labels = connected_components(
+        pairs.map_batches(to_edges, batch_format="pyarrow"))
+
+    def back(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        return pa.table({
+            "doc_id": df["conv_id"].cast(pl.Int64).to_arrow(),
+            "cluster_id": df["cluster_id"].cast(pl.Int64).to_arrow(),
+        })
+
+    return labels.map_batches(back, batch_format="pyarrow")
+
+
+SQL_Q58 = f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh
+  FROM (SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - {JAC_SHINGLE_K - 1}, 0)),
+            i -> list_aggregate(toks[i : i + {JAC_SHINGLE_K - 1}], 'string_agg', ' ')
+        )) AS shs
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents))
+),
+live AS (
+  SELECT sh FROM s GROUP BY sh HAVING count(*) <= {JAC_STOP_DF}
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb,
+         count(*) AS inter
+  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  WHERE a.sh IN (SELECT sh FROM live)
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM p
+  WHERE (inter * 10000) // (na + nb - inter) >= {NEARDUP_MIN_E4}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, m) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.m FROM edges e JOIN reach r ON r.node = e.v
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(m) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
 # --- q57: BPE-ish token counting ---------------------------------------------
 
 # GPT-2-style pretokenizer, restricted to the regex dialect rust-regex
@@ -949,6 +1035,7 @@ FROM documents
 
 QUERIES = {
     "q57_bpe_token_count": (q57_bpe_token_count, SQL_Q57),
+    "q58_neardup_clusters": (q58_neardup_clusters, SQL_Q58),
     "q12_ngram_jaccard_pairs": (q12_ngram_jaccard_pairs, SQL_Q12),
     "q44_tfidf_pairs": (q44_tfidf_pairs, SQL_Q44),
     "q46_chunk_documents": (q46_chunk_documents, SQL_Q46),
