@@ -570,6 +570,60 @@ FROM c
 """
 
 
+# --- q59: per-group deterministic cap (domain rebalancing) --------------------
+
+GROUP_CAP = 15  # keep at most this many docs per source
+
+
+def q59_group_cap_sample(sf_dir: str):
+    """Downsample over-represented groups to at most GROUP_CAP docs each
+    — the domain-rebalancing complement of fraction-based stratified
+    sampling (q27 keeps a RATE per stratum; this keeps a COUNT cap).
+    Selection is a deterministic hash lottery: rank docs inside each
+    source by md5(doc_id) ascending (doc_id tie-break) and keep the
+    first GROUP_CAP — reproducible on any partitioning, no seed state.
+    Rides on ``topk_per_group``: each map task forwards ≤ cap rows per
+    group it saw, so the exchange moves O(cap × groups) rows."""
+    from ..functions.grouping import topk_per_group
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        hs = _md5_cached(_MD5_CACHE, [str(i) for i in ids])
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "source": t["source"].combine_chunks().cast(pa.string()),
+            # int64 bit-cast of the uint64 hash would scramble order;
+            # keep the lottery rank inside int64 by dropping the top bit
+            "lot": pa.array((hs >> np.uint64(1)).astype(np.int64),
+                            type=pa.int64()),
+        })
+
+    keyed = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "source"]) \
+        .map_batches(key, batch_format="pyarrow", batch_size=4096)
+    capped = topk_per_group(keyed, "source", "lot", GROUP_CAP,
+                            descending=False, tie_cols=["doc_id"],
+                            num_buckets=8)
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "source"])
+
+    return capped.map_batches(strip, batch_format="pyarrow")
+
+
+SQL_Q59 = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)) // 2,
+                      doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rn <= {GROUP_CAP}
+"""
+
+
 QUERIES = {
     "q50_decontaminate": (q50_decontaminate, SQL_Q50),
     "q51_pii_scrub": (q51_pii_scrub, SQL_Q51),
@@ -577,4 +631,5 @@ QUERIES = {
     "q53_pack_sequences": (q53_pack_sequences, SQL_Q53),
     "q54_weighted_sample": (q54_weighted_sample, SQL_Q54),
     "q56_curate_and_pack": (q56_curate_and_pack, SQL_Q56),
+    "q59_group_cap_sample": (q59_group_cap_sample, SQL_Q59),
 }
