@@ -208,6 +208,9 @@ OPS_DEFAULT = [
     "q44_tfidf_pairs", "q45_funnel", "q46_chunk_documents",
     "q47_heavy_tokens", "q48_salted_segment_activity", "q49_chunk_dedup",
     "q50_decontaminate", "q51_pii_scrub", "q52_repetition_filter",
+    "q53_pack_sequences", "q54_weighted_sample", "q55_keyword_search",
+    "q56_curate_and_pack", "q57_bpe_token_count", "q58_neardup_clusters",
+    "q59_group_cap_sample",
     "hll_distinct_users", "quantile_sketch_value",
 ]
 

@@ -37,8 +37,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.hashing import md5_lower64
-from .textops import _doc_shingles, _md5_cached
+from .relational import _t
+from .textops import _doc_shingles, _md5_cached, _shingles_from_exploded
 
 DECON_W = 3          # shingle width for contamination overlap
 DECON_BENCH_MOD = 20  # doc_id % 20 == 0 → benchmark/eval split
@@ -53,8 +53,7 @@ REP_BIGRAM_MAX_E4 = 1500  # or > 15% of bigrams being one bigram
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=list(columns))
+    return _t(sf_dir, "documents", list(columns))
 
 
 # --- q50: decontamination against a benchmark split -------------------------
@@ -64,16 +63,18 @@ def _bench_shingles(t: pa.Table) -> pa.Table:
     ids = np.asarray(t["doc_id"], dtype=np.int64)
     bench = t.filter(pa.array(ids % DECON_BENCH_MOD == 0))
     df = _doc_shingles(bench, DECON_W)
-    hs = np.unique(_md5_cached(_MD5_CACHE, df["sh"].to_list()))
+    hs = np.unique(_md5_cached({}, df["sh"].to_list()))
     # bit-cast: Ray blocks carry int64 (uint64 ≥ 2^63 breaks Ray
     # aggregates, CLAUDE.md); the driver views back and re-sorts.
     return pa.table({"h": pa.array(hs.view(np.int64), type=pa.int64())})
 
 
-# Warm-task process caches (see grouping._BCAST_CACHE for the rationale:
+# Warm-task process cache (see grouping._BCAST_CACHE for the rationale:
 # plain tasks on warm workers beat an actor pool and compose/fuse freely).
+# md5 hashing deliberately uses PER-CALL dicts instead: shingles and doc
+# ids are mostly unique, so a process-lifetime cache would grow
+# O(partition) in every warm worker for a near-zero hit rate.
 _BENCH_CACHE: dict = {}
-_MD5_CACHE: dict[str, int] = {}
 
 
 def _bench_array(ref) -> np.ndarray:
@@ -86,16 +87,19 @@ def _bench_array(ref) -> np.ndarray:
     return arr
 
 
-def _overlap_counts(train: pa.Table, bench: np.ndarray):
+def _overlap_counts(train: pa.Table, bench: np.ndarray, exploded=None):
     """(n_shingles, n_overlap) int64 arrays, one entry per ``train`` row:
     distinct DECON_W-shingle count and how many of those hash into the
-    sorted benchmark set (searchsorted probe)."""
-    df = _doc_shingles(train, DECON_W)
+    sorted benchmark set (searchsorted probe).  ``exploded`` lets a fused
+    caller (q56) pass the already-tokenized (rid, tok) frame so the text
+    is tokenized once per batch."""
+    df = (_shingles_from_exploded(exploded, DECON_W)
+          if exploded is not None else _doc_shingles(train, DECON_W))
     if len(df) == 0:
         z = np.zeros(train.num_rows, dtype=np.int64)
         return z, z.copy()
     rid = df["rid"].to_numpy().astype(np.int64)
-    hs = _md5_cached(_MD5_CACHE, df["sh"].to_list())
+    hs = _md5_cached({}, df["sh"].to_list())
     if len(bench):
         pos = np.searchsorted(bench, hs)
         hit = ((pos < len(bench))
@@ -226,17 +230,26 @@ FROM documents
 
 # --- q52: repetition / boilerplate filter ------------------------------------
 
-def _rep_stats_batch(t: pa.Table) -> pa.Table:
-    """Per-doc repetition stats for one batch (shared by q52 and the
-    composed q56 chain): n_tokens, dup_e4, top_bigram_e4, keep."""
+def _tok_list_frame(t: pa.Table):
+    """batch → polars frame (rid, tok LIST column) — the single
+    tokenization both repetition stats and the shingle probe derive
+    from."""
     import polars as pl
 
-    n = t.num_rows
-    df = pl.DataFrame({
-        "rid": pl.int_range(0, n, eager=True),
+    return pl.DataFrame({
+        "rid": pl.int_range(0, t.num_rows, eager=True),
         "tok": pl.from_arrow(t["text"].combine_chunks())
                  .str.to_lowercase().str.extract_all("[a-z0-9]+"),
     })
+
+
+def _rep_stats_batch(t: pa.Table, tok_frame=None) -> pa.Table:
+    """Per-doc repetition stats for one batch (shared by q52 and the
+    composed q56 chain): n_tokens, dup_e4, top_bigram_e4, keep.
+    ``tok_frame`` lets a fused caller pass the (rid, tok-list) frame."""
+    import polars as pl
+
+    df = tok_frame if tok_frame is not None else _tok_list_frame(t)
     base = df.select(
         "rid",
         pl.col("tok").list.len().cast(pl.Int64).alias("n_tokens"),
@@ -418,7 +431,7 @@ def q54_weighted_sample(sf_dir: str):
         ids = np.asarray(t["doc_id"], dtype=np.int64)
         chars = np.asarray(t["n_chars"], dtype=np.int64)
         p_e4 = np.minimum(10000, chars * SAMPLE_SCALE_E4)
-        hs = _md5_cached(_MD5_CACHE, [str(i) for i in ids])
+        hs = _md5_cached({}, [str(i) for i in ids])
         keep = (hs % np.uint64(10000)).astype(np.int64) < p_e4
         return pa.table({
             "doc_id": pa.array(ids[keep], type=pa.int64()),
@@ -468,13 +481,15 @@ def q56_curate_and_pack(sf_dir: str):
         train = t.filter(pa.array(all_ids % DECON_BENCH_MOD != 0))
         ids = np.asarray(train["doc_id"], dtype=np.int64)
         chars = np.asarray(train["n_chars"], dtype=np.int64)
-        n_sh, n_ov = _overlap_counts(train, bench)
+        tok_frame = _tok_list_frame(train)
+        exploded = tok_frame.explode("tok").drop_nulls("tok")
+        n_sh, n_ov = _overlap_counts(train, bench, exploded=exploded)
         contam_e4 = np.where(n_sh > 0, 10000 * n_ov // np.maximum(n_sh, 1),
                              0)
-        rep = _rep_stats_batch(train)
+        rep = _rep_stats_batch(train, tok_frame=tok_frame)
         rep_keep = np.asarray(rep["keep"], dtype=np.int64) == 1
         p_e4 = np.minimum(10000, chars * SAMPLE_SCALE_E4)
-        hs = _md5_cached(_MD5_CACHE, [str(i) for i in ids])
+        hs = _md5_cached({}, [str(i) for i in ids])
         sampled = (hs % np.uint64(10000)).astype(np.int64) < p_e4
         survive = (contam_e4 < DECON_DROP_E4) & rep_keep & sampled
         out = train.filter(pa.array(survive))
@@ -588,7 +603,7 @@ def q59_group_cap_sample(sf_dir: str):
 
     def key(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"], dtype=np.int64)
-        hs = _md5_cached(_MD5_CACHE, [str(i) for i in ids])
+        hs = _md5_cached({}, [str(i) for i in ids])
         return pa.table({
             "doc_id": pa.array(ids, type=pa.int64()),
             "source": t["source"].combine_chunks().cast(pa.string()),

@@ -26,7 +26,6 @@ no retrieval operator; this extends its fuzzy mention lookup family
 from __future__ import annotations
 
 import pyarrow as pa
-import ray.data
 
 SEARCH_W_SCALE = 100_000
 SEARCH_TOP_K = 10
@@ -41,8 +40,8 @@ _TERMS = sorted({t for ts in SEARCH_QUERIES.values() for t in ts})
 
 
 def _docs(sf_dir: str):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+    from .relational import _t
+    return _t(sf_dir, "documents", ["doc_id", "text"])
 
 
 def _doc_term_tf(t: pa.Table):

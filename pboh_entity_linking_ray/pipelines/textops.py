@@ -298,9 +298,21 @@ WHERE bit_count(xor(a.sig, c.sig)) <= {SIMHASH_MAX_HAMMING}
 
 # --- Winnowing fingerprints -------------------------------------------------
 
+def _shingles_from_exploded(df, w: int):
+    """(rid, tok) EXPLODED frame → (rid, sh) DISTINCT w-token shingles,
+    vectorized shift-concat (no Python loop per shingle)."""
+    import polars as pl
+
+    sh = df.with_columns(
+        pl.concat_str([pl.col("tok").shift(-i).over("rid")
+                       for i in range(w)], separator=" ").alias("sh")
+    ).drop_nulls("sh")
+    return sh.select(["rid", "sh"]).unique()
+
+
 def _doc_shingles(t: pa.Table, w: int):
     """batch → polars frame (rid, sh) of DISTINCT w-token shingles per
-    row, built by vectorized shift-concat (no Python loop per shingle)."""
+    row."""
     import polars as pl
 
     n = t.num_rows
@@ -309,11 +321,7 @@ def _doc_shingles(t: pa.Table, w: int):
         "tok": pl.from_arrow(t["text"].combine_chunks())
                  .str.to_lowercase().str.extract_all("[a-z0-9]+"),
     }).explode("tok").drop_nulls("tok")
-    sh = df.with_columns(
-        pl.concat_str([pl.col("tok").shift(-i).over("rid")
-                       for i in range(w)], separator=" ").alias("sh")
-    ).drop_nulls("sh")
-    return sh.select(["rid", "sh"]).unique()
+    return _shingles_from_exploded(df, w)
 
 
 def _hex16(vals: np.ndarray) -> list[str]:
@@ -912,8 +920,9 @@ def q58_neardup_clusters(sf_dir: str):
     (stages/clustering.py: large-star/small-star rounds, bounded driver
     finish) — this row makes the distributed CC algorithm itself
     oracle-checked against a DuckDB recursive CTE, complementing the
-    rows-only link_clusters.  doc ids travel as zero-padded strings so
-    the engine's string-min label contract equals integer min."""
+    rows-only link_clusters.  doc ids travel as 20-digit zero-padded
+    strings (uint64 max is 20 digits) so the engine's string-min label
+    contract equals integer min for ANY int64 doc_id."""
     from ..stages.clustering import connected_components
 
     pairs = q12_ngram_jaccard_pairs(sf_dir)
@@ -924,8 +933,8 @@ def q58_neardup_clusters(sf_dir: str):
         df = (pl.from_arrow(t)
               .filter(pl.col("jac_e4") >= NEARDUP_MIN_E4)
               .select(
-                  pl.col("doc_a").cast(pl.String).str.zfill(8).alias("u"),
-                  pl.col("doc_b").cast(pl.String).str.zfill(8).alias("v"),
+                  pl.col("doc_a").cast(pl.String).str.zfill(20).alias("u"),
+                  pl.col("doc_b").cast(pl.String).str.zfill(20).alias("v"),
               ))
         return df.to_arrow().cast(
             pa.schema([("u", pa.string()), ("v", pa.string())]))
