@@ -790,3 +790,93 @@ def salted_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
         return post(joined) if post is not None else joined
 
     return hash_exchange(both, SKEY_COL, join_bucket, num_buckets)
+
+
+# --- distributed prefix sum (scan) -------------------------------------------
+
+RNG_COL = "__rng"
+
+
+def range_prefix_sum(ds: ray.data.Dataset, order_col: str, value_col: str,
+                     out_name: str = "cum_before", *,
+                     group_col: str | None = None,
+                     range_width: int = 4096,
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """EXCLUSIVE running sum of ``value_col`` in ``order_col`` order
+    (optionally per ``group_col``) — the distributed scan primitive Ray
+    Data lacks.  Unlike a window over one hash bucket per group (the
+    ``q53`` shape), this has NO single-task ceiling: a stream of any
+    size splits across range buckets.
+
+    Two light passes, no global sort:
+    1. per-batch subtotals per (group, range) where range =
+       ``order_col // range_width``, merged on the driver into exclusive
+       base offsets — O(#ranges) driver state; size ``range_width`` so
+       #ranges stays millions at most (at 10^10 rows, width 2^20 →
+       ~10^4 ranges);
+    2. ONE hash exchange on the range id; per bucket a local in-range
+       sort + cumulative sum plus the broadcast base (base table read
+       via the ``_bcast_frame`` per-process cache, never re-shipped).
+
+    ``order_col`` and ``value_col`` must be integer columns; ties in
+    ``order_col`` are broken by input order within a range (make
+    ``order_col`` unique for fully deterministic output).
+    """
+    import pyarrow.compute as _pc
+
+    keys = ([group_col] if group_col else []) + [RNG_COL]
+
+    def subtotal(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t.select(
+            ([group_col] if group_col else []) + [order_col, value_col]))
+        df = df.with_columns(
+            (pl.col(order_col) // range_width).alias(RNG_COL))
+        return (df.group_by(keys)
+                .agg(pl.col(value_col).sum().alias("__tot"))
+                .to_arrow())
+
+    # driver merge: O(groups × ranges) tiny rows
+    import polars as pl
+
+    parts = [pl.from_arrow(b) for b in ds
+             .map_batches(subtotal, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow") if b.num_rows]
+    if parts:
+        tot = (pl.concat(parts).group_by(keys)
+               .agg(pl.col("__tot").sum()).sort(keys))
+        base = tot.with_columns(
+            (pl.col("__tot").cum_sum() - pl.col("__tot"))
+            .over(group_col).alias("__base")
+            if group_col else
+            (pl.col("__tot").cum_sum() - pl.col("__tot")).alias("__base")
+        ).select(keys + ["__base"])
+    else:
+        schema = {RNG_COL: pl.Int64, "__base": pl.Int64}
+        if group_col:
+            schema = {group_col: pl.String, **schema}
+        base = pl.DataFrame(schema=schema)
+    base_ref = ray.put(base.to_arrow())
+
+    def add_rng(t: pa.Table) -> pa.Table:
+        rng = _pc.divide(t[order_col], range_width)
+        return t.append_column(RNG_COL, _pc.cast(rng, pa.int64()))
+
+    def scan_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0 and RNG_COL not in t.schema.names:
+            return t  # schema-less empty block: pass through inert
+        df = pl.from_arrow(t).sort(keys + [order_col])
+        pb = _bcast_frame(base_ref)
+        out = (df.join(pb, on=keys, how="left")
+               .with_columns(pl.col("__base").fill_null(0))
+               .with_columns(
+                   ((pl.col(value_col).cum_sum() - pl.col(value_col))
+                    .over(keys) + pl.col("__base")).alias(out_name))
+               .drop([RNG_COL, "__base"]))
+        return out.to_arrow()
+
+    keyed = ds.map_batches(add_rng, batch_format="pyarrow")
+    return hash_exchange(keyed, RNG_COL, scan_bucket, num_buckets)

@@ -585,6 +585,68 @@ FROM c
 """
 
 
+# --- q60: GLOBAL sequence packing via distributed prefix sum ------------------
+
+def q60_pack_global(sf_dir: str):
+    """Sequence packing over ONE corpus-wide stream (doc_id order) —
+    the case q53's per-stream exchange cannot scale: a single stream's
+    cumulative sum is one task there, unbounded here.
+
+    Uses the ``range_prefix_sum`` scan primitive: per-batch subtotals
+    per doc_id RANGE (driver holds O(#ranges) rows and prefix-sums
+    them), then one exchange on the range id where each bucket adds its
+    broadcast base to a local cumsum — a stream of any size splits
+    across range buckets.  Same (seq_id, seq_offset) contract as q53."""
+    import polars as pl
+
+    from ..functions.grouping import range_prefix_sum
+
+    def tok_count(t: pa.Table) -> pa.Table:
+        return pl.DataFrame({
+            "doc_id": pl.from_arrow(t["doc_id"].combine_chunks())
+                        .cast(pl.Int64),
+            "n_tokens": pl.from_arrow(t["text"].combine_chunks())
+                          .str.to_lowercase().str.count_matches("[a-z0-9]+")
+                          .cast(pl.Int64),
+        }).to_arrow()
+
+    skinny = _docs(sf_dir).map_batches(tok_count, batch_format="pyarrow",
+                                       batch_size=1024)
+    cum = range_prefix_sum(skinny, "doc_id", "n_tokens",
+                           range_width=64, num_buckets=8)
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (df.with_columns(
+            seq_id=pl.col("cum_before") // PACK_BUDGET,
+            seq_offset=pl.col("cum_before") % PACK_BUDGET,
+        ).select(["doc_id", "n_tokens", "seq_id", "seq_offset"])
+            .to_arrow())
+
+    return cum.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_Q60 = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+             AS cum_before
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS seq_id,
+       CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
 # --- q59: per-group deterministic cap (domain rebalancing) --------------------
 
 GROUP_CAP = 15  # keep at most this many docs per source
@@ -647,4 +709,5 @@ QUERIES = {
     "q54_weighted_sample": (q54_weighted_sample, SQL_Q54),
     "q56_curate_and_pack": (q56_curate_and_pack, SQL_Q56),
     "q59_group_cap_sample": (q59_group_cap_sample, SQL_Q59),
+    "q60_pack_global": (q60_pack_global, SQL_Q60),
 }
