@@ -556,8 +556,80 @@ def ann_neardup_lsh(sf_dir: str):
         ["vec_a", "vec_b", "cos_e6"])
 
 
+# --- q61: embedding dedup keep-first ------------------------------------------
+
+def q61_embedding_dedup(sf_dir: str):
+    """Embedding-space dedup with a canonical representative: connected
+    components over the q11 near-dup graph (cos ≥ NEARDUP_COS_E6), each
+    vector labeled with its component-min vec_id and whether it IS the
+    kept representative — the downstream keep-first filter is then a
+    single `is_rep == 1` predicate.  Same star-contraction engine and
+    20-digit zero-pad id contract as textops.q58; oracle = recursive
+    min-label CTE over the identical (hash-green) q11 pair set."""
+    from ..stages.clustering import connected_components
+
+    pairs = q11_embedding_neardup(sf_dir)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t).select(
+            pl.col("vec_a").cast(pl.String).str.zfill(20).alias("u"),
+            pl.col("vec_b").cast(pl.String).str.zfill(20).alias("v"),
+        )
+        return df.to_arrow().cast(
+            pa.schema([("u", pa.string()), ("v", pa.string())]))
+
+    labels = connected_components(
+        pairs.map_batches(to_edges, batch_format="pyarrow"))
+
+    def back(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        return pa.table({
+            "vec_id": df["conv_id"].cast(pl.Int64).to_arrow(),
+            "rep_id": df["cluster_id"].cast(pl.Int64).to_arrow(),
+            "is_rep": (df["conv_id"] == df["cluster_id"])
+                      .cast(pl.Int64).to_arrow(),
+        })
+
+    return labels.map_batches(back, batch_format="pyarrow")
+
+
+SQL_Q61 = f"""
+WITH RECURSIVE n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM embeddings
+),
+c AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(floor(({_COS_SQL.format(a='a.embedding', b='b.embedding',
+                                          na='a.nrm', nb='b.nrm')})
+                        * 1000000 + 0.5) AS BIGINT) AS cos_e6
+      FROM n a JOIN n b ON a.vec_id < b.vec_id),
+pairs AS (SELECT vec_a, vec_b FROM c WHERE cos_e6 >= {NEARDUP_COS_E6}),
+edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+),
+reach(node, m) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.m FROM edges e JOIN reach r ON r.node = e.v
+)
+SELECT CAST(node AS BIGINT) AS vec_id,
+       CAST(min(m) AS BIGINT) AS rep_id,
+       CAST(node = min(m) AS BIGINT) AS is_rep
+FROM reach GROUP BY node
+"""
+
+
 QUERIES = {
     "q10_knn_bruteforce": (q10_knn_bruteforce, SQL_Q10),
+    "q61_embedding_dedup": (q61_embedding_dedup, SQL_Q61),
     "q11_embedding_neardup": (q11_embedding_neardup, SQL_Q11),
     "ann_lsh_topk": (ann_lsh, None),        # approximate → rows-only check
     "ann_ivf_topk": (ann_ivf_topk, None),   # approximate → rows-only check
