@@ -647,6 +647,58 @@ FROM c
 """
 
 
+# --- q62: sort-free global ranking --------------------------------------------
+
+def q62_global_rank(sf_dir: str):
+    """Global rank and e4 percentile of every document by (n_chars,
+    doc_id) WITHOUT a global sort: pack the ordering into one int64 key
+    (n_chars << 32 | doc_id — unique by construction) and take
+    ``range_prefix_sum`` of the constant 1 over it; the exclusive
+    running count IS the 0-based rank.  Rank-transform/ntile at corpus
+    scale for the cost of one skinny exchange — the classic use of a
+    distributed scan.  Ties impossible (doc_id breaks them), so the
+    rank is total and deterministic."""
+    import polars as pl
+
+    from ..functions.grouping import range_prefix_sum
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        chars = np.asarray(t["n_chars"], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_chars": pa.array(chars, type=pa.int64()),
+            "ord": pa.array((chars << 32) | ids, type=pa.int64()),
+            "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+        })
+
+    skinny = _t(sf_dir, "documents", ["doc_id", "n_chars"]) \
+        .map_batches(keyed, batch_format="pyarrow", batch_size=4096)
+    n_docs = skinny.count()
+    ranked = range_prefix_sum(skinny, "ord", "one", out_name="rank",
+                              range_width=1 << 36, num_buckets=8)
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (df.with_columns(
+            pct_e4=10000 * pl.col("rank") // max(n_docs, 1))
+            .select(["doc_id", "n_chars", "rank", "pct_e4"])
+            .to_arrow())
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_Q62 = """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+           AS rank,
+       CAST(10000 * (row_number() OVER (ORDER BY n_chars, doc_id) - 1)
+            // greatest((SELECT count(*) FROM documents), 1) AS BIGINT)
+           AS pct_e4
+FROM documents
+"""
+
+
 # --- q59: per-group deterministic cap (domain rebalancing) --------------------
 
 GROUP_CAP = 15  # keep at most this many docs per source
@@ -710,4 +762,5 @@ QUERIES = {
     "q56_curate_and_pack": (q56_curate_and_pack, SQL_Q56),
     "q59_group_cap_sample": (q59_group_cap_sample, SQL_Q59),
     "q60_pack_global": (q60_pack_global, SQL_Q60),
+    "q62_global_rank": (q62_global_rank, SQL_Q62),
 }
