@@ -210,7 +210,8 @@ OPS_DEFAULT = [
     "q50_decontaminate", "q51_pii_scrub", "q52_repetition_filter",
     "q53_pack_sequences", "q54_weighted_sample", "q55_keyword_search",
     "q56_curate_and_pack", "q57_bpe_token_count", "q58_neardup_clusters",
-    "q59_group_cap_sample",
+    "q59_group_cap_sample", "q60_pack_global", "q61_embedding_dedup",
+    "q62_global_rank",
     "hll_distinct_users", "quantile_sketch_value",
 ]
 

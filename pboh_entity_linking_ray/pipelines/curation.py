@@ -672,9 +672,10 @@ def q62_global_rank(sf_dir: str):
             "one": pa.array(np.ones(len(ids), dtype=np.int64)),
         })
 
-    skinny = _t(sf_dir, "documents", ["doc_id", "n_chars"]) \
-        .map_batches(keyed, batch_format="pyarrow", batch_size=4096)
-    n_docs = skinny.count()
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+    n_docs = docs.count()          # parquet metadata count — no scan
+    skinny = docs.map_batches(keyed, batch_format="pyarrow",
+                              batch_size=4096)
     ranked = range_prefix_sum(skinny, "ord", "one", out_name="rank",
                               range_width=1 << 36, num_buckets=8)
 
@@ -712,7 +713,9 @@ def q59_group_cap_sample(sf_dir: str):
     source by md5(doc_id) ascending (doc_id tie-break) and keep the
     first GROUP_CAP — reproducible on any partitioning, no seed state.
     Rides on ``topk_per_group``: each map task forwards ≤ cap rows per
-    group it saw, so the exchange moves O(cap × groups) rows."""
+    group it saw, so the exchange moves O(cap × groups) rows.  md5 is
+    the oracle-parity hash; production swaps in ``hash_strings_u64``
+    (vectorized xxhash) exactly like simhash_fast does."""
     from ..functions.grouping import topk_per_group
 
     def key(t: pa.Table) -> pa.Table:
