@@ -565,7 +565,11 @@ def q61_embedding_dedup(sf_dir: str):
     kept representative — the downstream keep-first filter is then a
     single `is_rep == 1` predicate.  Same star-contraction engine and
     20-digit zero-pad id contract as textops.q58; oracle = recursive
-    min-label CTE over the identical (hash-green) q11 pair set."""
+    min-label CTE over the identical (hash-green) q11 pair set.  Pair
+    generation here is q11's oracle-exact O(n²) form because the SQL
+    twin needs the exact same graph; at corpus scale feed
+    ``ann_neardup_lsh`` pairs (the bucketed path) into the same CC —
+    the clustering stage is size-agnostic either way."""
     from ..stages.clustering import connected_components
 
     pairs = q11_embedding_neardup(sf_dir)
