@@ -30,11 +30,13 @@ from pboh_entity_linking_ray.pipelines import (
     search,
     temporal,
     textops,
+    training,
 )
 
 _ALL = {}
 for mod in (relational, textops, sampling, temporal, analytics, fuzzy, ann,
-            multimodal, cardinality, curation, search, prep, linkage_queries):
+            multimodal, cardinality, curation, search, prep, training,
+            linkage_queries):
     _ALL.update(mod.QUERIES)
 
 

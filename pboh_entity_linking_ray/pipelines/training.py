@@ -1,0 +1,206 @@
+"""Distributed learning queries (SURVEY §2 G8, reference learning/
+FewParamsLearning.scala): exact full-batch gradient step (oracle-paired
+— the logistic kernel is SQL-expressible through ``exp``), the
+iterative parameter-averaged parallel SGD built from the same kernel,
+and the flagship trainer that learns the pair-scorer blend weights
+from the labeled pairs and reports hand-set vs learned F1.
+
+Feature set for the relational twins: three O(1)-scaled lineitem
+columns (quantity/50, discount×10, tax×10) with label
+``l_returnflag = 'R'`` — deterministic, sf-scaled, and derivable in
+ANSI SQL so DuckDB can replay the identical math.  Weights are e4
+fixed-point in both engines (mean over ≥60k rows; cross-engine float
+sum drift is ~1e-12 relative, far inside the rounding).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..stages.train import logistic_grad_step, parallel_sgd
+from .relational import _t
+
+# fixed starting point for the oracle-paired step: nonzero so the
+# sigmoid actually exercises exp() in both engines
+W0 = (0.05, 0.1, -0.2, 0.3)
+LR = 1.0
+
+_FEATS_SQL = """
+  SELECT l_quantity / 50.0      AS x1,
+         l_discount * 10.0      AS x2,
+         l_tax * 10.0           AS x3,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+"""
+
+
+def _lineitem_features(sf_dir: str) -> ray.data.Dataset:
+    li = _t(sf_dir, "lineitem",
+            ["l_quantity", "l_discount", "l_tax", "l_returnflag"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "x1": pc.divide(t["l_quantity"], 50.0),
+            "x2": pc.multiply(t["l_discount"], 10.0),
+            "x3": pc.multiply(t["l_tax"], 10.0),
+            "y": pc.cast(pc.equal(t["l_returnflag"], "R"), pa.float64()),
+        })
+
+    return li.map_batches(feats, batch_format="pyarrow")
+
+
+def q63_grad_step(sf_dir: str):
+    """One exact full-batch logistic gradient step from W0 (the
+    SQL-checkable core of G8; reference loss/gradient shape
+    learning/FewParamsLearning.scala:694-703)."""
+    w1, _loss = logistic_grad_step(_lineitem_features(sf_dir),
+                                   ["x1", "x2", "x3"], "y", W0, LR)
+    e4 = [int(round(v * 10000)) for v in w1]
+    return pa.table({
+        "w_bias_e4": pa.array([e4[0]], type=pa.int64()),
+        "w_qty_e4": pa.array([e4[1]], type=pa.int64()),
+        "w_disc_e4": pa.array([e4[2]], type=pa.int64()),
+        "w_tax_e4": pa.array([e4[3]], type=pa.int64()),
+    })
+
+
+SQL_Q63 = f"""
+WITH f AS ({_FEATS_SQL}),
+p AS (
+  SELECT y, x1, x2, x3,
+         1.0 / (1.0 + exp(-({W0[0]} + {W0[1]} * x1
+                            + ({W0[2]}) * x2 + {W0[3]} * x3))) AS pr
+  FROM f
+)
+SELECT
+  CAST(ROUND(10000 * ({W0[0]} - {LR} * avg(pr - y)))        AS BIGINT) AS w_bias_e4,
+  CAST(ROUND(10000 * ({W0[1]} - {LR} * avg((pr - y) * x1))) AS BIGINT) AS w_qty_e4,
+  CAST(ROUND(10000 * ({W0[2]} - {LR} * avg((pr - y) * x2))) AS BIGINT) AS w_disc_e4,
+  CAST(ROUND(10000 * ({W0[3]} - {LR} * avg((pr - y) * x3))) AS BIGINT) AS w_tax_e4
+FROM p
+"""
+
+
+def q64_sgd_train(sf_dir: str):
+    """Parameter-averaged parallel SGD over the same feature set —
+    the iterative G8 production path (block-local SGD → driver mean →
+    re-broadcast per epoch).  Rows-only: the multi-epoch loop is not
+    SQL-expressible; q63 oracle-checks the shared gradient kernel and
+    the pytest suite checks convergence.  The block layout is pinned
+    (repartition 8) so the per-epoch averages are reproducible."""
+    ds = _lineitem_features(sf_dir).repartition(8)
+    _w, hist = parallel_sgd(ds, ["x1", "x2", "x3"], "y",
+                            epochs=4, lr=0.5, w_init=W0)
+    return pa.table({
+        "epoch": pa.array([h["epoch"] for h in hist], type=pa.int64()),
+        "loss_e4": pa.array([int(round(h["loss"] * 10000)) for h in hist],
+                            type=pa.int64()),
+        "w_bias_e4": pa.array([int(round(h["w"][0] * 10000)) for h in hist],
+                              type=pa.int64()),
+        "w_qty_e4": pa.array([int(round(h["w"][1] * 10000)) for h in hist],
+                             type=pa.int64()),
+        "w_disc_e4": pa.array([int(round(h["w"][2] * 10000)) for h in hist],
+                              type=pa.int64()),
+        "w_tax_e4": pa.array([int(round(h["w"][3] * 10000)) for h in hist],
+                             type=pa.int64()),
+    })
+
+
+def link_train_weights(sf_dir: str):
+    """Flagship G8: learn the pair-scorer blend weights from the labeled
+    pairs, then report hand-set vs learned decision quality.
+
+    The scored stream already carries the per-pair components the
+    reference's learner consumes (jw / jaccard / pboh — the analog of
+    ScorerWeights' few scalars): join the broadcast gold labels in, run
+    parameter-averaged SGD over (bias, jw, jaccard, pboh), and re-judge
+    the SAME scored stream under the learned decision rule
+    ``b + w·x ≥ 0``.  A positive learned vector maps onto a drop-in
+    ``ScorerWeights``: w_jw/w_jac/pboh_weight = w₁/w₂/w₃ with
+    match_threshold = −b/(w₁+w₂+w₃) — the reference's learn-then-plug
+    contract (FewParamsLearning.scala → ScorerWeights)."""
+    import ray
+
+    from ..stages.evaluate import _label_table, pairwise_metrics
+    from .linkage_queries import _labels, _run
+
+    res, cfg = _run(sf_dir)
+    labels = _labels(sf_dir)
+    lbl_ref = ray.put(_label_table(labels))
+
+    def labeled(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0:
+            return pa.table({"jw": pa.array([], pa.float64()),
+                             "jaccard": pa.array([], pa.float64()),
+                             "pboh": pa.array([], pa.float64()),
+                             "y": pa.array([], pa.float64())})
+        lbl = ray.get(lbl_ref)
+        df = (pl.from_arrow(t.select(["pair_key", "jw", "jaccard", "pboh"]))
+              .join(pl.from_arrow(lbl), on="pair_key", how="inner")
+              .with_columns(y=pl.col("gold").cast(pl.Float64))
+              .select(["jw", "jaccard", "pboh", "y"]))
+        return df.to_arrow()
+
+    train_ds = res.scored.map_batches(
+        labeled, batch_format="pyarrow").repartition(8)
+    w, hist = parallel_sgd(train_ds, ["jw", "jaccard", "pboh"], "y",
+                           epochs=6, lr=2.0, passes=2)
+
+    b, w1, w2, w3 = (float(v) for v in w)
+
+    def relearn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        z = (b + w1 * t["jw"].to_numpy(zero_copy_only=False)
+             + w2 * t["jaccard"].to_numpy(zero_copy_only=False)
+             + w3 * t["pboh"].to_numpy(zero_copy_only=False))
+        i = t.schema.get_field_index("is_match")
+        return t.set_column(i, "is_match", pa.array(z >= 0.0, pa.bool_()))
+
+    learned_scored = res.scored.map_batches(relearn, batch_format="pyarrow")
+    m_hand = pairwise_metrics(res.scored, labels)
+    m_learned = pairwise_metrics(learned_scored, labels)
+
+    wsum = w1 + w2 + w3
+    thresh = -b / wsum if wsum > 0 else None
+    rows = [("hand", m_hand, [0.0, cfg.weights.w_jw, cfg.weights.w_jac, 1.0],
+             cfg.weights.match_threshold),
+            ("learned", m_learned, [b, w1, w2, w3], thresh)]
+    return pa.table({
+        "variant": pa.array([r[0] for r in rows]),
+        "precision_e4": pa.array(
+            [int(round(r[1]["precision"] * 10000)) for r in rows],
+            type=pa.int64()),
+        "recall_e4": pa.array(
+            [int(round(r[1]["recall"] * 10000)) for r in rows],
+            type=pa.int64()),
+        "f1_e4": pa.array([int(round(r[1]["f1"] * 10000)) for r in rows],
+                          type=pa.int64()),
+        "w_bias_e4": pa.array([int(round(r[2][0] * 10000)) for r in rows],
+                              type=pa.int64()),
+        "w_jw_e4": pa.array([int(round(r[2][1] * 10000)) for r in rows],
+                            type=pa.int64()),
+        "w_jac_e4": pa.array([int(round(r[2][2] * 10000)) for r in rows],
+                             type=pa.int64()),
+        "w_pboh_e4": pa.array([int(round(r[2][3] * 10000)) for r in rows],
+                              type=pa.int64()),
+        "thresh_e4": pa.array(
+            [None if r[3] is None else int(round(r[3] * 10000))
+             for r in rows], type=pa.int64()),
+        "final_loss_e4": pa.array(
+            [None, int(round(hist[-1]["loss"] * 10000)) if hist else None],
+            type=pa.int64()),
+    })
+
+
+QUERIES = {
+    "q63_grad_step": (q63_grad_step, SQL_Q63),
+    "q64_sgd_train": (q64_sgd_train, None),
+    "link_train_weights": (link_train_weights, None),
+}

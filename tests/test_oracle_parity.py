@@ -18,6 +18,7 @@ from pboh_entity_linking_ray.pipelines import (
     search,
     temporal,
     textops,
+    training,
 )
 from pboh_entity_linking_ray.sources.synthetic import corpus_dir, sf_to_n_convs
 
@@ -25,7 +26,8 @@ SF_DIR = "/root/testdata/sf0.001"
 
 PAIRED = {}
 for mod in (relational, textops, sampling, temporal, analytics, fuzzy, ann,
-            multimodal, cardinality, curation, search, prep, linkage_queries):
+            multimodal, cardinality, curation, search, prep, training,
+            linkage_queries):
     for name, (fn, sql) in mod.QUERIES.items():
         if sql is not None:
             PAIRED[name] = (fn, sql)
@@ -50,7 +52,8 @@ def test_query_matches_oracle(name, ray_session):
 
 
 ROWS_ONLY = {}
-for mod in (textops, ann, multimodal, cardinality, linkage_queries):
+for mod in (textops, ann, multimodal, cardinality, training,
+            linkage_queries):
     for name, (fn, sql) in mod.QUERIES.items():
         if sql is None and name not in ("link_pairs_scored", "link_clusters",
                                         "link_eval_metrics"):
