@@ -631,6 +631,136 @@ FROM reach GROUP BY node
 """
 
 
+# --- q65 / pca_project: distributed PCA over the embedding column -----------
+
+PCA_CHECK_DIMS = 6   # leading sub-block the oracle twin verifies
+PCA_K = 4            # components kept by the projection
+
+
+def _moment_partials(sf_dir: str) -> tuple[int, np.ndarray, np.ndarray]:
+    """One streaming pass → exact global first/second moments.
+
+    Every BLOCK emits a single skinny row (n, Σx, Σxxᵀ flattened) — the
+    classic distributed-covariance partial (same shape as the trainer's
+    per-block rows, stages/train.py): the driver combines O(num_blocks)
+    rows of d + d² floats, never any embedding.  At 100 TB this is the
+    whole-dataset pass; everything after it is O(d²) driver math."""
+    def part(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "n": pa.array([], type=pa.int64()),
+            "s": pa.array([], type=pa.list_(pa.float64())),
+            "ss": pa.array([], type=pa.list_(pa.float64())),
+        })
+        if t.num_rows == 0 or "embedding" not in t.column_names:
+            return empty
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        mat = np.asarray(emb.flatten(), dtype=np.float64).reshape(
+            t.num_rows, -1)
+        return pa.table({
+            "n": pa.array([mat.shape[0]], type=pa.int64()),
+            "s": pa.array([mat.sum(axis=0)], type=pa.list_(pa.float64())),
+            "ss": pa.array([(mat.T @ mat).ravel()],
+                           type=pa.list_(pa.float64())),
+        })
+
+    parts = (_read_embeddings(sf_dir)
+             .map_batches(part, batch_format="pyarrow", batch_size=None)
+             .take_all())
+    parts = [p for p in parts if p["n"] > 0]
+    if not parts:
+        return 0, np.zeros(0), np.zeros((0, 0))
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    d = len(s)
+    ss = np.sum([np.asarray(p["ss"]) for p in parts], axis=0).reshape(d, d)
+    return n, s, ss
+
+
+def _cov_from_moments(n: int, s: np.ndarray, ss: np.ndarray) -> np.ndarray:
+    """Population covariance via the avg(xy) − avg(x)avg(y) identity —
+    spelled the same way as the SQL twin so e6 rounding agrees."""
+    mean = s / n
+    return ss / n - np.outer(mean, mean)
+
+
+def q65_embedding_covariance(sf_dir: str):
+    """Leading PCA_CHECK_DIMS×PCA_CHECK_DIMS block of the population
+    covariance of the embedding column, as long-form (i, j, cov_e6) rows
+    with 1-based i ≤ j — the SQL-checkable core of the PCA: the full d×d
+    matrix comes from the SAME partials pass (``pca_project`` consumes
+    it); only the oracle-verified sub-block is emitted here because the
+    DuckDB twin unnests to (vec, dim, value) rows and self-joins, which
+    is O(n·d²) in the oracle engine."""
+    n, s, ss = _moment_partials(sf_dir)
+    cov = _cov_from_moments(n, s, ss)
+    i, j = np.triu_indices(PCA_CHECK_DIMS)
+    vals = cov[i, j]
+    return pa.table({
+        "i": pa.array(i + 1, type=pa.int64()),
+        "j": pa.array(j + 1, type=pa.int64()),
+        "cov_e6": pa.array(
+            np.floor(vals * 1_000_000 + 0.5).astype(np.int64),
+            type=pa.int64()),
+    })
+
+
+SQL_Q65 = f"""
+WITH x AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+f AS (SELECT vec_id, v, i FROM x WHERE i <= {PCA_CHECK_DIMS})
+SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+       CAST(FLOOR(1000000 * (avg(a.v * b.v) - avg(a.v) * avg(b.v)) + 0.5)
+            AS BIGINT) AS cov_e6
+FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+
+def pca_project(sf_dir: str):
+    """Full distributed PCA: moments pass → driver-side eigh of the d×d
+    covariance (O(d³) at d=64 — microseconds) → top-PCA_K components
+    broadcast in the projection closure (K·d floats) → one streaming
+    projection pass emitting (vec_id, pc1_e4..pcK_e4).
+
+    Deterministic: eigenvectors are sign-canonicalized (largest-|coord|
+    entry made positive), so the output is invariant to block layout up
+    to the e4 rounding.  Rows-only — the eigendecomposition is not
+    SQL-expressible; q65 oracle-checks the covariance it consumes and
+    tests/test_ann.py checks the projection against numpy's full PCA."""
+    n, s, ss = _moment_partials(sf_dir)
+    if n == 0:
+        cols = {"vec_id": pa.array([], type=pa.int64())}
+        cols.update({f"pc{k + 1}_e4": pa.array([], type=pa.int64())
+                     for k in range(PCA_K)})
+        return ray.data.from_arrow(pa.table(cols))
+    cov = _cov_from_moments(n, s, ss)
+    mean = s / n
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    comps = evecs[:, ::-1][:, :PCA_K]           # top-K, descending λ
+    flips = np.sign(comps[np.abs(comps).argmax(axis=0),
+                          np.arange(PCA_K)])
+    comps = comps * np.where(flips == 0, 1.0, flips)[None, :]
+
+    def project(t: pa.Table) -> pa.Table:
+        ids, mat = _matrix(t)
+        proj = (mat - mean[None, :]) @ comps
+        cols = {"vec_id": pa.array(ids, type=pa.int64())}
+        for k in range(PCA_K):
+            cols[f"pc{k + 1}_e4"] = pa.array(
+                np.floor(proj[:, k] * 10_000 + 0.5).astype(np.int64),
+                type=pa.int64())
+        return pa.table(cols)
+
+    return _read_embeddings(sf_dir).map_batches(
+        project, batch_format="pyarrow")
+
+
 QUERIES = {
     "q10_knn_bruteforce": (q10_knn_bruteforce, SQL_Q10),
     "q61_embedding_dedup": (q61_embedding_dedup, SQL_Q61),
@@ -641,4 +771,8 @@ QUERIES = {
     # iterative algorithm → rows-only check; pytest pins determinism
     # and inertia descent (tests/test_ann.py)
     "kmeans_embeddings": (kmeans_embeddings, None),
+    "q65_embedding_covariance": (q65_embedding_covariance, SQL_Q65),
+    # eigendecomposition → rows-only; q65 oracle-checks the covariance
+    # it consumes, tests/test_ann.py checks the projection vs numpy
+    "pca_project": (pca_project, None),
 }

