@@ -211,7 +211,9 @@ OPS_DEFAULT = [
     "q53_pack_sequences", "q54_weighted_sample", "q55_keyword_search",
     "q56_curate_and_pack", "q57_bpe_token_count", "q58_neardup_clusters",
     "q59_group_cap_sample", "q60_pack_global", "q61_embedding_dedup",
-    "q62_global_rank",
+    "q62_global_rank", "q63_grad_step", "q64_sgd_train",
+    "q65_embedding_covariance", "pca_project", "q66_lm_perplexity",
+    "q67_fuzzy_decontaminate", "q68_pagerank",
     "hll_distinct_users", "quantile_sketch_value",
 ]
 

@@ -356,6 +356,164 @@ GROUP BY 1, 2
 """
 
 
+# --- q68: PageRank over the customer↔part purchase graph ---------------------
+
+PR_ITERS = 3
+PR_DAMP = 0.85     # literal mirrored into the SQL twin
+PR_BASE = 0.15     # (1 − d) as the SAME double literal in both engines
+PR_PART_OFF = 1_000_000   # part node ids disjoint from customer ids
+
+
+def q68_pagerank(sf_dir: str):
+    """Distributed PageRank (fixed PR_ITERS power iterations, damping
+    PR_DAMP) over the symmetrized customer↔part purchase graph — the
+    engine's iterative exchange-join pattern: per iteration, ONE bucketed
+    ``hash_join`` of the degree-weighted edge list against the current
+    rank vector with the contribution emit fused into the bucket task
+    (``post``), then a partial-combine ``groupby(dst).sum``.  The rank
+    table is a DATASET throughout (never driver-collected — at web scale
+    the node table outgrows any broadcast); the driver holds only N.
+    Symmetrizing removes dangling nodes, so no leaked-mass correction
+    term is needed and the SQL twin is three chained CTE pairs.
+
+    Graph analog of the reference's entity co-occurrence importance
+    (index/EntityCooccurrenceIndex.scala popularity totals), upgraded
+    from degree-counting to the stationary-distribution score."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..functions.grouping import dedup_keep_first, hash_join
+    from .relational import _t
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: pa.table({"ok": t["o_orderkey"],
+                            "c": pc.cast(t["o_custkey"], pa.int64())}),
+        batch_format="pyarrow")
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: pa.table({
+            "ok": t["l_orderkey"],
+            "p": pc.add(pc.cast(t["l_partkey"], pa.int64()), PR_PART_OFF),
+        }),
+        batch_format="pyarrow")
+
+    def pack(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["c"], dtype=np.int64)
+        p = np.asarray(t["p"], dtype=np.int64)
+        return pa.table({
+            "c": pa.array(c, type=pa.int64()),
+            "p": pa.array(p, type=pa.int64()),
+            "pk": pa.array(c * 100_000_000 + p, type=pa.int64()),
+        })
+
+    pairs = dedup_keep_first(
+        hash_join(li, orders, "ok").map_batches(pack,
+                                                batch_format="pyarrow"),
+        "pk")
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src": t["c"], "dst": t["p"]}),
+        batch_format="pyarrow",
+    ).union(pairs.map_batches(
+        lambda t: pa.table({"src": t["p"], "dst": t["c"]}),
+        batch_format="pyarrow"))
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0:
+            return pa.table({"src": pa.array([], type=pa.int64()),
+                             "d_partial": pa.array([], type=pa.int64())})
+        vc = pl.from_arrow(t.select(["src"])).group_by("src").len(
+            name="d_partial")
+        return pa.table({"src": vc["src"].cast(pl.Int64).to_arrow(),
+                         "d_partial": vc["d_partial"].cast(pl.Int64)
+                                                     .to_arrow()})
+
+    deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("src").aggregate(Sum("d_partial", alias_name="d"))
+           .materialize())
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table({
+            "node_id": pa.array([], type=pa.int64()),
+            "pr_e9": pa.array([], type=pa.int64())}))
+    # degree rides WITH the edges so each iteration joins only the rank
+    # vector (one exchange per side per iteration, skinny rows)
+    edges_w = hash_join(edges, deg, "src").materialize()
+
+    r_init = 1.0 / n_nodes
+    ranks = deg.map_batches(
+        lambda t: pa.table({
+            "src": t["src"],
+            "r": pa.array(np.full(t.num_rows, r_init), type=pa.float64()),
+        }),
+        batch_format="pyarrow")
+
+    base = PR_BASE / n_nodes
+    for _ in range(PR_ITERS):
+        def contrib(t: pa.Table) -> pa.Table:
+            r = np.asarray(t["r"], dtype=np.float64)
+            d = np.asarray(t["d"], dtype=np.float64)
+            return pa.table({"dst": t["dst"],
+                             "x": pa.array(r / d, type=pa.float64())})
+
+        def sum_partial(t: pa.Table) -> pa.Table:
+            import polars as pl
+
+            if t.num_rows == 0:
+                return pa.table({"dst": pa.array([], type=pa.int64()),
+                                 "x": pa.array([], type=pa.float64())})
+            df = pl.from_arrow(t).group_by("dst").agg(pl.col("x").sum())
+            return pa.table({"dst": df["dst"].cast(pl.Int64).to_arrow(),
+                             "x": df["x"].to_arrow()})
+
+        sums = (hash_join(edges_w, ranks, "src", post=contrib)
+                .map_batches(sum_partial, batch_format="pyarrow")
+                .groupby("dst").aggregate(Sum("x", alias_name="s")))
+        ranks = sums.map_batches(
+            lambda t: pa.table({
+                "src": t["dst"],
+                "r": pa.array(
+                    base + PR_DAMP * np.asarray(t["s"], dtype=np.float64),
+                    type=pa.float64()),
+            }),
+            batch_format="pyarrow").materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.table({
+            "node_id": t["src"],
+            "pr_e9": pa.array(
+                np.floor(np.asarray(t["r"]) * 1e9 + 0.5).astype(np.int64),
+                type=pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
+def _pr_iter_sql(k: int) -> str:
+    return f"""
+s{k} AS (SELECT e.dst AS node, sum(r{k - 1}.r / deg.d) AS s
+         FROM e JOIN r{k - 1} ON r{k - 1}.node = e.src
+                JOIN deg ON deg.src = e.src
+         GROUP BY e.dst),
+r{k} AS (SELECT node, {PR_BASE} / nn.n + {PR_DAMP} * s AS r
+         FROM s{k} CROSS JOIN nn)"""
+
+
+SQL_Q68 = f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, {PR_PART_OFF} + l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+e AS (SELECT c AS src, p AS dst FROM cp UNION ALL SELECT p, c FROM cp),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT src AS node, 1.0 / nn.n AS r FROM deg CROSS JOIN nn),
+{",".join(_pr_iter_sql(k) for k in range(1, PR_ITERS + 1))}
+SELECT CAST(node AS BIGINT) AS node_id,
+       CAST(FLOOR(r * 1000000000 + 0.5) AS BIGINT) AS pr_e9
+FROM r{PR_ITERS}
+"""
+
+
 QUERIES = {
     "q39_order_rank": (q39_order_rank, SQL_Q39),
     "q40_running_revenue": (q40_running_revenue, SQL_Q40),
@@ -363,4 +521,5 @@ QUERIES = {
     "q42_priority_timeline": (q42_priority_timeline, SQL_Q42),
     "q43_nation_revenue": (q43_nation_revenue, SQL_Q43),
     "q48_salted_segment_activity": (q48_salted_segment_activity, SQL_Q48),
+    "q68_pagerank": (q68_pagerank, SQL_Q68),
 }
