@@ -761,6 +761,96 @@ def pca_project(sf_dir: str):
         project, batch_format="pyarrow")
 
 
+# --- q69: per-label centroids + cosine-to-centroid outlier score ------------
+
+def q69_label_centroid_outliers(sf_dir: str):
+    """Embedding-space outlier scoring for labeled data cleaning: the
+    per-label mean vector (class prototype) is computed in one streaming
+    pass of per-block (label, n, Σx) partials — the label set is the
+    small side by construction (classes, not rows) — then broadcast into
+    a second pass that scores every row's cosine against its own label's
+    centroid (low cos_e6 = likely mislabeled/outlier, the standard
+    prototype-distance filter).  Same two-pass broadcast shape as the
+    PCA moments pass; no shuffle ever touches an embedding row."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+
+    def part(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "label": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "s": pa.array([], type=pa.list_(pa.float64())),
+        })
+        if t.num_rows == 0 or "embedding" not in t.column_names:
+            return empty
+        ids, mat = _matrix(t)
+        labels = np.asarray(t["label"], dtype=np.int64)
+        order = np.argsort(labels, kind="stable")
+        labels, mat = labels[order], mat[order]
+        starts = np.flatnonzero(np.r_[True, labels[1:] != labels[:-1]])
+        sums = np.add.reduceat(mat, starts, axis=0)
+        ns = np.diff(np.append(starts, len(labels)))
+        return pa.table({
+            "label": pa.array(labels[starts], type=pa.int64()),
+            "n": pa.array(ns, type=pa.int64()),
+            "s": pa.array(list(sums), type=pa.list_(pa.float64())),
+        })
+
+    parts = (ds.map_batches(part, batch_format="pyarrow",
+                            batch_size=None).take_all())
+    acc: dict[int, tuple[int, np.ndarray]] = {}
+    for p in parts:
+        n0, s0 = acc.get(p["label"], (0, 0.0))
+        acc[p["label"]] = (n0 + p["n"], s0 + np.asarray(p["s"]))
+    cents = {lbl: s / n for lbl, (n, s) in acc.items()}
+    cents_ref = ray.put({lbl: (c, float(np.sqrt(c @ c)))
+                         for lbl, c in cents.items()})
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                          "label": pa.array([], type=pa.int64()),
+                          "cos_e6": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "embedding" not in t.column_names:
+            return empty
+        cmap = ray.get(cents_ref)
+        ids, mat = _matrix(t)
+        labels = np.asarray(t["label"], dtype=np.int64)
+        cos = np.empty(len(ids), dtype=np.float64)
+        for lbl in np.unique(labels):
+            c, cn = cmap[int(lbl)]
+            m = labels == lbl
+            sub = mat[m]
+            cos[m] = (sub @ c) / np.maximum(
+                np.sqrt(np.sum(sub * sub, axis=1)) * cn, 1e-30)
+        return pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "label": pa.array(labels, type=pa.int64()),
+            "cos_e6": pa.array(
+                np.floor(cos * 1_000_000 + 0.5).astype(np.int64),
+                type=pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_Q69 = """
+WITH x AS (
+  SELECT vec_id, label,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+c AS (SELECT label, i, avg(v) AS m FROM x GROUP BY label, i)
+SELECT x.vec_id,
+       CAST(x.label AS BIGINT) AS label,
+       CAST(FLOOR(sum(x.v * c.m)
+                  / sqrt(sum(x.v * x.v) * sum(c.m * c.m))
+                  * 1000000 + 0.5) AS BIGINT) AS cos_e6
+FROM x JOIN c ON c.label = x.label AND c.i = x.i
+GROUP BY x.vec_id, x.label
+"""
+
+
 QUERIES = {
     "q10_knn_bruteforce": (q10_knn_bruteforce, SQL_Q10),
     "q61_embedding_dedup": (q61_embedding_dedup, SQL_Q61),
@@ -772,6 +862,7 @@ QUERIES = {
     # and inertia descent (tests/test_ann.py)
     "kmeans_embeddings": (kmeans_embeddings, None),
     "q65_embedding_covariance": (q65_embedding_covariance, SQL_Q65),
+    "q69_label_centroid_outliers": (q69_label_centroid_outliers, SQL_Q69),
     # eigendecomposition → rows-only; q65 oracle-checks the covariance
     # it consumes, tests/test_ann.py checks the projection vs numpy
     "pca_project": (pca_project, None),

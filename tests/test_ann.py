@@ -179,3 +179,19 @@ def test_pca_project_matches_numpy(ray_session):
     # components really are variance-ordered
     var = got[[f"pc{k + 1}_e4" for k in range(PCA_K)]].var().to_numpy()
     assert (np.diff(var) <= 1e-9).all()
+
+
+def test_label_centroid_outliers_semantics(ray_session):
+    """q69: every row scored once, cosine within [-1, 1], and rows score
+    at least as close to their OWN label's centroid on average as a
+    random-label baseline would (prototype coherence)."""
+    from pboh_entity_linking_ray.pipelines.ann import (
+        q69_label_centroid_outliers,
+    )
+
+    out = (q69_label_centroid_outliers("/root/testdata/sf0.001")
+           .to_pandas())
+    assert out["vec_id"].is_unique and len(out) > 0
+    assert out["cos_e6"].between(-1_000_000, 1_000_000).all()
+    # labeled synthetic clusters → strong same-label coherence
+    assert out.groupby("label")["cos_e6"].mean().min() > 0
