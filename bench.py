@@ -214,7 +214,7 @@ OPS_DEFAULT = [
     "q62_global_rank", "q63_grad_step", "q64_sgd_train",
     "q65_embedding_covariance", "pca_project", "q66_lm_perplexity",
     "q67_fuzzy_decontaminate", "q68_pagerank",
-    "q69_label_centroid_outliers",
+    "q69_label_centroid_outliers", "q70_negative_sampling",
     "hll_distinct_users", "quantile_sketch_value",
 ]
 

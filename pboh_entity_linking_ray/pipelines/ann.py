@@ -851,6 +851,111 @@ GROUP BY x.vec_id, x.label
 """
 
 
+# --- q70: deterministic hash-bucket negative sampling -----------------------
+
+NEG_K = 3         # negatives per anchor
+NEG_BUCKETS = 8   # candidate-pool buckets (scale ∝ corpus, see docstring)
+
+
+def q70_negative_sampling(sf_dir: str):
+    """Contrastive-training negative mining: each anchor gets NEG_K
+    deterministic different-label negatives drawn from its md5 bucket,
+    ranked by the pair hash md5(anchor ':' neg) with neg_id tie-break —
+    reproducible under ANY re-partitioning (the q54 hash-lottery
+    discipline applied to pairs).
+
+    Distributed shape: ONE exchange co-locates each bucket's rows;
+    in-bucket candidate generation is O(bucket²), so NEG_BUCKETS scales
+    with the corpus to pin the bucket size near a constant ≫ NEG_K —
+    the pool only needs enough rows to sample from, never the whole
+    corpus (locality-bounded negative sampling).  md5 is the
+    oracle-parity hash; production would swap in xxhash like
+    simhash_fast."""
+    from ..functions.grouping import bucketed_groups
+    from ..functions.hashing import md5_lower64
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "label"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        b = np.array([md5_lower64(str(i)) % NEG_BUCKETS for i in ids],
+                     dtype=np.int64)
+        return pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "label": pa.array(np.asarray(t["label"], dtype=np.int64),
+                              type=pa.int64()),
+            "b": pa.array(b, type=pa.int64()),
+        })
+
+    empty = pa.table({"anchor_id": pa.array([], type=pa.int64()),
+                      "neg_id": pa.array([], type=pa.int64()),
+                      "rnk": pa.array([], type=pa.int64())})
+
+    def bucket_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "b" not in t.column_names:
+            return empty
+        t = t.sort_by("b")
+        bs = np.asarray(t["b"], dtype=np.int64)
+        all_ids = np.asarray(t["vec_id"], dtype=np.int64)
+        all_lbl = np.asarray(t["label"], dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        bounds = np.append(starts, len(bs))
+        out_a, out_n, out_r = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            ids, lbl = all_ids[s:e], all_lbl[s:e]
+            ai, ni = np.nonzero(lbl[:, None] != lbl[None, :])
+            if not len(ai):
+                continue
+            a_ids, n_ids = ids[ai], ids[ni]
+            h = np.fromiter(
+                (md5_lower64(f"{a}:{n}") for a, n in zip(a_ids, n_ids)),
+                dtype=np.uint64, count=len(a_ids))
+            order = np.lexsort((n_ids, h, a_ids))
+            sa, sn = a_ids[order], n_ids[order]
+            gs = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1]])
+            rnk = np.arange(len(sa), dtype=np.int64) - np.repeat(
+                gs, np.diff(np.append(gs, len(sa)))) + 1
+            keep = rnk <= NEG_K
+            out_a.append(sa[keep])
+            out_n.append(sn[keep])
+            out_r.append(rnk[keep])
+        if not out_a:
+            return empty
+        return pa.table({
+            "anchor_id": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "neg_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+            "rnk": pa.array(np.concatenate(out_r), type=pa.int64()),
+        })
+
+    keyed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    return bucketed_groups(keyed, "b", bucket_fn,
+                           num_buckets=NEG_BUCKETS)
+
+
+SQL_Q70 = f"""
+WITH v AS (
+  SELECT vec_id, label,
+         md5_number_lower(CAST(vec_id AS VARCHAR)) % {NEG_BUCKETS} AS b
+  FROM embeddings
+),
+c AS (
+  SELECT a.vec_id AS anchor_id, n.vec_id AS neg_id,
+         md5_number_lower(CAST(a.vec_id AS VARCHAR) || ':'
+                          || CAST(n.vec_id AS VARCHAR)) AS h
+  FROM v a JOIN v n ON a.b = n.b AND a.label <> n.label
+),
+r AS (
+  SELECT anchor_id, neg_id,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY h, neg_id) AS rnk
+  FROM c
+)
+SELECT anchor_id, neg_id, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {NEG_K}
+"""
+
+
 QUERIES = {
     "q10_knn_bruteforce": (q10_knn_bruteforce, SQL_Q10),
     "q61_embedding_dedup": (q61_embedding_dedup, SQL_Q61),
@@ -863,6 +968,7 @@ QUERIES = {
     "kmeans_embeddings": (kmeans_embeddings, None),
     "q65_embedding_covariance": (q65_embedding_covariance, SQL_Q65),
     "q69_label_centroid_outliers": (q69_label_centroid_outliers, SQL_Q69),
+    "q70_negative_sampling": (q70_negative_sampling, SQL_Q70),
     # eigendecomposition → rows-only; q65 oracle-checks the covariance
     # it consumes, tests/test_ann.py checks the projection vs numpy
     "pca_project": (pca_project, None),

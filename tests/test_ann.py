@@ -195,3 +195,33 @@ def test_label_centroid_outliers_semantics(ray_session):
     assert out["cos_e6"].between(-1_000_000, 1_000_000).all()
     # labeled synthetic clusters → strong same-label coherence
     assert out.groupby("label")["cos_e6"].mean().min() > 0
+
+
+def test_negative_sampling_contract(ray_session):
+    """q70: ≤ NEG_K negatives per anchor, never the anchor's own label,
+    ranks dense from 1, deterministic across runs."""
+    import pyarrow.parquet as pq
+
+    from pboh_entity_linking_ray.pipelines.ann import (
+        NEG_K,
+        q70_negative_sampling,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = (q70_negative_sampling(sf).to_pandas()
+           .sort_values(["anchor_id", "rnk"]).reset_index(drop=True))
+    assert len(out) > 0
+    g = out.groupby("anchor_id")["rnk"]
+    assert (g.max() <= NEG_K).all()
+    assert (g.min() == 1).all()
+    assert (g.apply(lambda s: (s.to_numpy()
+                               == np.arange(1, len(s) + 1)).all())).all()
+    lbl = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "label"]).to_pandas()
+    m = (out.merge(lbl, left_on="anchor_id", right_on="vec_id")
+            .merge(lbl, left_on="neg_id", right_on="vec_id",
+                   suffixes=("_a", "_n")))
+    assert (m["label_a"] != m["label_n"]).all()
+    again = (q70_negative_sampling(sf).to_pandas()
+             .sort_values(["anchor_id", "rnk"]).reset_index(drop=True))
+    assert out.equals(again)
