@@ -1042,7 +1042,111 @@ FROM documents
 """
 
 
+# --- q71: verbatim shared-span leak pairs ------------------------------------
+
+SPAN_W = 8         # span length in tokens — long enough to be verbatim
+SPAN_DF_CAP = 16   # boilerplate guard: drop spans in > CAP docs
+
+
+def q71_shared_span_pairs(sf_dir: str):
+    """Doc pairs sharing ≥1 verbatim SPAN_W-token span — the poor man's
+    suffix-array substring dedup (published cross-doc span-leak check):
+    distinct span hashes per doc cross ONE exchange keyed on the hash, so
+    each bucket sees EVERY holder of its spans and computes the exact
+    doc-frequency cap in-bucket (spans in > SPAN_DF_CAP docs are
+    boilerplate, dropped — mirrored in the SQL twin); surviving spans
+    emit triu pairs pre-counted per bucket, and one skinny
+    groupby(pair).sum finishes.  Same bucketed inverted-index discipline
+    as q12, with exact-span instead of Jaccard semantics."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    from ..functions.grouping import bucketed_groups
+    from ..functions.hashing import pack_pairs_np
+    from .relational import _t
+
+    def spans(t: pa.Table) -> pa.Table:
+        df = _doc_shingles(t, SPAN_W)
+        if len(df) == 0:
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        return pa.table({
+            "h": pa.array(_md5_cached({}, df["sh"].to_list())
+                          .view(np.int64), type=pa.int64()),
+            "doc_id": pa.array(ids[df["rid"].to_numpy()], type=pa.int64()),
+        })
+
+    empty = pa.table({"pk": pa.array([], type=pa.int64()),
+                      "n_partial": pa.array([], type=pa.int64())})
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return empty
+        df = (pl.from_arrow(t).unique(subset=["h", "doc_id"])
+              .sort(["h", "doc_id"]))
+        h = df["h"].to_numpy()
+        doc = df["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        sizes = np.diff(np.append(starts, len(h)))
+        pks = []
+        for s, size in zip(starts, sizes):
+            if size < 2 or size > SPAN_DF_CAP:
+                continue
+            a, b = np.triu_indices(size, k=1)
+            pks.append(pack_pairs_np(doc[s:s + size][a],
+                                     doc[s:s + size][b]))
+        if not pks:
+            return empty
+        vc = pl.DataFrame({"pk": np.concatenate(pks).view(np.int64)}) \
+            .group_by("pk").len(name="n_partial")
+        return pa.table({"pk": vc["pk"].to_arrow(),
+                         "n_partial": vc["n_partial"].cast(pl.Int64)
+                                                     .to_arrow()})
+
+    sh = (_t(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(spans, batch_format="pyarrow", batch_size=256))
+    counts = (bucketed_groups(sh, "h", bucket_pairs)
+              .groupby("pk").aggregate(Sum("n_partial", alias_name="n")))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = np.asarray(t["pk"], dtype=np.int64).view(np.uint64)
+        return pa.table({
+            "doc_a": pa.array((pk >> np.uint64(32)).astype(np.int64),
+                              type=pa.int64()),
+            "doc_b": pa.array((pk & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                              type=pa.int64()),
+            "n_shared_spans": t["n"],
+        })
+
+    return counts.map_batches(unpack, batch_format="pyarrow")
+
+
+SQL_Q71 = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         md5_number_lower(unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(t) - {SPAN_W - 1}, 0)),
+             i -> list_aggregate(t[i : i + {SPAN_W - 1}], 'string_agg', ' ')
+         )))) AS h
+  FROM toks
+),
+keep AS (SELECT h FROM sh GROUP BY h
+         HAVING count(*) BETWEEN 2 AND {SPAN_DF_CAP})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_spans
+FROM sh a JOIN keep USING (h) JOIN sh b USING (h)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
 QUERIES = {
+    "q71_shared_span_pairs": (q71_shared_span_pairs, SQL_Q71),
     "q57_bpe_token_count": (q57_bpe_token_count, SQL_Q57),
     "q58_neardup_clusters": (q58_neardup_clusters, SQL_Q58),
     "q12_ngram_jaccard_pairs": (q12_ngram_jaccard_pairs, SQL_Q12),

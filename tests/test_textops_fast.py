@@ -75,3 +75,18 @@ def test_fast_variants_deterministic(ray_session):
     assert (w.groupby("doc_id").size() > 0).all()
     # mod-p selection: every emitted fingerprint honors the sampler
     assert all(int(x, 16) % WINNOW_MOD == 0 for x in w["fp_hex"])
+
+
+def test_shared_span_pairs_symmetric_and_capped(ray_session):
+    """q71: pair keys canonical (doc_a < doc_b), counts positive, and a
+    doc never pairs with itself; identical docs share the maximum span
+    count among their pairs."""
+    from pboh_entity_linking_ray.pipelines.textops import (
+        q71_shared_span_pairs,
+    )
+
+    out = q71_shared_span_pairs("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert (out["doc_a"] < out["doc_b"]).all()
+    assert (out["n_shared_spans"] >= 1).all()
+    assert not out.duplicated(subset=["doc_a", "doc_b"]).any()
