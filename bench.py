@@ -215,7 +215,7 @@ OPS_DEFAULT = [
     "q65_embedding_covariance", "pca_project", "q66_lm_perplexity",
     "q67_fuzzy_decontaminate", "q68_pagerank",
     "q69_label_centroid_outliers", "q70_negative_sampling",
-    "q71_shared_span_pairs",
+    "q71_shared_span_pairs", "q72_bpe_pair_counts", "bpe_train",
     "hll_distinct_users", "quantile_sketch_value",
 ]
 

@@ -1145,8 +1145,166 @@ GROUP BY a.doc_id, b.doc_id
 """
 
 
+# --- q72 / bpe_train: BPE tokenizer induction --------------------------------
+
+BPE_MERGES = 20
+
+
+def q72_bpe_pair_counts(sf_dir: str):
+    """Corpus-weighted adjacent character-pair counts — the statistic
+    BPE's first merge maximizes (Sennrich et al. 2016) and the
+    SQL-checkable core of ``bpe_train``.  One streaming pass: every
+    batch joins its tokens into one separator-delimited byte string and
+    counts adjacent in-token byte pairs with a single vectorized
+    np.unique over packed u16 codes; partial counts combine through a
+    tiny groupby (≤ 36² distinct pairs)."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    from .relational import _t
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"l": pa.array([], type=pa.string()),
+                          "r": pa.array([], type=pa.string()),
+                          "n_partial": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return empty
+        toks = (pl.from_arrow(t["text"].combine_chunks())
+                .str.to_lowercase().str.extract_all("[a-z0-9]+")
+                .explode().drop_nulls())
+        if len(toks) == 0:
+            return empty
+        buf = np.frombuffer(("\x00".join(toks.to_list())).encode("ascii"),
+                            dtype=np.uint8)
+        if len(buf) < 2:
+            return empty
+        a, b = buf[:-1], buf[1:]
+        keep = (a != 0) & (b != 0)
+        packed = (a[keep].astype(np.uint16) << np.uint16(8)) | b[keep]
+        codes, counts = np.unique(packed, return_counts=True)
+        return pa.table({
+            "l": pa.array([chr(c >> 8) for c in codes], type=pa.string()),
+            "r": pa.array([chr(c & 0xFF) for c in codes], type=pa.string()),
+            "n_partial": pa.array(counts.astype(np.int64), type=pa.int64()),
+        })
+
+    counts = (_t(sf_dir, "documents", ["text"])
+              .map_batches(partial, batch_format="pyarrow")
+              .map_batches(lambda t: t.append_column(
+                  "pair", pa.array(
+                      [f"{l}{r}" for l, r in zip(t["l"].to_pylist(),
+                                                 t["r"].to_pylist())],
+                      type=pa.string())), batch_format="pyarrow")
+              .groupby("pair").aggregate(Sum("n_partial", alias_name="freq")))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pairs = t["pair"].to_pylist()
+        return pa.table({
+            "l": pa.array([p[0] for p in pairs], type=pa.string()),
+            "r": pa.array([p[1] for p in pairs], type=pa.string()),
+            "freq": t["freq"],
+        })
+
+    return counts.map_batches(unpack, batch_format="pyarrow")
+
+
+SQL_Q72 = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+),
+x AS (
+  SELECT w, unnest(generate_series(1, length(w) - 1)) AS i FROM toks
+),
+p AS (SELECT substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r FROM x)
+SELECT l, r, CAST(count(*) AS BIGINT) AS freq
+FROM p GROUP BY l, r
+"""
+
+
+def _sennrich_merges(wc: list[tuple[str, int]],
+                     n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Reference BPE merge loop over a (word, count) table (Sennrich et
+    al. 2016, alg. 1) with a deterministic tie-break (max freq, then
+    lexicographic pair).  O(vocab) per iteration — the driver-side step
+    of ``bpe_train`` (published BPE trainers run exactly this on the
+    word-count table; the corpus itself is never touched again)."""
+    vocab = [(tuple(w), c) for w, c in wc]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab:
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = \
+                    pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        (l, r), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank + 1, l, r, freq))
+        lr = l + r
+        new_vocab = []
+        for syms, c in vocab:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(lr)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab.append((tuple(out), c))
+        vocab = new_vocab
+    return merges
+
+
+def bpe_train(sf_dir: str):
+    """Full BPE tokenizer induction: the distributed stage is the exact
+    word-count table (q05's partial-combine discipline, no floor); the
+    merge loop then runs on that O(vocab) table on the driver — the
+    shape every published BPE trainer uses, since the corpus reduces to
+    word types × counts before any merge math.  Emits the learned merge
+    table (rnk, left, right, freq).  Rows-only: the iterative argmax is
+    not SQL-expressible; q72 oracle-checks the pair statistic the first
+    merge maximizes, and tests/test_textops_fast.py pins the loop
+    against an independent recount."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    from .relational import _t
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = (pl.from_arrow(t["text"].combine_chunks())
+                .str.to_lowercase().str.extract_all("[a-z0-9]+")
+                .explode().drop_nulls())
+        if len(toks) == 0:
+            return pa.table({"w": pa.array([], type=pa.string()),
+                             "n_partial": pa.array([], type=pa.int64())})
+        vc = pl.DataFrame({"w": toks}).group_by("w").len(name="n_partial")
+        return pa.table({"w": vc["w"].to_arrow(),
+                         "n_partial": vc["n_partial"].cast(pl.Int64)
+                                                     .to_arrow()})
+
+    counts = (_t(sf_dir, "documents", ["text"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("w").aggregate(Sum("n_partial", alias_name="c")))
+    wc = [(r["w"], r["c"])
+          for b in counts.iter_batches(batch_format="pyarrow")
+          for r in b.to_pylist()]
+    merges = _sennrich_merges(sorted(wc), BPE_MERGES)
+    return pa.table({
+        "rnk": pa.array([m[0] for m in merges], type=pa.int64()),
+        "left": pa.array([m[1] for m in merges], type=pa.string()),
+        "right": pa.array([m[2] for m in merges], type=pa.string()),
+        "freq": pa.array([m[3] for m in merges], type=pa.int64()),
+    })
+
+
 QUERIES = {
     "q71_shared_span_pairs": (q71_shared_span_pairs, SQL_Q71),
+    "q72_bpe_pair_counts": (q72_bpe_pair_counts, SQL_Q72),
+    # iterative argmax merge loop → rows-only; q72 oracle-checks the
+    # first-merge statistic, pytest recounts the loop independently
+    "bpe_train": (bpe_train, None),
     "q57_bpe_token_count": (q57_bpe_token_count, SQL_Q57),
     "q58_neardup_clusters": (q58_neardup_clusters, SQL_Q58),
     "q12_ngram_jaccard_pairs": (q12_ngram_jaccard_pairs, SQL_Q12),

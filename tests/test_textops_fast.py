@@ -90,3 +90,56 @@ def test_shared_span_pairs_symmetric_and_capped(ray_session):
     assert (out["doc_a"] < out["doc_b"]).all()
     assert (out["n_shared_spans"] >= 1).all()
     assert not out.duplicated(subset=["doc_a", "doc_b"]).any()
+
+
+def test_bpe_train_matches_independent_recount(ray_session):
+    """bpe_train's merge table must equal an independently-implemented
+    Sennrich loop (space-joined string representation, regex-free
+    replace) over word counts recounted straight from the parquet."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from pboh_entity_linking_ray.pipelines.textops import (
+        BPE_MERGES,
+        bpe_train,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    texts = duckdb.sql(
+        f"SELECT text FROM '{sf}/documents.parquet'").df()["text"]
+    wc = Counter(w for txt in texts
+                 for w in re.findall("[a-z0-9]+", txt.lower()))
+
+    vocab = Counter({" ".join(w): c for w, c in wc.items()})
+    want = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs = Counter()
+        for w, c in vocab.items():
+            syms = w.split(" ")
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (l, r), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, l, r, freq))
+        # split-based merge (string replace is positional-unsafe)
+        merged = Counter()
+        for w, c in vocab.items():
+            syms = w.split(" ")
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[" ".join(out)] += c
+        vocab = merged
+
+    got = [tuple(r.values())
+           for r in bpe_train(sf).to_pandas().to_dict("records")]
+    assert got == want
+    assert len(got) == BPE_MERGES
