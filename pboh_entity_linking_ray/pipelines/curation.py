@@ -855,6 +855,82 @@ GROUP BY t.doc_id
 """
 
 
+# --- q74: per-source token-budget mixture allocation -------------------------
+
+MIX_DENOM = 2   # target corpus = total_tokens // MIX_DENOM, uniform/source
+
+
+def q74_mixture_allocation(sf_dir: str):
+    """Data-mixing plan: given exact per-source token counts, allocate a
+    uniform per-source budget (total // MIX_DENOM // n_sources) and emit
+    each source's sampling rate and expected sampled tokens — the
+    mixture-weighting step every pretraining run performs before
+    sampling (q54 then applies the rate).  All math is INTEGER division
+    so the oracle twin is bit-exact.  One partial-combine pass + a
+    groupby over O(sources) rows; the driver holds only the source
+    table."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "n_partial": pa.array([], type=pa.int64())})
+        df = (pl.DataFrame({
+                  "source": pl.from_arrow(t["source"].combine_chunks()),
+                  "n": pl.from_arrow(t["text"].combine_chunks())
+                         .str.to_lowercase()
+                         .str.extract_all("[a-z0-9]+").list.len()
+                         .cast(pl.Int64),
+              }).group_by("source").agg(n_partial=pl.col("n").sum()))
+        return pa.table({"source": df["source"].to_arrow(),
+                         "n_partial": df["n_partial"].to_arrow()})
+
+    per_src = (_docs(sf_dir, ("source", "text"))
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby("source")
+               .aggregate(Sum("n_partial", alias_name="n_tokens"))
+               .take_all())
+    if not per_src:
+        return pa.table({"source": pa.array([], type=pa.string()),
+                         "n_tokens": pa.array([], type=pa.int64()),
+                         "rate_e6": pa.array([], type=pa.int64()),
+                         "sampled_tokens": pa.array([], type=pa.int64())})
+    total = sum(p["n_tokens"] for p in per_src)
+    budget = total // MIX_DENOM // len(per_src)
+    rows = []
+    for p in sorted(per_src, key=lambda p: p["source"]):
+        rate = min(1_000_000, budget * 1_000_000 // max(1, p["n_tokens"]))
+        rows.append((p["source"], p["n_tokens"], rate,
+                     p["n_tokens"] * rate // 1_000_000))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_tokens": pa.array([r[1] for r in rows], type=pa.int64()),
+        "rate_e6": pa.array([r[2] for r in rows], type=pa.int64()),
+        "sampled_tokens": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
+
+
+SQL_Q74 = f"""
+WITH t AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+             AS n
+  FROM documents
+),
+s AS (SELECT source, sum(n) AS n_tokens FROM t GROUP BY source),
+g AS (SELECT sum(n_tokens) // {MIX_DENOM} // count(*) AS budget FROM s)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(least(1000000, budget * 1000000 // greatest(1, n_tokens))
+            AS BIGINT) AS rate_e6,
+       CAST(n_tokens * least(1000000,
+                             budget * 1000000 // greatest(1, n_tokens))
+            // 1000000 AS BIGINT) AS sampled_tokens
+FROM s CROSS JOIN g
+"""
+
+
 # --- q67: fuzzy (MinHash-LSH) decontamination --------------------------------
 
 FUZZY_MH_P = 16            # permutations (8 bands of r=2)
@@ -1011,5 +1087,6 @@ QUERIES = {
     "q60_pack_global": (q60_pack_global, SQL_Q60),
     "q62_global_rank": (q62_global_rank, SQL_Q62),
     "q66_lm_perplexity": (q66_lm_perplexity, SQL_Q66),
+    "q74_mixture_allocation": (q74_mixture_allocation, SQL_Q74),
     "q67_fuzzy_decontaminate": (q67_fuzzy_decontaminate, SQL_Q67),
 }

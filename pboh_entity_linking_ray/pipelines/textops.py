@@ -1145,6 +1145,72 @@ GROUP BY a.doc_id, b.doc_id
 """
 
 
+# --- q73: leakage-safe (cluster-aware) train/eval split ----------------------
+
+SPLIT_MOD = 10   # md5(cluster) % 10 → 0=eval, 1=val, 2-9=train
+
+
+def q73_leakage_safe_split(sf_dir: str):
+    """Deterministic train/val/eval split that near-duplicates can never
+    straddle: the split lottery hashes the q58 near-dup CLUSTER id, not
+    the doc id, so every member of a dup clique lands in the same split
+    (the leakage-safe-splitting discipline of published pretraining
+    pipelines — splitting by doc id leaks eval content through its
+    near-dups).  Composition of engine primitives: the oracle-checked CC
+    clustering (q58) → one left hash_join to re-attach singletons
+    (cluster = own doc_id) → the q54 md5-lottery per cluster.  md5 is
+    oracle parity; production swaps xxhash."""
+    from ..functions.grouping import hash_join
+    from ..functions.hashing import md5_lower64
+    from .relational import _t
+
+    labels = q58_neardup_clusters(sf_dir)
+    docs = _t(sf_dir, "documents", ["doc_id"])
+    joined = hash_join(docs, labels.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "cl": t["cluster_id"]}),
+        batch_format="pyarrow"), "doc_id", how="left")
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "cluster_id": pa.array([], type=pa.int64()),
+                             "split": pa.array([], type=pa.string())})
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        # singletons carry a null cluster from the left join → own id
+        cluster = np.array(
+            [ids[i] if v is None else v
+             for i, v in enumerate(t["cl"].to_pylist())], dtype=np.int64)
+        lot = np.array([md5_lower64(str(c)) % SPLIT_MOD for c in cluster],
+                       dtype=np.int64)
+        split = np.where(lot == 0, "eval",
+                         np.where(lot == 1, "val", "train"))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "cluster_id": pa.array(cluster, type=pa.int64()),
+            "split": pa.array(split, type=pa.string()),
+        })
+
+    return joined.map_batches(assign, batch_format="pyarrow")
+
+
+_Q58_TAIL = """SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(m) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node"""
+
+SQL_Q73 = SQL_Q58.replace(_Q58_TAIL, f"""lab AS (
+  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       CASE md5_number_lower(CAST(COALESCE(l.cluster_id, d.doc_id)
+                                  AS VARCHAR)) % {SPLIT_MOD}
+         WHEN 0 THEN 'eval' WHEN 1 THEN 'val' ELSE 'train' END AS split
+FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id""")
+# the reach CTE's closing paren must gain a comma before the lab CTE
+SQL_Q73 = SQL_Q73.replace(")\nlab AS (", "),\nlab AS (")
+
+
 # --- q72 / bpe_train: BPE tokenizer induction --------------------------------
 
 BPE_MERGES = 20
@@ -1302,6 +1368,7 @@ def bpe_train(sf_dir: str):
 QUERIES = {
     "q71_shared_span_pairs": (q71_shared_span_pairs, SQL_Q71),
     "q72_bpe_pair_counts": (q72_bpe_pair_counts, SQL_Q72),
+    "q73_leakage_safe_split": (q73_leakage_safe_split, SQL_Q73),
     # iterative argmax merge loop → rows-only; q72 oracle-checks the
     # first-merge statistic, pytest recounts the loop independently
     "bpe_train": (bpe_train, None),

@@ -189,3 +189,37 @@ def test_lm_perplexity_rare_scores_higher(ray_session):
     assert (out["nll_e4"] > 0).all()
     # corpus-level sanity: scores vary (not a constant column)
     assert out["nll_e4"].nunique() > 10
+
+
+def test_leakage_safe_split_invariants(ray_session):
+    """q73: every doc assigned exactly once, each cluster lands wholly in
+    ONE split (the leakage-safety contract), and all three splits are
+    populated."""
+    from pboh_entity_linking_ray.pipelines.textops import (
+        q73_leakage_safe_split,
+    )
+
+    out = q73_leakage_safe_split("/root/testdata/sf0.001").to_pandas()
+    assert out["doc_id"].is_unique and len(out) == 500
+    assert (out.groupby("cluster_id")["split"].nunique() == 1).all()
+    assert set(out["split"].unique()) == {"train", "val", "eval"}
+    # non-trivial clusters exist and stay intact
+    sizes = out.groupby("cluster_id").size()
+    assert (sizes > 1).any()
+
+
+def test_mixture_allocation_budget(ray_session):
+    """q74: rates in (0, 1e6], oversize sources get capped below 1.0,
+    and the sampled total never exceeds the global budget."""
+    from pboh_entity_linking_ray.pipelines.curation import (
+        MIX_DENOM,
+        q74_mixture_allocation,
+    )
+
+    out = q74_mixture_allocation("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 1
+    assert out["rate_e6"].between(1, 1_000_000).all()
+    total = out["n_tokens"].sum()
+    budget = total // MIX_DENOM // len(out)
+    assert (out["sampled_tokens"] <= budget).all()
+    assert out["sampled_tokens"].sum() <= total // MIX_DENOM
