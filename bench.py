@@ -217,6 +217,7 @@ OPS_DEFAULT = [
     "q69_label_centroid_outliers", "q70_negative_sampling",
     "q71_shared_span_pairs", "q72_bpe_pair_counts", "bpe_train",
     "q73_leakage_safe_split", "q74_mixture_allocation",
+    "link_turn_quality",
     "hll_distinct_users", "quantile_sketch_value",
 ]
 

@@ -389,8 +389,77 @@ FROM read_parquet('{corpus_dir(CORPUS_CACHE, 2000)}/turn_lines.parquet')
 """
 
 
+def link_turn_quality(sf_dir: str):
+    """Per-conversation transcript-quality stats — the dialogue analog
+    of the documents table's q08 quality score: turn count, tool-call
+    rate (e4), role-alternation violations (consecutive same-role
+    turns — a malformed-transcript smell), and total text size.  ONE
+    bucketed exchange on conv_id (a conversation's turns must co-locate
+    for the ordered lag), then a vectorized polars window per bucket;
+    same shuffle discipline as canonicalize."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_groups
+
+    turns = _turns(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "tool", "text"])
+
+    def per_conv(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "conv_id": pa.array([], type=pa.string()),
+            "n_turns": pa.array([], type=pa.int64()),
+            "n_tool_turns": pa.array([], type=pa.int64()),
+            "tool_rate_e4": pa.array([], type=pa.int64()),
+            "n_role_repeats": pa.array([], type=pa.int64()),
+            "n_chars": pa.array([], type=pa.int64()),
+        })
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return empty
+        df = (pl.from_arrow(t).sort(["conv_id", "turn_idx"])
+              .group_by("conv_id", maintain_order=True)
+              .agg(
+                  n_turns=pl.len().cast(pl.Int64),
+                  n_tool_turns=(pl.col("tool") != "").sum()
+                                                     .cast(pl.Int64),
+                  n_role_repeats=(pl.col("role")
+                                  == pl.col("role").shift(1))
+                  .fill_null(False).sum().cast(pl.Int64),
+                  n_chars=pl.col("text").str.len_chars().sum()
+                                        .cast(pl.Int64),
+              )
+              .with_columns(tool_rate_e4=(10_000 * pl.col("n_tool_turns"))
+                            // pl.col("n_turns"))
+              .select(["conv_id", "n_turns", "n_tool_turns",
+                       "tool_rate_e4", "n_role_repeats", "n_chars"]))
+        out = df.to_arrow()
+        return out.cast(empty.schema)
+
+    return bucketed_groups(turns, "conv_id", per_conv)
+
+
+SQL_TURN_QUALITY = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, tool, text,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS prev_role
+  FROM read_parquet('{_SQL_TURNS}')
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool_turns,
+       CAST(10000 * sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS tool_rate_e4,
+       CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_role_repeats,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM t GROUP BY conv_id
+"""
+
+
 QUERIES = {
     "link_canonicalize": (link_canonicalize, SQL_CANONICALIZE),
+    "link_turn_quality": (link_turn_quality, SQL_TURN_QUALITY),
     "link_parse_lines": (link_parse_lines, SQL_PARSE_LINES),
     "link_token_df": (link_token_df, SQL_TOKEN_DF),
     "link_dedup_exact": (link_dedup_exact, SQL_DEDUP_EXACT),
