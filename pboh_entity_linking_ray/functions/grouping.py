@@ -333,10 +333,14 @@ def _empty_side_fallback(left: ray.data.Dataset, right, how: str):
     convention, see _exchange_apply).  Returns None when both sides
     carry schemas and the join should proceed normally."""
     if left.schema() is None:
-        return left                       # no left rows → no output rows
+        # no left rows: every how but "full" emits no rows; "full" keeps
+        # the right side intact (left columns unknowable)
+        if how == "full" and isinstance(right, ray.data.Dataset):
+            return right
+        return left
     if isinstance(right, ray.data.Dataset) and right.schema() is None:
-        # empty right: inner/semi drop every left row; anti keeps them
-        # all; "left" keeps them all (null right columns unknowable)
+        # empty right: inner/semi drop every left row; anti/left/full
+        # keep them all (null right columns unknowable)
         return left.limit(0) if how in ("inner", "semi") else left
     return None
 
@@ -352,9 +356,11 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     bucket), never a driver-side collect of either side.  Non-key column
     names must be disjoint; rename before joining.
 
-    ``how`` ∈ {"inner", "left", "semi", "anti"} (polars semantics);
-    semi/anti return LEFT columns only and ship only the right side's
-    key column through the exchange.
+    ``how`` ∈ {"inner", "left", "semi", "anti", "full"} (polars
+    semantics); semi/anti return LEFT columns only and ship only the
+    right side's key column through the exchange; "full" (full outer)
+    coalesces the key so unmatched rows of EITHER side survive with one
+    non-null key column.
 
     CAVEAT: output fields derive from each input's ``Dataset.schema()``.
     A lazy ``select_columns``/``rename_columns`` applied to an exchange
@@ -419,7 +425,10 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
         df = pl.from_arrow(bucket)
         lhs = df.filter(pl.col(SIDE_COL) == 0).select(l_cols)
         rhs = df.filter(pl.col(SIDE_COL) == 1).select(r_cols)
-        out = lhs.join(rhs, on=on, how=how)
+        # full outer: coalesce the two key columns into one, so
+        # unmatched right rows carry their key in the shared column
+        out = lhs.join(rhs, on=on, how=how,
+                       coalesce=True if how == "full" else None)
         joined = out.select([n for n, _ in out_fields]).to_arrow().cast(out_schema)
         return post(joined) if post is not None else joined
 
@@ -712,6 +721,12 @@ def salted_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     flagship blocker (stages/blocking.py) generalised to a relational
     join operator.
     """
+    if how == "full":
+        # right rows are replicated once per sub-key: an UNMATCHED right
+        # row would surface `salt` times instead of once — full outer
+        # needs the unsalted exchange
+        raise ValueError("salted_join does not support how='full'; "
+                         "use hash_join")
     if salt < 2:
         return hash_join(left, right, on, num_buckets, how, post)
     fb = _empty_side_fallback(left, right, how)

@@ -127,17 +127,12 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 
 # --- q41: ROLLUP hierarchy (year → priority → grand total) -----------------
 
-def q41_rollup_revenue(sf_dir: str):
-    """Order count and revenue by ROLLUP(year, priority): the full
-    (year, priority) tier, per-year subtotals, and the grand total, with
-    NULLs marking rolled-up levels exactly as SQL ROLLUP does.
-
-    Distribution shape: per-batch partial combine (the only pass over
-    row-level data) → ONE small exchange keyed on year whose buckets
-    emit both the base tier and their year subtotals → the grand total
-    re-aggregates the O(years) subtotal rows in a final one-bucket pass.
-    The driver never touches row-level data; upper tiers cost
-    O(distinct years × priorities)."""
+def _year_prio_tiers(sf_dir: str):
+    """Shared body of q41 (ROLLUP) and q78 (CUBE): per-batch partial
+    combine over orders (the only row-level pass) → ONE small exchange
+    keyed on year whose buckets emit the (yr, prio) base tier plus their
+    per-year subtotals (prio=NULL).  The finishing tiers differ per
+    caller and re-aggregate only these O(years × priorities) rows."""
     import pyarrow.compute as pc
 
     orders = ray.data.read_parquet(
@@ -168,8 +163,22 @@ def q41_rollup_revenue(sf_dir: str):
               .with_columns(prio=pl.lit(None, dtype=pl.String)))
         return pl.concat([base, yr.select(base.columns)]).to_arrow()
 
-    tiers = hash_exchange(orders.map_batches(partial, batch_format="pyarrow"),
-                          "yr", year_bucket, num_buckets=4)
+    return hash_exchange(orders.map_batches(partial, batch_format="pyarrow"),
+                         "yr", year_bucket, num_buckets=4)
+
+
+def q41_rollup_revenue(sf_dir: str):
+    """Order count and revenue by ROLLUP(year, priority): the full
+    (year, priority) tier, per-year subtotals, and the grand total, with
+    NULLs marking rolled-up levels exactly as SQL ROLLUP does.
+
+    Distribution shape: per-batch partial combine (the only pass over
+    row-level data) → ONE small exchange keyed on year whose buckets
+    emit both the base tier and their year subtotals → the grand total
+    re-aggregates the O(years) subtotal rows in a final one-bucket pass.
+    The driver never touches row-level data; upper tiers cost
+    O(distinct years × priorities)."""
+    tiers = _year_prio_tiers(sf_dir)
 
     def grand(t: pa.Table) -> pa.Table:
         import polars as pl
@@ -195,6 +204,114 @@ SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
        count(*) AS n_orders
 FROM orders
 GROUP BY ROLLUP(yr, prio)
+"""
+
+
+# --- q78: CUBE (all grouping sets) -------------------------------------------
+
+def q78_cube_revenue(sf_dir: str):
+    """Order count and revenue by CUBE(year, priority) — all four
+    grouping sets: (yr, prio), (yr), (prio), and the grand total, NULLs
+    marking collapsed dimensions exactly as SQL CUBE does.
+
+    Same physical plan as q41's ROLLUP (shared ``_year_prio_tiers``):
+    the only row-level pass is the per-batch partial combine; the
+    year-keyed exchange emits the base tier + per-year subtotals; the
+    CUBE-only tiers — per-priority totals across years and the grand
+    total — re-aggregate the O(years × priorities) BASE rows in one
+    single-bucket finishing pass (cross-year sums need every year's base
+    rows in one place; they are tier rows, not data)."""
+    tiers = _year_prio_tiers(sf_dir)
+
+    def cube_finish(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        base = df.filter(pl.col("prio").is_not_null())
+        prio = (base.group_by("prio")
+                .agg(pl.col("rev_cents").sum(), pl.col("n_orders").sum())
+                .with_columns(yr=pl.lit(None, dtype=pl.Int64)))
+        total = base.select(
+            pl.lit(None, dtype=pl.Int64).alias("yr"),
+            pl.lit(None, dtype=pl.String).alias("prio"),
+            pl.col("rev_cents").sum(),
+            pl.col("n_orders").sum())
+        return pl.concat([df.select(total.columns),
+                          prio.select(total.columns),
+                          total]).to_arrow()
+
+    # the tier table is O(years × priorities) rows — a single-bucket
+    # finishing pass, not a data shuffle
+    return hash_exchange(tiers, "n_orders", cube_finish, num_buckets=1)
+
+
+SQL_Q78 = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       o_orderpriority AS prio,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS rev_cents,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE(yr, prio)
+"""
+
+
+# --- q77: lead / first_value / last_value / ntile window suite --------------
+
+def q77_window_suite(sf_dir: str):
+    """Per event, over the user's history ordered by (ts, event_id): the
+    NEXT event id (lead), the partition's first and last event ids
+    (first_value / last_value over the full frame), and the event's
+    quartile position (ntile(4)) — the remaining SQL window functions
+    the lag recipe (temporal.q36) doesn't exercise.
+
+    Same single-exchange shape: ONE hash exchange on user_id, then one
+    vectorized polars pass per bucket — sort once, every window resolves
+    over the sorted partition (`shift(-1)` / `first` / `last` /
+    an exact integer ntile from the partition row index).  ntile follows
+    the SQL standard: the first (n mod 4) quartiles get ⌈n/4⌉ rows."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def win_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        n = pl.len().over("user_id")
+        rn = pl.int_range(0, pl.len()).over("user_id")   # 0-based row idx
+        q, r = n // 4, n % 4
+        cut = r * (q + 1)                                # rows in big tiles
+        ntile = (pl.when(rn < cut)
+                 .then(rn // (q + 1) + 1)
+                 # guard q=0 (n<4): that case always lands in the when-
+                 # branch, but polars evaluates both — avoid div-by-zero
+                 .otherwise(r + (rn - cut) // pl.max_horizontal(q, 1) + 1))
+        out = df.with_columns(
+            pl.col("event_id").shift(-1).over("user_id")
+              .alias("next_event_id"),
+            pl.col("event_id").first().over("user_id")
+              .alias("first_event_id"),
+            pl.col("event_id").last().over("user_id")
+              .alias("last_event_id"),
+            ntile.cast(pl.Int64).alias("ntile_4"),
+        ).select(["event_id", "user_id", "next_event_id",
+                  "first_event_id", "last_event_id", "ntile_4"])
+        return out.to_arrow()
+
+    return hash_exchange(events, "user_id", win_bucket, num_buckets=16)
+
+
+SQL_Q77 = """
+SELECT event_id, user_id,
+       lead(event_id) OVER w AS next_event_id,
+       first_value(event_id) OVER w AS first_event_id,
+       last_value(event_id) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_event_id,
+       CAST(ntile(4) OVER w AS BIGINT) AS ntile_4
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
@@ -542,6 +659,8 @@ QUERIES = {
     "q39_order_rank": (q39_order_rank, SQL_Q39),
     "q40_running_revenue": (q40_running_revenue, SQL_Q40),
     "q41_rollup_revenue": (q41_rollup_revenue, SQL_Q41),
+    "q77_window_suite": (q77_window_suite, SQL_Q77),
+    "q78_cube_revenue": (q78_cube_revenue, SQL_Q78),
     "q42_priority_timeline": (q42_priority_timeline, SQL_Q42),
     "q43_nation_revenue": (q43_nation_revenue, SQL_Q43),
     "q48_salted_segment_activity": (q48_salted_segment_activity, SQL_Q48),

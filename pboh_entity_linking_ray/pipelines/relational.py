@@ -820,6 +820,284 @@ FROM documents
 """
 
 
+# --- q75: full outer join (two-fact-table reconciliation) -------------------
+
+def q75_activity_reconciliation(sf_dir: str):
+    """FULL OUTER join of two independently-aggregated fact summaries —
+    per-customer big-order spend vs per-user purchase-event activity —
+    keeping keys that appear on EITHER side (customers with big orders
+    but no events, and event users without big orders), with the key
+    coalesced into one column (``hash_join(how="full")``; unmatched-side
+    measures filled to 0 so every column stays int64).
+
+    Both inputs pre-aggregate down to one skinny row per key BEFORE the
+    join, so only O(distinct keys) rows cross the full-join exchange —
+    at 100 TB the facts stream through combiners and never meet raw.
+
+    Reference analog: the solution ⋈ ground-truth reconciliation
+    (eval/EvalOnDatasets.scala) generalised to a symmetric outer merge.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.grouping import hash_join
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def big(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_totalprice"], pa.scalar(300000.0)))
+        return t.append_column("spend_e2", pa.array(
+            np.floor(np.asarray(t["o_totalprice"]) * 100 + 0.5)
+            .astype(np.int64)))
+
+    spend = (orders.map_batches(big, batch_format="pyarrow")
+             .groupby("o_custkey")
+             .aggregate(Sum("spend_e2", alias_name="big_spend_e2"),
+                        Count(alias_name="n_big_orders"))
+             .rename_columns({"o_custkey": "c_custkey"}))
+
+    events = _t(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def purch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], pa.scalar("purchase")))
+        return pa.table({
+            "c_custkey": t["user_id"],
+            "val_e4": pa.array(np.floor(np.asarray(t["value"]) * 10000 + 0.5)
+                               .astype(np.int64)),
+        })
+
+    activity = (events.map_batches(purch, batch_format="pyarrow")
+                .groupby("c_custkey")
+                .aggregate(Sum("val_e4", alias_name="purchase_value_e4"),
+                           Count(alias_name="n_purchases")))
+
+    joined = hash_join(spend, activity, "c_custkey", how="full")
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({c: (t[c] if c == "c_custkey"
+                             else pc.fill_null(t[c], 0))
+                         for c in t.column_names})
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+# --- q79: data-quality expectation report ------------------------------------
+
+EXPECTED_EVENT_TYPES = ("signup", "click", "error", "view", "purchase")
+
+
+def q79_data_expectations(sf_dir: str):
+    """Schema/constraint expectation report over the events table — the
+    data-quality gate a production ingest runs before promoting a batch:
+    row count, null foreign keys, out-of-range measures, enum-domain
+    violations, and duplicate primary keys, as one long-form
+    (check_name, n) table.
+
+    Every per-row check is a vectorized per-batch partial count (4
+    skinny rows per batch) summed in one tiny aggregate — a 100 TB table
+    produces O(batches) report rows, never a row-level shuffle.  The
+    uniqueness check is the only one that needs key co-location: partial
+    (event_id, c) counts ride ONE bucketed exchange and each bucket
+    contributes Σ(c−1) over its duplicated keys.
+
+    NULL semantics match SQL: a NULL event_type is not counted as an
+    enum violation (NOT IN is NULL), a NULL value is not out-of-range.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.grouping import bucketed_sum
+
+    events = _t(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                   "value"])
+    allowed = pa.array(EXPECTED_EVENT_TYPES)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(pc.fill_null(t["value"], float("nan")),
+                       dtype=np.float64)
+        bad_type = pc.sum(
+            pc.invert(pc.is_in(t["event_type"], value_set=allowed))).as_py()
+        return pa.table({
+            "check_name": pa.array(["rows", "null_user_id",
+                                    "negative_value", "unknown_event_type"]),
+            "n": pa.array([t.num_rows, t["user_id"].null_count,
+                           int((v < 0).sum()), int(bad_type or 0)],
+                          type=pa.int64()),
+        })
+
+    simple = events.map_batches(partial, batch_format="pyarrow")
+
+    def id_counts(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(t.select(["event_id"]))
+                .group_by("event_id").len(name="c")
+                .with_columns(pl.col("c").cast(pl.Int64)).to_arrow())
+
+    full_counts = bucketed_sum(
+        events.map_batches(id_counts, batch_format="pyarrow"),
+        ["event_id"], "c", "c", engine="exchange")
+
+    def dup_partial(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["c"])
+        return pa.table({
+            "check_name": pa.array(["duplicate_event_id"]),
+            "n": pa.array([int(np.maximum(c - 1, 0).sum())], type=pa.int64()),
+        })
+
+    dup = full_counts.map_batches(dup_partial, batch_format="pyarrow")
+    return simple.union(dup).groupby("check_name").aggregate(
+        Sum("n", alias_name="n"))
+
+
+SQL_Q79 = """
+SELECT 'rows' AS check_name, count(*) AS n FROM events
+UNION ALL
+SELECT 'null_user_id', count(*) FILTER (WHERE user_id IS NULL) FROM events
+UNION ALL
+SELECT 'negative_value', count(*) FILTER (WHERE value < 0) FROM events
+UNION ALL
+SELECT 'unknown_event_type',
+       count(*) FILTER (WHERE event_type NOT IN
+           ('signup', 'click', 'error', 'view', 'purchase'))
+FROM events
+UNION ALL
+SELECT 'duplicate_event_id', count(*) - count(DISTINCT event_id) FROM events
+"""
+
+
+# --- q76: TPC-H-Q5-shaped 6-table multiway join ------------------------------
+
+def q76_region_revenue(sf_dir: str):
+    """Local-supplier revenue per nation inside one region (the TPC-H Q5
+    shape): region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier.
+
+    Physical plan — TWO fact exchanges total, everything else broadcast:
+
+    - region→nation resolved DRIVER-side (tiny dims) into an allowed
+      nation set + name map;
+    - customer pruned at the read (2 columns, region filter) → skinny
+      (c_custkey, c_nationkey);
+    - orders date-filtered and projected → (o_orderkey, c_custkey);
+      ``hash_join`` #1 attaches c_nationkey, with the projection fused
+      into the bucket task (``post``);
+    - supplier (bounded dim) is ``ray.put`` ONCE; lineitem revenue rows
+      meet join #1's output in ``hash_join`` #2 on o_orderkey, and the
+      supplier probe, same-nation filter and partial revenue SUM are all
+      fused into the bucket task — the wide joined rows never cross an
+      operator boundary;
+    - final groupby over O(nations × buckets) partial rows.
+
+    At 100 TB: lineitem and orders stream through combiners and two
+    key-partitioned exchanges; no all-to-all carries more than the
+    skinny projected columns.
+    """
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from ..functions.grouping import _bcast_frame, hash_join
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    rkey = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    nat = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkey))
+    allowed = nat["n_nationkey"].combine_chunks()
+    name_map = dict(zip(nat["n_nationkey"].to_pylist(),
+                        nat["n_name"].to_pylist()))
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=allowed)),
+        batch_format="pyarrow")
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_window(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"],
+                             pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.less(t["o_orderdate"], pa.scalar(pd.Timestamp("1997-01-01"))))
+        t = t.filter(m)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "c_custkey": t["o_custkey"]})
+
+    j1 = hash_join(orders.map_batches(o_window, batch_format="pyarrow"),
+                   cust, "c_custkey",
+                   post=lambda t: t.select(["o_orderkey", "c_nationkey"]))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sup_ref = ray.put(sup.rename_columns(["l_suppkey", "s_nationkey"]))
+
+    line = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def l_rev(t: pa.Table) -> pa.Table:
+        rev = (np.asarray(t["l_extendedprice"])
+               * (1.0 - np.asarray(t["l_discount"])))
+        return pa.table({
+            "o_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "rev_e4": pa.array(np.floor(rev * 10000 + 0.5).astype(np.int64)),
+        })
+
+    def fuse(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(t)
+                .join(_bcast_frame(sup_ref), on="l_suppkey", how="inner")
+                .filter(pl.col("s_nationkey") == pl.col("c_nationkey"))
+                .group_by("c_nationkey")
+                .agg(pl.col("rev_e4").sum())
+                .to_arrow())
+
+    j2 = hash_join(line.map_batches(l_rev, batch_format="pyarrow"),
+                   j1, "o_orderkey", post=fuse)
+    agg = j2.groupby("c_nationkey").aggregate(
+        Sum("rev_e4", alias_name="revenue_e4"))
+
+    def named(t: pa.Table) -> pa.Table:
+        names = [name_map[k] for k in t["c_nationkey"].to_pylist()]
+        return pa.table({"n_name": pa.array(names, type=pa.string()),
+                         "revenue_e4": t["revenue_e4"]})
+
+    return agg.map_batches(named, batch_format="pyarrow")
+
+
+SQL_Q76 = """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+SQL_Q75 = """
+WITH spend AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS big_spend_e2,
+         count(*) AS n_big_orders
+  FROM orders WHERE o_totalprice >= 300000 GROUP BY 1),
+activity AS (
+  SELECT user_id AS c_custkey,
+         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS purchase_value_e4,
+         count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT COALESCE(s.c_custkey, a.c_custkey) AS c_custkey,
+       COALESCE(big_spend_e2, 0)          AS big_spend_e2,
+       COALESCE(n_big_orders, 0)          AS n_big_orders,
+       COALESCE(purchase_value_e4, 0)     AS purchase_value_e4,
+       COALESCE(n_purchases, 0)           AS n_purchases
+FROM spend s FULL OUTER JOIN activity a ON s.c_custkey = a.c_custkey
+"""
+
+
 QUERIES = {
     "q01_lineitem_agg": (q01_lineitem_agg, SQL_Q01),
     "q02_customer_revenue": (q02_customer_revenue, SQL_Q02),
@@ -842,4 +1120,8 @@ QUERIES = {
     "q37_events_of_big_purchasers":
         (q37_events_of_big_purchasers, SQL_Q37),
     "q38_shipping_priority": (q38_shipping_priority, SQL_Q38),
+    "q75_activity_reconciliation":
+        (q75_activity_reconciliation, SQL_Q75),
+    "q76_region_revenue": (q76_region_revenue, SQL_Q76),
+    "q79_data_expectations": (q79_data_expectations, SQL_Q79),
 }

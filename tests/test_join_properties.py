@@ -25,6 +25,8 @@ KEYS = st.lists(st.integers(min_value=-5, max_value=9),
 def _ref(ldf: pd.DataFrame, rdf: pd.DataFrame, how: str) -> pd.DataFrame:
     if how in ("inner", "left"):
         out = ldf.merge(rdf, on="k", how=how)
+    elif how == "full":
+        out = ldf.merge(rdf, on="k", how="outer")
     elif how == "semi":
         out = ldf[ldf.k.isin(set(rdf.k))]
     else:                                        # anti
@@ -37,7 +39,7 @@ def _norm(ds) -> pd.DataFrame:
     return df.sort_values(df.columns.tolist()).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti", "full"])
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(lk=KEYS, rk=KEYS)
@@ -52,12 +54,17 @@ def test_joins_agree_with_pandas(ray_session, how, lk, rk):
     right_tbl = pa.Table.from_pandas(rdf)
     right = ray.data.from_arrow(right_tbl).repartition(2)
 
-    for name, got in (
-        ("hash", hash_join(left, right, "k", how=how, num_buckets=8)),
-        ("salted", salted_join(left, right, "k", salt=3, how=how,
-                               num_buckets=8)),
-        ("broadcast", broadcast_join(left, right_tbl, "k", how=how)),
-    ):
+    # full outer is hash_join-only: salted_join would surface unmatched
+    # right rows `salt` times (it raises), and broadcast_join's per-batch
+    # small side would duplicate unmatched dimension rows across batches
+    impls = [("hash", hash_join(left, right, "k", how=how, num_buckets=8))]
+    if how != "full":
+        impls += [
+            ("salted", salted_join(left, right, "k", salt=3, how=how,
+                                   num_buckets=8)),
+            ("broadcast", broadcast_join(left, right_tbl, "k", how=how)),
+        ]
+    for name, got in impls:
         got_df = _norm(got)
         if len(want) == 0:
             assert len(got_df) == 0, name
