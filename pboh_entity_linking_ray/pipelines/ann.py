@@ -383,6 +383,20 @@ KMEANS_ITERS = 10
 KMEANS_TOL = 1e-6
 
 
+def _kmeans_centroids(emb: ray.data.Dataset, k: int = KMEANS_K,
+                      iters: int = KMEANS_ITERS) -> np.ndarray:
+    """Iterated distributed Lloyd with early stop — shared by
+    ``kmeans_embeddings`` and ``semantic_dedup``."""
+    cents = _hash_seeds(emb, k)
+    for _ in range(iters):
+        new = _lloyd_step(emb, cents)
+        moved = float(np.max(1.0 - np.sum(new * cents, axis=1)))
+        cents = new
+        if moved < KMEANS_TOL:
+            break
+    return cents
+
+
 def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
                       iters: int = KMEANS_ITERS):
     """Distributed spherical k-means over the embedding column — the
@@ -394,14 +408,7 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
     corpus.  Deterministic (hash-sampled seeds) → rows-only driver
     check + pytest pins determinism and inertia descent."""
     emb = _read_embeddings(sf_dir)
-    cents = _hash_seeds(emb, k)
-    for _ in range(iters):
-        new = _lloyd_step(emb, cents)
-        moved = float(np.max(1.0 - np.sum(new * cents, axis=1)))
-        cents = new
-        if moved < KMEANS_TOL:
-            break
-    cref = ray.put(cents)
+    cref = ray.put(_kmeans_centroids(emb, k, iters))
 
     def assign(t: pa.Table) -> pa.Table:
         s = ray.get(cref)
@@ -417,6 +424,82 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
         })
 
     return emb.map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dedup(sf_dir: str, tau_e6: int = NEARDUP_COS_E6,
+                   k: int = KMEANS_K):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then prune
+    near-duplicates INSIDE each cluster only — the published recipe for
+    making embedding dedup tractable at corpus scale (pair work is
+    Σ|cluster|² instead of corpus²; raise ``k`` with corpus size to keep
+    clusters bounded, the paper uses k ≈ √n).
+
+    Keep rule (id-deterministic, no chaining): vector j is dropped iff
+    some SAME-CLUSTER vector with a lower vec_id has cosine ≥ τ to it —
+    dropped vectors still serve as comparators, so the output is
+    invariant to partitioning and bucket order.
+
+    Distribution: the assignment pass streams once over the embeddings
+    emitting (vec_id, cluster, unit vector); ONE hash exchange on the
+    cluster id co-locates each cluster; per bucket a CHUNKED triangular
+    matmul (≤1024 rows at a time) marks drops, bounding in-bucket memory
+    regardless of cluster size.  The centroid fit is the shared
+    streaming Lloyd loop (O(blocks × k) partials per pass).
+
+    Not SQL-expressible (iterative k-means) → rows-only driver check;
+    the keep rule itself is pinned in pytest against an exact numpy
+    reference on the pipeline's own cluster assignment."""
+    emb = _read_embeddings(sf_dir)
+    cref = ray.put(_kmeans_centroids(emb, k))
+
+    def assign_vec(t: pa.Table) -> pa.Table:
+        s = ray.get(cref)
+        ids, mat = _matrix(t)
+        mn = _normalize(mat)
+        c = np.argmax(mn @ s.T, axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "cluster": pa.array(c.astype(np.int64)),
+            "vec": pa.array(list(mn), type=pa.list_(pa.float64())),
+        })
+
+    rows = emb.map_batches(assign_vec, batch_format="pyarrow")
+
+    def dedup_bucket(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "cluster": pa.array([], type=pa.int64()),
+                             "keep": pa.array([], type=pa.bool_())})
+        cl = np.asarray(t["cluster"], dtype=np.int64)
+        flat = np.asarray(t["vec"].combine_chunks().flatten(),
+                          dtype=np.float64)
+        V = flat.reshape(len(ids), -1)
+        order = np.lexsort((ids, cl))
+        ids, cl, V = ids[order], cl[order], V[order]
+        keep = np.ones(len(ids), dtype=bool)
+        bounds = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1], True])
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):   # one run per cluster
+            n = s1 - s0
+            if n < 2:
+                continue
+            Vc = V[s0:s1]
+            for j0 in range(1, n, 1024):              # chunked triangular scan
+                j1 = min(j0 + 1024, n)
+                block = Vc[j0:j1] @ Vc[:j1].T
+                sims = np.floor(block * 1e6 + 0.5).astype(np.int64)
+                allowed = (np.arange(j1)[None, :]
+                           < np.arange(j0, j1)[:, None])
+                hit = ((sims >= tau_e6) & allowed).any(axis=1)
+                keep[s0 + j0:s0 + j1] = ~hit
+        return pa.table({"vec_id": pa.array(ids),
+                         "cluster": pa.array(cl),
+                         "keep": pa.array(keep)})
+
+    from ..functions.grouping import hash_exchange
+
+    return hash_exchange(rows, "cluster", dedup_bucket, num_buckets=8)
 
 
 def _concat_small(ds: ray.data.Dataset) -> pa.Table:
@@ -966,6 +1049,9 @@ QUERIES = {
     # iterative algorithm → rows-only check; pytest pins determinism
     # and inertia descent (tests/test_ann.py)
     "kmeans_embeddings": (kmeans_embeddings, None),
+    # k-means-confined near-dup pruning (SemDeDup) → rows-only; the keep
+    # rule is pinned vs an exact numpy reference in tests/test_ann.py
+    "semantic_dedup": (semantic_dedup, None),
     "q65_embedding_covariance": (q65_embedding_covariance, SQL_Q65),
     "q69_label_centroid_outliers": (q69_label_centroid_outliers, SQL_Q69),
     "q70_negative_sampling": (q70_negative_sampling, SQL_Q70),

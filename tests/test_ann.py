@@ -225,3 +225,48 @@ def test_negative_sampling_contract(ray_session):
     again = (q70_negative_sampling(sf).to_pandas()
              .sort_values(["anchor_id", "rnk"]).reset_index(drop=True))
     assert out.equals(again)
+
+
+def test_semantic_dedup_matches_numpy_reference(ray_session):
+    """semantic_dedup: the in-cluster keep rule (drop j iff some
+    lower-id same-cluster vector has cos ≥ τ, dropped rows still
+    compare) must match an exact numpy reference computed on the
+    pipeline's own cluster assignment; deterministic across runs;
+    row 0 of every cluster is always kept."""
+    from pboh_entity_linking_ray.pipelines.ann import (
+        NEARDUP_COS_E6,
+        _matrix,
+        _normalize,
+        _read_embeddings,
+        semantic_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = (semantic_dedup(sf).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert len(out) == 500
+    assert out["vec_id"].is_unique
+
+    ids, mat = _matrix(_read_embeddings(sf)
+                       .take_batch(10_000, batch_format="pyarrow"))
+    mn = _normalize(mat)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for cl, grp in out.groupby("cluster"):
+        g = grp.sort_values("vec_id").reset_index(drop=True)
+        V = mn[[pos[int(v)] for v in g["vec_id"]]]
+        sims = np.floor(V @ V.T * 1e6 + 0.5).astype(np.int64)
+        want = np.ones(len(g), dtype=bool)
+        for j in range(1, len(g)):
+            want[j] = not (sims[j, :j] >= NEARDUP_COS_E6).any()
+        assert (g["keep"].to_numpy() == want).all(), f"cluster {cl}"
+        assert want[0]  # lowest id per cluster always kept
+
+    # dedup actually fires on this corpus, and at least each cluster's
+    # lowest-id representative survives (the planted corpus is dense:
+    # at τ = NEARDUP_COS_E6 most rows have a lower-id near-neighbor)
+    assert (~out["keep"]).sum() > 0
+    assert out["keep"].sum() >= out["cluster"].nunique()
+
+    again = (semantic_dedup(sf).to_pandas()
+             .sort_values("vec_id").reset_index(drop=True))
+    assert out.equals(again)
