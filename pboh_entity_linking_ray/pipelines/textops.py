@@ -1365,6 +1365,89 @@ def bpe_train(sf_dir: str):
     })
 
 
+# per-WORKER-PROCESS cache of word→token-count under a given merge
+# table: BPE encoding is a pure function of (merges, word), and corpus
+# word TYPES repeat heavily across batches — each worker pays the
+# per-type encode once, every later occurrence is a dict hit (the
+# standard trick every published BPE encoder uses: encode types, not
+# tokens).  Keyed by the merge-table fingerprint so different trainings
+# never collide; bounded by the corpus vocabulary.
+_BPE_ENC_CACHE: dict = {}
+
+
+def _bpe_token_len(word: str, merges: tuple) -> int:
+    """Token count of one word after replaying ``merges`` in rank order
+    (the exact inverse of _sennrich_merges' training replacement)."""
+    syms = list(word)
+    for left, right in merges:
+        if len(syms) < 2:
+            break
+        out, i, lr = [], 0, left + right
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(lr)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def bpe_encode(sf_dir: str):
+    """Apply the ``bpe_train`` tokenizer to the corpus: per document,
+    the word count and the exact BPE token count under the learned
+    merges — the token-budget accounting a training pipeline runs after
+    inducing its tokenizer (q57's regex estimate replaced by the real
+    vocabulary).
+
+    Scale shape: the merge table is O(merges) and ships in the task
+    closure; each batch pretokenizes vectorized (polars extract_all),
+    encodes each DISTINCT word type once (per-worker process cache —
+    types repeat across batches, so steady-state encode work is ~zero),
+    and joins type lengths back vectorized.  One streaming pass, no
+    shuffle; only (doc_id, n_words, n_tokens_bpe) leaves the batch.
+    Documents with no [a-z0-9] word are omitted (they have no tokens).
+
+    Rows-only: depends on bpe_train's iterative merge loop; pytest pins
+    the counts against an independent per-document Python re-encode."""
+    import polars as pl
+
+    from .relational import _t
+
+    mt = bpe_train(sf_dir)
+    merges = tuple(zip(mt["left"].to_pylist(), mt["right"].to_pylist()))
+    mkey = hash(merges)
+
+    def enc(t: pa.Table) -> pa.Table:
+        words = (pl.from_arrow(t.select(["doc_id", "text"]))
+                 .with_columns(pl.col("text").str.to_lowercase()
+                               .str.extract_all("[a-z0-9]+").alias("w"))
+                 .drop("text").explode("w").drop_nulls("w"))
+        if len(words) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_words": pa.array([], type=pa.int64()),
+                             "n_tokens_bpe": pa.array([], type=pa.int64())})
+        cache = _BPE_ENC_CACHE.setdefault(mkey, {})
+        uniq = words["w"].unique().to_list()
+        lens = []
+        for w in uniq:
+            n = cache.get(w)
+            if n is None:
+                n = cache[w] = _bpe_token_len(w, merges)
+            lens.append(n)
+        type_len = pl.DataFrame({"w": uniq,
+                                 "tok": pl.Series(lens, dtype=pl.Int64)})
+        out = (words.join(type_len, on="w")
+               .group_by("doc_id")
+               .agg(pl.len().cast(pl.Int64).alias("n_words"),
+                    pl.col("tok").sum().alias("n_tokens_bpe")))
+        return out.to_arrow()
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        enc, batch_format="pyarrow")
+
+
 QUERIES = {
     "q71_shared_span_pairs": (q71_shared_span_pairs, SQL_Q71),
     "q72_bpe_pair_counts": (q72_bpe_pair_counts, SQL_Q72),
@@ -1372,6 +1455,9 @@ QUERIES = {
     # iterative argmax merge loop → rows-only; q72 oracle-checks the
     # first-merge statistic, pytest recounts the loop independently
     "bpe_train": (bpe_train, None),
+    # applies bpe_train's merges → rows-only; pytest re-encodes a doc
+    # sample independently and pins the counts
+    "bpe_encode": (bpe_encode, None),
     "q57_bpe_token_count": (q57_bpe_token_count, SQL_Q57),
     "q58_neardup_clusters": (q58_neardup_clusters, SQL_Q58),
     "q12_ngram_jaccard_pairs": (q12_ngram_jaccard_pairs, SQL_Q12),

@@ -143,3 +143,52 @@ def test_bpe_train_matches_independent_recount(ray_session):
            for r in bpe_train(sf).to_pandas().to_dict("records")]
     assert got == want
     assert len(got) == BPE_MERGES
+
+
+def test_bpe_encode_matches_independent_reencode(ray_session):
+    """bpe_encode's per-document counts must equal an independent
+    Python re-encode (regex pretokenize + rank-order merge replay)
+    of every document, and merging must never increase token count."""
+    import re
+
+    import duckdb
+
+    from pboh_entity_linking_ray.pipelines.textops import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    mt = bpe_train(sf).to_pandas()
+    merges = list(zip(mt["left"], mt["right"]))
+
+    def encode_len(word: str) -> int:
+        syms = list(word)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'").df()
+    want = {}
+    for doc_id, txt in zip(docs["doc_id"], docs["text"]):
+        ws = re.findall("[a-z0-9]+", txt.lower())
+        if ws:
+            want[int(doc_id)] = (len(ws), sum(encode_len(w) for w in ws))
+
+    got = bpe_encode(sf).to_pandas()
+    assert got["doc_id"].is_unique
+    assert len(got) == len(want)
+    for doc_id, n_words, n_bpe in got[
+            ["doc_id", "n_words", "n_tokens_bpe"]].to_numpy():
+        assert want[int(doc_id)] == (int(n_words), int(n_bpe)), doc_id
+    # merges only ever shrink: n_words <= n_tokens_bpe <= total chars
+    assert (got["n_tokens_bpe"] >= got["n_words"]).all()
