@@ -481,15 +481,93 @@ PR_BASE = 0.15     # (1 − d) as the SAME double literal in both engines
 PR_PART_OFF = 1_000_000   # part node ids disjoint from customer ids
 
 
+PR_SHARDS = 16
+
+
+@ray.remote
+class _GraphShard:
+    """One hash shard of the STATIC edge topology, pinned in actor
+    memory for the whole power iteration — the legitimate raw-actor
+    case (a shared state the Dataset API can't hold across iterations).
+
+    Partitioning assumption (documented contract): rows are routed by
+    ``polars.hash(src, seed=17) % n_shards``, so ALL copies of a given
+    src live in exactly one shard.  That makes two build steps free:
+    the shard dedups its (src, dst) pairs locally (global dedup needs
+    no exchange) and computes exact out-degrees locally (no degree
+    join).  Each iteration then ships ONLY rank rows — the edge list
+    never crosses the wire again (a Pregel-style static partition)."""
+
+    def __init__(self, *parts: pa.Table):
+        import polars as pl
+
+        live = [p for p in parts if p.num_rows]
+        if not live:
+            self.edges = None
+            self.nodes_tbl = pa.table({
+                "src": pa.array([], type=pa.int64()),
+                "d": pa.array([], type=pa.int64())})
+            return
+        df = (pl.from_arrow(pa.concat_tables(live))
+              .unique(subset=["src", "dst"]))
+        deg = df.group_by("src").agg(d=pl.len().cast(pl.Int64))
+        self.edges = df.join(deg, on="src", how="inner")
+        self.nodes_tbl = deg.to_arrow()
+
+    def nodes(self) -> pa.Table:
+        """(src, d) for every node homed in this shard."""
+        return self.nodes_tbl
+
+    def contrib(self, *rank_parts: pa.Table) -> pa.Table:
+        """One iteration's partial contributions: join this shard's
+        rank rows against the pinned edges and pre-sum r/d per dst —
+        only O(distinct dst in shard) skinny rows leave."""
+        import polars as pl
+
+        live = [p for p in rank_parts if p.num_rows]
+        if self.edges is None or not live:
+            return pa.table({"dst": pa.array([], type=pa.int64()),
+                             "x": pa.array([], type=pa.float64())})
+        ranks = pl.from_arrow(pa.concat_tables(live))
+        out = (self.edges.join(ranks, on="src", how="inner")
+               .select(pl.col("dst"),
+                       x=pl.col("r") / pl.col("d"))
+               .group_by("dst").agg(pl.col("x").sum()))
+        return out.to_arrow()
+
+
+@ray.remote
+def _split_by_src(tbl: pa.Table, n: int):
+    """Hash-split one block by ``hash(src, seed=17) % n`` (the shard
+    routing function) — returns ``n`` zero-copy slices."""
+    import polars as pl
+
+    if tbl.num_rows == 0:
+        return tuple(tbl for _ in range(n))
+    h = pl.from_arrow(tbl["src"].combine_chunks()).hash(seed=17).to_numpy()
+    s = (h % np.uint64(n)).astype(np.int64)
+    order = np.argsort(s, kind="stable")
+    st = tbl.take(pa.array(order))
+    counts = np.bincount(s, minlength=n)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    return tuple(st.slice(offs[i], counts[i]) for i in range(n))
+
+
 def q68_pagerank(sf_dir: str):
     """Distributed PageRank (fixed PR_ITERS power iterations, damping
     PR_DAMP) over the symmetrized customer↔part purchase graph — the
-    engine's iterative exchange-join pattern: per iteration, ONE bucketed
-    ``hash_join`` of the degree-weighted edge list against the current
-    rank vector with the contribution emit fused into the bucket task
-    (``post``), then a partial-combine ``groupby(dst).sum``.  The rank
-    table is a DATASET throughout (never driver-collected — at web scale
-    the node table outgrows any broadcast); the driver holds only N.
+    engine's iterative-graph pattern: the edge topology is hash-split by
+    src ONCE into ``PR_SHARDS`` pinned actor shards (``_GraphShard``:
+    local dedup + local degrees, since a src's every copy co-locates);
+    each iteration then moves only the O(nodes) rank rows — split to the
+    shards by the same hash, joined against the pinned edges in-actor
+    with per-dst partial sums, and re-aggregated by ONE tiny exchange
+    (``bucketed_groups(dst)``) that emits the next rank DATASET.  The
+    rank vector is never driver-collected (at web scale the node table
+    outgrows any broadcast); the driver holds only N and O(blocks ×
+    shards) refs during intake (at extreme block counts, route the
+    intake through the hierarchical exchange instead).
+
     Symmetrizing removes dangling nodes, so no leaked-mass correction
     term is needed and the SQL twin is three chained CTE pairs.
 
@@ -498,11 +576,7 @@ def q68_pagerank(sf_dir: str):
     from degree-counting to the stationary-distribution score."""
     import pyarrow.compute as pc
 
-    from ..functions.grouping import (
-        bucketed_groups,
-        dedup_keep_first,
-        hash_join,
-    )
+    from ..functions.grouping import bucketed_groups, hash_join
     from .relational import _t
 
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
@@ -517,9 +591,10 @@ def q68_pagerank(sf_dir: str):
         batch_format="pyarrow")
 
     def pack(t: pa.Table) -> pa.Table:
-        """Join post hook: pack the pair key and drop in-bucket
-        duplicates (same (c,p) within one order bucket) so fewer rows
-        cross the global dedup exchange."""
+        """Join post hook: drop in-bucket duplicates (same (c,p) within
+        one order bucket) so fewer rows reach the shard intake — the
+        GLOBAL dedup happens for free inside each shard (src-routing
+        co-locates every copy of a pair)."""
         c = np.asarray(t["c"], dtype=np.int64)
         p = np.asarray(t["p"], dtype=np.int64)
         pk = c * 100_000_000 + p
@@ -527,10 +602,9 @@ def q68_pagerank(sf_dir: str):
         return pa.table({
             "c": pa.array(c[first], type=pa.int64()),
             "p": pa.array(p[first], type=pa.int64()),
-            "pk": pa.array(pk[first], type=pa.int64()),
         })
 
-    pairs = dedup_keep_first(hash_join(li, orders, "ok", post=pack), "pk")
+    pairs = hash_join(li, orders, "ok", post=pack)
     edges = pairs.map_batches(
         lambda t: pa.table({"src": t["c"], "dst": t["p"]}),
         batch_format="pyarrow",
@@ -538,66 +612,30 @@ def q68_pagerank(sf_dir: str):
         lambda t: pa.table({"src": t["p"], "dst": t["c"]}),
         batch_format="pyarrow"))
 
-    def deg_partial(t: pa.Table) -> pa.Table:
-        import polars as pl
+    # ONE-time intake: split every edge block by the shard hash and pin
+    # each shard's slices in its actor (dedup + degrees happen there)
+    blocks = edges.materialize().to_arrow_refs()
+    parts = [_split_by_src.options(num_returns=PR_SHARDS)
+             .remote(b, PR_SHARDS) for b in blocks]
+    shards = [_GraphShard.remote(*[p[k] for p in parts])
+              for k in range(PR_SHARDS)]
 
-        if t.num_rows == 0:
-            return pa.table({"src": pa.array([], type=pa.int64()),
-                             "d_partial": pa.array([], type=pa.int64())})
-        vc = pl.from_arrow(t.select(["src"])).group_by("src").len(
-            name="d_partial")
-        return pa.table({"src": vc["src"].cast(pl.Int64).to_arrow(),
-                         "d_partial": vc["d_partial"].cast(pl.Int64)
-                                                     .to_arrow()})
-
-    def deg_final(t: pa.Table) -> pa.Table:
-        import polars as pl
-
-        if t.num_rows == 0 or "src" not in t.column_names:
-            return pa.table({"src": pa.array([], type=pa.int64()),
-                             "d": pa.array([], type=pa.int64())})
-        df = (pl.from_arrow(t).group_by("src")
-              .agg(d=pl.col("d_partial").sum()))
-        return pa.table({"src": df["src"].to_arrow(),
-                         "d": df["d"].cast(pl.Int64).to_arrow()})
-
-    # partial counts per block, final sum through the direct exchange —
-    # measured ~10× the sort-based groupby on pure hash-partition work
-    deg = bucketed_groups(
-        edges.map_batches(deg_partial, batch_format="pyarrow"),
-        "src", deg_final, engine="exchange").materialize()
-    n_nodes = deg.count()
+    node_tbls = ray.get([s.nodes.remote() for s in shards])
+    n_nodes = sum(t.num_rows for t in node_tbls)
     if n_nodes == 0:
         return ray.data.from_arrow(pa.table({
             "node_id": pa.array([], type=pa.int64()),
             "pr_e9": pa.array([], type=pa.int64())}))
-    # degree rides WITH the edges so each iteration joins only the rank
-    # vector (one exchange per side per iteration, skinny rows)
-    edges_w = hash_join(edges, deg, "src").materialize()
 
     r_init = 1.0 / n_nodes
-    ranks = deg.map_batches(
-        lambda t: pa.table({
-            "src": t["src"],
-            "r": pa.array(np.full(t.num_rows, r_init), type=pa.float64()),
-        }),
-        batch_format="pyarrow")
-
     base = PR_BASE / n_nodes
-
-    def contrib(t: pa.Table) -> pa.Table:
-        """Join post hook: r/d per edge, pre-summed per dst INSIDE the
-        join bucket — only O(distinct dst per bucket) skinny partial
-        rows reach the second (tiny) exchange."""
-        import polars as pl
-
-        r = np.asarray(t["r"], dtype=np.float64)
-        d = np.asarray(t["d"], dtype=np.float64)
-        df = (pl.DataFrame({"dst": np.asarray(t["dst"], dtype=np.int64),
-                            "x": r / d})
-              .group_by("dst").agg(pl.col("x").sum()))
-        return pa.table({"dst": df["dst"].to_arrow(),
-                         "x": df["x"].to_arrow()})
+    # rank rows start pre-split by construction (shard k's nodes came
+    # from shard k) — each later iteration re-splits the renorm output
+    rank_parts: list[list] = [
+        [pa.table({"src": t["src"],
+                   "r": pa.array(np.full(t.num_rows, r_init),
+                                 type=pa.float64())})]
+        for t in node_tbls]
 
     def renorm(t: pa.Table) -> pa.Table:
         """Exchange bucket fn: final per-dst sum + the damping update,
@@ -614,10 +652,17 @@ def q68_pagerank(sf_dir: str):
                           type=pa.float64()),
         })
 
-    for _ in range(PR_ITERS):
+    ranks = None
+    for it in range(PR_ITERS):
+        contribs = [shards[k].contrib.remote(*rank_parts[k])
+                    for k in range(PR_SHARDS)]
         ranks = bucketed_groups(
-            hash_join(edges_w, ranks, "src", post=contrib),
+            ray.data.from_arrow_refs(contribs),
             "dst", renorm, engine="exchange").materialize()
+        if it < PR_ITERS - 1:
+            rparts = [_split_by_src.options(num_returns=PR_SHARDS)
+                      .remote(b, PR_SHARDS) for b in ranks.to_arrow_refs()]
+            rank_parts = [[p[k] for p in rparts] for k in range(PR_SHARDS)]
 
     return ranks.map_batches(
         lambda t: pa.table({
