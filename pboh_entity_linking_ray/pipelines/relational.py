@@ -880,6 +880,110 @@ def q75_activity_reconciliation(sf_dir: str):
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+# --- q80: robust per-group outlier flagging (median / MAD) -------------------
+
+MAD_K = 2   # flag |x − median| > MAD_K × MAD; literal mirrored in the SQL
+
+
+def q80_mad_outliers(sf_dir: str):
+    """Robust per-group outlier detection: documents whose length
+    deviates from their language's median by more than MAD_K× the
+    language's MAD (median absolute deviation) — the data-cleaning
+    filter that survives heavy-tailed length distributions where
+    mean/stddev z-scores break.
+
+    Physical plan: per-batch (lang, n_chars) value counts (combiner) →
+    ONE exchange keyed on lang; each bucket holds its languages' whole
+    value histograms and derives BOTH the median and the MAD from the
+    histogram alone — the abs-deviation histogram is a re-keyed
+    permutation of the value histogram, so NO second pass over the data
+    (q35's exact-quantile machinery, composed twice in one task).  The
+    O(langs) threshold table then broadcasts into a streaming flag pass.
+    Integer-exact throughout (quantile_disc rank arithmetic)."""
+    from ..functions.grouping import _bcast_frame, hash_exchange
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(t.select(["lang", "n_chars"]))
+                .group_by(["lang", "n_chars"])
+                .len(name="c").with_columns(pl.col("c").cast(pl.Int64))
+                .to_arrow())
+
+    def med_mad(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0:
+            return pa.table({"lang": pa.array([], type=pa.large_string()),
+                             "lang_median": pa.array([], type=pa.int64()),
+                             "lang_mad": pa.array([], type=pa.int64())})
+        df = (pl.from_arrow(t).group_by(["lang", "n_chars"])
+              .agg(pl.col("c").sum()).sort(["lang", "n_chars"]))
+        langs = df["lang"].to_numpy()
+        vals = df["n_chars"].to_numpy()
+        cnts = df["c"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, langs[1:] != langs[:-1]])
+        bounds = np.append(starts, len(langs))
+        out_l, out_m, out_d = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            v, c = vals[s:e], cnts[s:e]
+            cum = np.cumsum(c)
+            n = int(cum[-1])
+            rank = (n + 1) // 2                 # quantile_disc 0.5
+            med = int(v[np.searchsorted(cum, rank)])
+            adev = np.abs(v - med)              # same counts, new keys
+            order = np.argsort(adev, kind="stable")
+            cum2 = np.cumsum(c[order])
+            mad = int(adev[order][np.searchsorted(cum2, rank)])
+            out_l.append(langs[s])
+            out_m.append(med)
+            out_d.append(mad)
+        return pa.table({"lang": pa.array(out_l, type=pa.large_string()),
+                         "lang_median": pa.array(out_m, type=pa.int64()),
+                         "lang_mad": pa.array(out_d, type=pa.int64())})
+
+    part = docs.map_batches(counts, batch_format="pyarrow")
+    thr = pa.concat_tables(
+        b.cast(pa.schema([("lang", pa.string()),
+                          ("lang_median", pa.int64()),
+                          ("lang_mad", pa.int64())]))
+        for b in hash_exchange(part, "lang", med_mad, num_buckets=16)
+        .iter_batches(batch_format="pyarrow"))
+    tref = ray.put(thr)
+
+    def flag(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (pl.from_arrow(t)
+               .join(_bcast_frame(tref), on="lang", how="inner")
+               .filter((pl.col("n_chars") - pl.col("lang_median")).abs()
+                       > MAD_K * pl.col("lang_mad")))
+        return out.select(["doc_id", "lang", "n_chars",
+                           "lang_median", "lang_mad"]).to_arrow()
+
+    return docs.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_Q80 = f"""
+WITH med AS (
+  SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS lang_median
+  FROM documents GROUP BY lang),
+dev AS (
+  SELECT d.doc_id, d.lang, d.n_chars, m.lang_median,
+         abs(d.n_chars - m.lang_median) AS adev
+  FROM documents d JOIN med m USING (lang)),
+mad AS (
+  SELECT lang, CAST(quantile_disc(adev, 0.5) AS BIGINT) AS lang_mad
+  FROM dev GROUP BY lang)
+SELECT v.doc_id, v.lang, CAST(v.n_chars AS BIGINT) AS n_chars,
+       v.lang_median, b.lang_mad
+FROM dev v JOIN mad b USING (lang)
+WHERE v.adev > {MAD_K} * b.lang_mad
+"""
+
+
 # --- q79: data-quality expectation report ------------------------------------
 
 EXPECTED_EVENT_TYPES = ("signup", "click", "error", "view", "purchase")
@@ -1124,4 +1228,5 @@ QUERIES = {
         (q75_activity_reconciliation, SQL_Q75),
     "q76_region_revenue": (q76_region_revenue, SQL_Q76),
     "q79_data_expectations": (q79_data_expectations, SQL_Q79),
+    "q80_mad_outliers": (q80_mad_outliers, SQL_Q80),
 }

@@ -345,10 +345,57 @@ FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
 """
 
 
+# --- q81: last-value-wins compaction (CDC / upsert) --------------------------
+
+def q81_cdc_compact(sf_dir: str):
+    """Last-value-wins compaction of a keyed change stream — the CDC /
+    upsert pattern every ingest pipeline needs: one surviving row per
+    user_id, the latest by (ts, event_id) with a deterministic
+    tie-break.
+
+    Two-level shrink: each batch first compacts ITSELF (keep each key's
+    latest within the batch — a vectorized sort + keep-last), so at most
+    one row per (key × batch) enters the exchange; ONE hash exchange on
+    the key then keeps the global latest per key.  At 100 TB the shuffle
+    carries the compacted stream, not the raw one."""
+    import polars as pl
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def keep_last(df: "pl.DataFrame") -> "pl.DataFrame":
+        return (df.sort(["user_id", "ts", "event_id"])
+                .unique(subset=["user_id"], keep="last",
+                        maintain_order=True))
+
+    def precompact(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            ((pl.col("value") * 10000 + 0.5).floor().cast(pl.Int64))
+            .alias("value_e4")).drop("value")
+        return keep_last(df).to_arrow()
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return keep_last(pl.from_arrow(t)).to_arrow()
+
+    pre = events.map_batches(precompact, batch_format="pyarrow")
+    return hash_exchange(pre, "user_id", bucket, num_buckets=16)
+
+
+SQL_Q81 = """
+SELECT event_id, user_id, ts, event_type,
+       CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_e4
+FROM events
+QUALIFY row_number() OVER
+    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
 QUERIES = {
     "q23_asof_join": (q23_asof_join, SQL_Q23),
     "q24_sliding_window": (q24_sliding_window, SQL_Q24),
     "q25_interval_join": (q25_interval_join, SQL_Q25),
     "q36_event_lag": (q36_event_lag, SQL_Q36),
     "q45_funnel": (q45_funnel, SQL_Q45),
+    "q81_cdc_compact": (q81_cdc_compact, SQL_Q81),
 }
