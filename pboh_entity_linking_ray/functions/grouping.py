@@ -345,10 +345,17 @@ def _empty_side_fallback(left: ray.data.Dataset, right, how: str):
     return None
 
 
-def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
+def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              on: str | list[str],
               num_buckets: int = 64, how: str = "inner",
               post=None, engine: str = "exchange") -> ray.data.Dataset:
-    """Distributed large×large hash join on a same-named key column.
+    """Distributed large×large hash join on same-named key column(s).
+
+    ``on`` may be a LIST for a composite equality key: rows are then
+    ROUTED by a packed row-hash of the key columns (hash collisions are
+    harmless — they only co-locate extra rows; the in-bucket join
+    matches on the real column list, so equality is exact) and the
+    packed column never appears in the output.
 
     Both sides are hash-partitioned on ``on`` into the same buckets (one
     union + one shuffle), then each bucket is joined vectorized with
@@ -381,15 +388,18 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     fb = _empty_side_fallback(left, right, how)
     if fb is not None:
         return fb
+    on_cols = [on] if isinstance(on, str) else list(on)
+    multi = len(on_cols) > 1
     lf = [(f.name, f.type) for f in left.schema().base_schema]
     rf = [(f.name, f.type) for f in right.schema().base_schema]
     l_names = [n for n, _ in lf]
     # semi/anti joins return left rows only — the right side contributes
-    # nothing but key existence, so only its KEY column rides the
+    # nothing but key existence, so only its KEY column(s) ride the
     # exchange (the skinny-probe optimization; dedup upstream if the
     # right side is huge and key-repetitive)
     filtering = how in ("semi", "anti")
-    r_rest = [] if filtering else [(n, t) for n, t in rf if n != on]
+    r_rest = [] if filtering else [(n, t) for n, t in rf
+                                   if n not in on_cols]
     overlap = set(l_names) & {n for n, _ in r_rest}
     if overlap:
         raise ValueError(f"hash_join column collision: {sorted(overlap)}")
@@ -399,6 +409,8 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
 
     def align(side: int):
         def f(t: pa.Table) -> pa.Table:
+            import polars as pl
+
             n = t.num_rows
             cols = {}
             for name, typ in all_fields:
@@ -409,6 +421,14 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
                 else:
                     cols[name] = pa.nulls(n, type=typ)
             cols[SIDE_COL] = pa.array(np.full(n, side, dtype=np.int8))
+            if multi:
+                # routing key only: a packed row-hash of the key tuple
+                # (over the CAST columns, so int32-vs-int64 sides hash
+                # alike); the in-bucket join matches on the real columns
+                h = (pl.from_arrow(pa.table({c: cols[c] for c in on_cols}))
+                     .hash_rows(seed=23).to_numpy()
+                     .astype(np.uint64, copy=False))
+                cols[SKEY_COL] = pa.array(h.view(np.int64))
             return pa.table(cols)
 
         return f
@@ -417,7 +437,7 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
         right.map_batches(align(1), batch_format="pyarrow"))
 
     l_cols = l_names
-    r_cols = [on] + [n for n, _ in r_rest]
+    r_cols = on_cols + [n for n, _ in r_rest]
 
     def join_bucket(bucket: pa.Table) -> pa.Table:
         import polars as pl
@@ -427,16 +447,17 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
         rhs = df.filter(pl.col(SIDE_COL) == 1).select(r_cols)
         # full outer: coalesce the two key columns into one, so
         # unmatched right rows carry their key in the shared column
-        out = lhs.join(rhs, on=on, how=how,
+        out = lhs.join(rhs, on=on_cols, how=how,
                        coalesce=True if how == "full" else None)
         joined = out.select([n for n, _ in out_fields]).to_arrow().cast(out_schema)
         return post(joined) if post is not None else joined
 
+    key_col = SKEY_COL if multi else on_cols[0]
     if engine == "exchange":
         # direct hash exchange (see hash_exchange): ~2 s where the sort
         # shuffle spends ~34 s at the feature-join scale
-        return hash_exchange(both, on, join_bucket, num_buckets)
-    return bucketed_groups(both, on, join_bucket, num_buckets,
+        return hash_exchange(both, key_col, join_bucket, num_buckets)
+    return bucketed_groups(both, key_col, join_bucket, num_buckets,
                            repartition=False)
 
 

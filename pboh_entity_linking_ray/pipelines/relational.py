@@ -880,6 +880,34 @@ def q75_activity_reconciliation(sf_dir: str):
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+# --- q82: composite-key join ---------------------------------------------
+
+def q82_event_type_freq(sf_dir: str):
+    """Each event enriched with how often its (user, event_type)
+    combination occurs — a join on a COMPOSITE equality key
+    (``hash_join(on=["user_id", "event_type"])``): rows route by a
+    packed row-hash of the key tuple, the in-bucket join matches on the
+    real column list, so multi-column equality is exact with one
+    exchange and no packed key in the output."""
+    from ray.data.aggregate import Count
+
+    from ..functions.grouping import hash_join
+
+    events = _t(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    counts = (events.groupby(["user_id", "event_type"])
+              .aggregate(Count(alias_name="type_count")))
+    return hash_join(events, counts, ["user_id", "event_type"])
+
+
+SQL_Q82 = """
+SELECT e.event_id, e.user_id, e.event_type, c.type_count
+FROM events e
+JOIN (SELECT user_id, event_type, count(*) AS type_count
+      FROM events GROUP BY 1, 2) c
+USING (user_id, event_type)
+"""
+
+
 # --- q80: robust per-group outlier flagging (median / MAD) -------------------
 
 MAD_K = 2   # flag |x − median| > MAD_K × MAD; literal mirrored in the SQL
@@ -1229,4 +1257,5 @@ QUERIES = {
     "q76_region_revenue": (q76_region_revenue, SQL_Q76),
     "q79_data_expectations": (q79_data_expectations, SQL_Q79),
     "q80_mad_outliers": (q80_mad_outliers, SQL_Q80),
+    "q82_event_type_freq": (q82_event_type_freq, SQL_Q82),
 }

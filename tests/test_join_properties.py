@@ -75,3 +75,39 @@ def test_joins_agree_with_pandas(ray_session, how, lk, rk):
         got_df = got_df.reindex(columns=want.columns.tolist())
         pd.testing.assert_frame_equal(got_df, want, check_dtype=False,
                                       obj=name)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti", "full"])
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lk=KEYS, lk2=KEYS, rk=KEYS, rk2=KEYS)
+def test_composite_key_hash_join_agrees_with_pandas(ray_session, how,
+                                                    lk, lk2, rk, rk2):
+    """hash_join on a LIST of key columns (routing by packed row-hash,
+    in-bucket match on the real columns) must agree with pandas for
+    every how."""
+    n_l, n_r = min(len(lk), len(lk2)), min(len(rk), len(rk2))
+    ldf = pd.DataFrame({"k": np.array(lk[:n_l], dtype="int64"),
+                        "k2": np.array(lk2[:n_l], dtype="int64"),
+                        "lv": np.arange(n_l, dtype="int64")})
+    rdf = pd.DataFrame({"k": np.array(rk[:n_r], dtype="int64"),
+                        "k2": np.array(rk2[:n_r], dtype="int64"),
+                        "rv": np.arange(n_r, dtype="int64") * 10})
+    if how in ("inner", "left"):
+        want = ldf.merge(rdf, on=["k", "k2"], how=how)
+    elif how == "full":
+        want = ldf.merge(rdf, on=["k", "k2"], how="outer")
+    else:
+        keys = set(zip(rdf.k, rdf.k2))
+        mask = [(a, b) in keys for a, b in zip(ldf.k, ldf.k2)]
+        want = ldf[mask] if how == "semi" else ldf[[not m for m in mask]]
+    want = want.sort_values(want.columns.tolist()).reset_index(drop=True)
+
+    left = ray.data.from_arrow(pa.Table.from_pandas(ldf)).repartition(3)
+    right = ray.data.from_arrow(pa.Table.from_pandas(rdf)).repartition(2)
+    got = _norm(hash_join(left, right, ["k", "k2"], how=how, num_buckets=8))
+    if len(want) == 0:
+        assert len(got) == 0
+        return
+    got = got.reindex(columns=want.columns.tolist())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
