@@ -457,8 +457,129 @@ FROM t GROUP BY conv_id
 """
 
 
+def link_boilerplate_turns(sf_dir: str, min_convs: int = 3):
+    """Canned-message / boilerplate detection over the turns table: the
+    exact turn texts appearing in ≥ ``min_convs`` DISTINCT conversations
+    (system prompts, templated greetings, tool banners) — the transcript
+    analog of the documents' stop-shingle guard, and the first thing a
+    transcript curation pass strips before training.
+
+    Per-batch partial: distinct (text, conv, occurrences-in-batch) rows
+    — O(distinct pairs per batch) — cross ONE exchange keyed on the
+    text; each bucket counts distinct conversations and sums
+    occurrences, applying the HAVING in-bucket so only boilerplate rows
+    leave."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange
+
+    turns = _turns(sf_dir).select_columns(["conv_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (pl.from_arrow(t).group_by(["text", "conv_id"])
+                .len(name="n_part")
+                .with_columns(pl.col("n_part").cast(pl.Int64))
+                .to_arrow())
+
+    empty = pa.table({
+        "text": pa.array([], type=pa.string()),
+        "n_convs": pa.array([], type=pa.int64()),
+        "n_occurrences": pa.array([], type=pa.int64())})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return empty
+        df = (pl.from_arrow(t).group_by("text")
+              .agg(n_convs=pl.col("conv_id").n_unique().cast(pl.Int64),
+                   n_occurrences=pl.col("n_part").sum())
+              .filter(pl.col("n_convs") >= min_convs))
+        return df.to_arrow().cast(empty.schema)
+
+    part = turns.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(part, "text", bucket, num_buckets=16)
+
+
+SQL_BOILERPLATE = f"""
+SELECT text,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM read_parquet('{_SQL_TURNS}')
+GROUP BY text
+HAVING count(DISTINCT conv_id) >= 3
+"""
+
+
+SFT_CTX_TURNS = 3
+
+
+def link_sft_pairs(sf_dir: str):
+    """SFT training-pair assembly from transcripts: for every assistant
+    turn (past the opening turn), the concatenation of up to the
+    previous SFT_CTX_TURNS turns as ``role: text`` lines → ``context``,
+    with the assistant's own text as ``target`` — the
+    conversation-to-training-example op every chat-model data pipeline
+    runs.
+
+    ONE bucketed exchange on conv_id (a conversation's turns must
+    co-locate, same discipline as canonicalize), then a vectorized
+    polars window per bucket: sort by (conv, turn), three shifts over
+    the conv partition, null-skipping concat."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_groups
+
+    turns = _turns(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "text"])
+
+    empty = pa.table({
+        "conv_id": pa.array([], type=pa.string()),
+        "turn_idx": pa.array([], type=pa.int64()),
+        "context": pa.array([], type=pa.string()),
+        "target": pa.array([], type=pa.string())})
+
+    def per_conv(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return empty
+        df = (pl.from_arrow(t).sort(["conv_id", "turn_idx"])
+              .with_columns(
+                  fmt=pl.col("role") + pl.lit(": ") + pl.col("text")))
+        shifts = [pl.col("fmt").shift(k).over("conv_id").alias(f"p{k}")
+                  for k in range(SFT_CTX_TURNS, 0, -1)]
+        out = (df.with_columns(*shifts)
+               .filter((pl.col("role") == "assistant")
+                       & (pl.col("turn_idx") > 0))
+               .select(
+                   "conv_id",
+                   pl.col("turn_idx").cast(pl.Int64),
+                   pl.concat_str(
+                       [pl.col(f"p{k}")
+                        for k in range(SFT_CTX_TURNS, 0, -1)],
+                       separator="\n", ignore_nulls=True).alias("context"),
+                   pl.col("text").alias("target")))
+        return out.to_arrow().cast(empty.schema)
+
+    return bucketed_groups(turns, "conv_id", per_conv)
+
+
+SQL_SFT_PAIRS = f"""
+WITH w AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role || ': ' || text, 3) OVER win AS p3,
+         lag(role || ': ' || text, 2) OVER win AS p2,
+         lag(role || ': ' || text, 1) OVER win AS p1
+  FROM read_parquet('{_SQL_TURNS}')
+  WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       concat_ws(chr(10), p3, p2, p1) AS context, text AS target
+FROM w WHERE role = 'assistant' AND turn_idx > 0
+"""
+
+
 QUERIES = {
     "link_canonicalize": (link_canonicalize, SQL_CANONICALIZE),
+    "link_boilerplate_turns": (link_boilerplate_turns, SQL_BOILERPLATE),
+    "link_sft_pairs": (link_sft_pairs, SQL_SFT_PAIRS),
     "link_turn_quality": (link_turn_quality, SQL_TURN_QUALITY),
     "link_parse_lines": (link_parse_lines, SQL_PARSE_LINES),
     "link_token_df": (link_token_df, SQL_TOKEN_DF),
