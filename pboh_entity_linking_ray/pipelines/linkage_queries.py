@@ -576,10 +576,137 @@ FROM w WHERE role = 'assistant' AND turn_idx > 0
 """
 
 
+SFT_MIN_TURNS = 4        # quality gate: conversations shorter than this
+SFT_TRAIN_MOD = 8        # md5(conv) % 10 < 8 → train, else val
+
+
+def link_sft_corpus(sf_dir: str):
+    """The END-TO-END transcript→SFT-corpus pipeline, composed and
+    oracle-paired as ONE query — what a chat-model data team actually
+    ships: exact-duplicate conversations collapse to one representative,
+    malformed conversations are gated out (≥SFT_MIN_TURNS turns, zero
+    role repeats), boilerplate turns (text in ≥3 distinct convs) are
+    stripped, surviving assistant turns become (context, target) pairs,
+    and every pair carries a leakage-safe deterministic train/val split
+    hashed on the conversation (duplicate convs can't straddle splits —
+    they were collapsed first).
+
+    THREE exchanges total: (1) canonicalize + keep-min-conv per doc →
+    the skinny rep set; (2) text-keyed boilerplate mining (bounded by
+    the stop-key argument → driver-collected + broadcast); (3) ONE
+    conv_id semi-join exchange of the raw turns against the rep set,
+    with the ENTIRE per-conversation tail — quality gate, boilerplate
+    strip, window assembly, split hash — fused into the bucket task
+    (``post``): raw turns cross the wire exactly once.
+
+    md5 is the oracle-parity hash (functions/hashing.md5_lower64 ==
+    DuckDB md5_number_lower); production paths use xxhash."""
+    import polars as pl
+
+    from ..functions.grouping import _bcast_frame, hash_join
+
+    turns = _turns(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "text"])
+
+    # (1) exact-dup representatives: min conv per canonical doc
+    reps = link_dedup_exact(sf_dir).map_batches(
+        lambda t: t.select(["conv_id"]), batch_format="pyarrow")
+
+    # (2) boilerplate texts — bounded (df ≥ 3 stop keys), broadcast once
+    bp = pa.concat_tables(
+        b.select(["text"]).cast(pa.schema([("text", pa.string())]))
+        for b in link_boilerplate_turns(sf_dir)
+        .iter_batches(batch_format="pyarrow"))
+    bp_ref = ray.put(bp)
+
+    empty = pa.table({
+        "conv_id": pa.array([], type=pa.string()),
+        "turn_idx": pa.array([], type=pa.int64()),
+        "context": pa.array([], type=pa.string()),
+        "target": pa.array([], type=pa.string()),
+        "split": pa.array([], type=pa.string())})
+
+    def assemble(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = pl.from_arrow(t).sort(["conv_id", "turn_idx"])
+        # quality gate on the ORIGINAL turns of each conversation
+        stats = (df.group_by("conv_id")
+                 .agg(n=pl.len(),
+                      reps=(pl.col("role") == pl.col("role").shift(1))
+                      .fill_null(False).sum()))
+        good = stats.filter((pl.col("n") >= SFT_MIN_TURNS)
+                            & (pl.col("reps") == 0)).select("conv_id")
+        kept = (df.join(good, on="conv_id", how="semi")
+                .join(_bcast_frame(bp_ref), left_on="text",
+                      right_on="text", how="anti"))
+        if len(kept) == 0:
+            return empty
+        kept = kept.with_columns(
+            fmt=pl.col("role") + pl.lit(": ") + pl.col("text"))
+        shifts = [pl.col("fmt").shift(k).over("conv_id").alias(f"p{k}")
+                  for k in range(3, 0, -1)]
+        pairs = (kept.with_columns(*shifts)
+                 .filter((pl.col("role") == "assistant")
+                         & pl.col("p1").is_not_null()))
+        convs = pairs["conv_id"].unique().to_list()
+        lab = pl.DataFrame({
+            "conv_id": convs,
+            "split": ["train" if md5_lower64(c) % 10 < SFT_TRAIN_MOD
+                      else "val" for c in convs]})
+        out = (pairs.join(lab, on="conv_id")
+               .select("conv_id", pl.col("turn_idx").cast(pl.Int64),
+                       pl.concat_str([pl.col(f"p{k}")
+                                      for k in range(3, 0, -1)],
+                                     separator="\n",
+                                     ignore_nulls=True).alias("context"),
+                       pl.col("text").alias("target"), "split"))
+        return out.to_arrow().cast(empty.schema)
+
+    # (3) raw turns cross ONE exchange (semi vs reps), full tail fused
+    return hash_join(turns, reps, "conv_id", how="semi", post=assemble)
+
+
+SQL_SFT_CORPUS = f"""
+WITH {_SQL_CONV_DOCS},
+reps AS (SELECT min(conv_id) AS conv_id FROM conv_docs
+         GROUP BY mention_doc),
+qual AS (
+  SELECT conv_id FROM (
+    SELECT conv_id, count(*) AS n,
+           sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS n_reps
+    FROM (SELECT conv_id, role,
+                 lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                     AS prev_role
+          FROM read_parquet('{_SQL_TURNS}'))
+    GROUP BY conv_id)
+  WHERE n >= {SFT_MIN_TURNS} AND n_reps = 0),
+bp AS (SELECT text FROM read_parquet('{_SQL_TURNS}')
+       GROUP BY text HAVING count(DISTINCT conv_id) >= 3),
+kept AS (
+  SELECT t.conv_id, t.turn_idx, t.role, t.text
+  FROM read_parquet('{_SQL_TURNS}') t
+  JOIN reps USING (conv_id) JOIN qual USING (conv_id)
+  WHERE t.text NOT IN (SELECT text FROM bp)),
+w AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(role || ': ' || text, 3) OVER win AS p3,
+         lag(role || ': ' || text, 2) OVER win AS p2,
+         lag(role || ': ' || text, 1) OVER win AS p1
+  FROM kept WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       concat_ws(chr(10), p3, p2, p1) AS context, text AS target,
+       CASE WHEN md5_number_lower(conv_id) % 10 < {SFT_TRAIN_MOD}
+            THEN 'train' ELSE 'val' END AS split
+FROM w WHERE role = 'assistant' AND p1 IS NOT NULL
+"""
+
+
 QUERIES = {
     "link_canonicalize": (link_canonicalize, SQL_CANONICALIZE),
     "link_boilerplate_turns": (link_boilerplate_turns, SQL_BOILERPLATE),
     "link_sft_pairs": (link_sft_pairs, SQL_SFT_PAIRS),
+    "link_sft_corpus": (link_sft_corpus, SQL_SFT_CORPUS),
     "link_turn_quality": (link_turn_quality, SQL_TURN_QUALITY),
     "link_parse_lines": (link_parse_lines, SQL_PARSE_LINES),
     "link_token_df": (link_token_df, SQL_TOKEN_DF),
