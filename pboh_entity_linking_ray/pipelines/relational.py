@@ -837,38 +837,53 @@ def q75_activity_reconciliation(sf_dir: str):
     Reference analog: the solution ⋈ ground-truth reconciliation
     (eval/EvalOnDatasets.scala) generalised to a symmetric outer merge.
     """
-    from ray.data.aggregate import Count, Sum
-
-    from ..functions.grouping import hash_join
+    from ..functions.grouping import bucketed_sum_multi, hash_join
 
     orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def big(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater_equal(t["o_totalprice"], pa.scalar(300000.0)))
-        return t.append_column("spend_e2", pa.array(
-            np.floor(np.asarray(t["o_totalprice"]) * 100 + 0.5)
-            .astype(np.int64)))
+    def big_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
 
-    spend = (orders.map_batches(big, batch_format="pyarrow")
-             .groupby("o_custkey")
-             .aggregate(Sum("spend_e2", alias_name="big_spend_e2"),
-                        Count(alias_name="n_big_orders"))
-             .rename_columns({"o_custkey": "c_custkey"}))
+        t = t.filter(pc.greater_equal(t["o_totalprice"], pa.scalar(300000.0)))
+        df = pl.from_arrow(pa.table({
+            "c_custkey": t["o_custkey"],
+            "spend_e2": pa.array(
+                np.floor(np.asarray(t["o_totalprice"]) * 100 + 0.5)
+                .astype(np.int64))}))
+        return (df.group_by("c_custkey")
+                .agg(pl.col("spend_e2").sum().alias("big_spend_e2"),
+                     pl.len().cast(pl.Int64).alias("n_big_orders"))
+                .to_arrow())
+
+    # partial-combine per batch, ONE exchange per side (never a native
+    # sort shuffle over the raw facts) — 6.8 s → ~3.7 s at sf0.1
+    spend = bucketed_sum_multi(
+        orders.map_batches(big_partial, batch_format="pyarrow"),
+        ["c_custkey"], {"big_spend_e2": "big_spend_e2",
+                        "n_big_orders": "n_big_orders"},
+        engine="exchange")
 
     events = _t(sf_dir, "events", ["user_id", "event_type", "value"])
 
-    def purch(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["event_type"], pa.scalar("purchase")))
-        return pa.table({
-            "c_custkey": t["user_id"],
-            "val_e4": pa.array(np.floor(np.asarray(t["value"]) * 10000 + 0.5)
-                               .astype(np.int64)),
-        })
+    def purch_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
 
-    activity = (events.map_batches(purch, batch_format="pyarrow")
-                .groupby("c_custkey")
-                .aggregate(Sum("val_e4", alias_name="purchase_value_e4"),
-                           Count(alias_name="n_purchases")))
+        t = t.filter(pc.equal(t["event_type"], pa.scalar("purchase")))
+        df = pl.from_arrow(pa.table({
+            "c_custkey": t["user_id"],
+            "val_e4": pa.array(
+                np.floor(np.asarray(t["value"]) * 10000 + 0.5)
+                .astype(np.int64))}))
+        return (df.group_by("c_custkey")
+                .agg(pl.col("val_e4").sum().alias("purchase_value_e4"),
+                     pl.len().cast(pl.Int64).alias("n_purchases"))
+                .to_arrow())
+
+    activity = bucketed_sum_multi(
+        events.map_batches(purch_partial, batch_format="pyarrow"),
+        ["c_custkey"], {"purchase_value_e4": "purchase_value_e4",
+                        "n_purchases": "n_purchases"},
+        engine="exchange")
 
     joined = hash_join(spend, activity, "c_custkey", how="full")
 
@@ -896,7 +911,10 @@ def q82_event_type_freq(sf_dir: str):
     events = _t(sf_dir, "events", ["event_id", "user_id", "event_type"])
     counts = (events.groupby(["user_id", "event_type"])
               .aggregate(Count(alias_name="type_count")))
-    return hash_join(events, counts, ["user_id", "event_type"])
+    # materialized: the join's schema fetch would otherwise execute the
+    # lazy aggregate once and the exchange re-execute it (q75 note)
+    return hash_join(events, counts.materialize(),
+                     ["user_id", "event_type"])
 
 
 SQL_Q82 = """
