@@ -483,82 +483,53 @@ PR_PART_OFF = 1_000_000   # part node ids disjoint from customer ids
 
 PR_SHARDS = 16
 
-
-@ray.remote
-class _GraphShard:
-    """One hash shard of the STATIC edge topology, pinned in actor
-    memory for the whole power iteration — the legitimate raw-actor
-    case (a shared state the Dataset API can't hold across iterations).
-
-    Partitioning assumption (documented contract): rows are routed by
-    ``polars.hash(src, seed=17) % n_shards``, so ALL copies of a given
-    src live in exactly one shard.  That makes two build steps free:
-    the shard dedups its (src, dst) pairs locally (global dedup needs
-    no exchange) and computes exact out-degrees locally (no degree
-    join).  Each iteration then ships ONLY rank rows — the edge list
-    never crosses the wire again (a Pregel-style static partition)."""
-
-    def __init__(self, *parts: pa.Table):
-        import polars as pl
-
-        live = [p for p in parts if p.num_rows]
-        if not live:
-            self.edges = None
-            self.nodes_tbl = pa.table({
-                "src": pa.array([], type=pa.int64()),
-                "d": pa.array([], type=pa.int64())})
-            return
-        df = (pl.from_arrow(pa.concat_tables(live))
-              .unique(subset=["src", "dst"]))
-        deg = df.group_by("src").agg(d=pl.len().cast(pl.Int64))
-        self.edges = df.join(deg, on="src", how="inner")
-        self.nodes_tbl = deg.to_arrow()
-
-    def nodes(self) -> pa.Table:
-        """(src, d) for every node homed in this shard."""
-        return self.nodes_tbl
-
-    def contrib(self, *rank_parts: pa.Table) -> pa.Table:
-        """One iteration's partial contributions: join this shard's
-        rank rows against the pinned edges and pre-sum r/d per dst —
-        only O(distinct dst in shard) skinny rows leave."""
-        import polars as pl
-
-        live = [p for p in rank_parts if p.num_rows]
-        if self.edges is None or not live:
-            return pa.table({"dst": pa.array([], type=pa.int64()),
-                             "x": pa.array([], type=pa.float64())})
-        ranks = pl.from_arrow(pa.concat_tables(live))
-        out = (self.edges.join(ranks, on="src", how="inner")
-               .select(pl.col("dst"),
-                       x=pl.col("r") / pl.col("d"))
-               .group_by("dst").agg(pl.col("x").sum()))
-        return out.to_arrow()
+_EMPTY_NODES = pa.table({"src": pa.array([], type=pa.int64()),
+                         "d": pa.array([], type=pa.int64())})
+_EMPTY_CONTRIB = pa.table({"dst": pa.array([], type=pa.int64()),
+                           "x": pa.array([], type=pa.float64())})
 
 
-@ray.remote
-def _split_by_src(tbl: pa.Table, n: int):
-    """Hash-split one block by ``hash(src, seed=17) % n`` (the shard
-    routing function) — returns ``n`` zero-copy slices."""
+def _graph_state(tbl: pa.Table | None):
+    """PinnedShards init for one shard of the symmetrized edge list.
+    src-routing co-locates ALL copies of a given src, so two build
+    steps are local: global (src, dst) dedup and exact out-degrees —
+    no dedup exchange, no degree join."""
     import polars as pl
 
-    if tbl.num_rows == 0:
-        return tuple(tbl for _ in range(n))
-    h = pl.from_arrow(tbl["src"].combine_chunks()).hash(seed=17).to_numpy()
-    s = (h % np.uint64(n)).astype(np.int64)
-    order = np.argsort(s, kind="stable")
-    st = tbl.take(pa.array(order))
-    counts = np.bincount(s, minlength=n)
-    offs = np.concatenate(([0], np.cumsum(counts)))
-    return tuple(st.slice(offs[i], counts[i]) for i in range(n))
+    if tbl is None:
+        return None
+    df = pl.from_arrow(tbl).unique(subset=["src", "dst"])
+    deg = df.group_by("src").agg(d=pl.len().cast(pl.Int64))
+    return {"edges": df.join(deg, on="src", how="inner"),
+            "nodes": deg.to_arrow()}
+
+
+def _graph_nodes(state) -> pa.Table:
+    return state["nodes"] if state is not None else _EMPTY_NODES
+
+
+def _graph_contrib(state, probe: pa.Table | None) -> pa.Table:
+    """One iteration's partial contributions: this shard's rank rows ⋈
+    pinned edges, r/d pre-summed per dst — only O(distinct dst in
+    shard) skinny rows leave the actor."""
+    import polars as pl
+
+    if state is None or probe is None:
+        return _EMPTY_CONTRIB
+    ranks = pl.from_arrow(probe)
+    return (state["edges"].join(ranks, on="src", how="inner")
+            .select(pl.col("dst"), x=pl.col("r") / pl.col("d"))
+            .group_by("dst").agg(pl.col("x").sum())
+            .to_arrow())
 
 
 def q68_pagerank(sf_dir: str):
     """Distributed PageRank (fixed PR_ITERS power iterations, damping
     PR_DAMP) over the symmetrized customer↔part purchase graph — the
-    engine's iterative-graph pattern: the edge topology is hash-split by
-    src ONCE into ``PR_SHARDS`` pinned actor shards (``_GraphShard``:
-    local dedup + local degrees, since a src's every copy co-locates);
+    engine's iterative-graph pattern on the ``PinnedShards`` primitive
+    (functions/pinned.py): the edge topology is hash-split by src ONCE
+    into ``PR_SHARDS`` pinned actor shards (``_graph_state``: local
+    dedup + local degrees, since a src's every copy co-locates);
     each iteration then moves only the O(nodes) rank rows — split to the
     shards by the same hash, joined against the pinned edges in-actor
     with per-dst partial sums, and re-aggregated by ONE tiny exchange
@@ -612,15 +583,12 @@ def q68_pagerank(sf_dir: str):
         lambda t: pa.table({"src": t["p"], "dst": t["c"]}),
         batch_format="pyarrow"))
 
-    # ONE-time intake: split every edge block by the shard hash and pin
-    # each shard's slices in its actor (dedup + degrees happen there)
-    blocks = edges.materialize().to_arrow_refs()
-    parts = [_split_by_src.options(num_returns=PR_SHARDS)
-             .remote(b, PR_SHARDS) for b in blocks]
-    shards = [_GraphShard.remote(*[p[k] for p in parts])
-              for k in range(PR_SHARDS)]
+    # ONE-time intake: pin the edge list in hash-routed actor shards
+    # (dedup + degrees happen inside each shard, see _graph_state)
+    from ..functions.pinned import PinnedShards
 
-    node_tbls = ray.get([s.nodes.remote() for s in shards])
+    shards = PinnedShards(edges, "src", _graph_state, n_shards=PR_SHARDS)
+    node_tbls = [t for t in shards.gather(_graph_nodes) if t.num_rows]
     n_nodes = sum(t.num_rows for t in node_tbls)
     if n_nodes == 0:
         return ray.data.from_arrow(pa.table({
@@ -629,13 +597,11 @@ def q68_pagerank(sf_dir: str):
 
     r_init = 1.0 / n_nodes
     base = PR_BASE / n_nodes
-    # rank rows start pre-split by construction (shard k's nodes came
-    # from shard k) — each later iteration re-splits the renorm output
-    rank_parts: list[list] = [
-        [pa.table({"src": t["src"],
-                   "r": pa.array(np.full(t.num_rows, r_init),
-                                 type=pa.float64())})]
-        for t in node_tbls]
+    ranks = ray.data.from_arrow([
+        pa.table({"src": t["src"],
+                  "r": pa.array(np.full(t.num_rows, r_init),
+                                type=pa.float64())})
+        for t in node_tbls])
 
     def renorm(t: pa.Table) -> pa.Table:
         """Exchange bucket fn: final per-dst sum + the damping update,
@@ -652,17 +618,10 @@ def q68_pagerank(sf_dir: str):
                           type=pa.float64()),
         })
 
-    ranks = None
-    for it in range(PR_ITERS):
-        contribs = [shards[k].contrib.remote(*rank_parts[k])
-                    for k in range(PR_SHARDS)]
+    for _ in range(PR_ITERS):
         ranks = bucketed_groups(
-            ray.data.from_arrow_refs(contribs),
+            shards.map(ranks, _graph_contrib),
             "dst", renorm, engine="exchange").materialize()
-        if it < PR_ITERS - 1:
-            rparts = [_split_by_src.options(num_returns=PR_SHARDS)
-                      .remote(b, PR_SHARDS) for b in ranks.to_arrow_refs()]
-            rank_parts = [[p[k] for p in rparts] for k in range(PR_SHARDS)]
 
     return ranks.map_batches(
         lambda t: pa.table({
