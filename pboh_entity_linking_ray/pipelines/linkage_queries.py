@@ -576,6 +576,84 @@ FROM w WHERE role = 'assistant' AND turn_idx > 0
 """
 
 
+def link_transition_matrix(sf_dir: str):
+    """Conversation-structure mining: the global transition matrices of
+    (a) ROLE sequences over all turns and (b) TOOL sequences over the
+    tool-call turns — (kind, a, b) → transition count and the number of
+    distinct conversations exhibiting it.  The Markov-structure summary
+    a transcript-curation pass uses to spot malformed dialogue shapes
+    and dominant tool workflows.
+
+    ONE bucketed exchange on conv_id; a conversation lives entirely in
+    one bucket, so per-bucket distinct-conv counts SUM exactly across
+    buckets — both matrices come out of one vectorized shift pass per
+    bucket plus an O(kinds × pairs) final combine."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_groups, bucketed_sum_multi
+
+    turns = _turns(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "tool"])
+
+    empty = pa.table({
+        "kind": pa.array([], type=pa.string()),
+        "a": pa.array([], type=pa.string()),
+        "b": pa.array([], type=pa.string()),
+        "n_transitions": pa.array([], type=pa.int64()),
+        "n_convs": pa.array([], type=pa.int64())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return empty
+
+        def trans(df: "pl.DataFrame", col: str, kind: str) -> "pl.DataFrame":
+            w = (df.sort(["conv_id", "turn_idx"])
+                 .with_columns(a=pl.col(col).shift(1).over("conv_id"))
+                 .filter(pl.col("a").is_not_null()))
+            return (w.group_by(["a", col])
+                    .agg(n_transitions=pl.len().cast(pl.Int64),
+                         n_convs=pl.col("conv_id").n_unique()
+                         .cast(pl.Int64))
+                    .rename({col: "b"})
+                    .with_columns(kind=pl.lit(kind))
+                    .select(["kind", "a", "b",
+                             "n_transitions", "n_convs"]))
+
+        df = pl.from_arrow(t)
+        out = pl.concat([
+            trans(df, "role", "role"),
+            trans(df.filter(pl.col("tool") != ""), "tool", "tool"),
+        ])
+        return out.to_arrow().cast(empty.schema)
+
+    part = bucketed_groups(turns, "conv_id", per_bucket)
+    # a conv is in exactly one bucket → summing partial n_convs is exact
+    return bucketed_sum_multi(part, ["kind", "a", "b"],
+                              {"n_transitions": "n_transitions",
+                               "n_convs": "n_convs"},
+                              num_buckets=4, engine="exchange")
+
+
+SQL_TRANSITIONS = f"""
+WITH r AS (
+  SELECT conv_id, role AS b,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS a
+  FROM read_parquet('{_SQL_TURNS}')),
+t AS (
+  SELECT conv_id, tool AS b,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS a
+  FROM read_parquet('{_SQL_TURNS}') WHERE tool <> '')
+SELECT 'role' AS kind, a, b,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM r WHERE a IS NOT NULL GROUP BY a, b
+UNION ALL
+SELECT 'tool', a, b, CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT conv_id) AS BIGINT)
+FROM t WHERE a IS NOT NULL GROUP BY a, b
+"""
+
+
 SFT_MIN_TURNS = 4        # quality gate: conversations shorter than this
 SFT_TRAIN_MOD = 8        # md5(conv) % 10 < 8 → train, else val
 
@@ -707,6 +785,7 @@ QUERIES = {
     "link_boilerplate_turns": (link_boilerplate_turns, SQL_BOILERPLATE),
     "link_sft_pairs": (link_sft_pairs, SQL_SFT_PAIRS),
     "link_sft_corpus": (link_sft_corpus, SQL_SFT_CORPUS),
+    "link_transition_matrix": (link_transition_matrix, SQL_TRANSITIONS),
     "link_turn_quality": (link_turn_quality, SQL_TURN_QUALITY),
     "link_parse_lines": (link_parse_lines, SQL_PARSE_LINES),
     "link_token_df": (link_token_df, SQL_TOKEN_DF),
