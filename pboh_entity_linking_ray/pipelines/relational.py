@@ -13,6 +13,8 @@ engines; rounding makes the value-hash comparison stable).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -895,6 +897,57 @@ def q75_activity_reconciliation(sf_dir: str):
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+# --- q83: zone-map clustered layout + pruned range read ----------------------
+
+Q83_LO, Q83_HI = 100, 300    # partkey range; literals mirrored in the SQL
+
+
+def q83_zone_map_prune(sf_dir: str):
+    """Range query over a KEY-CLUSTERED layout (state/clustered.py):
+    lineitem is written once range-partitioned on l_partkey (one sorted
+    file per quantile-balanced range + zone-map manifest), then the
+    range query reads ONLY the overlapping files (manifest prune +
+    residual filter) and aggregates revenue per returnflag — the
+    prune-at-the-read discipline made a storage-layout feature: at
+    100 TB the query touches O(selectivity) bytes, not the table.
+
+    The clustered copy is cached per sf dir (idempotent manifest);
+    pruning effectiveness is pinned in tests/test_clustered.py."""
+    from ray.data.aggregate import Sum
+
+    from ..state.clustered import clustered_write, pruned_read
+
+    out_dir = os.path.join(
+        "/tmp/pboh_clustered",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_lineitem_partkey")
+    ds = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_returnflag", "l_extendedprice", "l_discount"])
+    clustered_write(ds, "l_partkey", out_dir, n_files=8)
+
+    def rev(t: pa.Table) -> pa.Table:
+        x = (np.asarray(t["l_extendedprice"])
+             * (1.0 - np.asarray(t["l_discount"])))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "rev_e4": pa.array(np.floor(x * 10000 + 0.5).astype(np.int64)),
+        })
+
+    return (pruned_read(out_dir, Q83_LO, Q83_HI)
+            .map_batches(rev, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("rev_e4", alias_name="revenue_e4")))
+
+
+SQL_Q83 = f"""
+SELECT l_returnflag,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+WHERE l_partkey BETWEEN {Q83_LO} AND {Q83_HI}
+GROUP BY l_returnflag
+"""
+
+
 # --- q82: composite-key join ---------------------------------------------
 
 def q82_event_type_freq(sf_dir: str):
@@ -1276,4 +1329,5 @@ QUERIES = {
     "q79_data_expectations": (q79_data_expectations, SQL_Q79),
     "q80_mad_outliers": (q80_mad_outliers, SQL_Q80),
     "q82_event_type_freq": (q82_event_type_freq, SQL_Q82),
+    "q83_zone_map_prune": (q83_zone_map_prune, SQL_Q83),
 }

@@ -1371,8 +1371,10 @@ def bpe_train(sf_dir: str):
 # per-type encode once, every later occurrence is a dict hit (the
 # standard trick every published BPE encoder uses: encode types, not
 # tokens).  Keyed by the merge-table fingerprint so different trainings
-# never collide; bounded by the corpus vocabulary.
+# never collide; bounded by the corpus vocabulary per key and by
+# _BPE_ENC_CACHE_MAX keys (a worker serving many corpora evicts oldest).
 _BPE_ENC_CACHE: dict = {}
+_BPE_ENC_CACHE_MAX = 4
 
 
 def _bpe_token_len(word: str, merges: tuple) -> int:
@@ -1428,6 +1430,9 @@ def bpe_encode(sf_dir: str):
             return pa.table({"doc_id": pa.array([], type=pa.int64()),
                              "n_words": pa.array([], type=pa.int64()),
                              "n_tokens_bpe": pa.array([], type=pa.int64())})
+        if mkey not in _BPE_ENC_CACHE and \
+                len(_BPE_ENC_CACHE) >= _BPE_ENC_CACHE_MAX:
+            _BPE_ENC_CACHE.pop(next(iter(_BPE_ENC_CACHE)))
         cache = _BPE_ENC_CACHE.setdefault(mkey, {})
         uniq = words["w"].unique().to_list()
         lens = []

@@ -1,0 +1,158 @@
+"""Key-clustered Parquet layout with zone-map pruned reads.
+
+The storage-layout half of the prune-at-the-read discipline: a table
+range-partitioned on a clustering column into one file per key range,
+with a zone-map manifest recording each file's (min, max, rows).  A
+later range query opens the manifest and reads ONLY the overlapping
+files — O(selectivity) bytes off storage instead of the whole table,
+which at 100 TB is the difference between a scan and a lookup.
+
+``clustered_write``:
+1. exact distributed value histogram (per-batch value counts → one
+   small exchange; the q29 quantile machinery — the driver sees
+   O(distinct values), never rows) → ``n_files`` balanced cut points;
+2. every block hash-free routes its rows by ``searchsorted`` over the
+   broadcast cuts (zero-copy slices, one split task per block);
+3. one write task per range sorts its rows by the clustering column
+   and writes one Parquet file, returning its zone-map entry;
+4. the manifest is written LAST, atomically (tmp + rename) — a crashed
+   write leaves no manifest and the next run redoes it (the
+   state/checkpoint.py resume contract).
+
+Reference analog: the reference's sharded index files loaded by range
+(SURVEY §2.1 loaders); here the layout is derived from data quantiles
+instead of fixed shard counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+
+@ray.remote
+def _route_by_cuts(tbl: pa.Table, col: str, cuts: list, n: int):
+    """One block → ``n`` zero-copy slices by searchsorted over the cut
+    points (range i = values in (cuts[i-1], cuts[i]])."""
+    if tbl.num_rows == 0:
+        return tuple(tbl for _ in range(n))
+    v = np.asarray(tbl[col])
+    s = np.searchsorted(np.asarray(cuts), v, side="left")
+    order = np.argsort(s, kind="stable")
+    st = tbl.take(pa.array(order))
+    counts = np.bincount(s, minlength=n)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    return tuple(st.slice(offs[i], counts[i]) for i in range(n))
+
+
+@ray.remote
+def _write_range(path: str, col: str, *parts: pa.Table) -> dict:
+    """Sort one range's rows by the clustering column and write one
+    Parquet file; returns its zone-map entry (no file for empty
+    ranges)."""
+    live = [p for p in parts if p.num_rows]
+    if not live:
+        return {"file": None, "rows": 0}
+    t = pa.concat_tables(live).sort_by(col)
+    pq.write_table(t, path)
+    v = t[col]
+    return {"file": os.path.basename(path), "rows": t.num_rows,
+            "min": v[0].as_py(), "max": v[-1].as_py()}
+
+
+def _cut_points(ds: ray.data.Dataset, col: str, n_files: int) -> list:
+    """Balanced interior cut points from the exact distributed value
+    histogram (per-batch counts → one small exchange → driver cumsum
+    over O(distinct values) rows)."""
+    from ..functions.grouping import bucketed_sum
+
+    def counts(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(t.select([col])).group_by(col)
+                .len(name="c").with_columns(pl.col("c").cast(pl.Int64))
+                .to_arrow())
+
+    hist = bucketed_sum(ds.map_batches(counts, batch_format="pyarrow"),
+                        [col], "c", "c", engine="exchange").to_pandas()
+    hist = hist.sort_values(col).reset_index(drop=True)
+    vals = hist[col].to_numpy()
+    cum = hist["c"].cumsum().to_numpy()
+    total = int(cum[-1]) if len(cum) else 0
+    cuts = []
+    for i in range(1, n_files):
+        rank = i * total // n_files
+        cuts.append(vals[np.searchsorted(cum, rank, side="right")]
+                    .item())
+    return sorted(set(cuts))
+
+
+def clustered_write(ds: ray.data.Dataset, col: str, out_dir: str,
+                    n_files: int = 8) -> dict:
+    """Write ``ds`` range-clustered on ``col`` (one sorted Parquet file
+    per key range + zone-map manifest).  Idempotent: an existing
+    manifest short-circuits (delete the dir to rewrite).  Returns the
+    manifest dict."""
+    man_path = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            return json.load(f)
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    cuts = _cut_points(ds, col, n_files)
+    n = len(cuts) + 1
+    blocks = ds.materialize().to_arrow_refs()
+    parts = [_route_by_cuts.options(num_returns=n).remote(b, col, cuts, n)
+             for b in blocks]
+    if n == 1:
+        parts = [[p] for p in parts]
+    entries = ray.get([
+        _write_range.remote(os.path.join(tmp, f"range-{k:05d}.parquet"),
+                            col, *[p[k] for p in parts])
+        for k in range(n)])
+    manifest = {"col": col,
+                "files": [e for e in entries if e["rows"] > 0]}
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp, out_dir)                      # manifest lands LAST
+    return manifest
+
+
+def pruned_files(out_dir: str, lo, hi) -> tuple[list[str], int]:
+    """Zone-map prune: the files whose [min, max] overlaps [lo, hi],
+    plus the total file count (for prune-ratio reporting)."""
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    files = [os.path.join(out_dir, e["file"]) for e in manifest["files"]
+             if e["max"] >= lo and e["min"] <= hi]
+    return files, len(manifest["files"])
+
+
+def pruned_read(out_dir: str, lo, hi) -> ray.data.Dataset:
+    """Read only the manifest-overlapping files and apply the exact
+    residual range filter per batch."""
+    import pyarrow.compute as pc
+
+    files, _ = pruned_files(out_dir, lo, hi)
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        col = json.load(f)["col"]
+    if not files:
+        return ray.data.from_items([])
+
+    def residual(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t[col], pa.scalar(lo)),
+                    pc.less_equal(t[col], pa.scalar(hi)))
+        return t.filter(m)
+
+    return ray.data.read_parquet(files).map_batches(
+        residual, batch_format="pyarrow")

@@ -1,0 +1,62 @@
+"""Zone-map clustered layout: balanced files, correct manifest bounds,
+and a range read that actually prunes."""
+
+import os
+import shutil
+
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+import ray.data
+
+from pboh_entity_linking_ray.state.clustered import (
+    clustered_write,
+    pruned_files,
+    pruned_read,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_clustered_write_and_pruned_read(ray_session, tmp_path):
+    out = str(tmp_path / "li_clustered")
+    ds = ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                               columns=["l_partkey", "l_quantity"])
+    man = clustered_write(ds, "l_partkey", out, n_files=8)
+
+    # manifest bounds are real and files tile the key space disjointly
+    total_rows = 0
+    prev_max = -1
+    for e in sorted(man["files"], key=lambda e: e["min"]):
+        t = pq.read_table(os.path.join(out, e["file"]))
+        v = np.asarray(t["l_partkey"])
+        assert v.min() == e["min"] and v.max() == e["max"]
+        assert (np.diff(v) >= 0).all()          # sorted within file
+        assert e["min"] > prev_max               # disjoint ranges
+        prev_max = e["max"]
+        total_rows += e["rows"]
+    n_total = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/lineitem.parquet'").fetchone()[0]
+    assert total_rows == n_total
+    assert len(man["files"]) > 1
+
+    # the range read prunes files AND returns exactly the right rows
+    lo, hi = 40, 60
+    files, n_files = pruned_files(out, lo, hi)
+    assert 0 < len(files) < n_files
+    got = pruned_read(out, lo, hi).count()
+    want = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/lineitem.parquet' "
+        f"WHERE l_partkey BETWEEN {lo} AND {hi}").fetchone()[0]
+    assert got == want
+
+    # idempotent: a second write call short-circuits on the manifest
+    man2 = clustered_write(ds, "l_partkey", out, n_files=8)
+    assert man2 == man
+
+    # crash-safety shape: no manifest → treated as absent (rewrites)
+    os.remove(os.path.join(out, "manifest.json"))
+    man3 = clustered_write(ds, "l_partkey", out, n_files=8)
+    assert sorted(e["min"] for e in man3["files"]) == \
+        sorted(e["min"] for e in man["files"])
+    shutil.rmtree(out, ignore_errors=True)
