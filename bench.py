@@ -220,6 +220,7 @@ OPS_DEFAULT = [
     "q75_activity_reconciliation", "q76_region_revenue",
     "q82_event_type_freq", "link_boilerplate_turns", "link_sft_pairs",
     "link_sft_corpus", "link_transition_matrix", "q83_zone_map_prune",
+    "mm_wav_stats", "mm_ppm_stats",
     "q77_window_suite", "q78_cube_revenue", "q79_data_expectations",
     "q80_mad_outliers", "q81_cdc_compact",
     "semantic_dedup", "bpe_encode",

@@ -220,8 +220,167 @@ def mm_frame_features(sf_dir: str):
         concurrency=(1, 4), num_cpus=1)
 
 
+# --- REAL codec-free decoders: WAV (RIFF PCM16) and PPM (P6) -----------------
+#
+# The container ships no image/audio libraries, but two REAL on-disk
+# media formats need none: RIFF/WAV PCM and binary PPM are
+# header + raw-sample layouts fully decodable with numpy.  These stages
+# upgrade the decode story from "stub behind NotImplementedError" to an
+# honest end-to-end decode for formats the environment can support; the
+# compressed-codec hook (JPEG/MP3/H.264) remains the documented stub.
+# Payload SYNTHESIS is deterministic per doc_id (integer LCG), so tests
+# can independently re-decode the pipeline's own bytes (stdlib ``wave``
+# for audio — a reference decoder we did not write).
+
+WAV_RATE = 8000
+
+
+def _lcg_samples(doc_id: int, n: int) -> np.ndarray:
+    k = np.arange(n, dtype=np.int64)
+    return (((doc_id * 2654435761 + k * 40503) % 65536) - 32768) \
+        .astype(np.int16)
+
+
+def encode_wav_payloads(sf_dir: str) -> ray.data.Dataset:
+    """documents → (doc_id, payload) with a complete RIFF/WAV PCM16
+    mono file per row (sample count varies per doc)."""
+    import struct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        payloads = []
+        for doc_id in t["doc_id"].to_pylist():
+            n = 400 + (int(doc_id) * 37) % 800
+            pcm = _lcg_samples(int(doc_id), n).tobytes()
+            hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+                   + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE,
+                                           WAV_RATE * 2, 2, 16)
+                   + b"data" + struct.pack("<I", len(pcm)))
+            payloads.append(hdr + pcm)
+        return pa.table({"doc_id": t["doc_id"],
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    return ds.map_batches(enc, batch_format="pyarrow", batch_size=256)
+
+
+class WavDecoder:
+    """Actor-pool REAL WAV decode: parses the RIFF header and PCM16
+    samples with numpy only and emits per-clip audio stats.  Raises on
+    compressed formats (fmt != 1 PCM) — that is the codec stub's job."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rates, counts, durs, rms, peaks = [], [], [], [], []
+        for p in t["payload"].to_pylist():
+            b = np.frombuffer(p, dtype=np.uint8)
+            if (bytes(b[:4]) != b"RIFF" or bytes(b[8:12]) != b"WAVE"
+                    or bytes(b[12:16]) != b"fmt "):
+                raise ValueError("not a RIFF/WAVE payload")
+            fmt = int(np.frombuffer(p, np.uint16, 1, 20)[0])
+            if fmt != 1:
+                raise NotImplementedError(
+                    "compressed WAV needs a codec (stubbed)")
+            rate = int(np.frombuffer(p, np.uint32, 1, 24)[0])
+            data_len = int(np.frombuffer(p, np.uint32, 1, 40)[0])
+            x = np.frombuffer(p, np.int16, data_len // 2, 44)
+            xi = x.astype(np.int64)
+            rates.append(rate)
+            counts.append(len(x))
+            durs.append(len(x) * 1000 // rate)
+            rms.append(int(np.sqrt((xi * xi).mean()) / 32768 * 10_000)
+                       if len(x) else 0)
+            peaks.append(int(np.abs(xi).max()) if len(x) else 0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "sample_rate": pa.array(rates, type=pa.int64()),
+            "n_samples": pa.array(counts, type=pa.int64()),
+            "duration_ms": pa.array(durs, type=pa.int64()),
+            "rms_e4": pa.array(rms, type=pa.int64()),
+            "peak": pa.array(peaks, type=pa.int64()),
+        })
+
+
+def mm_wav_stats(sf_dir: str):
+    """Real RIFF/WAV PCM decode → per-clip stats (rows-only; pytest
+    re-decodes the same payloads with the stdlib ``wave`` module)."""
+    return encode_wav_payloads(sf_dir).map_batches(
+        WavDecoder, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4), num_cpus=1)
+
+
+def encode_ppm_payloads(sf_dir: str) -> ray.data.Dataset:
+    """documents → (doc_id, payload) with a complete binary PPM (P6)
+    image per row (dimensions vary per doc, pixels LCG-deterministic)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        payloads = []
+        for doc_id in t["doc_id"].to_pylist():
+            d = int(doc_id)
+            w, h = 8 + d % 9, 8 + (d // 9) % 7
+            k = np.arange(w * h * 3, dtype=np.int64)
+            px = ((d * 2246822519 + k * 2654435761) % 256).astype(np.uint8)
+            payloads.append(f"P6\n{w} {h}\n255\n".encode() + px.tobytes())
+        return pa.table({"doc_id": t["doc_id"],
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    return ds.map_batches(enc, batch_format="pyarrow", batch_size=256)
+
+
+PPM_RESIZE = 4
+
+
+class PpmDecoder:
+    """Actor-pool REAL PPM (P6) decode + nearest-neighbor resize, numpy
+    only: header parse → H×W×3 reshape → per-channel integer means →
+    PPM_RESIZE² nearest-neighbor downsample checksum (the resample is
+    real; only compressed codecs remain stubbed)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws, hs, mr, mg, mb, ck = [], [], [], [], [], []
+        for p in t["payload"].to_pylist():
+            magic, dims, maxval, raw = p.split(b"\n", 3)
+            if magic != b"P6" or maxval != b"255":
+                raise NotImplementedError("only 8-bit P6 PPM (codec stub)")
+            w, h = (int(v) for v in dims.split())
+            img = np.frombuffer(raw, np.uint8, w * h * 3).reshape(h, w, 3)
+            s = img.astype(np.int64)
+            iy = (np.arange(PPM_RESIZE) * h) // PPM_RESIZE
+            ix = (np.arange(PPM_RESIZE) * w) // PPM_RESIZE
+            small = img[iy][:, ix]
+            ws.append(w)
+            hs.append(h)
+            mr.append(int(s[..., 0].sum()) * 100 // (w * h))
+            mg.append(int(s[..., 1].sum()) * 100 // (w * h))
+            mb.append(int(s[..., 2].sum()) * 100 // (w * h))
+            ck.append(int(small.astype(np.int64).sum()))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "width": pa.array(ws, type=pa.int64()),
+            "height": pa.array(hs, type=pa.int64()),
+            "mean_r_e2": pa.array(mr, type=pa.int64()),
+            "mean_g_e2": pa.array(mg, type=pa.int64()),
+            "mean_b_e2": pa.array(mb, type=pa.int64()),
+            "resized_checksum": pa.array(ck, type=pa.int64()),
+        })
+
+
+def mm_ppm_stats(sf_dir: str):
+    """Real PPM decode + resize → per-image stats (rows-only; pytest
+    re-decodes the payload bytes independently)."""
+    return encode_ppm_payloads(sf_dir).map_batches(
+        PpmDecoder, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4), num_cpus=1)
+
+
 QUERIES = {
     "mm_decode_meta": (mm_decode_meta, SQL_MM_META),
+    # real codec-free decodes → rows-only; pytest re-decodes the
+    # pipeline's own bytes (stdlib wave / independent PPM parse)
+    "mm_wav_stats": (mm_wav_stats, None),
+    "mm_ppm_stats": (mm_ppm_stats, None),
     "mm_frame_sample": (mm_frame_sample, SQL_MM_FRAMES),
     "mm_resize_meta": (mm_resize_meta, SQL_MM_RESIZE),
     "mm_features": (mm_features, None),

@@ -1,0 +1,62 @@
+"""The REAL codec-free media decoders must agree with independent
+reference decoders over the pipeline's own payload bytes: stdlib
+``wave`` for RIFF/WAV (a decoder we did not write), a from-scratch
+parse for PPM."""
+
+import io
+import wave
+
+import numpy as np
+
+from pboh_entity_linking_ray.pipelines.multimodal import (
+    PPM_RESIZE,
+    WAV_RATE,
+    encode_ppm_payloads,
+    encode_wav_payloads,
+    mm_ppm_stats,
+    mm_wav_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_wav_decode_matches_stdlib_wave(ray_session):
+    payloads = {r["doc_id"]: r["payload"]
+                for r in encode_wav_payloads(SF).take_all()}
+    got = mm_wav_stats(SF).to_pandas().set_index("doc_id")
+    assert len(got) == len(payloads) > 0
+    for doc_id in list(payloads)[::37]:          # spot-check a spread
+        with wave.open(io.BytesIO(payloads[doc_id])) as wf:
+            assert wf.getnchannels() == 1
+            assert wf.getsampwidth() == 2
+            assert wf.getframerate() == WAV_RATE
+            frames = wf.readframes(wf.getnframes())
+        x = np.frombuffer(frames, dtype=np.int16).astype(np.int64)
+        row = got.loc[doc_id]
+        assert row["sample_rate"] == WAV_RATE
+        assert row["n_samples"] == len(x)
+        assert row["duration_ms"] == len(x) * 1000 // WAV_RATE
+        assert row["peak"] == int(np.abs(x).max())
+        assert row["rms_e4"] == int(np.sqrt((x * x).mean()) / 32768 * 10_000)
+
+
+def test_ppm_decode_matches_independent_parse(ray_session):
+    payloads = {r["doc_id"]: r["payload"]
+                for r in encode_ppm_payloads(SF).take_all()}
+    got = mm_ppm_stats(SF).to_pandas().set_index("doc_id")
+    assert len(got) == len(payloads) > 0
+    for doc_id in list(payloads)[::41]:
+        p = payloads[doc_id]
+        assert p.startswith(b"P6\n")
+        header, rest = p.split(b"\n255\n", 1)
+        w, h = (int(v) for v in header[3:].split())
+        img = np.frombuffer(rest, np.uint8).reshape(h, w, 3)
+        row = got.loc[doc_id]
+        assert (row["width"], row["height"]) == (w, h)
+        s = img.astype(np.int64)
+        assert row["mean_r_e2"] == int(s[..., 0].sum()) * 100 // (w * h)
+        assert row["mean_b_e2"] == int(s[..., 2].sum()) * 100 // (w * h)
+        iy = (np.arange(PPM_RESIZE) * h) // PPM_RESIZE
+        ix = (np.arange(PPM_RESIZE) * w) // PPM_RESIZE
+        assert row["resized_checksum"] == int(
+            img[iy][:, ix].astype(np.int64).sum())
