@@ -659,6 +659,268 @@ FROM r{PR_ITERS}
 """
 
 
+# --- q84: distributed triangle counting (co-purchase graph) ----------------
+#
+# The purchase graph q68 ranks is bipartite (customer↔part) and therefore
+# triangle-free; triangles live in the part–part CO-PURCHASE projection
+# (two parts linked iff some order contains both — the reference's entity
+# co-occurrence pairing, index/EntityCooccurrenceIndex.scala, read as a
+# graph).  The operator is the degree-ordered node-iterator algorithm
+# (Chiba–Nishizeki / "node-iterator++", the standard MapReduce triangle
+# scheme): orient each edge from its (degree, id)-lower endpoint to the
+# higher, generate wedges only at the rank-lowest node of the triangle,
+# and close them with one semi join against the directed edge set.
+# Degree-ordering bounds every out-degree by O(√m), so per-node wedge
+# work is O(outdeg²) ≤ O(m) total REGARDLESS of hub skew — the same
+# skew guard the blocking stage gets from salting, obtained structurally.
+#
+# Node ids must fit 32 bits (packed int64 pair keys, same contract as
+# q12/q26); at a larger id space route the closure through the
+# composite-key hash_join (q82) instead.
+
+TRI_OFF = 1 << 32
+
+
+def q84_triangles(sf_dir: str):
+    """Per-node triangle counts over the part co-purchase graph.
+
+    Five skinny exchanges, each moving int64 rows once: (1) lineitem on
+    l_orderkey → per-order distinct-part triu pairs; (2) packed pair key
+    → global edge dedup; (3) node → exact degrees (O(nodes) output);
+    (4+5) two hash_joins re-attach endpoint degrees, the second's post
+    hook orienting each edge low-rank → high-rank; then wedges are
+    emitted per center (exchange on src), closed by a semi hash_join on
+    the packed directed-pair key, and 3 node rows per triangle feed one
+    final O(nodes) bucketed_sum.  No stage ever materializes on the
+    driver; output is the O(nodes) count table."""
+    import pyarrow.compute as pc
+
+    from ..functions.grouping import bucketed_sum, hash_exchange, hash_join
+    from .relational import _t
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: pa.table({"ok": t["l_orderkey"],
+                            "p": pc.cast(t["l_partkey"], pa.int64())}),
+        batch_format="pyarrow")
+
+    def order_pairs(t: pa.Table) -> pa.Table:
+        """Bucket fn for the l_orderkey exchange: distinct parts per
+        order, all a<b pairs (grouped-triu idiom, cf. textops.q12)."""
+        import polars as pl
+
+        if t.num_rows == 0 or "ok" not in t.column_names:
+            return pa.table({"pk": pa.array([], type=pa.int64())})
+        df = pl.from_arrow(t).unique(subset=["ok", "p"]).sort(["ok", "p"])
+        okv = df["ok"].to_numpy()
+        pv = df["p"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, okv[1:] != okv[:-1]])
+        sizes = np.diff(np.append(starts, len(okv)))
+        ap, bp = [], []
+        for m in np.unique(sizes[sizes >= 2]):
+            ia, ib = np.triu_indices(int(m), k=1)
+            base = starts[sizes == m]
+            ap.append((base[:, None] + ia[None, :]).ravel())
+            bp.append((base[:, None] + ib[None, :]).ravel())
+        if not ap:
+            return pa.table({"pk": pa.array([], type=pa.int64())})
+        ai, bi = np.concatenate(ap), np.concatenate(bp)
+        pk = pv[ai] * TRI_OFF + pv[bi]          # parts sorted in-order → a<b
+        return pa.table({"pk": pa.array(np.unique(pk))})
+
+    pair_rows = hash_exchange(li, "ok", order_pairs, num_buckets=32)
+
+    def uniq_edges(t: pa.Table) -> pa.Table:
+        """Global dedup: every copy of a pair hashes to this bucket."""
+        if t.num_rows == 0 or "pk" not in t.column_names:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        pk = np.unique(np.asarray(t["pk"], dtype=np.int64))
+        return pa.table({"a": pa.array(pk // TRI_OFF),
+                         "b": pa.array(pk % TRI_OFF)})
+
+    edges = hash_exchange(pair_rows, "pk", uniq_edges, num_buckets=32)
+
+    ends = edges.map_batches(
+        lambda t: pa.table({"node": t["a"],
+                            "one": pa.array(np.ones(t.num_rows,
+                                                    dtype=np.int64))}),
+        batch_format="pyarrow",
+    ).union(edges.map_batches(
+        lambda t: pa.table({"node": t["b"],
+                            "one": pa.array(np.ones(t.num_rows,
+                                                    dtype=np.int64))}),
+        batch_format="pyarrow"))
+    deg = bucketed_sum(ends, ["node"], "one", "d", engine="exchange")
+
+    deg_a = deg.map_batches(
+        lambda t: pa.table({"a": t["node"], "da": t["d"]}),
+        batch_format="pyarrow")
+    deg_b = deg.map_batches(
+        lambda t: pa.table({"b": t["node"], "db": t["d"]}),
+        batch_format="pyarrow")
+
+    def orient(t: pa.Table) -> pa.Table:
+        """Second degree-join's post hook: direct each edge from the
+        (degree, id)-lower endpoint; carry the dst's rank components so
+        wedge emission can order out-neighbors without another join."""
+        a = np.asarray(t["a"], dtype=np.int64)
+        b = np.asarray(t["b"], dtype=np.int64)
+        da = np.asarray(t["da"], dtype=np.int64)
+        db = np.asarray(t["db"], dtype=np.int64)
+        a_low = (da < db) | ((da == db) & (a < b))
+        return pa.table({
+            "src": pa.array(np.where(a_low, a, b)),
+            "dst": pa.array(np.where(a_low, b, a)),
+            "dd": pa.array(np.where(a_low, db, da)),
+        })
+
+    with_da = hash_join(edges, deg_a, "a", num_buckets=32)
+    dir_edges = hash_join(with_da, deg_b, "b", num_buckets=32,
+                          post=orient).materialize()
+
+    def wedges_bucket(t: pa.Table) -> pa.Table:
+        """All rank-ordered out-neighbor pairs per center: wedge
+        (ctr; x, y) with rank(x) < rank(y), probed as packed (x, y)."""
+        import polars as pl
+
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return pa.table({"wk": pa.array([], type=pa.int64()),
+                             "ctr": pa.array([], type=pa.int64())})
+        df = pl.from_arrow(t).sort(["src", "dd", "dst"])
+        srcv = df["src"].to_numpy()
+        dstv = df["dst"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, srcv[1:] != srcv[:-1]])
+        sizes = np.diff(np.append(starts, len(srcv)))
+        ap, bp = [], []
+        for m in np.unique(sizes[sizes >= 2]):
+            ia, ib = np.triu_indices(int(m), k=1)
+            base = starts[sizes == m]
+            ap.append((base[:, None] + ia[None, :]).ravel())
+            bp.append((base[:, None] + ib[None, :]).ravel())
+        if not ap:
+            return pa.table({"wk": pa.array([], type=pa.int64()),
+                             "ctr": pa.array([], type=pa.int64())})
+        ai, bi = np.concatenate(ap), np.concatenate(bp)
+        return pa.table({"wk": pa.array(dstv[ai] * TRI_OFF + dstv[bi]),
+                         "ctr": pa.array(srcv[ai])})
+
+    wedges = hash_exchange(dir_edges, "src", wedges_bucket, num_buckets=32)
+    probe = dir_edges.map_batches(
+        lambda t: pa.table({"wk": pa.array(
+            np.asarray(t["src"], dtype=np.int64) * TRI_OFF
+            + np.asarray(t["dst"], dtype=np.int64))}),
+        batch_format="pyarrow")
+    tris = hash_join(wedges, probe, "wk", num_buckets=32, how="semi")
+
+    def explode_nodes(t: pa.Table) -> pa.Table:
+        wk = np.asarray(t["wk"], dtype=np.int64)
+        ctr = np.asarray(t["ctr"], dtype=np.int64)
+        return pa.table({
+            "node": pa.array(np.concatenate([ctr, wk // TRI_OFF,
+                                             wk % TRI_OFF])),
+            "one": pa.array(np.ones(3 * len(wk), dtype=np.int64)),
+        })
+
+    counts = bucketed_sum(
+        tris.map_batches(explode_nodes, batch_format="pyarrow"),
+        ["node"], "one", "tri", engine="exchange")
+    return counts.map_batches(
+        lambda t: pa.table({"node_id": t["node"], "tri": t["tri"]}),
+        batch_format="pyarrow")
+
+
+SQL_Q84 = """
+WITH pp AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM pp e1
+  JOIN pp e2 ON e2.a = e1.b
+  JOIN pp e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT CAST(node AS BIGINT) AS node_id, CAST(count(*) AS BIGINT) AS tri
+FROM nodes GROUP BY node
+"""
+
+
+# --- q85: distributed skyline (Pareto-dominance filter) --------------------
+
+def _skyline_kernel(t: pa.Table) -> pa.Table:
+    """Exact 2-D skyline of one batch (minimize size AND cents): a row
+    is dominated iff some other row is ≤ in both dims and < in one.
+    One lexsort + per-size-group prefix minima — no pairwise work.
+    Monotone: the global skyline is a subset of every batch's local
+    skyline, which is what makes the two-phase plan exact."""
+    if t.num_rows == 0:
+        return t
+    s = np.asarray(t["size"], dtype=np.int64)
+    p = np.asarray(t["cents"], dtype=np.int64)
+    order = np.lexsort((p, s))
+    ss, pp = s[order], p[order]
+    starts = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+    gmin = pp[starts]                       # sorted in-group → first = min
+    cmin_le = np.minimum.accumulate(gmin)   # min cents over sizes ≤ this
+    cmin_lt = np.r_[np.int64(1) << 62, cmin_le[:-1]]  # … over sizes <
+    gidx = np.repeat(np.arange(len(starts)),
+                     np.diff(np.append(starts, len(ss))))
+    dom = (cmin_lt[gidx] <= pp) | (cmin_le[gidx] < pp)
+    return t.take(pa.array(np.sort(order[~dom])))
+
+
+def q85_skyline(sf_dir: str):
+    """Skyline (Pareto frontier) of parts minimizing (size, price): the
+    classic two-phase distributed plan — a vectorized per-batch local
+    skyline (dominance is monotone, so the union of local skylines
+    contains the global one), then one final pass over the tiny
+    candidate union.  Zero shuffles of the input; the only data
+    movement is the O(frontier) candidate set.  A d-dimensional or
+    adversarially-large frontier would swap the final single-block pass
+    for a tree of the same kernel (the G6 tree-reduce shape).
+
+    Ties survive: two parts with identical (size, cents) do not
+    strictly dominate each other — both engines keep both."""
+    import pyarrow.compute as pc
+
+    from .relational import _t
+
+    parts = _t(sf_dir, "part",
+               ["p_partkey", "p_size", "p_retailprice"]).map_batches(
+        lambda t: pa.table({
+            "part_id": pc.cast(t["p_partkey"], pa.int64()),
+            "size": pc.cast(t["p_size"], pa.int64()),
+            "cents": _cents(t["p_retailprice"]),
+        }),
+        batch_format="pyarrow")
+    local = parts.map_batches(_skyline_kernel, batch_format="pyarrow")
+    return local.repartition(1).map_batches(
+        _skyline_kernel, batch_format="pyarrow", batch_size=None)
+
+
+SQL_Q85 = """
+WITH p AS (
+  SELECT CAST(p_partkey AS BIGINT) AS part_id,
+         CAST(p_size AS BIGINT) AS size,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM part
+)
+SELECT part_id, size, cents
+FROM p o
+WHERE NOT EXISTS (
+  SELECT 1 FROM p q
+  WHERE q.size <= o.size AND q.cents <= o.cents
+    AND (q.size < o.size OR q.cents < o.cents)
+)
+"""
+
+
 QUERIES = {
     "q39_order_rank": (q39_order_rank, SQL_Q39),
     "q40_running_revenue": (q40_running_revenue, SQL_Q40),
@@ -669,4 +931,6 @@ QUERIES = {
     "q43_nation_revenue": (q43_nation_revenue, SQL_Q43),
     "q48_salted_segment_activity": (q48_salted_segment_activity, SQL_Q48),
     "q68_pagerank": (q68_pagerank, SQL_Q68),
+    "q84_triangles": (q84_triangles, SQL_Q84),
+    "q85_skyline": (q85_skyline, SQL_Q85),
 }

@@ -327,9 +327,164 @@ def quantile_sketch_value(sf_dir: str):
     return approx_quantiles(ds, "value")
 
 
+# --- q87: table profiler (per-column count / nulls / distinct / range) -----
+
+_PROF_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q87_profile_documents(sf_dir: str):
+    """Column profile of the documents table as one long-form
+    (col, stat, val) report — the data-profiling utility every engine
+    ships (count, null count, EXACT distinct per column, min/max of the
+    numeric column).  Two streaming passes fused into one read:
+    per-batch basic partials (one skinny row per column per batch →
+    one O(columns)-key exchange), and per-batch pre-deduped
+    (column, value) rows routed by a row hash so every copy of a value
+    co-locates — the q31 exact-distinct discipline applied per column
+    (the hash only ROUTES; in-bucket dedup sees real values, so the
+    count is exact, not a sketch).  Shipping distinct values is the
+    exactness cost; the HLL sketch (``hll_distinct_users``) is the
+    scale path when approximate is acceptable."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum, hash_exchange
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=_PROF_COLS)
+
+    def basic_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"col": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "nulls": pa.array([], type=pa.int64()),
+                             "mn": pa.array([], type=pa.int64()),
+                             "mx": pa.array([], type=pa.int64())})
+        rows = {"col": [], "n": [], "nulls": [], "mn": [], "mx": []}
+        for c in _PROF_COLS:
+            col = t[c]
+            rows["col"].append(c)
+            rows["n"].append(t.num_rows)
+            rows["nulls"].append(col.null_count)
+            if pa.types.is_integer(col.type) and t.num_rows:
+                v = np.asarray(col.drop_null(), dtype=np.int64)
+                rows["mn"].append(int(v.min()) if len(v) else None)
+                rows["mx"].append(int(v.max()) if len(v) else None)
+            else:
+                rows["mn"].append(None)
+                rows["mx"].append(None)
+        return pa.table({
+            "col": pa.array(rows["col"], type=pa.string()),
+            "n": pa.array(rows["n"], type=pa.int64()),
+            "nulls": pa.array(rows["nulls"], type=pa.int64()),
+            "mn": pa.array(rows["mn"], type=pa.int64()),
+            "mx": pa.array(rows["mx"], type=pa.int64()),
+        })
+
+    def basic_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "col" not in t.column_names:
+            return pa.table({"col": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "nulls": pa.array([], type=pa.int64()),
+                             "mn": pa.array([], type=pa.int64()),
+                             "mx": pa.array([], type=pa.int64())})
+        return (pl.from_arrow(t).group_by("col")
+                .agg(n=pl.col("n").sum(), nulls=pl.col("nulls").sum(),
+                     mn=pl.col("mn").min(), mx=pl.col("mx").max())
+                .to_arrow())
+
+    basics = hash_exchange(
+        ds.map_batches(basic_partial, batch_format="pyarrow"),
+        "col", basic_bucket, num_buckets=4)
+
+    def distinct_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"v": pa.array([], type=pa.string()),
+                             "col": pa.array([], type=pa.string()),
+                             "rk": pa.array([], type=pa.int64())})
+        parts = []
+        for c in _PROF_COLS:
+            v = (pl.from_arrow(pa.table({"v": t[c]}))
+                 .drop_nulls("v")
+                 .with_columns(pl.col("v").cast(pl.Utf8))
+                 .unique())
+            parts.append(v.with_columns(col=pl.lit(c)))
+        df = pl.concat(parts)
+        return (df.with_columns(
+            rk=df.hash_rows(seed=7).cast(pl.UInt64)
+                 .reinterpret(signed=True))
+            .to_arrow())
+
+    def distinct_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "col" not in t.column_names:
+            return pa.table({"col": pa.array([], type=pa.string()),
+                             "d": pa.array([], type=pa.int64())})
+        return (pl.from_arrow(t).select(["col", "v"]).unique()
+                .group_by("col").len(name="d")
+                .with_columns(pl.col("d").cast(pl.Int64))
+                .to_arrow())
+
+    dparts = hash_exchange(
+        ds.map_batches(distinct_rows, batch_format="pyarrow"),
+        "rk", distinct_bucket, num_buckets=16)
+    distinct = bucketed_sum(dparts, ["col"], "d", "val", engine="exchange")
+
+    def basics_long(t: pa.Table) -> pa.Table:
+        cols, stats, vals = [], [], []
+        for i in range(t.num_rows):
+            c = t["col"][i].as_py()
+            for stat, src in (("count", "n"), ("nulls", "nulls")):
+                cols.append(c)
+                stats.append(stat)
+                vals.append(t[src][i].as_py())
+            for stat, src in (("min", "mn"), ("max", "mx")):
+                v = t[src][i].as_py()
+                if v is not None:
+                    cols.append(c)
+                    stats.append(stat)
+                    vals.append(v)
+        return pa.table({"col": pa.array(cols, type=pa.string()),
+                         "stat": pa.array(stats, type=pa.string()),
+                         "val": pa.array(vals, type=pa.int64())})
+
+    def distinct_long(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "col": t["col"],
+            "stat": pa.array(["distinct"] * t.num_rows, type=pa.string()),
+            "val": t["val"],
+        })
+
+    return basics.map_batches(basics_long, batch_format="pyarrow").union(
+        distinct.map_batches(distinct_long, batch_format="pyarrow"))
+
+
+def _prof_col_sql(c: str) -> str:
+    return f"""
+  SELECT '{c}' AS col, 'count' AS stat, count(*) AS val FROM documents
+  UNION ALL
+  SELECT '{c}', 'nulls', count(*) - count({c}) FROM documents
+  UNION ALL
+  SELECT '{c}', 'distinct', count(DISTINCT {c}) FROM documents"""
+
+
+SQL_Q87 = f"""
+SELECT col, stat, CAST(val AS BIGINT) AS val FROM (
+{" UNION ALL ".join(_prof_col_sql(c) for c in _PROF_COLS)}
+  UNION ALL
+  SELECT 'n_chars', 'min', min(n_chars) FROM documents
+  UNION ALL
+  SELECT 'n_chars', 'max', max(n_chars) FROM documents
+  UNION ALL
+  SELECT 'doc_id', 'min', min(doc_id) FROM documents
+  UNION ALL
+  SELECT 'doc_id', 'max', max(doc_id) FROM documents
+)
+"""
+
+
 QUERIES = {
     "q31_distinct_users": (q31_distinct_users, SQL_Q31),
     "hll_distinct_users": (hll_distinct_users, None),
     "q47_heavy_tokens": (q47_heavy_tokens, SQL_Q47),
     "quantile_sketch_value": (quantile_sketch_value, None),
+    "q87_profile_documents": (q87_profile_documents, SQL_Q87),
 }

@@ -1453,7 +1453,208 @@ def bpe_encode(sf_dir: str):
         enc, batch_format="pyarrow")
 
 
+# --- q88: edit-distance similarity join (PassJoin partition filter) --------
+
+ED_K = 3                  # levenshtein threshold, mirrored into the SQL twin
+ED_NSEG = ED_K + 1        # k+1 segments → one must match exactly (pigeonhole)
+ED_PRE = 40               # document prefix compared (chars == bytes: ASCII)
+ED_MINLEN = ED_NSEG       # below this the partition scheme degenerates
+
+
+def _ed_seglens(L: np.ndarray, i: np.ndarray):
+    """Start/length of segment ``i`` under the shared partition scheme
+    for a string of length ``L`` (k+1 segments, longer ones first) —
+    both the index side and the probe side must derive the IDENTICAL
+    scheme for the filter to be complete."""
+    base = L // ED_NSEG
+    rem = L % ED_NSEG
+    ln = base + (i < rem)
+    st = i * base + np.minimum(i, rem)
+    return st, ln
+
+
+def _lev_matrix(pre: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Pad to an (n, ED_PRE) uint8 matrix + true lengths (candidates
+    are few — the Python encode loop is over the verified pair set,
+    never the corpus)."""
+    la = np.array([len(s) for s in pre], dtype=np.int64)
+    buf = b"".join(s.encode()[:ED_PRE].ljust(ED_PRE, b"\x00") for s in pre)
+    return np.frombuffer(buf, dtype=np.uint8).reshape(-1, ED_PRE), la
+
+
+def _lev_exact(A, la, B, lb) -> np.ndarray:
+    """Exact Levenshtein, vectorized across the PAIR axis: the classic
+    DP with both character loops scalar (ED_PRE² = 1600 steps) and every
+    cell operation a numpy vector over all candidate pairs.  Padding
+    bytes never influence the result: cell (i, j) depends only on
+    A[:, :i] / B[:, :j] and the answer is read at (la, lb)."""
+    n = len(la)
+    W = A.shape[1]
+    prev = np.tile(np.arange(W + 1, dtype=np.int32), (n, 1))
+    ans = np.where(la == 0, lb, 10**9).astype(np.int64)
+    rows = np.arange(n)
+    for i in range(1, W + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        for j in range(1, W + 1):
+            cost = (A[:, i - 1] != B[:, j - 1]).astype(np.int32)
+            cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1,
+                                              cur[:, j - 1] + 1),
+                                   prev[:, j - 1] + cost)
+        hit = la == i
+        if hit.any():
+            ans[hit] = cur[rows[hit], lb[hit]]
+        prev = cur
+    return ans
+
+
+def q88_edit_distance_pairs(sf_dir: str):
+    """All-pairs edit-distance join: document-prefix pairs with
+    Levenshtein ≤ ED_K, via the PassJoin partition filter (Li, Deng,
+    Feng, Wang 2011 — the published partition-based ed-join): each
+    string splits into k+1 segments, and ed ≤ k forces at least one
+    segment of the SHORTER string to appear EXACTLY in the longer one,
+    start-shifted by at most k (pigeonhole over the optimal alignment).
+    The index side emits its k+1 (segment_idx, length, text) keys; the
+    probe side emits every substring a partner of each feasible shorter
+    length could contribute (≤ (k+1)·(k+1)·(2k+1) skinny rows per
+    string, a CONSTANT); one composite-key ``hash_join`` equi-matches
+    them — never an all-pairs comparison.  Candidates canonicalize +
+    pre-dedup inside the join's post hook, globally dedup on the packed
+    pair key, and verify with the exact pair-vectorized DP in the same
+    bucket task.  Complements the q12/q19/q26 similarity-join family
+    with character-level (typo-class) semantics.
+
+    Skew note: a segment shared by many strings (boilerplate prefixes)
+    concentrates its candidates in one bucket — the blocking stage's hot
+    key problem in miniature.  At web scale strip boilerplate first
+    (``link_boilerplate_turns``) or route the candidate join through
+    ``salted_join``; results are unchanged because candidates are a
+    superset either way and the verify step is exact.
+
+    ASCII corpus assumption: char == byte, matching DuckDB's
+    character-counting ``levenshtein`` twin."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange, hash_join
+
+    def _prep(t: pa.Table, idc: str, prec: str) -> "pl.DataFrame | None":
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return None
+        df = (pl.from_arrow(t)
+              .with_columns(pre=pl.col("text").str.slice(0, ED_PRE))
+              .drop("text")
+              .filter(pl.col("pre").str.len_chars() >= ED_MINLEN))
+        return df.rename({"doc_id": idc, "pre": prec})
+
+    _SEG_EMPTY = pa.schema([("i", pa.int64()), ("l", pa.int64()),
+                            ("seg", pa.string()), ("a_id", pa.int64()),
+                            ("a_pre", pa.string())])
+    _SUB_EMPTY = pa.schema([("i", pa.int64()), ("l", pa.int64()),
+                            ("seg", pa.string()), ("b_id", pa.int64()),
+                            ("b_pre", pa.string())])
+
+    def seg_rows(t: pa.Table) -> pa.Table:
+        df = _prep(t, "a_id", "a_pre")
+        if df is None or df.height == 0:
+            return _SEG_EMPTY.empty_table()
+        L = df["a_pre"].str.len_chars().to_numpy().astype(np.int64)
+        n = df.height
+        rid = np.repeat(np.arange(n), ED_NSEG)
+        ii = np.tile(np.arange(ED_NSEG), n)
+        st, ln = _ed_seglens(L[rid], ii)
+        out = pl.DataFrame({
+            "a_id": df["a_id"].to_numpy()[rid],
+            "a_pre": df["a_pre"].to_numpy()[rid],
+            "i": ii, "l": L[rid], "st": st, "ln": ln,
+        }).with_columns(
+            seg=pl.col("a_pre").str.slice(pl.col("st"), pl.col("ln")))
+        return (out.select(["i", "l", "seg", "a_id", "a_pre"])
+                .to_arrow().cast(_SEG_EMPTY))
+
+    def sub_rows(t: pa.Table) -> pa.Table:
+        df = _prep(t, "b_id", "b_pre")
+        if df is None or df.height == 0:
+            return _SUB_EMPTY.empty_table()
+        Lt = df["b_pre"].str.len_chars().to_numpy().astype(np.int64)
+        n = df.height
+        npos = 2 * ED_K + 1
+        per = (ED_K + 1) * ED_NSEG * npos
+        rid = np.repeat(np.arange(n), per)
+        dl = np.tile(np.repeat(np.arange(ED_K + 1), ED_NSEG * npos), n)
+        ii = np.tile(np.repeat(np.arange(ED_NSEG), npos), n * (ED_K + 1))
+        w = np.tile(np.arange(npos), n * (ED_K + 1) * ED_NSEG)
+        lp = Lt[rid] - dl                     # feasible SHORTER length
+        stp, lnp = _ed_seglens(np.maximum(lp, 1), ii)
+        p = stp - ED_K + w
+        ok = (lp >= ED_MINLEN) & (p >= 0) & (p <= Lt[rid] - lnp)
+        out = pl.DataFrame({
+            "b_id": df["b_id"].to_numpy()[rid[ok]],
+            "b_pre": df["b_pre"].to_numpy()[rid[ok]],
+            "i": ii[ok], "l": lp[ok], "p": p[ok], "ln": lnp[ok],
+        }).with_columns(
+            seg=pl.col("b_pre").str.slice(pl.col("p"), pl.col("ln")))
+        return (out.select(["i", "l", "seg", "b_id", "b_pre"])
+                .unique(subset=["i", "l", "seg", "b_id"])
+                .to_arrow().cast(_SUB_EMPTY))
+
+    def canon(j: pa.Table) -> pa.Table:
+        """Join post hook: drop self-matches, canonicalize pair order,
+        in-bucket dedup — only skinny unique candidates leave."""
+        df = (pl.from_arrow(j)
+              .filter(pl.col("a_id") != pl.col("b_id"))
+              .with_columns(
+                  pk=(pl.min_horizontal("a_id", "b_id") * (1 << 32)
+                      + pl.max_horizontal("a_id", "b_id")),
+                  swap=pl.col("a_id") > pl.col("b_id"))
+              .with_columns(
+                  pre_lo=pl.when(pl.col("swap")).then(pl.col("b_pre"))
+                           .otherwise(pl.col("a_pre")),
+                  pre_hi=pl.when(pl.col("swap")).then(pl.col("a_pre"))
+                           .otherwise(pl.col("b_pre")))
+              .select(["pk", "pre_lo", "pre_hi"])
+              .unique(subset="pk"))
+        return df.to_arrow()
+
+    docs = _docs(sf_dir)
+    cands = hash_join(docs.map_batches(seg_rows, batch_format="pyarrow"),
+                      docs.map_batches(sub_rows, batch_format="pyarrow"),
+                      on=["i", "l", "seg"], num_buckets=32, post=canon)
+
+    def verify_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "dist": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "pk" not in t.column_names:
+            return empty
+        df = pl.from_arrow(t).unique(subset="pk")
+        A, la = _lev_matrix(df["pre_lo"].to_list())
+        B, lb = _lev_matrix(df["pre_hi"].to_list())
+        dist = _lev_exact(A, la, B, lb)
+        keep = dist <= ED_K
+        pk = df["pk"].to_numpy()[keep]
+        return pa.table({"a": pa.array(pk // (1 << 32)),
+                         "b": pa.array(pk % (1 << 32)),
+                         "dist": pa.array(dist[keep])})
+
+    return hash_exchange(cands, "pk", verify_bucket, num_buckets=16)
+
+
+SQL_Q88 = f"""
+WITH p AS (
+  SELECT doc_id, substr(text, 1, {ED_PRE}) AS pre
+  FROM documents
+  WHERE length(substr(text, 1, {ED_PRE})) >= {ED_MINLEN}
+)
+SELECT CAST(x.doc_id AS BIGINT) AS a, CAST(y.doc_id AS BIGINT) AS b,
+       CAST(levenshtein(x.pre, y.pre) AS BIGINT) AS dist
+FROM p x JOIN p y ON x.doc_id < y.doc_id
+WHERE levenshtein(x.pre, y.pre) <= {ED_K}
+"""
+
+
 QUERIES = {
+    "q88_edit_distance_pairs": (q88_edit_distance_pairs, SQL_Q88),
     "q71_shared_span_pairs": (q71_shared_span_pairs, SQL_Q71),
     "q72_bpe_pair_counts": (q72_bpe_pair_counts, SQL_Q72),
     "q73_leakage_safe_split": (q73_leakage_safe_split, SQL_Q73),

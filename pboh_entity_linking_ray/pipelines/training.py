@@ -199,8 +199,113 @@ def link_train_weights(sf_dir: str):
     })
 
 
+# --- q86: grouped OLS trend via exact-integer sufficient statistics --------
+
+TREND_DAY0 = 19723   # 2024-01-01 in days since the unix epoch: centering
+#                      x near zero keeps every integer sum far inside
+#                      int64 (x ~ 10², so Σx² ~ 10⁴·n); the literal is
+#                      mirrored into the SQL twin
+
+
+def q86_user_trend(sf_dir: str):
+    """Per-user linear regression of event value (cents) against event
+    day — the grouped-OLS pattern every feature-engineering pipeline
+    needs (spend trend per user).  The whole regression reduces to five
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²), each an EXACT integer:
+    one vectorized per-batch partial pass, ONE skinny 5-column exchange
+    (``bucketed_sum_multi``), then slope/intercept finished per group
+    from the exact sums — the raw events never shuffle, and both
+    engines divide the SAME integers, so e6/e2 fixed-point matches
+    hash-exactly.  Groups with zero x-variance (all events one day)
+    are excluded in both engines (the WHERE den <> 0 twin).
+
+    Reference analog: the per-key sufficient-statistic reduction is the
+    same partial-combine shape as the SGD gradient sums
+    (learning/FewParamsLearning.scala:694-703) — a closed-form model
+    per key instead of one global iterative model."""
+    from ..functions.grouping import bucketed_sum_multi
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        x = (np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+             // 86_400_000_000) - TREND_DAY0
+        y = np.floor(np.asarray(t["value"]) * 100 + 0.5).astype(np.int64)
+        df = pl.DataFrame({
+            "user_id": np.asarray(t["user_id"], dtype=np.int64),
+            "x": x, "y": y,
+        })
+        return (df.group_by("user_id")
+                .agg(n=pl.len().cast(pl.Int64),
+                     sx=pl.col("x").sum(),
+                     sy=pl.col("y").sum(),
+                     sxy=(pl.col("x") * pl.col("y")).sum(),
+                     sxx=(pl.col("x") * pl.col("x")).sum())
+                .to_arrow())
+
+    sums = bucketed_sum_multi(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        {"n": "n", "sx": "sx", "sy": "sy", "sxy": "sxy", "sxx": "sxx"},
+        engine="exchange")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"], dtype=np.int64)
+        sx = np.asarray(t["sx"], dtype=np.int64)
+        sy = np.asarray(t["sy"], dtype=np.int64)
+        sxy = np.asarray(t["sxy"], dtype=np.int64)
+        sxx = np.asarray(t["sxx"], dtype=np.int64)
+        num = (n * sxy - sx * sy).astype(np.float64)
+        den = (n * sxx - sx * sx).astype(np.float64)
+        keep = den != 0
+        slope = num[keep] / den[keep]
+        icept = (sy[keep] - slope * sx[keep]) / n[keep]
+        return pa.table({
+            "user_id": pa.array(np.asarray(t["user_id"],
+                                           dtype=np.int64)[keep]),
+            "n_events": pa.array(n[keep]),
+            "slope_e6": pa.array(
+                np.floor(slope * 1e6 + 0.5).astype(np.int64)),
+            "icept_cents": pa.array(
+                np.floor(icept + 0.5).astype(np.int64)),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_Q86 = f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) - {TREND_DAY0} AS x,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM e GROUP BY user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       n AS n_events,
+       CAST(FLOOR(1000000.0 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                               / CAST(n * sxx - sx * sx AS DOUBLE))
+                  + 0.5) AS BIGINT) AS slope_e6,
+       CAST(FLOOR((CAST(sy AS DOUBLE)
+                   - CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                  + 0.5) AS BIGINT) AS icept_cents
+FROM s
+WHERE n * sxx - sx * sx <> 0
+"""
+
+
 QUERIES = {
     "q63_grad_step": (q63_grad_step, SQL_Q63),
     "q64_sgd_train": (q64_sgd_train, None),
     "link_train_weights": (link_train_weights, None),
+    "q86_user_trend": (q86_user_trend, SQL_Q86),
 }
