@@ -681,21 +681,13 @@ FROM r{PR_ITERS}
 TRI_OFF = 1 << 32
 
 
-def q84_triangles(sf_dir: str):
-    """Per-node triangle counts over the part co-purchase graph.
-
-    Five skinny exchanges, each moving int64 rows once: (1) lineitem on
-    l_orderkey → per-order distinct-part triu pairs; (2) packed pair key
-    → global edge dedup; (3) node → exact degrees (O(nodes) output);
-    (4+5) two hash_joins re-attach endpoint degrees, the second's post
-    hook orienting each edge low-rank → high-rank; then wedges are
-    emitted per center (exchange on src), closed by a semi hash_join on
-    the packed directed-pair key, and 3 node rows per triangle feed one
-    final O(nodes) bucketed_sum.  No stage ever materializes on the
-    driver; output is the O(nodes) count table."""
+def _copurchase_edges(sf_dir: str):
+    """Distinct part–part co-purchase edges (a < b by id): per-order
+    triu pairs from one l_orderkey exchange, then a packed-key exchange
+    for global dedup.  Shared by q84 (triangles) and q89 (k-core)."""
     import pyarrow.compute as pc
 
-    from ..functions.grouping import bucketed_sum, hash_exchange, hash_join
+    from ..functions.grouping import hash_exchange
     from .relational import _t
 
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
@@ -738,7 +730,24 @@ def q84_triangles(sf_dir: str):
         return pa.table({"a": pa.array(pk // TRI_OFF),
                          "b": pa.array(pk % TRI_OFF)})
 
-    edges = hash_exchange(pair_rows, "pk", uniq_edges, num_buckets=32)
+    return hash_exchange(pair_rows, "pk", uniq_edges, num_buckets=32)
+
+
+def q84_triangles(sf_dir: str):
+    """Per-node triangle counts over the part co-purchase graph.
+
+    Five skinny exchanges, each moving int64 rows once: (1) lineitem on
+    l_orderkey → per-order distinct-part triu pairs; (2) packed pair key
+    → global edge dedup; (3) node → exact degrees (O(nodes) output);
+    (4+5) two hash_joins re-attach endpoint degrees, the second's post
+    hook orienting each edge low-rank → high-rank; then wedges are
+    emitted per center (exchange on src), closed by a semi hash_join on
+    the packed directed-pair key, and 3 node rows per triangle feed one
+    final O(nodes) bucketed_sum.  No stage ever materializes on the
+    driver; output is the O(nodes) count table."""
+    from ..functions.grouping import bucketed_sum, hash_exchange, hash_join
+
+    edges = _copurchase_edges(sf_dir)
 
     ends = edges.map_batches(
         lambda t: pa.table({"node": t["a"],
@@ -851,6 +860,79 @@ FROM nodes GROUP BY node
 """
 
 
+# --- q89: k-core peeling (bounded-round graph degeneracy filter) -----------
+
+KCORE_K = 90        # degree floor, mirrored into the SQL twin
+KCORE_ROUNDS = 3    # fixed peel rounds → SQL-expressible as a CTE chain
+
+
+def q89_kcore(sf_dir: str):
+    """KCORE_ROUNDS rounds of k-core peeling (k = KCORE_K) on the part
+    co-purchase graph: each round computes exact degrees (one O(nodes)
+    ``bucketed_sum``), keeps nodes with deg ≥ k, and induces the subgraph
+    with two SEMI hash_joins (src side, then dst side — semi ships only
+    the kept-node key column).  Output = surviving nodes with their
+    residual degree.  Fixing the round count keeps the operator
+    oracle-pairable (the same chained-CTE device as q68's PageRank);
+    run to fixpoint in production by looping until the edge count stops
+    changing — each round is the same three skinny exchanges.  At q68's
+    scale the upgrade path is identical: pin the edge shards once
+    (``PinnedShards``) and ship only the per-round peeled-node deltas."""
+    from ..functions.grouping import bucketed_sum, hash_join
+
+    edges = _copurchase_edges(sf_dir).materialize()
+    cur = edges.map_batches(
+        lambda t: pa.table({"s": t["a"], "d": t["b"]}),
+        batch_format="pyarrow",
+    ).union(edges.map_batches(
+        lambda t: pa.table({"s": t["b"], "d": t["a"]}),
+        batch_format="pyarrow"))
+
+    def _deg(ds):
+        return bucketed_sum(
+            ds.map_batches(
+                lambda t: pa.table({
+                    "s": t["s"],
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}),
+                batch_format="pyarrow"),
+            ["s"], "one", "deg", engine="exchange")
+
+    for _ in range(KCORE_ROUNDS):
+        kept = _deg(cur).filter(expr=f"deg >= {KCORE_K}")
+        kept_s = kept.map_batches(lambda t: pa.table({"s": t["s"]}),
+                                  batch_format="pyarrow")
+        kept_d = kept.map_batches(lambda t: pa.table({"d": t["s"]}),
+                                  batch_format="pyarrow")
+        cur = hash_join(cur, kept_s, "s", num_buckets=16, how="semi")
+        cur = hash_join(cur, kept_d, "d", num_buckets=16,
+                        how="semi").materialize()
+
+    return _deg(cur).map_batches(
+        lambda t: pa.table({"node_id": t["s"], "deg_res": t["deg"]}),
+        batch_format="pyarrow")
+
+
+def _kcore_round_sql(r: int) -> str:
+    return f"""
+d{r} AS (SELECT s, count(*) AS d FROM e{r - 1} GROUP BY s),
+n{r} AS (SELECT s FROM d{r} WHERE d >= {KCORE_K}),
+e{r} AS (SELECT e.s, e.d FROM e{r - 1} e
+         JOIN n{r} x ON e.s = x.s JOIN n{r} y ON e.d = y.s)"""
+
+
+SQL_Q89 = f"""
+WITH pp AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+e0 AS (SELECT a AS s, b AS d FROM pp UNION ALL SELECT b, a FROM pp),
+{",".join(_kcore_round_sql(r) for r in range(1, KCORE_ROUNDS + 1))}
+SELECT CAST(s AS BIGINT) AS node_id, CAST(count(*) AS BIGINT) AS deg_res
+FROM e{KCORE_ROUNDS} GROUP BY s
+"""
+
+
 # --- q85: distributed skyline (Pareto-dominance filter) --------------------
 
 def _skyline_kernel(t: pa.Table) -> pa.Table:
@@ -933,4 +1015,5 @@ QUERIES = {
     "q68_pagerank": (q68_pagerank, SQL_Q68),
     "q84_triangles": (q84_triangles, SQL_Q84),
     "q85_skyline": (q85_skyline, SQL_Q85),
+    "q89_kcore": (q89_kcore, SQL_Q89),
 }

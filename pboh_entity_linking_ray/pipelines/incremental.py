@@ -1,0 +1,133 @@
+"""Incremental record linkage: attach a batch of NEW conversations to an
+existing linkage run without rescoring the old corpus.
+
+The production shape every deployed entity-resolution system needs (the
+reference is batch-only — it re-runs inference over the full corpus per
+dataset, ``eval/EvalOnDatasets.scala``): a nightly/streaming batch of new
+transcripts must link against billions of already-clustered ones at a
+cost proportional to the NEW data plus the blocks it touches, never the
+base corpus's pair space.
+
+Semantics (documented, deliberate):
+
+- **Frozen statistics.** New pairs are scored with the BASE run's
+  broadcast stats (token df, co-occurrence, priors) — corpus statistics
+  drift slowly, and refreshing them is a base-run rerun by definition.
+  Incremental output therefore tracks, not equals, a full rerun; the
+  pytest gate pins pairwise agreement on the golden corpus.
+- **Old×old pairs are never re-emitted or re-scored.**  New evidence is
+  new×new and new×old pairs only.  Two base clusters CAN merge when a
+  new conversation bridges them — connected components run over the
+  base label edges ∪ new match edges, which is exactly CC on the union
+  graph.
+- **Deterministic.**  Same base result + same new batch → byte-identical
+  clusters (hash blocking, deterministic salting stripes, min-label CC).
+
+Scale shape: the new batch's block keys are collected (O(new × keys),
+the small side by assumption) and broadcast; base blocked rows are
+semi-probed per batch via ``searchsorted`` so only base rows in TOUCHED
+blocks enter the pair exchange.  The base features scan is one streaming
+column-pruned pass (at 100 TB, persist ``add_block_keys`` output as a
+checkpoint stage and range-prune it instead — see state/clustered.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..config import PipelineConfig
+from ..stages.blocking import add_block_keys, dedup_pairs, \
+    make_pairs_incremental
+from ..stages.canonicalize import canonicalize
+from ..stages.clustering import cluster_matches
+from ..stages.featurize import build_stem_map, featurize
+from ..stages.scoring import attach_and_score
+from .linkage import LinkageResult, _concat_ds
+
+
+class IncrementalResult:
+    def __init__(self, new_features, pairs, scored, matches, clusters,
+                 n_new):
+        self.new_features = new_features
+        self.pairs = pairs
+        self.scored = scored
+        self.matches = matches
+        self.clusters = clusters        # conv_id → cluster_id for ALL convs
+        self.n_new = n_new
+
+
+def _tag(ds: ray.data.Dataset, flag: int) -> ray.data.Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_new", pa.array(np.full(t.num_rows, flag, dtype=np.int8)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def run_incremental(base: LinkageResult, new_turns: ray.data.Dataset,
+                    cfg: PipelineConfig | None = None,
+                    num_buckets: int = 64) -> IncrementalResult:
+    """Link ``new_turns`` against ``base`` (a completed ``run_linkage``
+    result, in-memory or checkpoint-backed) and return clusters over the
+    UNION of conversations."""
+    cfg = cfg or PipelineConfig()
+
+    new_docs = canonicalize(new_turns).materialize()
+    # the stem map is a deterministic per-token function — rebuilding it
+    # over the new vocabulary yields identical stems for shared tokens,
+    # so frozen-stats scoring stays consistent with the base run
+    stem_ref = ray.put(_concat_ds(build_stem_map(new_docs, cfg)))
+    new_features = featurize(new_docs, cfg, stem_ref).materialize()
+    n_new = new_features.count()
+
+    new_blocked = add_block_keys(new_features, cfg).materialize()
+    # broadcast the new batch's key set (the small side by assumption):
+    # base rows outside every touched block never enter the exchange
+    touched = np.unique(np.asarray(
+        _concat_ds(new_blocked.map_batches(
+            lambda t: pa.table(
+                {"own_key": pa.array(
+                    np.unique(np.asarray(t["own_key"], dtype=np.int64)))}),
+            batch_format="pyarrow"))["own_key"],
+        dtype=np.int64))
+    keys_ref = ray.put(touched)
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "own_key" not in t.column_names:
+            return t
+        keys = ray.get(keys_ref)
+        if len(keys) == 0:
+            return t.slice(0, 0)
+        ok = np.asarray(t["own_key"], dtype=np.int64)
+        pos = np.searchsorted(keys, ok)
+        pos[pos == len(keys)] = 0
+        return t.filter(pa.array(keys[pos] == ok))
+
+    old_blocked = add_block_keys(base.features, cfg) \
+        .map_batches(probe, batch_format="pyarrow")
+
+    blocked = _tag(old_blocked, 0).union(_tag(new_blocked, 1))
+    pairs_raw = make_pairs_incremental(blocked, cfg, num_buckets)
+    pairs = dedup_pairs(pairs_raw, num_buckets)
+
+    feats_all = base.features.union(new_features)
+    scored = attach_and_score(pairs, feats_all, base.stats_ref, cfg,
+                              num_buckets=num_buckets).materialize()
+    matches = scored.filter(expr="is_match")
+
+    # union graph: base assignments as label edges + new match edges
+    base_edges = base.clusters.map_batches(
+        lambda t: pa.table({"conv_a": t["conv_id"],
+                            "conv_b": t["cluster_id"]}),
+        batch_format="pyarrow")
+    universe = base.features.select_columns(["conv_id"]).union(
+        new_features.select_columns(["conv_id"]))
+    clusters = cluster_matches(
+        matches.select_columns(["conv_a", "conv_b"]).union(base_edges),
+        universe).sort("conv_id")
+
+    return IncrementalResult(new_features, pairs, scored, matches,
+                             clusters, n_new)

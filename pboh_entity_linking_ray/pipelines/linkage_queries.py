@@ -780,6 +780,43 @@ FROM w WHERE role = 'assistant' AND p1 IS NOT NULL
 """
 
 
+_INC_CACHE: dict[str, object] = {}
+
+
+def link_incremental(sf_dir: str):
+    """Incremental linkage: the deterministic ~20% slice of the corpus
+    (xxhash(conv_id) % 5 == 0) arrives as a NEW batch and attaches to a
+    base run over the other ~80% — clusters over the union, base pairs
+    never re-scored, frozen base statistics (pipelines/incremental.py).
+    rows-only: frozen-stats scoring is not SQL-expressible; pytest pins
+    pairwise agreement with the full-corpus run and determinism."""
+    out = _INC_CACHE.get(sf_dir)
+    if out is not None:
+        return out
+
+    from ..functions.hashing import hash_strings_u64
+    from .incremental import run_incremental
+
+    def split(want_new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "conv_id" not in t.column_names:
+                return t
+            h = hash_strings_u64(t["conv_id"])
+            m = (h % np.uint64(5)) == 0
+            return t.filter(pa.array(m if want_new else ~m))
+
+        return f
+
+    turns = _turns(sf_dir)
+    base_turns = turns.map_batches(split(False), batch_format="pyarrow")
+    new_turns = turns.map_batches(split(True), batch_format="pyarrow")
+    base = run_linkage(base_turns, PipelineConfig())
+    inc = run_incremental(base, new_turns, PipelineConfig())
+    out = inc.clusters.materialize()
+    _INC_CACHE[sf_dir] = out
+    return out
+
+
 QUERIES = {
     "link_canonicalize": (link_canonicalize, SQL_CANONICALIZE),
     "link_boilerplate_turns": (link_boilerplate_turns, SQL_BOILERPLATE),
@@ -797,4 +834,5 @@ QUERIES = {
     "link_block_inventory": (link_block_inventory, None),
     "link_eval_metrics": (link_eval_metrics, None),
     "link_scorer_differential": (link_scorer_differential, None),
+    "link_incremental": (link_incremental, None),
 }

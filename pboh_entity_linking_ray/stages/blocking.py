@@ -248,11 +248,17 @@ def _emit_pairs_bucket(bucket: pa.Table, cfg: PipelineConfig) -> pa.Table:
 
     if not ii_parts:
         return _PAIR_SCHEMA.empty_table()
-    i_idx = np.concatenate(ii_parts)
-    j_idx = np.concatenate(jj_parts)
-    capped_col = np.concatenate(cap_parts)
+    return _pairs_from_indices(bucket,
+                               np.concatenate(ii_parts),
+                               np.concatenate(jj_parts),
+                               np.concatenate(cap_parts))
 
-    # canonical order inside the pair: conv_a < conv_b
+
+def _pairs_from_indices(bucket: pa.Table, i_idx: np.ndarray,
+                        j_idx: np.ndarray,
+                        capped_col: np.ndarray) -> pa.Table:
+    """Shared tail of the full and incremental pair emitters: canonical
+    in-pair order + pair_key build from bucket row indices."""
     conv = np.asarray(bucket["conv_id"], dtype=object)
     swap = conv[i_idx] > conv[j_idx]
     ai = pa.array(np.where(swap, j_idx, i_idx))
@@ -308,6 +314,134 @@ def make_pairs(blocked: ray.data.Dataset, cfg: PipelineConfig | None = None,
     return bucketed_groups(blocked, "own_key", per_bucket, num_buckets,
                            engine="exchange",
                            repartition=False)
+
+
+def _emit_pairs_bucket_incr(bucket: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Incremental variant of ``_emit_pairs_bucket``: the bucket carries
+    an ``is_new`` flag and arrives sorted (own_key, is_new DESC, mh0,
+    conv_id) — new members lead each group.  Emits ONLY pairs touching
+    at least one new conversation (new×new triu + new×old cross);
+    old×old pairs were scored by the base run and never re-emitted —
+    that asymmetry is the entire incremental win.  Groups with zero new
+    members die here, inside the shuffle's receiving task.
+
+    Oversized groups reuse the salted chunk+seam path for the new×new
+    part and stripe the new×old cross deterministically under the same
+    ``max_pairs_per_block`` budget; non-emitted NEW-touching pairs are
+    counted exactly on the group's first pair row (old×old pairs are out
+    of scope by definition, not "capped")."""
+    n = bucket.num_rows
+    if n == 0:
+        return _PAIR_SCHEMA.empty_table()
+    gk = np.asarray(bucket["own_key"], dtype=np.int64)
+    newf = np.asarray(bucket["is_new"], dtype=np.int64)
+    starts = np.flatnonzero(np.concatenate(([True], gk[1:] != gk[:-1])))
+    bounds = np.append(starts, n)
+    sizes = np.diff(bounds)
+    knew = np.add.reduceat(newf, starts)
+
+    ii_parts: list[np.ndarray] = []
+    jj_parts: list[np.ndarray] = []
+    cap_parts: list[np.ndarray] = []
+
+    # vector path, batched by the (group size, new count) shape
+    small = (sizes >= 2) & (knew >= 1) & (sizes <= cfg.block_cap)
+    if small.any():
+        shape = sizes * (cfg.block_cap + 1) + knew
+        for sh in np.unique(shape[small]):
+            m = int(sh // (cfg.block_cap + 1))
+            k = int(sh % (cfg.block_cap + 1))
+            ia, ib = _triu(k)                      # new×new
+            if k < m:                              # new×old cross
+                ga, gb = np.meshgrid(np.arange(k), np.arange(k, m),
+                                     indexing="ij")
+                ia = np.concatenate([ia, ga.ravel()])
+                ib = np.concatenate([ib, gb.ravel()])
+            if not len(ia):
+                continue
+            base = bounds[:-1][small & (shape == sh)]
+            ii_parts.append((base[:, None] + ia[None, :]).ravel())
+            jj_parts.append((base[:, None] + ib[None, :]).ravel())
+            cap_parts.append(np.zeros(len(base) * len(ia), dtype=np.int64))
+
+    # salted path for oversized groups
+    for g in np.flatnonzero((sizes > cfg.block_cap) & (knew >= 1)):
+        s, e = bounds[g], bounds[g + 1]
+        k = int(knew[g])
+        gi_parts, gj_parts = [], []
+        capped = 0
+        if k >= 2:
+            if k <= cfg.block_cap:
+                a, b = _triu(k)
+                gi_parts.append(s + a)
+                gj_parts.append(s + b)
+            else:
+                gi, gj, c_nn = _salted_pair_indices(np.arange(s, s + k), cfg)
+                gi_parts.append(gi)
+                gj_parts.append(gj)
+                capped += c_nn
+        n_old = int(e - s - k)
+        if n_old:
+            total = k * n_old
+            per_new = min(n_old, max(1, cfg.max_pairs_per_block // k))
+            if per_new >= n_old:
+                ga, gb = np.meshgrid(np.arange(s, s + k),
+                                     np.arange(s + k, e), indexing="ij")
+                gi_parts.append(ga.ravel())
+                gj_parts.append(gb.ravel())
+            else:
+                # deterministic stripe: new t starts its old window at an
+                # even spread over the (mh0, conv_id)-sorted old run
+                t = np.arange(k)
+                start = ((t * max(1, (n_old - per_new))) //
+                         max(1, k - 1 if k > 1 else 1))
+                offs = np.arange(per_new)
+                gi_parts.append(np.repeat(s + t, per_new))
+                gj_parts.append(
+                    (s + k + (start[:, None] + offs[None, :])).ravel())
+                capped += total - k * per_new
+        if not gi_parts:
+            continue
+        gi = np.concatenate(gi_parts)
+        gj = np.concatenate(gj_parts)
+        caps = np.zeros(len(gi), dtype=np.int64)
+        if len(gi):
+            caps[0] = capped
+        ii_parts.append(gi)
+        jj_parts.append(gj)
+        cap_parts.append(caps)
+
+    if not ii_parts:
+        return _PAIR_SCHEMA.empty_table()
+    return _pairs_from_indices(bucket,
+                               np.concatenate(ii_parts),
+                               np.concatenate(jj_parts),
+                               np.concatenate(cap_parts))
+
+
+def make_pairs_incremental(blocked: ray.data.Dataset,
+                           cfg: PipelineConfig | None = None,
+                           num_buckets: int = 64):
+    """``make_pairs`` over a union of base and new blocked rows (extra
+    ``is_new`` int8 column): same one-exchange co-location, but the
+    bucket task emits only new-touching pairs (``_emit_pairs_bucket_incr``)."""
+    cfg = cfg or PipelineConfig()
+
+    from ..functions.grouping import bucketed_groups
+
+    def per_bucket(bucket: pa.Table) -> pa.Table:
+        if bucket.num_rows == 0:
+            return _PAIR_SCHEMA.empty_table()
+        import polars as pl
+
+        ordered = (pl.from_arrow(bucket)
+                   .sort(["own_key", "is_new", "mh0", "conv_id"],
+                         descending=[False, True, False, False])
+                   .to_arrow().cast(bucket.schema))
+        return _emit_pairs_bucket_incr(ordered, cfg)
+
+    return bucketed_groups(blocked, "own_key", per_bucket, num_buckets,
+                           engine="exchange", repartition=False)
 
 
 def dedup_pairs(pairs: ray.data.Dataset, num_buckets: int = 64):

@@ -1,0 +1,69 @@
+"""Incremental linkage (pipelines/incremental.py): agreement with the
+full-corpus run, the no-old-pair-rescoring invariant, and determinism."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _pair_set(df: pd.DataFrame) -> set:
+    """Co-membership pairs of a (conv_id, cluster_id) table."""
+    m = df.merge(df, on="cluster_id")
+    m = m[m["conv_id_x"] < m["conv_id_y"]]
+    return set(zip(m["conv_id_x"], m["conv_id_y"]))
+
+
+def _pair_f1(a: pd.DataFrame, b: pd.DataFrame) -> float:
+    pa_, pb = _pair_set(a), _pair_set(b)
+    if not pa_ and not pb:
+        return 1.0
+    tp = len(pa_ & pb)
+    prec = tp / len(pa_) if pa_ else 1.0
+    rec = tp / len(pb) if pb else 1.0
+    return 0.0 if prec + rec == 0 else 2 * prec * rec / (prec + rec)
+
+
+def test_incremental_linkage(ray_session):
+    import ray.data as rd
+
+    from pboh_entity_linking_ray.functions.hashing import hash_strings_u64
+    from pboh_entity_linking_ray.pipelines.incremental import run_incremental
+    from pboh_entity_linking_ray.pipelines.linkage import run_linkage
+    from pboh_entity_linking_ray.sources.synthetic import generate_corpus
+
+    corpus = generate_corpus(240, 7)
+    turns = corpus.turns
+    is_new = pa.array((hash_strings_u64(turns["conv_id"])
+                       % np.uint64(5)) == 0)
+    new_tbl = turns.filter(is_new)
+    base_tbl = turns.filter(pa.compute.invert(is_new))
+    new_ids = set(pa.compute.unique(new_tbl["conv_id"]).to_pylist())
+    assert new_ids, "split produced no new conversations"
+
+    base = run_linkage(rd.from_arrow(base_tbl))
+    inc = run_incremental(base, rd.from_arrow(new_tbl))
+    inc_df = inc.clusters.to_pandas()
+
+    # universe: one row per conversation across base ∪ new
+    n_convs = len(pa.compute.unique(turns["conv_id"]))
+    assert len(inc_df) == n_convs
+    assert inc_df["conv_id"].is_unique
+
+    # invariant: every scored pair touches at least one NEW conversation
+    sc = inc.scored.select_columns(["conv_a", "conv_b"]).to_pandas()
+    assert len(sc) > 0
+    assert (sc["conv_a"].isin(new_ids) | sc["conv_b"].isin(new_ids)).all()
+
+    # agreement with the full-corpus rerun (frozen stats → tracks, not
+    # equals; on the golden corpus the clusters should still align)
+    full = run_linkage(rd.from_arrow(turns))
+    full_df = full.clusters.to_pandas()
+    assert _pair_f1(inc_df, full_df) >= 0.95
+
+    # and with the golden clusters themselves
+    gold = corpus.golden_clusters.to_pandas()
+    assert _pair_f1(inc_df, gold) >= 0.95
+
+    # determinism: identical base + batch → byte-identical clusters
+    inc2 = run_incremental(base, rd.from_arrow(new_tbl))
+    pd.testing.assert_frame_equal(inc_df, inc2.clusters.to_pandas())
