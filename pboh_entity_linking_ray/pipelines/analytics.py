@@ -898,7 +898,10 @@ def q89_kcore(sf_dir: str):
             ["s"], "one", "deg", engine="exchange")
 
     for _ in range(KCORE_ROUNDS):
-        kept = _deg(cur).filter(expr=f"deg >= {KCORE_K}")
+        # materialize the O(nodes) kept set: hash_join's schema fetch
+        # would otherwise execute the lazy degree exchange once and the
+        # join a second time (the q75/q82 double-execution trap)
+        kept = _deg(cur).filter(expr=f"deg >= {KCORE_K}").materialize()
         kept_s = kept.map_batches(lambda t: pa.table({"s": t["s"]}),
                                   batch_format="pyarrow")
         kept_d = kept.map_batches(lambda t: pa.table({"d": t["s"]}),
