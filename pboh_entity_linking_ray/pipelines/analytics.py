@@ -862,7 +862,10 @@ FROM nodes GROUP BY node
 
 # --- q89: k-core peeling (bounded-round graph degeneracy filter) -----------
 
-KCORE_K = 90        # degree floor, mirrored into the SQL twin
+KCORE_K = 70        # degree floor, mirrored into the SQL twin (peels a
+#                     nontrivial fringe at BOTH test scales without
+#                     collapsing the graph: ~15% at sf0.001, ~1.5% at
+#                     sf0.01 before cascade)
 KCORE_ROUNDS = 3    # fixed peel rounds → SQL-expressible as a CTE chain
 
 
@@ -910,9 +913,15 @@ def q89_kcore(sf_dir: str):
         cur = hash_join(cur, kept_d, "d", num_buckets=16,
                         how="semi").materialize()
 
-    return _deg(cur).map_batches(
-        lambda t: pa.table({"node_id": t["s"], "deg_res": t["deg"]}),
-        batch_format="pyarrow")
+    def final_fmt(t: pa.Table) -> pa.Table:
+        # a fully-peeled graph yields zero-column empty blocks — keep
+        # the output schema stable (CLAUDE.md empty-block contract)
+        if t.num_rows == 0 or "s" not in t.column_names:
+            return pa.table({"node_id": pa.array([], type=pa.int64()),
+                             "deg_res": pa.array([], type=pa.int64())})
+        return pa.table({"node_id": t["s"], "deg_res": t["deg"]})
+
+    return _deg(cur).map_batches(final_fmt, batch_format="pyarrow")
 
 
 def _kcore_round_sql(r: int) -> str:

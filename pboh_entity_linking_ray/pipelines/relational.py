@@ -1301,6 +1301,88 @@ FROM spend s FULL OUTER JOIN activity a ON s.c_custkey = a.c_custkey
 """
 
 
+# --- q91: semi-structured (JSON) column extraction + stats -----------------
+
+def q91_props_stats(sf_dir: str):
+    """Per-event-type stats over a field EXTRACTED from the JSON
+    ``props`` column — the semi-structured-payload discipline (every
+    event pipeline carries one): vectorized ``json_path_match`` per
+    batch (never a Python json.loads loop), per-batch sufficient-stat
+    partials (n/sum/min/max, ≤ one row per type per batch) plus
+    per-batch-deduped (type, k) rows for the EXACT distinct count, both
+    riding ONE event_type-keyed exchange as a kind-tagged long table.
+    The 5-key exchange is hot-key-safe because the combiner has already
+    collapsed batches to O(types + distinct k) rows each."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange
+
+    ev = _t(sf_dir, "events", ["event_type", "props"])
+
+    _EMPTY = pa.schema([("event_type", pa.string()), ("kind", pa.int8()),
+                        ("k", pa.int64()), ("n", pa.int64()),
+                        ("s", pa.int64()), ("mn", pa.int64()),
+                        ("mx", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "props" not in t.column_names:
+            return _EMPTY.empty_table()
+        df = (pl.from_arrow(t)
+              .with_columns(k=pl.col("props").str.json_path_match("$.k")
+                            .cast(pl.Int64))
+              .drop_nulls("k"))
+        sums = (df.group_by("event_type")
+                .agg(n=pl.len().cast(pl.Int64), s=pl.col("k").sum(),
+                     mn=pl.col("k").min(), mx=pl.col("k").max())
+                .with_columns(kind=pl.lit(0, dtype=pl.Int8),
+                              k=pl.lit(0, dtype=pl.Int64)))
+        uniq = (df.select(["event_type", "k"]).unique()
+                .with_columns(kind=pl.lit(1, dtype=pl.Int8),
+                              n=pl.lit(0, dtype=pl.Int64),
+                              s=pl.lit(0, dtype=pl.Int64),
+                              mn=pl.lit(0, dtype=pl.Int64),
+                              mx=pl.lit(0, dtype=pl.Int64)))
+        cols = ["event_type", "kind", "k", "n", "s", "mn", "mx"]
+        return (pl.concat([sums.select(cols), uniq.select(cols)])
+                .to_arrow().cast(_EMPTY))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "sum_k": pa.array([], type=pa.int64()),
+                             "min_k": pa.array([], type=pa.int64()),
+                             "max_k": pa.array([], type=pa.int64()),
+                             "distinct_k": pa.array([], type=pa.int64())})
+        df = pl.from_arrow(t)
+        sums = (df.filter(pl.col("kind") == 0).group_by("event_type")
+                .agg(n_events=pl.col("n").sum(), sum_k=pl.col("s").sum(),
+                     min_k=pl.col("mn").min(), max_k=pl.col("mx").max()))
+        uniq = (df.filter(pl.col("kind") == 1)
+                .select(["event_type", "k"]).unique()
+                .group_by("event_type").len(name="distinct_k")
+                .with_columns(pl.col("distinct_k").cast(pl.Int64)))
+        return sums.join(uniq, on="event_type", how="inner").to_arrow()
+
+    return hash_exchange(ev.map_batches(partial, batch_format="pyarrow"),
+                         "event_type", finish, num_buckets=4)
+
+
+SQL_Q91 = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS distinct_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q01_lineitem_agg": (q01_lineitem_agg, SQL_Q01),
     "q02_customer_revenue": (q02_customer_revenue, SQL_Q02),
@@ -1330,4 +1412,5 @@ QUERIES = {
     "q80_mad_outliers": (q80_mad_outliers, SQL_Q80),
     "q82_event_type_freq": (q82_event_type_freq, SQL_Q82),
     "q83_zone_map_prune": (q83_zone_map_prune, SQL_Q83),
+    "q91_props_stats": (q91_props_stats, SQL_Q91),
 }

@@ -391,8 +391,75 @@ QUALIFY row_number() OVER
 """
 
 
+# --- q90: retention cohort matrix ------------------------------------------
+
+def q90_retention_cohorts(sf_dir: str):
+    """Classic cohort-retention matrix: users grouped by first-activity
+    month, counted distinct per months-since-cohort offset.  ONE
+    user-keyed exchange resolves everything exactly — a user's whole
+    history co-locates, so the cohort month, the distinct active months,
+    and the per-(cohort, offset) partial counts are all LOCAL to the
+    bucket (a user contributes once per offset by construction); the
+    per-batch (user, month) dedup combiner shrinks the exchange input
+    first, and one tiny O(cohorts × offsets) sum finishes.  No distinct
+    machinery crosses the wire — co-location IS the distinct."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum, hash_exchange
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def dedup_months(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "m": pa.array([], type=pa.int64())})
+        m = (np.asarray(t["ts"]).astype("datetime64[M]")
+             .astype(np.int64))          # months since epoch
+        return (pl.DataFrame({
+            "user_id": np.asarray(t["user_id"], dtype=np.int64), "m": m})
+            .unique().to_arrow())
+
+    def cohort_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"cohort": pa.array([], type=pa.string()),
+                             "offset_m": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        df = (pl.from_arrow(t).unique()
+              .with_columns(m0=pl.col("m").min().over("user_id")))
+        out = (df.with_columns(offset_m=pl.col("m") - pl.col("m0"))
+               .group_by(["m0", "offset_m"]).len(name="n")
+               .with_columns(pl.col("n").cast(pl.Int64)))
+        lab = (out["m0"].cast(pl.Int64).to_numpy()
+               .astype("datetime64[M]").astype(str))
+        return pa.table({"cohort": pa.array(lab, type=pa.string()),
+                         "offset_m": out["offset_m"].to_arrow()
+                         .cast(pa.int64()),
+                         "n": out["n"].to_arrow()})
+
+    partials = hash_exchange(
+        ev.map_batches(dedup_months, batch_format="pyarrow"),
+        "user_id", cohort_bucket, num_buckets=32)
+    return bucketed_sum(partials, ["cohort", "offset_m"], "n", "n_users",
+                        engine="exchange")
+
+
+SQL_Q90 = """
+WITH a AS (
+  SELECT DISTINCT user_id, date_trunc('month', ts) AS m FROM events
+),
+f AS (SELECT user_id, min(m) AS m0 FROM a GROUP BY user_id)
+SELECT strftime(f.m0, '%Y-%m') AS cohort,
+       CAST(datediff('month', f.m0, a.m) AS BIGINT) AS offset_m,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q23_asof_join": (q23_asof_join, SQL_Q23),
+    "q90_retention_cohorts": (q90_retention_cohorts, SQL_Q90),
     "q24_sliding_window": (q24_sliding_window, SQL_Q24),
     "q25_interval_join": (q25_interval_join, SQL_Q25),
     "q36_event_lag": (q36_event_lag, SQL_Q36),

@@ -60,3 +60,54 @@ def test_ppm_decode_matches_independent_parse(ray_session):
         ix = (np.arange(PPM_RESIZE) * w) // PPM_RESIZE
         assert row["resized_checksum"] == int(
             img[iy][:, ix].astype(np.int64).sum())
+
+
+def test_png_codec_roundtrip():
+    """decode(encode(x)) must reproduce the ground-truth pixels exactly,
+    with every filter type (None/Sub/Up/Average/Paeth) exercised, and a
+    flipped byte must fail the CRC check."""
+    import pytest
+
+    from pboh_entity_linking_ray.pipelines.multimodal import (
+        _png_decode,
+        _png_encode,
+        png_pixels,
+    )
+
+    heights = set()
+    for doc_id in (0, 1, 7, 23, 119, 460):
+        img, w, h = png_pixels(doc_id)
+        heights.add(h)
+        data = _png_encode(img)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        out = _png_decode(data)
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, img)
+    # at least one image tall enough that rows hit all 5 filter types
+    assert max(heights) >= 5
+
+    img, _, _ = png_pixels(3)
+    data = bytearray(_png_encode(img))
+    data[40] ^= 0xFF                      # inside IDAT/IHDR body
+    with pytest.raises(ValueError, match="CRC"):
+        _png_decode(bytes(data))
+
+
+def test_png_stats_match_ground_truth(ray_session):
+    from pboh_entity_linking_ray.pipelines.multimodal import (
+        mm_png_stats,
+        png_pixels,
+    )
+
+    got = mm_png_stats(SF).to_pandas().set_index("doc_id")
+    assert len(got) > 0
+    for doc_id in list(got.index)[::41]:
+        img, w, h = png_pixels(doc_id)
+        row = got.loc[doc_id]
+        assert (row["width"], row["height"]) == (w, h)
+        s = img.astype(np.int64)
+        assert row["mean_r_e2"] == int(s[..., 0].sum()) * 100 // (w * h)
+        iy = (np.arange(PPM_RESIZE) * h) // PPM_RESIZE
+        ix = (np.arange(PPM_RESIZE) * w) // PPM_RESIZE
+        assert row["resized_checksum"] == int(
+            img[iy][:, ix].astype(np.int64).sum())
