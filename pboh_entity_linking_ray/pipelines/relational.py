@@ -1301,6 +1301,111 @@ FROM spend s FULL OUTER JOIN activity a ON s.c_custkey = a.c_custkey
 """
 
 
+# --- q92: per-user feature-vector assembly (feature-store materialize) -----
+
+Q92_SESSION_GAP_MIN = 30     # session break threshold, mirrored in SQL
+
+
+def q92_user_features(sf_dir: str):
+    """Wide per-user feature table — the feature-store materialization
+    every behavioral ML pipeline ends in: event count, distinct event
+    types, active-span days, session count (30-min-gap sessionization),
+    purchase count, total purchase cents, and mean inter-event gap —
+    ALL from ONE user-keyed exchange: a user's full history co-locates,
+    so distinct counts, ordered gaps, and session breaks are local
+    vectorized polars windows, and the output is one O(users) table.
+    The q14 sessionize / q31 distinct / q86 sufficient-stat recipes
+    composed into a single co-location pass."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange
+
+    ev = _t(sf_dir, "events",
+            ["user_id", "ts", "event_type", "value"])
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "us": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "cents": pa.array([], type=pa.int64())})
+        return pa.table({
+            "user_id": t["user_id"],
+            "us": pa.array(np.asarray(t["ts"])
+                           .astype("datetime64[us]").astype(np.int64)),
+            "event_type": t["event_type"],
+            "cents": pa.array(np.floor(
+                np.asarray(t["value"]) * 100 + 0.5).astype(np.int64)),
+        })
+
+    gap_us = Q92_SESSION_GAP_MIN * 60 * 1_000_000
+
+    def user_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "n_types": pa.array([], type=pa.int64()),
+            "span_days": pa.array([], type=pa.int64()),
+            "n_sessions": pa.array([], type=pa.int64()),
+            "n_purchases": pa.array([], type=pa.int64()),
+            "purchase_cents": pa.array([], type=pa.int64()),
+            "mean_gap_s": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        df = pl.from_arrow(t).sort(["user_id", "us"])
+        out = (df.group_by("user_id", maintain_order=True).agg(
+            n_events=pl.len().cast(pl.Int64),
+            n_types=pl.col("event_type").n_unique().cast(pl.Int64),
+            span_days=((pl.col("us").max() - pl.col("us").min())
+                       // 86_400_000_000),
+            n_sessions=(pl.col("us").diff() > gap_us)
+                       .sum().cast(pl.Int64) + 1,
+            n_purchases=(pl.col("event_type") == "purchase")
+                        .sum().cast(pl.Int64),
+            purchase_cents=pl.col("cents")
+                           .filter(pl.col("event_type") == "purchase")
+                           .sum().cast(pl.Int64),
+            # mean inter-event gap in whole seconds (exact integer:
+            # (max-min) // (n-1) // 1e6); 0 for single-event users
+            mean_gap_s=pl.when(pl.len() > 1)
+                        .then((pl.col("us").max() - pl.col("us").min())
+                              // (pl.len().cast(pl.Int64) - 1)
+                              // 1_000_000)
+                        .otherwise(0).cast(pl.Int64),
+        ))
+        return out.to_arrow().cast(empty.schema)
+
+    return hash_exchange(
+        ev.map_batches(project, batch_format="pyarrow"),
+        "user_id", user_bucket, num_buckets=32)
+
+
+SQL_Q92 = f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST((max(us) - min(us)) // 86400000000 AS BIGINT) AS span_days,
+       CAST(sum(CASE WHEN gap_us > {Q92_SESSION_GAP_MIN * 60 * 1000000}
+                     THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                              THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                              END), 0) AS BIGINT) AS purchase_cents,
+       CAST(CASE WHEN count(*) > 1
+                 THEN ((max(us) - min(us)) // (count(*) - 1)) // 1000000
+                 ELSE 0 END AS BIGINT) AS mean_gap_s
+FROM (
+  SELECT user_id, event_type, value, epoch_us(ts) AS us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+             (PARTITION BY user_id ORDER BY ts) AS gap_us
+  FROM events
+)
+GROUP BY user_id
+"""
+
+
 # --- q91: semi-structured (JSON) column extraction + stats -----------------
 
 def q91_props_stats(sf_dir: str):
@@ -1413,4 +1518,5 @@ QUERIES = {
     "q82_event_type_freq": (q82_event_type_freq, SQL_Q82),
     "q83_zone_map_prune": (q83_zone_map_prune, SQL_Q83),
     "q91_props_stats": (q91_props_stats, SQL_Q91),
+    "q92_user_features": (q92_user_features, SQL_Q92),
 }
