@@ -1039,6 +1039,73 @@ FROM r WHERE rnk <= {NEG_K}
 """
 
 
+# --- q93: vector-column arithmetic (normalize + int8 quantize) -------------
+
+def q93_embedding_quantize(sf_dir: str):
+    """Per-row vector arithmetic over the list<float> embedding column —
+    the int8-quantization prep every vector-index build runs: exact e6
+    fixed-point elementwise quantization, integer squared L2 norm, and a
+    symmetric int8 requantization checksum (round(x_e6·127 / max|x|_e6),
+    the faiss-style scalar quantizer), all pure zero-copy numpy over the
+    flattened Arrow list buffer — one streaming map, no shuffle, no
+    Python per row.  Every emitted number is integer arithmetic over the
+    SAME e6 values in both engines, so the twin (DuckDB list_transform
+    lambdas) matches hash-exactly."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "dim": pa.array([], type=pa.int64()),
+                             "norm2_e12": pa.array([], type=pa.int64()),
+                             "q8_sum": pa.array([], type=pa.int64())})
+        ids, mat = _matrix(t)
+        e6 = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        norm2 = (e6 * e6).sum(axis=1)
+        amax = np.abs(e6).max(axis=1)
+        amax_safe = np.maximum(amax, 1)
+        # symmetric scalar quantizer: q = round(x_e6 * 127 / max|x_e6|).
+        # Computed on the SHIFTED value (x + amax) so the integer
+        # numerator is non-negative — Python // floors while DuckDB //
+        # truncates, and they only agree on non-negative operands
+        q8 = ((e6 + amax_safe[:, None]) * 254 + amax_safe[:, None]) \
+            // (2 * amax_safe[:, None]) - 127
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "dim": pa.array(np.full(len(ids), mat.shape[1],
+                                    dtype=np.int64)),
+            "norm2_e12": pa.array(norm2),
+            "q8_sum": pa.array(np.abs(q8).sum(axis=1)),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+SQL_Q93 = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                       AS BIGINT)) AS e6
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, e6, len(e6) AS dim,
+         greatest(list_max(list_transform(e6, x -> abs(x))), 1) AS amax
+  FROM q
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(dim AS BIGINT) AS dim,
+       CAST(list_sum(list_transform(e6, x -> x * x)) AS BIGINT)
+           AS norm2_e12,
+       CAST(list_sum(list_transform(e6, x -> abs(
+           ((x + amax) * 254 + amax) // (2 * amax) - 127
+       ))) AS BIGINT) AS q8_sum
+FROM m
+"""
+
+
 QUERIES = {
     "q10_knn_bruteforce": (q10_knn_bruteforce, SQL_Q10),
     "q61_embedding_dedup": (q61_embedding_dedup, SQL_Q61),
@@ -1058,4 +1125,5 @@ QUERIES = {
     # eigendecomposition → rows-only; q65 oracle-checks the covariance
     # it consumes, tests/test_ann.py checks the projection vs numpy
     "pca_project": (pca_project, None),
+    "q93_embedding_quantize": (q93_embedding_quantize, SQL_Q93),
 }
