@@ -131,3 +131,27 @@ def run_incremental(base: LinkageResult, new_turns: ray.data.Dataset,
 
     return IncrementalResult(new_features, pairs, scored, matches,
                              clusters, n_new)
+
+
+def fold_incremental(base: LinkageResult,
+                     inc: IncrementalResult) -> LinkageResult:
+    """Fold an incremental step back into a base-shaped result so the
+    NEXT batch can link against it — the micro-batch streaming loop:
+
+        state = run_linkage(batch0)
+        for batch in rest:
+            state = fold_incremental(state, run_incremental(state, batch))
+
+    Features become the union (the next batch blocks against everything
+    seen), clusters the updated assignment; the broadcast statistics
+    remain the ORIGINAL base run's (the frozen-stats contract — refresh
+    them by re-running the base pipeline when drift warrants, exactly
+    like rebuilding an index).  Stage outputs that only make sense for
+    one full run (token/pair stats datasets, pair lists) carry over
+    from the base unchanged and should not be re-consumed."""
+    return LinkageResult(
+        base.conv_docs, base.features.union(inc.new_features),
+        base.token_stats, base.pair_stats,
+        base.pairs, inc.scored, inc.matches,
+        inc.clusters.materialize(),      # consumed per following batch
+        base.n_convs + inc.n_new, stats_ref=base.stats_ref)

@@ -67,3 +67,38 @@ def test_incremental_linkage(ray_session):
     # determinism: identical base + batch → byte-identical clusters
     inc2 = run_incremental(base, rd.from_arrow(new_tbl))
     pd.testing.assert_frame_equal(inc_df, inc2.clusters.to_pandas())
+
+
+def test_streaming_microbatch_linkage(ray_session):
+    """fold_incremental composes run_incremental into a micro-batch
+    stream: 3 batches processed in sequence agree with the one-shot
+    full run."""
+    import ray.data as rd
+
+    from pboh_entity_linking_ray.functions.hashing import hash_strings_u64
+    from pboh_entity_linking_ray.pipelines.incremental import (
+        fold_incremental,
+        run_incremental,
+    )
+    from pboh_entity_linking_ray.pipelines.linkage import run_linkage
+    from pboh_entity_linking_ray.sources.synthetic import generate_corpus
+
+    corpus = generate_corpus(210, 11)
+    turns = corpus.turns
+    part = (hash_strings_u64(turns["conv_id"]) % np.uint64(3)).astype(np.int64)
+    batches = [turns.filter(pa.array(part == i)) for i in range(3)]
+    assert all(b.num_rows for b in batches)
+
+    state = run_linkage(rd.from_arrow(batches[0]))
+    for b in batches[1:]:
+        state = fold_incremental(state,
+                                 run_incremental(state, rd.from_arrow(b)))
+
+    stream_df = state.clusters.to_pandas()
+    n_convs = len(pa.compute.unique(turns["conv_id"]))
+    assert len(stream_df) == n_convs
+    assert state.n_convs == n_convs
+
+    full_df = run_linkage(rd.from_arrow(turns)).clusters.to_pandas()
+    assert _pair_f1(stream_df, full_df) >= 0.95
+    assert _pair_f1(stream_df, corpus.golden_clusters.to_pandas()) >= 0.95
