@@ -380,27 +380,28 @@ def q87_profile_documents(sf_dir: str):
             "mx": pa.array(rows["mx"], type=pa.int64()),
         })
 
+    _BASIC = pa.schema([("col", pa.string()), ("n", pa.int64()),
+                        ("nulls", pa.int64()), ("mn", pa.int64()),
+                        ("mx", pa.int64())])
+
     def basic_bucket(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "col" not in t.column_names:
-            return pa.table({"col": pa.array([], type=pa.string()),
-                             "n": pa.array([], type=pa.int64()),
-                             "nulls": pa.array([], type=pa.int64()),
-                             "mn": pa.array([], type=pa.int64()),
-                             "mx": pa.array([], type=pa.int64())})
+            return _BASIC.empty_table()
         return (pl.from_arrow(t).group_by("col")
                 .agg(n=pl.col("n").sum(), nulls=pl.col("nulls").sum(),
                      mn=pl.col("mn").min(), mx=pl.col("mx").max())
-                .to_arrow())
+                .to_arrow().select(_BASIC.names).cast(_BASIC))
 
     basics = hash_exchange(
         ds.map_batches(basic_partial, batch_format="pyarrow"),
         "col", basic_bucket, num_buckets=4)
 
+    _DROWS = pa.schema([("v", pa.string()), ("col", pa.string()),
+                        ("rk", pa.int64())])
+
     def distinct_rows(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "doc_id" not in t.column_names:
-            return pa.table({"v": pa.array([], type=pa.string()),
-                             "col": pa.array([], type=pa.string()),
-                             "rk": pa.array([], type=pa.int64())})
+            return _DROWS.empty_table()
         parts = []
         for c in _PROF_COLS:
             v = (pl.from_arrow(pa.table({"v": t[c]}))
@@ -412,16 +413,17 @@ def q87_profile_documents(sf_dir: str):
         return (df.with_columns(
             rk=df.hash_rows(seed=7).cast(pl.UInt64)
                  .reinterpret(signed=True))
-            .to_arrow())
+            .to_arrow().select(_DROWS.names).cast(_DROWS))
+
+    _DPART = pa.schema([("col", pa.string()), ("d", pa.int64())])
 
     def distinct_bucket(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "col" not in t.column_names:
-            return pa.table({"col": pa.array([], type=pa.string()),
-                             "d": pa.array([], type=pa.int64())})
+            return _DPART.empty_table()
         return (pl.from_arrow(t).select(["col", "v"]).unique()
                 .group_by("col").len(name="d")
                 .with_columns(pl.col("d").cast(pl.Int64))
-                .to_arrow())
+                .to_arrow().cast(_DPART))
 
     dparts = hash_exchange(
         ds.map_batches(distinct_rows, batch_format="pyarrow"),

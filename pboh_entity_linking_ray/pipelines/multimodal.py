@@ -332,39 +332,50 @@ def encode_ppm_payloads(sf_dir: str) -> ray.data.Dataset:
 PPM_RESIZE = 4
 
 
+def _image_stats_table(doc_ids, imgs: "list[np.ndarray]") -> pa.Table:
+    """Shared per-image stats contract of the PPM and PNG decoders:
+    dims, per-channel integer means (e2), PPM_RESIZE² nearest-neighbor
+    downsample checksum.  One place to change = both decoders (and
+    both pytest pins) stay in lockstep."""
+    ws, hs, mr, mg, mb, ck = [], [], [], [], [], []
+    for img in imgs:
+        h, w, _ = img.shape
+        s = img.astype(np.int64)
+        iy = (np.arange(PPM_RESIZE) * h) // PPM_RESIZE
+        ix = (np.arange(PPM_RESIZE) * w) // PPM_RESIZE
+        small = img[iy][:, ix]
+        ws.append(w)
+        hs.append(h)
+        mr.append(int(s[..., 0].sum()) * 100 // (w * h))
+        mg.append(int(s[..., 1].sum()) * 100 // (w * h))
+        mb.append(int(s[..., 2].sum()) * 100 // (w * h))
+        ck.append(int(small.astype(np.int64).sum()))
+    return pa.table({
+        "doc_id": doc_ids,
+        "width": pa.array(ws, type=pa.int64()),
+        "height": pa.array(hs, type=pa.int64()),
+        "mean_r_e2": pa.array(mr, type=pa.int64()),
+        "mean_g_e2": pa.array(mg, type=pa.int64()),
+        "mean_b_e2": pa.array(mb, type=pa.int64()),
+        "resized_checksum": pa.array(ck, type=pa.int64()),
+    })
+
+
 class PpmDecoder:
     """Actor-pool REAL PPM (P6) decode + nearest-neighbor resize, numpy
-    only: header parse → H×W×3 reshape → per-channel integer means →
-    PPM_RESIZE² nearest-neighbor downsample checksum (the resample is
-    real; only compressed codecs remain stubbed)."""
+    only: header parse → H×W×3 reshape → shared image-stats tail
+    (the resample is real; only compressed codecs remain stubbed)."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ws, hs, mr, mg, mb, ck = [], [], [], [], [], []
+        imgs = []
         for p in t["payload"].to_pylist():
             magic, dims, maxval, raw = p.split(b"\n", 3)
             if magic != b"P6" or maxval != b"255":
                 raise NotImplementedError("only 8-bit P6 PPM (codec stub)")
             w, h = (int(v) for v in dims.split())
-            img = np.frombuffer(raw, np.uint8, w * h * 3).reshape(h, w, 3)
-            s = img.astype(np.int64)
-            iy = (np.arange(PPM_RESIZE) * h) // PPM_RESIZE
-            ix = (np.arange(PPM_RESIZE) * w) // PPM_RESIZE
-            small = img[iy][:, ix]
-            ws.append(w)
-            hs.append(h)
-            mr.append(int(s[..., 0].sum()) * 100 // (w * h))
-            mg.append(int(s[..., 1].sum()) * 100 // (w * h))
-            mb.append(int(s[..., 2].sum()) * 100 // (w * h))
-            ck.append(int(small.astype(np.int64).sum()))
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "width": pa.array(ws, type=pa.int64()),
-            "height": pa.array(hs, type=pa.int64()),
-            "mean_r_e2": pa.array(mr, type=pa.int64()),
-            "mean_g_e2": pa.array(mg, type=pa.int64()),
-            "mean_b_e2": pa.array(mb, type=pa.int64()),
-            "resized_checksum": pa.array(ck, type=pa.int64()),
-        })
+            imgs.append(np.frombuffer(raw, np.uint8, w * h * 3)
+                        .reshape(h, w, 3))
+        return _image_stats_table(t["doc_id"], imgs)
 
 
 def mm_ppm_stats(sf_dir: str):
@@ -533,32 +544,11 @@ def encode_png_payloads(sf_dir: str) -> ray.data.Dataset:
 
 class PngDecoder:
     """Actor-pool REAL PNG decode stage (same output contract as
-    PpmDecoder): per-image dims, channel means, resize checksum."""
+    PpmDecoder, via the shared ``_image_stats_table`` tail)."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ws, hs, mr, mg, mb, ck = [], [], [], [], [], []
-        for p in t["payload"].to_pylist():
-            img = _png_decode(p)
-            h, w, _ = img.shape
-            s = img.astype(np.int64)
-            iy = (np.arange(PPM_RESIZE) * h) // PPM_RESIZE
-            ix = (np.arange(PPM_RESIZE) * w) // PPM_RESIZE
-            small = img[iy][:, ix]
-            ws.append(w)
-            hs.append(h)
-            mr.append(int(s[..., 0].sum()) * 100 // (w * h))
-            mg.append(int(s[..., 1].sum()) * 100 // (w * h))
-            mb.append(int(s[..., 2].sum()) * 100 // (w * h))
-            ck.append(int(small.astype(np.int64).sum()))
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "width": pa.array(ws, type=pa.int64()),
-            "height": pa.array(hs, type=pa.int64()),
-            "mean_r_e2": pa.array(mr, type=pa.int64()),
-            "mean_g_e2": pa.array(mg, type=pa.int64()),
-            "mean_b_e2": pa.array(mb, type=pa.int64()),
-            "resized_checksum": pa.array(ck, type=pa.int64()),
-        })
+        return _image_stats_table(
+            t["doc_id"], [_png_decode(p) for p in t["payload"].to_pylist()])
 
 
 def mm_png_stats(sf_dir: str):

@@ -1451,14 +1451,14 @@ def q91_props_stats(sf_dir: str):
         return (pl.concat([sums.select(cols), uniq.select(cols)])
                 .to_arrow().cast(_EMPTY))
 
+    _OUT = pa.schema([("event_type", pa.string()),
+                      ("n_events", pa.int64()), ("sum_k", pa.int64()),
+                      ("min_k", pa.int64()), ("max_k", pa.int64()),
+                      ("distinct_k", pa.int64())])
+
     def finish(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "event_type" not in t.column_names:
-            return pa.table({"event_type": pa.array([], type=pa.string()),
-                             "n_events": pa.array([], type=pa.int64()),
-                             "sum_k": pa.array([], type=pa.int64()),
-                             "min_k": pa.array([], type=pa.int64()),
-                             "max_k": pa.array([], type=pa.int64()),
-                             "distinct_k": pa.array([], type=pa.int64())})
+            return _OUT.empty_table()
         df = pl.from_arrow(t)
         sums = (df.filter(pl.col("kind") == 0).group_by("event_type")
                 .agg(n_events=pl.col("n").sum(), sum_k=pl.col("s").sum(),
@@ -1467,7 +1467,10 @@ def q91_props_stats(sf_dir: str):
                 .select(["event_type", "k"]).unique()
                 .group_by("event_type").len(name="distinct_k")
                 .with_columns(pl.col("distinct_k").cast(pl.Int64)))
-        return sums.join(uniq, on="event_type", how="inner").to_arrow()
+        # cast: polars emits large_string — live and empty paths must
+        # share one schema (the exchange stable-schema contract)
+        return (sums.join(uniq, on="event_type", how="inner")
+                .to_arrow().cast(_OUT))
 
     return hash_exchange(ev.map_batches(partial, batch_format="pyarrow"),
                          "event_type", finish, num_buckets=4)
