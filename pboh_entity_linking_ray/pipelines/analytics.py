@@ -733,18 +733,27 @@ def _copurchase_edges(sf_dir: str):
     return hash_exchange(pair_rows, "pk", uniq_edges, num_buckets=32)
 
 
+TRI_BCAST_MAX = 50_000_000   # edges; above this the broadcast probe
+#                              (8 B/edge) would strain worker heaps →
+#                              fall back to the semi-join closure
+
+
 def q84_triangles(sf_dir: str):
     """Per-node triangle counts over the part co-purchase graph.
 
-    Five skinny exchanges, each moving int64 rows once: (1) lineitem on
-    l_orderkey → per-order distinct-part triu pairs; (2) packed pair key
-    → global edge dedup; (3) node → exact degrees (O(nodes) output);
-    (4+5) two hash_joins re-attach endpoint degrees, the second's post
-    hook orienting each edge low-rank → high-rank; then wedges are
-    emitted per center (exchange on src), closed by a semi hash_join on
-    the packed directed-pair key, and 3 node rows per triangle feed one
-    final O(nodes) bucketed_sum.  No stage ever materializes on the
-    driver; output is the O(nodes) count table."""
+    Skinny exchanges only: (1) lineitem on l_orderkey → per-order
+    distinct-part triu pairs; (2) packed pair key → global edge dedup;
+    (3) node → exact degrees (O(nodes) output); (4+5) two hash_joins
+    re-attach endpoint degrees, the second's post hook orienting each
+    edge low-rank → high-rank; then ONE exchange on the wedge center
+    generates, CLOSES, and count-combines wedges inside the bucket task
+    — the directed edge set (the m-row small side vs the O(m^1.5) wedge
+    stream) is broadcast once as a sorted packed-key array and probed
+    with ``searchsorted``, so no wedge row ever crosses an operator
+    boundary; per-node partial counts (O(nodes)/bucket) feed one final
+    bucketed_sum.  If the edge list outgrows TRI_BCAST_MAX the closure
+    falls back to the semi hash_join on the packed directed-pair key
+    (same results, one more wedge-sized exchange)."""
     from ..functions.grouping import bucketed_sum, hash_exchange, hash_join
 
     edges = _copurchase_edges(sf_dir)
@@ -787,14 +796,11 @@ def q84_triangles(sf_dir: str):
     dir_edges = hash_join(with_da, deg_b, "b", num_buckets=32,
                           post=orient).materialize()
 
-    def wedges_bucket(t: pa.Table) -> pa.Table:
-        """All rank-ordered out-neighbor pairs per center: wedge
-        (ctr; x, y) with rank(x) < rank(y), probed as packed (x, y)."""
+    def _wedge_arrays(t: pa.Table):
+        """(ctr, x, y) arrays of all rank-ordered out-neighbor wedges
+        in one src-keyed bucket (wedge (ctr; x, y), rank(x) < rank(y))."""
         import polars as pl
 
-        if t.num_rows == 0 or "src" not in t.column_names:
-            return pa.table({"wk": pa.array([], type=pa.int64()),
-                             "ctr": pa.array([], type=pa.int64())})
         df = pl.from_arrow(t).sort(["src", "dd", "dst"])
         srcv = df["src"].to_numpy()
         dstv = df["dst"].to_numpy()
@@ -807,32 +813,73 @@ def q84_triangles(sf_dir: str):
             ap.append((base[:, None] + ia[None, :]).ravel())
             bp.append((base[:, None] + ib[None, :]).ravel())
         if not ap:
-            return pa.table({"wk": pa.array([], type=pa.int64()),
-                             "ctr": pa.array([], type=pa.int64())})
+            z = np.array([], dtype=np.int64)
+            return z, z, z
         ai, bi = np.concatenate(ap), np.concatenate(bp)
-        return pa.table({"wk": pa.array(dstv[ai] * TRI_OFF + dstv[bi]),
-                         "ctr": pa.array(srcv[ai])})
+        return srcv[ai], dstv[ai], dstv[bi]
 
-    wedges = hash_exchange(dir_edges, "src", wedges_bucket, num_buckets=32)
-    probe = dir_edges.map_batches(
-        lambda t: pa.table({"wk": pa.array(
-            np.asarray(t["src"], dtype=np.int64) * TRI_OFF
-            + np.asarray(t["dst"], dtype=np.int64))}),
-        batch_format="pyarrow")
-    tris = hash_join(wedges, probe, "wk", num_buckets=32, how="semi")
+    n_edges = dir_edges.count()
+    if n_edges <= TRI_BCAST_MAX:
+        # broadcast closure: sorted packed directed-edge keys, probed
+        # in-bucket; wedges never leave the bucket task
+        from .linkage import _concat_ds
 
-    def explode_nodes(t: pa.Table) -> pa.Table:
-        wk = np.asarray(t["wk"], dtype=np.int64)
-        ctr = np.asarray(t["ctr"], dtype=np.int64)
-        return pa.table({
-            "node": pa.array(np.concatenate([ctr, wk // TRI_OFF,
-                                             wk % TRI_OFF])),
-            "one": pa.array(np.ones(3 * len(wk), dtype=np.int64)),
-        })
+        etbl = _concat_ds(dir_edges)
+        pk = np.sort(np.asarray(etbl["src"], dtype=np.int64) * TRI_OFF
+                     + np.asarray(etbl["dst"], dtype=np.int64))
+        keys_ref = ray.put(pk)
 
-    counts = bucketed_sum(
-        tris.map_batches(explode_nodes, batch_format="pyarrow"),
-        ["node"], "one", "tri", engine="exchange")
+        def close_bucket(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "src" not in t.column_names:
+                return pa.table({"node": pa.array([], type=pa.int64()),
+                                 "one": pa.array([], type=pa.int64())})
+            ctr, x, y = _wedge_arrays(t)
+            if not len(ctr):
+                return pa.table({"node": pa.array([], type=pa.int64()),
+                                 "one": pa.array([], type=pa.int64())})
+            keys = ray.get(keys_ref)
+            wk = x * TRI_OFF + y
+            pos = np.searchsorted(keys, wk)
+            pos[pos == len(keys)] = 0
+            hit = keys[pos] == wk
+            nodes = np.concatenate([ctr[hit], x[hit], y[hit]])
+            uniq, cnt = np.unique(nodes, return_counts=True)
+            return pa.table({"node": pa.array(uniq),
+                             "one": pa.array(cnt.astype(np.int64))})
+
+        partials = hash_exchange(dir_edges, "src", close_bucket,
+                                 num_buckets=32)
+    else:    # semi-join closure: same results, wedge-sized exchange
+        def wedges_bucket(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "src" not in t.column_names:
+                return pa.table({"wk": pa.array([], type=pa.int64()),
+                                 "ctr": pa.array([], type=pa.int64())})
+            ctr, x, y = _wedge_arrays(t)
+            return pa.table({"wk": pa.array(x * TRI_OFF + y),
+                             "ctr": pa.array(ctr)})
+
+        wedges = hash_exchange(dir_edges, "src", wedges_bucket,
+                               num_buckets=32)
+        probe = dir_edges.map_batches(
+            lambda t: pa.table({"wk": pa.array(
+                np.asarray(t["src"], dtype=np.int64) * TRI_OFF
+                + np.asarray(t["dst"], dtype=np.int64))}),
+            batch_format="pyarrow")
+        tris = hash_join(wedges, probe, "wk", num_buckets=32, how="semi")
+
+        def explode_nodes(t: pa.Table) -> pa.Table:
+            wk = np.asarray(t["wk"], dtype=np.int64)
+            ctr = np.asarray(t["ctr"], dtype=np.int64)
+            return pa.table({
+                "node": pa.array(np.concatenate([ctr, wk // TRI_OFF,
+                                                 wk % TRI_OFF])),
+                "one": pa.array(np.ones(3 * len(wk), dtype=np.int64)),
+            })
+
+        partials = tris.map_batches(explode_nodes, batch_format="pyarrow")
+
+    counts = bucketed_sum(partials, ["node"], "one", "tri",
+                          engine="exchange")
     return counts.map_batches(
         lambda t: pa.table({"node_id": t["node"], "tri": t["tri"]}),
         batch_format="pyarrow")

@@ -69,18 +69,33 @@ def _tag(ds: ray.data.Dataset, flag: int) -> ray.data.Dataset:
 
 def run_incremental(base: LinkageResult, new_turns: ray.data.Dataset,
                     cfg: PipelineConfig | None = None,
-                    num_buckets: int = 64) -> IncrementalResult:
+                    num_buckets: int = 64,
+                    checkpoint_root: str | None = None) -> IncrementalResult:
     """Link ``new_turns`` against ``base`` (a completed ``run_linkage``
     result, in-memory or checkpoint-backed) and return clusters over the
-    UNION of conversations."""
-    cfg = cfg or PipelineConfig()
+    UNION of conversations.
 
-    new_docs = canonicalize(new_turns).materialize()
+    ``checkpoint_root`` extends the flagship resume contract to the
+    incremental path: each stage (inc_conv_docs / inc_features /
+    inc_pairs / inc_scored / inc_clusters) lands as atomic Parquet +
+    lineage manifest via ``StageRunner``, so a killed batch resumes from
+    its last completed stage (use a DIFFERENT root per batch)."""
+    from ..state.checkpoint import StageRunner
+
+    cfg = cfg or PipelineConfig()
+    runner = StageRunner(checkpoint_root)
+
+    new_docs = runner.run("inc_conv_docs", lambda: canonicalize(new_turns))
+    if not runner.root:
+        new_docs = new_docs.materialize()
     # the stem map is a deterministic per-token function — rebuilding it
     # over the new vocabulary yields identical stems for shared tokens,
     # so frozen-stats scoring stays consistent with the base run
     stem_ref = ray.put(_concat_ds(build_stem_map(new_docs, cfg)))
-    new_features = featurize(new_docs, cfg, stem_ref).materialize()
+    new_features = runner.run("inc_features",
+                              lambda: featurize(new_docs, cfg, stem_ref))
+    if not runner.root:
+        new_features = new_features.materialize()
     n_new = new_features.count()
 
     new_blocked = add_block_keys(new_features, cfg).materialize()
@@ -110,12 +125,19 @@ def run_incremental(base: LinkageResult, new_turns: ray.data.Dataset,
         .map_batches(probe, batch_format="pyarrow")
 
     blocked = _tag(old_blocked, 0).union(_tag(new_blocked, 1))
-    pairs_raw = make_pairs_incremental(blocked, cfg, num_buckets)
-    pairs = dedup_pairs(pairs_raw, num_buckets)
+    pairs = runner.run(
+        "inc_pairs",
+        lambda: dedup_pairs(make_pairs_incremental(blocked, cfg,
+                                                   num_buckets),
+                            num_buckets))
 
     feats_all = base.features.union(new_features)
-    scored = attach_and_score(pairs, feats_all, base.stats_ref, cfg,
-                              num_buckets=num_buckets).materialize()
+    scored = runner.run(
+        "inc_scored",
+        lambda: attach_and_score(pairs, feats_all, base.stats_ref, cfg,
+                                 num_buckets=num_buckets))
+    if not runner.root:
+        scored = scored.materialize()
     matches = scored.filter(expr="is_match")
 
     # union graph: base assignments as label edges + new match edges
@@ -125,9 +147,11 @@ def run_incremental(base: LinkageResult, new_turns: ray.data.Dataset,
         batch_format="pyarrow")
     universe = base.features.select_columns(["conv_id"]).union(
         new_features.select_columns(["conv_id"]))
-    clusters = cluster_matches(
-        matches.select_columns(["conv_a", "conv_b"]).union(base_edges),
-        universe).sort("conv_id")
+    clusters = runner.run(
+        "inc_clusters",
+        lambda: cluster_matches(
+            matches.select_columns(["conv_a", "conv_b"]).union(base_edges),
+            universe).sort("conv_id"))
 
     return IncrementalResult(new_features, pairs, scored, matches,
                              clusters, n_new)

@@ -102,3 +102,40 @@ def test_streaming_microbatch_linkage(ray_session):
     full_df = run_linkage(rd.from_arrow(turns)).clusters.to_pandas()
     assert _pair_f1(stream_df, full_df) >= 0.95
     assert _pair_f1(stream_df, corpus.golden_clusters.to_pandas()) >= 0.95
+
+
+def test_incremental_resume_byte_identical(ray_session, tmp_path):
+    """Kill-after-inc_pairs resume over the incremental checkpoint root
+    → byte-identical clusters (the flagship resume contract extended to
+    the incremental path)."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from pboh_entity_linking_ray.functions.hashing import hash_strings_u64
+    from pboh_entity_linking_ray.pipelines.incremental import run_incremental
+    from pboh_entity_linking_ray.pipelines.linkage import run_linkage
+    from pboh_entity_linking_ray.sources.synthetic import generate_corpus
+
+    corpus = generate_corpus(120, 13)
+    turns = corpus.turns
+    is_new = pa.array((hash_strings_u64(turns["conv_id"])
+                       % np.uint64(4)) == 0)
+    base = run_linkage(rd.from_arrow(turns.filter(pa.compute.invert(is_new))))
+    new_ds = rd.from_arrow(turns.filter(is_new))
+
+    root = str(tmp_path / "inc_ckpt")
+    first = run_incremental(base, new_ds, checkpoint_root=root) \
+        .clusters.to_pandas().sort_values("conv_id").to_csv(index=False)
+    manifests = set(os.listdir(os.path.join(root, "manifest")))
+    assert {"inc_conv_docs.json", "inc_features.json", "inc_pairs.json",
+            "inc_scored.json", "inc_clusters.json"} <= manifests
+
+    for stage in ("inc_scored", "inc_clusters"):
+        os.remove(os.path.join(root, "manifest", f"{stage}.json"))
+        shutil.rmtree(os.path.join(root, f"stage={stage}"))
+
+    second = run_incremental(base, new_ds, checkpoint_root=root) \
+        .clusters.to_pandas().sort_values("conv_id").to_csv(index=False)
+    assert second == first
