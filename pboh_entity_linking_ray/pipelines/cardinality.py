@@ -483,8 +483,124 @@ SELECT col, stat, CAST(val AS BIGINT) AS val FROM (
 """
 
 
+# --- q94: audience-overlap (set Jaccard) matrix ----------------------------
+
+def q94_audience_overlap(sf_dir: str):
+    """Exact pairwise user-set Jaccard between event types — the
+    audience-overlap matrix of every analytics stack: ONE user-keyed
+    exchange (the q90 co-location discipline: a user's distinct types
+    are bucket-local, so each user contributes its C(k,2) type-pair
+    memberships and per-type presence exactly once), per-bucket combine
+    to O(type² ) rows, one tiny final sum, then |∩|/|∪| in e4 from
+    exact integers — identical doubles in both engines."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum_multi, hash_exchange
+
+    def dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "event_type": pa.array([], type=pa.string())})
+        return (pl.from_arrow(t).select(["user_id", "event_type"])
+                .unique().to_arrow()
+                .cast(pa.schema([("user_id", pa.int64()),
+                                 ("event_type", pa.string())])))
+
+    _PART = pa.schema([("ta", pa.string()), ("tb", pa.string()),
+                       ("inter", pa.int64()), ("na", pa.int64())])
+
+    def user_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _PART.empty_table()
+        df = pl.from_arrow(t).unique().sort(["user_id", "event_type"])
+        # per-user type-pair memberships (grouped-triu over tiny sets)
+        users = df["user_id"].to_numpy()
+        types = df["event_type"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        sizes = np.diff(np.append(starts, len(users)))
+        ap, bp = [], []
+        for m in np.unique(sizes[sizes >= 2]):
+            ia, ib = np.triu_indices(int(m), k=1)
+            base = starts[sizes == m]
+            ap.append((base[:, None] + ia[None, :]).ravel())
+            bp.append((base[:, None] + ib[None, :]).ravel())
+        parts = []
+        if ap:
+            ai, bi = np.concatenate(ap), np.concatenate(bp)
+            parts.append(pl.DataFrame({"ta": types[ai], "tb": types[bi]})
+                         .group_by(["ta", "tb"]).len(name="inter")
+                         .with_columns(inter=pl.col("inter").cast(pl.Int64),
+                                       na=pl.lit(0, dtype=pl.Int64)))
+        # per-type presence counts ride the same partial stream: the
+        # (type, type) self-row carries na
+        parts.append(pl.DataFrame({"ta": types})
+                     .group_by("ta").len(name="na")
+                     .with_columns(na=pl.col("na").cast(pl.Int64),
+                                   tb=pl.col("ta"),
+                                   inter=pl.lit(0, dtype=pl.Int64)))
+        cols = ["ta", "tb", "inter", "na"]
+        return (pl.concat([p.select(cols) for p in parts])
+                .to_arrow().cast(_PART))
+
+    rows = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["user_id", "event_type"]) \
+        .map_batches(dedup, batch_format="pyarrow")
+    partials = hash_exchange(rows, "user_id", user_bucket, num_buckets=32)
+    sums = bucketed_sum_multi(partials, ["ta", "tb"],
+                              {"inter": "inter", "na": "na"},
+                              engine="exchange")
+
+    def finish(t: pa.Table) -> pa.Table:
+        _OUT = pa.schema([("ta", pa.string()), ("tb", pa.string()),
+                          ("inter", pa.int64()), ("uni", pa.int64()),
+                          ("jaccard_e4", pa.int64())])
+        if t.num_rows == 0 or "ta" not in t.column_names:
+            return _OUT.empty_table()
+        df = pl.from_arrow(t)
+        sizes = (df.filter(pl.col("ta") == pl.col("tb"))
+                 .select(["ta", "na"]).rename({"na": "sz"}))
+        out = (df.filter(pl.col("ta") != pl.col("tb"))
+               .group_by(["ta", "tb"]).agg(inter=pl.col("inter").sum())
+               .join(sizes, on="ta", how="inner")
+               .rename({"sz": "sza"})
+               .join(sizes.rename({"ta": "tb"}), on="tb", how="inner")
+               .rename({"sz": "szb"})
+               .with_columns(uni=pl.col("sza") + pl.col("szb")
+                             - pl.col("inter"))
+               .with_columns(jaccard_e4=(
+                   pl.col("inter").cast(pl.Float64) * 10000.0
+                   / pl.col("uni").cast(pl.Float64) + 0.5)
+                   .floor().cast(pl.Int64))
+               .select(["ta", "tb", "inter", "uni", "jaccard_e4"]))
+        return out.to_arrow().cast(_OUT)
+
+    # sums is tiny (≤ type² rows): finish in one single-bucket pass
+    return hash_exchange(sums, "ta", finish, num_buckets=1)
+
+
+SQL_Q94 = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+i AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1)
+SELECT i.ta, i.tb, i.inter,
+       ca.n + cb.n - i.inter AS uni,
+       CAST(FLOOR(10000.0 * i.inter
+                  / CAST(ca.n + cb.n - i.inter AS DOUBLE) + 0.5)
+            AS BIGINT) AS jaccard_e4
+FROM i JOIN c ca ON ca.event_type = i.ta
+       JOIN c cb ON cb.event_type = i.tb
+"""
+
+
 QUERIES = {
     "q31_distinct_users": (q31_distinct_users, SQL_Q31),
+    "q94_audience_overlap": (q94_audience_overlap, SQL_Q94),
     "hll_distinct_users": (hll_distinct_users, None),
     "q47_heavy_tokens": (q47_heavy_tokens, SQL_Q47),
     "quantile_sketch_value": (quantile_sketch_value, None),
