@@ -303,8 +303,116 @@ WHERE n * sxx - sx * sx <> 0
 """
 
 
+# --- q95: A/B experiment analysis (Welch t from sufficient statistics) -----
+
+def q95_ab_welch(sf_dir: str):
+    """Per-event-type A/B comparison (deterministic assignment
+    user_id % 2) of the value metric: Welch's t statistic and mean
+    difference, reduced to six EXACT integer sufficient statistics
+    (n/Σy/Σy² per arm) — one vectorized partial pass, one tiny
+    O(types) exchange, closed-form finish.  The float expression tree
+    (casts, op order) is mirrored token-for-token in the SQL twin so
+    e4/e2 fixed-point matches hash-exactly; Σy² is cast to DOUBLE
+    BEFORE squaring-terms arithmetic because at corpus scale Σy·Σy
+    overflows int64 (DuckDB would silently widen to HUGEINT and
+    diverge)."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id", "value"])
+
+    _PART = pa.schema([("event_type", pa.string()), ("grp", pa.int64()),
+                       ("n", pa.int64()), ("s", pa.int64()),
+                       ("ss", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return _PART.empty_table()
+        y = np.floor(np.asarray(t["value"]) * 100 + 0.5).astype(np.int64)
+        df = pl.DataFrame({
+            "event_type": pl.from_arrow(t["event_type"].combine_chunks()),
+            "grp": np.asarray(t["user_id"], dtype=np.int64) % 2,
+            "y": y,
+        })
+        return (df.group_by(["event_type", "grp"])
+                .agg(n=pl.len().cast(pl.Int64), s=pl.col("y").sum(),
+                     ss=(pl.col("y") * pl.col("y")).sum())
+                .to_arrow().cast(_PART))
+
+    def finish(t: pa.Table) -> pa.Table:
+        _OUT = pa.schema([("event_type", pa.string()),
+                          ("n_a", pa.int64()), ("n_b", pa.int64()),
+                          ("dmean_e2", pa.int64()), ("t_e4", pa.int64())])
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return _OUT.empty_table()
+        df = (pl.from_arrow(t).group_by(["event_type", "grp"])
+              .agg(n=pl.col("n").sum(), s=pl.col("s").sum(),
+                   ss=pl.col("ss").sum()))
+        a = df.filter(pl.col("grp") == 0)
+        b = df.filter(pl.col("grp") == 1).rename(
+            {"n": "nb", "s": "sb", "ss": "ssb"}).drop("grp")
+        j = a.drop("grp").join(b, on="event_type", how="inner") \
+             .filter((pl.col("n") > 1) & (pl.col("nb") > 1))
+        if j.height == 0:
+            return _OUT.empty_table()
+        na = j["n"].to_numpy().astype(np.float64)
+        nb = j["nb"].to_numpy().astype(np.float64)
+        sa = j["s"].to_numpy().astype(np.float64)
+        sb = j["sb"].to_numpy().astype(np.float64)
+        ssa = j["ss"].to_numpy().astype(np.float64)
+        ssb = j["ssb"].to_numpy().astype(np.float64)
+        ma, mb = sa / na, sb / nb
+        va = (ssa - sa * sa / na) / (na - 1)
+        vb = (ssb - sb * sb / nb) / (nb - 1)
+        tstat = (ma - mb) / np.sqrt(va / na + vb / nb)
+        return pa.table({
+            "event_type": j["event_type"].to_arrow().cast(pa.string()),
+            "n_a": j["n"].to_arrow().cast(pa.int64()),
+            "n_b": j["nb"].to_arrow().cast(pa.int64()),
+            "dmean_e2": pa.array(np.floor(ma - mb + 0.5).astype(np.int64)),
+            "t_e4": pa.array(np.floor(tstat * 10000 + 0.5)
+                             .astype(np.int64)),
+        })
+
+    parts = ev.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(parts, "event_type", finish, num_buckets=4)
+
+
+SQL_Q95 = """
+WITH e AS (
+  SELECT event_type, user_id % 2 AS grp,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type, grp, CAST(count(*) AS BIGINT) AS n,
+         SUM(y) AS sum_y, SUM(y * y) AS ss
+  FROM e GROUP BY 1, 2
+),
+j AS (
+  SELECT a.event_type,
+         CAST(a.n AS DOUBLE) AS na, CAST(b.n AS DOUBLE) AS nb,
+         CAST(a.sum_y AS DOUBLE) AS sa, CAST(b.sum_y AS DOUBLE) AS sb,
+         CAST(a.ss AS DOUBLE) AS ssa, CAST(b.ss AS DOUBLE) AS ssb,
+         a.n AS n_a, b.n AS n_b
+  FROM s a JOIN s b ON a.event_type = b.event_type
+  WHERE a.grp = 0 AND b.grp = 1 AND a.n > 1 AND b.n > 1
+)
+SELECT event_type, n_a, n_b,
+       CAST(FLOOR(sa / na - sb / nb + 0.5) AS BIGINT) AS dmean_e2,
+       CAST(FLOOR((sa / na - sb / nb)
+                  / sqrt(((ssa - sa * sa / na) / (na - 1)) / na
+                         + ((ssb - sb * sb / nb) / (nb - 1)) / nb)
+                  * 10000 + 0.5) AS BIGINT) AS t_e4
+FROM j
+"""
+
+
 QUERIES = {
     "q63_grad_step": (q63_grad_step, SQL_Q63),
+    "q95_ab_welch": (q95_ab_welch, SQL_Q95),
     "q64_sgd_train": (q64_sgd_train, None),
     "link_train_weights": (link_train_weights, None),
     "q86_user_trend": (q86_user_trend, SQL_Q86),
