@@ -529,57 +529,62 @@ FREQ_PAIR_MIN = 4      # reference mines packed pairs with freq >= 4
 FREQ_STOP_DF = 1000    # same stop-token guard as the jaccard join
 
 
+def _explode_distinct_toks(t: pa.Table) -> pa.Table:
+    """Per-batch distinct (doc_id, tok) rows — shared by q20 and q96."""
+    import polars as pl
+
+    df = pl.DataFrame({
+        "doc_id": pl.from_arrow(t["doc_id"].combine_chunks()).cast(pl.Int64),
+        "tok": pl.from_arrow(t["text"].combine_chunks())
+                 .str.to_lowercase().str.extract_all("[a-z0-9]+"),
+    }).explode("tok").drop_nulls("tok").unique()
+    return df.to_arrow()
+
+
+def _pairs_bucket(bucket: pa.Table) -> pa.Table:
+    """Per-doc triu token pairs batched by group size (doc-co-located
+    bucket in, partial (tok_a, tok_b, n_p) counts out) — shared by q20
+    and q96."""
+    import polars as pl
+
+    df = pl.from_arrow(bucket).sort(["doc_id", "tok"])
+    doc = df["doc_id"].to_numpy()
+    tok = df["tok"].to_numpy()
+    n = len(doc)
+    if n == 0:
+        return pa.table({"tok_a": pa.array([], type=pa.string()),
+                         "tok_b": pa.array([], type=pa.string()),
+                         "n_p": pa.array([], type=pa.int64())})
+    starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+    bounds = np.append(starts, n)
+    sizes = np.diff(bounds)
+    ap, bp = [], []
+    ok = (sizes >= 2) & (sizes <= FREQ_STOP_DF)
+    for m in np.unique(sizes[ok]):
+        ia, ib = np.triu_indices(int(m), k=1)
+        base = bounds[:-1][ok & (sizes == m)]
+        ap.append((base[:, None] + ia[None, :]).ravel())
+        bp.append((base[:, None] + ib[None, :]).ravel())
+    if not ap:
+        return pa.table({"tok_a": pa.array([], type=pa.string()),
+                         "tok_b": pa.array([], type=pa.string()),
+                         "n_p": pa.array([], type=pa.int64())})
+    ai, bi = np.concatenate(ap), np.concatenate(bp)
+    out = (pl.DataFrame({"tok_a": tok[ai], "tok_b": tok[bi]})
+           .group_by(["tok_a", "tok_b"]).len(name="n_p")
+           .with_columns(pl.col("n_p").cast(pl.Int64)))
+    return out.to_arrow()
+
+
 def q20_frequent_pairs(sf_dir: str):
     """Token pairs co-occurring (distinct, within-doc) in >= FREQ_PAIR_MIN
     documents — groupby(pair).count().filter(), the no-parameter-server
     recast of the reference's memcached-assisted frequent-pair miner."""
     from ..functions.grouping import bucketed_groups, bucketed_sum
 
-    def explode(t: pa.Table) -> pa.Table:
-        import polars as pl
-
-        df = pl.DataFrame({
-            "doc_id": pl.from_arrow(t["doc_id"].combine_chunks()).cast(pl.Int64),
-            "tok": pl.from_arrow(t["text"].combine_chunks())
-                     .str.to_lowercase().str.extract_all("[a-z0-9]+"),
-        }).explode("tok").drop_nulls("tok").unique()
-        return df.to_arrow()
-
-    rows = _docs(sf_dir).map_batches(explode, batch_format="pyarrow",
-                                     batch_size=512)
-
-    def pairs_bucket(bucket: pa.Table) -> pa.Table:
-        import polars as pl
-
-        df = pl.from_arrow(bucket).sort(["doc_id", "tok"])
-        doc = df["doc_id"].to_numpy()
-        tok = df["tok"].to_numpy()
-        n = len(doc)
-        if n == 0:
-            return pa.table({"tok_a": pa.array([], type=pa.string()),
-                             "tok_b": pa.array([], type=pa.string()),
-                             "n_p": pa.array([], type=pa.int64())})
-        starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
-        bounds = np.append(starts, n)
-        sizes = np.diff(bounds)
-        ap, bp = [], []
-        ok = (sizes >= 2) & (sizes <= FREQ_STOP_DF)
-        for m in np.unique(sizes[ok]):
-            ia, ib = np.triu_indices(int(m), k=1)
-            base = bounds[:-1][ok & (sizes == m)]
-            ap.append((base[:, None] + ia[None, :]).ravel())
-            bp.append((base[:, None] + ib[None, :]).ravel())
-        if not ap:
-            return pa.table({"tok_a": pa.array([], type=pa.string()),
-                             "tok_b": pa.array([], type=pa.string()),
-                             "n_p": pa.array([], type=pa.int64())})
-        ai, bi = np.concatenate(ap), np.concatenate(bp)
-        out = (pl.DataFrame({"tok_a": tok[ai], "tok_b": tok[bi]})
-               .group_by(["tok_a", "tok_b"]).len(name="n_p")
-               .with_columns(pl.col("n_p").cast(pl.Int64)))
-        return out.to_arrow()
-
-    shared = bucketed_groups(rows, "doc_id", pairs_bucket)
+    rows = _docs(sf_dir).map_batches(_explode_distinct_toks,
+                                     batch_format="pyarrow", batch_size=512)
+    shared = bucketed_groups(rows, "doc_id", _pairs_bucket)
     agg = bucketed_sum(shared, ["tok_a", "tok_b"], "n_p", "n_docs")
     return agg.filter(expr=f"n_docs >= {FREQ_PAIR_MIN}")
 
@@ -597,6 +602,118 @@ SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_docs
 FROM s a JOIN s b ON a.doc_id = b.doc_id AND a.tok < b.tok
 WHERE a.doc_id IN (SELECT doc_id FROM live)
 GROUP BY 1, 2 HAVING count(*) >= {FREQ_PAIR_MIN}
+"""
+
+
+# --- q96: PMI-ranked token associations -------------------------------------
+
+
+def q96_pmi_pairs(sf_dir: str):
+    """Positively-associated token pairs by pointwise mutual information
+    — the collocation/association miner LLM-corpus analysis runs after
+    raw pair counting (q20's support counts rank "the,and" first; PMI
+    normalizes by the marginals).  PMI = log(n_p·N / (df_a·df_b)) is
+    monotone in the integer ratio, so the pipeline never takes the log:
+    it emits the EXACT int64 numerator (n_p·N) and denominator
+    (df_a·df_b) and filters to num > den (PMI > 0) — hash-exact across
+    engines with no float in sight.  int64 bound: num ≤ N², safe to
+    N ≈ 3e9 docs; shard the corpus above that.
+
+    Plan shape at 100 TB: the distinct (doc_id, tok) explode streams
+    once and is materialized (skinny ~20 B rows) because two
+    consumers need it — the doc-bucketed pair counter (q20's triu
+    machinery, one exchange on doc_id) and the marginal doc-frequency
+    sum (one exchange on tok).  Pair→marginal attachment is two
+    bucketed hash joins (tok_a then tok_b) — the vocabulary is
+    unbounded at corpus scale so the df table is NEVER broadcast.
+    N comes from parquet metadata (count() reads no data).
+
+    Reference analog: the same frequent-pair statistics the learning
+    loop mines (learning/Learning.scala:116-177) re-ranked by the
+    association measure instead of raw support."""
+    from ..functions.grouping import bucketed_groups, bucketed_sum, hash_join
+
+    n_total = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                    columns=["doc_id"]).count()
+
+    rows = _docs(sf_dir).map_batches(_explode_distinct_toks,
+                                     batch_format="pyarrow",
+                                     batch_size=512).materialize()
+
+    shared = bucketed_groups(rows, "doc_id", _pairs_bucket)
+    pairs = bucketed_sum(shared, ["tok_a", "tok_b"], "n_p", "n_p") \
+        .filter(expr=f"n_p >= {FREQ_PAIR_MIN}")
+
+    def count_df(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "one": pa.array([], type=pa.int64())})
+        return pa.table({"tok": t["tok"],
+                         "one": np.ones(t.num_rows, dtype=np.int64)})
+
+    df = bucketed_sum(rows.map_batches(count_df, batch_format="pyarrow"),
+                      ["tok"], "one", "df")
+
+    def _as_side(t: pa.Table, side: str) -> pa.Table:
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return pa.table({f"tok_{side}": pa.array([], type=pa.string()),
+                             f"df_{side}": pa.array([], type=pa.int64())})
+        return pa.table({f"tok_{side}": t["tok"], f"df_{side}": t["df"]})
+
+    # explicit map_batches projections: lazy rename does not propagate
+    # into Dataset.schema(), which hash_join derives output fields from
+    df_a = df.map_batches(lambda t: _as_side(t, "a"), batch_format="pyarrow")
+    df_b = df.map_batches(lambda t: _as_side(t, "b"), batch_format="pyarrow")
+
+    j = hash_join(hash_join(pairs, df_a, on="tok_a"), df_b, on="tok_b")
+
+    def finish(t: pa.Table) -> pa.Table:
+        _OUT = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
+                          ("n_p", pa.int64()), ("df_a", pa.int64()),
+                          ("df_b", pa.int64()), ("pmi_num", pa.int64()),
+                          ("pmi_den", pa.int64())])
+        if t.num_rows == 0 or "n_p" not in t.column_names:
+            return _OUT.empty_table()
+        num = np.asarray(t["n_p"], dtype=np.int64) * np.int64(n_total)
+        den = (np.asarray(t["df_a"], dtype=np.int64)
+               * np.asarray(t["df_b"], dtype=np.int64))
+        keep = num > den
+        return pa.table({
+            "tok_a": t["tok_a"].combine_chunks().filter(pa.array(keep)),
+            "tok_b": t["tok_b"].combine_chunks().filter(pa.array(keep)),
+            "n_p": pa.array(np.asarray(t["n_p"], dtype=np.int64)[keep]),
+            "df_a": pa.array(np.asarray(t["df_a"], dtype=np.int64)[keep]),
+            "df_b": pa.array(np.asarray(t["df_b"], dtype=np.int64)[keep]),
+            "pmi_num": pa.array(num[keep]), "pmi_den": pa.array(den[keep]),
+        }).cast(_OUT)
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_Q96 = f"""
+WITH s AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+live AS (  -- same oversized-doc guard as the Ray side (FREQ_STOP_DF)
+  SELECT doc_id FROM s GROUP BY doc_id HAVING count(*) <= {FREQ_STOP_DF}
+),
+p AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_p
+  FROM s a JOIN s b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  WHERE a.doc_id IN (SELECT doc_id FROM live)
+  GROUP BY 1, 2 HAVING count(*) >= {FREQ_PAIR_MIN}
+),
+freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM s GROUP BY tok),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT p.tok_a, p.tok_b, p.n_p, da.df AS df_a, db.df AS df_b,
+       CAST(p.n_p * n.n_docs AS BIGINT) AS pmi_num,
+       CAST(da.df * db.df AS BIGINT) AS pmi_den
+FROM p CROSS JOIN n
+JOIN freq da ON da.tok = p.tok_a
+JOIN freq db ON db.tok = p.tok_b
+WHERE p.n_p * n.n_docs > da.df * db.df
 """
 
 # --- q22: freebase URL → wiki title (SURVEY §2 M3) --------------------------
@@ -1672,6 +1789,7 @@ QUERIES = {
     "q49_chunk_dedup": (q49_chunk_dedup, SQL_Q49),
     "q22_url_titles": (q22_url_titles, SQL_Q22),
     "q20_frequent_pairs": (q20_frequent_pairs, SQL_Q20),
+    "q96_pmi_pairs": (q96_pmi_pairs, SQL_Q96),
     "q13_simhash": (q13_simhash, SQL_Q13),
     "q26_simhash_neardup": (q26_simhash_neardup, SQL_Q26),
     "q15_winnow_fingerprints": (q15_winnow_fingerprints, SQL_Q15),
