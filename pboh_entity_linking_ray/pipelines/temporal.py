@@ -457,8 +457,84 @@ GROUP BY 1, 2
 """
 
 
+def q97_attribution(sf_dir: str):
+    """Marketing-style purchase attribution: every purchase credits the
+    user's FIRST event (acquisition touch) and the most recent
+    non-purchase event strictly before it (last touch), revenue summed
+    per (first_touch, last_touch) channel pair in exact cents.  ONE
+    user-keyed exchange co-locates each user's whole history; inside
+    the bucket both touches are pure vectorized sequence ops over the
+    (ts, event_id)-sorted frame — first() per user, and a shift(1) →
+    forward-fill of the non-purchase type (the carried "last marketing
+    touch seen so far") — no row loop, no second shuffle; a tiny
+    O(types²) sum finishes.  Purchases with no prior non-purchase
+    event attribute to 'none' in both engines.
+
+    Reference analog: the same per-key sequential-context pattern as
+    the mention window extraction (SURVEY §2 M6) — order-sensitive
+    state resolved locally after one co-location."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum_multi, hash_exchange
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"])
+
+    _OUT = pa.schema([("first_touch", pa.string()),
+                      ("last_touch", pa.string()),
+                      ("n_purch", pa.int64()), ("revenue_c", pa.int64())])
+
+    def attribute_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _OUT.empty_table()
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        df = df.with_columns(
+            first_touch=pl.col("event_type").first().over("user_id"),
+            last_touch=pl.when(pl.col("event_type") != "purchase")
+                         .then(pl.col("event_type")).otherwise(None)
+                         .shift(1).forward_fill().over("user_id")
+                         .fill_null("none"),
+            cents=(pl.col("value") * 100 + 0.5).floor().cast(pl.Int64),
+        )
+        out = (df.filter(pl.col("event_type") == "purchase")
+               .group_by(["first_touch", "last_touch"])
+               .agg(n_purch=pl.len().cast(pl.Int64),
+                    revenue_c=pl.col("cents").sum()))
+        return out.to_arrow().cast(_OUT)
+
+    partials = hash_exchange(ev, "user_id", attribute_bucket,
+                             num_buckets=32)
+    return bucketed_sum_multi(partials, ["first_touch", "last_touch"],
+                              {"n_purch": "n_purch",
+                               "revenue_c": "revenue_c"},
+                              engine="exchange")
+
+
+SQL_Q97 = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         first_value(event_type) OVER w AS first_touch,
+         coalesce(last_value(CASE WHEN event_type <> 'purchase'
+                                  THEN event_type END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING),
+                  'none') AS last_touch
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT first_touch, last_touch, CAST(count(*) AS BIGINT) AS n_purch,
+       CAST(sum(cents) AS BIGINT) AS revenue_c
+FROM e WHERE event_type = 'purchase' GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q23_asof_join": (q23_asof_join, SQL_Q23),
+    "q97_attribution": (q97_attribution, SQL_Q97),
     "q90_retention_cohorts": (q90_retention_cohorts, SQL_Q90),
     "q24_sliding_window": (q24_sliding_window, SQL_Q24),
     "q25_interval_join": (q25_interval_join, SQL_Q25),
