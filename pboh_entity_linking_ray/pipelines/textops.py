@@ -716,6 +716,120 @@ JOIN freq db ON db.tok = p.tok_b
 WHERE p.n_p * n.n_docs > da.df * db.df
 """
 
+# --- q98: per-source corpus-shift score (χ² vs pooled distribution) --------
+
+CHI2_SCALE = 1_000_000   # per-term fixed-point: term = cnt²·SCALE // ctot
+                         # int64-safe while cnt ≤ ~3e6 per (source, tok)
+
+
+def q98_source_shift(sf_dir: str):
+    """Domain-shift scoring for corpus mixing: how far each source's
+    token distribution sits from the pooled corpus, as the χ²
+    homogeneity statistic — the op a training-data pipeline runs to
+    spot outlier domains before fixing mixture weights (q74).
+
+    χ² = Σ_tok (c − e)²/e with e = n_s·C/N algebraically reduces to
+    (N/n_s)·Σ_tok(c²/C) − n_s, so the ONLY cross-token reduction is
+    Σ(c²/C).  Floats are order-sensitive under reduction, so that sum
+    is made EXACT instead: each term is the integer c²·SCALE // C
+    (non-negative, so DuckDB's truncating // and polars' floor //
+    agree), and exact int64 sums are order-free.  The final scalar
+    expression tree over those exact integers uses only correctly-
+    rounded IEEE ops (+,−,×,÷), mirrored token-for-token in the twin —
+    no log/exp ever crosses the engine boundary.
+
+    Plan shape at 100 TB: per-batch polars (tok, source) partial
+    counts (the combiner — raw tokens never shuffle), ONE tok-keyed
+    exchange where each bucket holds complete per-tok columns (ctot is
+    local), per-source partials out, one O(sources) sum, and an
+    O(sources) driver finish."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum_multi, hash_exchange
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"])
+
+    _CNT = pa.schema([("tok", pa.string()), ("source", pa.string()),
+                      ("cnt", pa.int64())])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return _CNT.empty_table()
+        df = (pl.DataFrame({
+            "source": pl.from_arrow(t["source"].combine_chunks()),
+            "tok": pl.from_arrow(t["text"].combine_chunks())
+                     .str.to_lowercase().str.extract_all("[a-z0-9]+"),
+        }).explode("tok").drop_nulls("tok")
+          .group_by(["tok", "source"]).len(name="cnt")
+          .with_columns(pl.col("cnt").cast(pl.Int64)))
+        return df.select(["tok", "source", "cnt"]).to_arrow().cast(_CNT)
+
+    cnts = docs.map_batches(count_partial, batch_format="pyarrow")
+
+    _PART = pa.schema([("source", pa.string()), ("s_part", pa.int64()),
+                       ("n_part", pa.int64()), ("t_part", pa.int64())])
+
+    def tok_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return _PART.empty_table()
+        df = (pl.from_arrow(t).group_by(["tok", "source"])
+              .agg(cnt=pl.col("cnt").sum()))
+        df = df.with_columns(ctot=pl.col("cnt").sum().over("tok"))
+        df = df.with_columns(
+            term=(pl.col("cnt") * pl.col("cnt") * CHI2_SCALE)
+                 // pl.col("ctot"))
+        out = df.group_by("source").agg(
+            s_part=pl.col("term").sum(), n_part=pl.col("cnt").sum(),
+            t_part=pl.len().cast(pl.Int64))
+        return out.to_arrow().cast(_PART)
+
+    parts = hash_exchange(cnts, "tok", tok_bucket, num_buckets=64)
+    per_src = bucketed_sum_multi(
+        parts, ["source"],
+        {"s_part": "s_scaled", "n_part": "n_s", "t_part": "n_tok"},
+        engine="exchange")
+
+    pdf = per_src.to_pandas()          # O(sources) rows — tiny by design
+    ns = pdf["n_s"].to_numpy().astype(np.int64)
+    s = pdf["s_scaled"].to_numpy().astype(np.int64)
+    n_total = np.int64(ns.sum())
+    ns_d = ns.astype(np.float64)
+    chi2 = np.floor(
+        (np.float64(n_total) / ns_d) * (s.astype(np.float64) / 1000000.0)
+        * 10000.0 - ns_d * 10000.0 + 0.5).astype(np.int64)
+    return pa.table({
+        "source": pa.array(pdf["source"], type=pa.string()),
+        "n_s": pa.array(ns), "n_tok": pa.array(
+            pdf["n_tok"].to_numpy().astype(np.int64)),
+        "s_scaled": pa.array(s), "chi2_e4": pa.array(chi2)})
+
+
+SQL_Q98 = f"""
+WITH t AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM t GROUP BY 1, 2),
+ctot AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS ctot FROM c GROUP BY 1),
+ns AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s,
+              CAST(count(*) AS BIGINT) AS n_tok
+       FROM c GROUP BY 1),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+s AS (SELECT c.source,
+             CAST(sum((c.cnt * c.cnt * {CHI2_SCALE}) // ctot.ctot)
+                  AS BIGINT) AS s_scaled
+      FROM c JOIN ctot USING (tok) GROUP BY 1)
+SELECT ns.source, ns.n_s, ns.n_tok, s.s_scaled,
+       CAST(floor((CAST(n.n AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+                  * (CAST(s.s_scaled AS DOUBLE) / 1000000.0) * 10000.0
+                  - CAST(ns.n_s AS DOUBLE) * 10000.0 + 0.5)
+            AS BIGINT) AS chi2_e4
+FROM ns JOIN s USING (source) CROSS JOIN n
+"""
+
 # --- q22: freebase URL → wiki title (SURVEY §2 M3) --------------------------
 
 _FB_PREFIX = "http://rdf.freebase.com/ns/wikipedia/en/"
@@ -1790,6 +1904,7 @@ QUERIES = {
     "q22_url_titles": (q22_url_titles, SQL_Q22),
     "q20_frequent_pairs": (q20_frequent_pairs, SQL_Q20),
     "q96_pmi_pairs": (q96_pmi_pairs, SQL_Q96),
+    "q98_source_shift": (q98_source_shift, SQL_Q98),
     "q13_simhash": (q13_simhash, SQL_Q13),
     "q26_simhash_neardup": (q26_simhash_neardup, SQL_Q26),
     "q15_winnow_fingerprints": (q15_winnow_fingerprints, SQL_Q15),
