@@ -817,8 +817,101 @@ def link_incremental(sf_dir: str):
     return out
 
 
+SEG_JAC_TH_E4 = 500   # consecutive-turn Jaccard below 0.05 ⇒ topic break
+
+
+def link_topic_segments(sf_dir: str):
+    """Conversation topic segmentation: a transcript splits where the
+    token-set Jaccard between consecutive turns drops below
+    SEG_JAC_TH_E4 — the curation op that bounds how many distinct
+    topics one conversation mixes (feeds the SFT-corpus packer's
+    context-window decisions).  ONE conv-keyed exchange co-locates
+    each transcript; inside the bucket everything is vectorized list
+    ops over the (conv_id, turn_idx)-sorted frame — tokenize →
+    list.unique → shift(1) → set_intersection — and the similarity is
+    the exact integer (inter·10⁴)//union (non-negative, so polars
+    floor-div and DuckDB trunc-div agree); adjacent empty turns count
+    as identical (jac 10⁴) in both engines.  Per-conv aggregates are
+    final in the bucket (no second shuffle); sum_jac_e4 stays an exact
+    int64 so no float reduction crosses the engine boundary."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange
+
+    t = _turns(sf_dir).map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "text"]),
+        batch_format="pyarrow")
+
+    _OUT = pa.schema([("conv_id", pa.string()), ("n_turns", pa.int64()),
+                      ("n_segments", pa.int64()),
+                      ("sum_jac_e4", pa.int64())])
+
+    def seg_bucket(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "conv_id" not in b.column_names:
+            return _OUT.empty_table()
+        df = (pl.from_arrow(b).sort(["conv_id", "turn_idx"])
+              .with_columns(toks=pl.col("text").str.to_lowercase()
+                            .str.extract_all("[a-z0-9]+").list.unique()))
+        df = df.with_columns(prev=pl.col("toks").shift(1).over("conv_id"))
+        df = df.with_columns(
+            la=pl.col("toks").list.len().cast(pl.Int64),
+            lp=pl.col("prev").list.len().cast(pl.Int64),
+            inter=pl.col("toks").list.set_intersection(pl.col("prev"))
+                    .list.len().cast(pl.Int64))
+        df = df.with_columns(
+            den=pl.col("la") + pl.col("lp") - pl.col("inter"))
+        df = df.with_columns(
+            jac=pl.when(pl.col("prev").is_null())
+                  .then(None)
+                  .when(pl.col("den") == 0).then(10000)
+                  .otherwise((pl.col("inter") * 10000) // pl.col("den"))
+                  .cast(pl.Int64))
+        out = df.group_by("conv_id").agg(
+            n_turns=pl.len().cast(pl.Int64),
+            n_segments=((pl.col("jac") < SEG_JAC_TH_E4).sum()
+                        .fill_null(0).cast(pl.Int64) + 1),
+            sum_jac_e4=pl.col("jac").sum().fill_null(0).cast(pl.Int64))
+        return out.to_arrow().cast(_OUT)
+
+    return hash_exchange(t, "conv_id", seg_bucket, num_buckets=32)
+
+
+SQL_TOPIC_SEGMENTS = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx,
+         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))
+           AS toks
+  FROM read_parquet('{_SQL_TURNS}')
+),
+p AS (
+  SELECT conv_id, toks,
+         lag(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM t
+),
+j AS (
+  SELECT conv_id,
+         CASE
+           WHEN prev IS NULL THEN NULL
+           WHEN CAST(len(toks) AS BIGINT) + CAST(len(prev) AS BIGINT)
+                - CAST(len(list_intersect(toks, prev)) AS BIGINT) = 0
+             THEN 10000
+           ELSE (CAST(len(list_intersect(toks, prev)) AS BIGINT) * 10000)
+                // (CAST(len(toks) AS BIGINT) + CAST(len(prev) AS BIGINT)
+                    - CAST(len(list_intersect(toks, prev)) AS BIGINT))
+         END AS jac_e4
+  FROM p
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(coalesce(sum(CASE WHEN jac_e4 < {SEG_JAC_TH_E4} THEN 1 END),
+                     0) + 1 AS BIGINT) AS n_segments,
+       CAST(coalesce(sum(jac_e4), 0) AS BIGINT) AS sum_jac_e4
+FROM j GROUP BY 1
+"""
+
+
 QUERIES = {
     "link_canonicalize": (link_canonicalize, SQL_CANONICALIZE),
+    "link_topic_segments": (link_topic_segments, SQL_TOPIC_SEGMENTS),
     "link_boilerplate_turns": (link_boilerplate_turns, SQL_BOILERPLATE),
     "link_sft_pairs": (link_sft_pairs, SQL_SFT_PAIRS),
     "link_sft_corpus": (link_sft_corpus, SQL_SFT_CORPUS),
