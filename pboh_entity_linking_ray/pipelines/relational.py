@@ -428,24 +428,29 @@ def q14_sessionize(sf_dir: str):
     ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def sessions(bucket: pa.Table) -> pa.Table:
-        import polars as pl
-
-        df = pl.from_arrow(bucket).sort(["user_id", "ts", "event_id"])
-        gap = pl.col("ts").diff().over("user_id")
-        new_s = (gap.is_null() |
-                 (gap > pl.duration(minutes=SESSION_GAP_MIN))).cast(pl.Int64)
-        out = (
-            df.with_columns(new_s.alias("ns"))
-            .with_columns(pl.col("ns").cum_sum().over("user_id")
-                          .alias("session_idx"))
-            .group_by(["user_id", "session_idx"])
-            .agg(pl.len().cast(pl.Int64).alias("n_events"),
-                 pl.col("ts").min().alias("start_ts"),
-                 pl.col("ts").max().alias("end_ts"))
-        )
-        return out.to_arrow()
+        return _sessions_df(bucket).to_arrow()
 
     return bucketed_groups(ds, "user_id", sessions, engine="exchange")
+
+
+def _sessions_df(bucket: pa.Table):
+    """q14's vectorized session construction (gap > SESSION_GAP_MIN
+    starts a new session) as a polars frame — shared by q14 and q99."""
+    import polars as pl
+
+    df = pl.from_arrow(bucket).sort(["user_id", "ts", "event_id"])
+    gap = pl.col("ts").diff().over("user_id")
+    new_s = (gap.is_null() |
+             (gap > pl.duration(minutes=SESSION_GAP_MIN))).cast(pl.Int64)
+    return (
+        df.with_columns(new_s.alias("ns"))
+        .with_columns(pl.col("ns").cum_sum().over("user_id")
+                      .alias("session_idx"))
+        .group_by(["user_id", "session_idx"])
+        .agg(pl.len().cast(pl.Int64).alias("n_events"),
+             pl.col("ts").min().alias("start_ts"),
+             pl.col("ts").max().alias("end_ts"))
+    )
 
 
 SQL_Q14 = f"""
@@ -465,6 +470,98 @@ WITH e AS (
 SELECT user_id, session_idx, count(*) AS n_events,
        min(ts) AS start_ts, max(ts) AS end_ts
 FROM s GROUP BY 1, 2
+"""
+
+
+def q99_peak_concurrency(sf_dir: str):
+    """Peak concurrent sessions and when it first occurs — the
+    sweep-line op capacity planning runs over interval data, and the
+    query that exercises ``range_prefix_sum`` (the distributed scan)
+    END TO END: no single task ever sees the whole delta stream.
+
+    Sessions come from q14's shared construction (one user-keyed
+    exchange).  Each session [s, e] emits two skinny int64 deltas with
+    the tie-break ENCODED IN THE KEY — k = epoch_us·2 for a start
+    (+1), epoch_us·2+1 for an end (−1) — so starts sort before ends at
+    the same microsecond (closed intervals: a session ending exactly
+    when another starts overlaps it) and equal keys always carry equal
+    deltas, making the running-sum multiset order-invariant.  The
+    exclusive distributed scan + the row's own delta gives inclusive
+    concurrency; the global max and the first time it is reached
+    finish over the skinny scan output.  The first peak row is always
+    a start (+1), so its even key halves back to the exact
+    microsecond."""
+    import pyarrow.compute as pc
+
+    from ..functions.grouping import bucketed_groups, range_prefix_sum
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    _D = pa.schema([("k", pa.int64()), ("delta", pa.int64())])
+
+    def deltas(bucket: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if bucket.num_rows == 0 or "user_id" not in bucket.column_names:
+            return _D.empty_table()
+        sess = _sessions_df(bucket)
+        s = sess["start_ts"].cast(pl.Int64).to_numpy().astype(np.int64)
+        e = sess["end_ts"].cast(pl.Int64).to_numpy().astype(np.int64)
+        k = np.concatenate([s * 2, e * 2 + 1])
+        d = np.concatenate([np.ones(len(s), dtype=np.int64),
+                            -np.ones(len(e), dtype=np.int64)])
+        return pa.table({"k": pa.array(k), "delta": pa.array(d)})
+
+    d = bucketed_groups(ds, "user_id", deltas, engine="exchange")
+    # ~2 rows per session; 1-hour ranges keep driver state O(#hours)
+    run = range_prefix_sum(d, "k", "delta", out_name="cum_before",
+                           range_width=3_600_000_000 * 2)
+
+    def incl(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "k" not in t.column_names:
+            return pa.table({"k": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        c = (np.asarray(t["cum_before"], dtype=np.int64)
+             + np.asarray(t["delta"], dtype=np.int64))
+        return pa.table({"k": t["k"], "c": pa.array(c)})
+
+    r = run.map_batches(incl, batch_format="pyarrow").materialize()
+    peak = r.max("c")
+    at_k = r.filter(expr=f"c == {peak}").min("k")
+    return pa.table({"peak": pa.array([peak], type=pa.int64()),
+                     "at_us": pa.array([at_k // 2], type=pa.int64())})
+
+
+SQL_Q99 = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_idx
+  FROM e
+), sess AS (
+  SELECT epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+  FROM s GROUP BY user_id, session_idx
+), d AS (
+  SELECT s_us * 2 AS k, CAST(1 AS BIGINT) AS delta FROM sess
+  UNION ALL
+  SELECT e_us * 2 + 1, CAST(-1 AS BIGINT) FROM sess
+), r AS (
+  SELECT k, CAST(sum(delta) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS c
+  FROM d
+)
+SELECT CAST(max(c) AS BIGINT) AS peak,
+       CAST(min(CASE WHEN c = (SELECT max(c) FROM r) THEN k END) // 2
+            AS BIGINT) AS at_us
+FROM r
 """
 
 # --- q35: exact per-group quantiles (fully distributed) ----------------------
@@ -1502,6 +1599,7 @@ QUERIES = {
     "q08_quality_score": (q08_quality_score, SQL_Q08),
     "q09_langid": (q09_langid, SQL_Q09),
     "q14_sessionize": (q14_sessionize, SQL_Q14),
+    "q99_peak_concurrency": (q99_peak_concurrency, SQL_Q99),
     "q28_topk_per_group": (q28_topk_per_group, SQL_Q28),
     "q29_doc_len_quantiles": (q29_doc_len_quantiles, SQL_Q29),
     "q30_customers_without_big_orders":
