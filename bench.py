@@ -226,6 +226,13 @@ OPS_DEFAULT = [
     "semantic_dedup", "bpe_encode",
     "link_turn_quality",
     "hll_distinct_users", "quantile_sketch_value",
+    "q84_triangles", "q85_skyline", "q86_user_trend",
+    "q87_profile_documents", "q88_edit_distance_pairs", "q89_kcore",
+    "q90_retention_cohorts", "q91_props_stats", "q92_user_features",
+    "q93_embedding_quantize", "q94_audience_overlap", "q95_ab_welch",
+    "q96_pmi_pairs", "q97_attribution", "q98_source_shift",
+    "q99_peak_concurrency", "link_topic_segments", "mm_png_stats",
+    "link_incremental",
 ]
 
 
