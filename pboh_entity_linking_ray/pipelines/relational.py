@@ -564,6 +564,87 @@ SELECT CAST(max(c) AS BIGINT) AS peak,
 FROM r
 """
 
+def q100_hourly_gapfill(sf_dir: str):
+    """Time-series densification: the dense per-type HOURLY event-count
+    series between each type's first and last active hour, missing
+    hours filled with zero — the gap-fill / regularization step every
+    forecasting or anomaly pipeline needs before window math (a bare
+    groupby(hour) silently skips empty hours, shifting every lag).
+
+    Shape: per-batch (event_type, hour) count partials (the q04
+    combiner discipline) → ONE exchange keyed on event_type → the
+    owning bucket sums partials and materializes the dense calendar
+    per type vectorized (np.arange + scatter; the calendar rows are
+    O(span hours) per type and never exist outside that bucket).
+    Exact int64 µs arithmetic; twin via DuckDB generate_series."""
+    from ..functions.grouping import hash_exchange
+
+    HOUR_US = 3_600_000_000
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (pl.from_arrow(t)
+                .with_columns(hr_us=(pl.col("ts").cast(pl.Int64)
+                                     // HOUR_US) * HOUR_US)
+                .group_by(["event_type", "hr_us"]).len(name="c")
+                .with_columns(pl.col("c").cast(pl.Int64))
+                .select(["event_type", "hr_us", "c"])
+                .to_arrow())
+
+    empty = pa.table({"event_type": pa.array([], type=pa.large_string()),
+                      "hr_us": pa.array([], type=pa.int64()),
+                      "c": pa.array([], type=pa.int64())})
+
+    def densify(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return empty
+        df = (pl.from_arrow(t).group_by(["event_type", "hr_us"])
+              .agg(pl.col("c").sum()).sort(["event_type", "hr_us"]))
+        types = df["event_type"].to_numpy()
+        hrs = df["hr_us"].to_numpy()
+        cs = df["c"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, types[1:] != types[:-1]])
+        bounds = np.append(starts, len(types))
+        out_t, out_h, out_c = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            dense = np.arange(hrs[s], hrs[e - 1] + HOUR_US, HOUR_US,
+                              dtype=np.int64)
+            c = np.zeros(len(dense), dtype=np.int64)
+            c[(hrs[s:e] - hrs[s]) // HOUR_US] = cs[s:e]
+            out_t.append(np.repeat(types[s], len(dense)))
+            out_h.append(dense)
+            out_c.append(c)
+        return pa.table({
+            "event_type": pa.array(np.concatenate(out_t).tolist(),
+                                   type=pa.large_string()),
+            "hr_us": pa.array(np.concatenate(out_h)),
+            "c": pa.array(np.concatenate(out_c)),
+        })
+
+    part = ds.map_batches(counts, batch_format="pyarrow")
+    return hash_exchange(part, "event_type", densify, num_buckets=8)
+
+
+SQL_Q100 = """
+WITH h AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hr_us,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, min(hr_us) AS lo, max(hr_us) AS hi FROM h GROUP BY 1
+), cal AS (
+  SELECT event_type, unnest(generate_series(lo, hi, 3600000000)) AS hr_us
+  FROM b
+)
+SELECT cal.event_type, cal.hr_us, COALESCE(h.c, 0) AS c
+FROM cal LEFT JOIN h ON cal.event_type = h.event_type
+                    AND cal.hr_us = h.hr_us
+"""
+
 # --- q35: exact per-group quantiles (fully distributed) ----------------------
 
 QUANTILES_E4 = (2500, 5000, 7500, 9000, 9900)   # shared with q29
@@ -1600,6 +1681,7 @@ QUERIES = {
     "q09_langid": (q09_langid, SQL_Q09),
     "q14_sessionize": (q14_sessionize, SQL_Q14),
     "q99_peak_concurrency": (q99_peak_concurrency, SQL_Q99),
+    "q100_hourly_gapfill": (q100_hourly_gapfill, SQL_Q100),
     "q28_topk_per_group": (q28_topk_per_group, SQL_Q28),
     "q29_doc_len_quantiles": (q29_doc_len_quantiles, SQL_Q29),
     "q30_customers_without_big_orders":
