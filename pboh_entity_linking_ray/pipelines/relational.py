@@ -645,6 +645,140 @@ FROM cal LEFT JOIN h ON cal.event_type = h.event_type
                     AND cal.hr_us = h.hr_us
 """
 
+PSI_NB = 20          # fixed-width value bins
+PSI_BINW = 25.0      # bin width (value spans ~0..500)
+
+
+def q101_psi_drift(sf_dir: str):
+    """Feature-drift monitoring: per-event-type Population Stability
+    Index terms of the ``value`` distribution between the corpus's
+    early and late time halves — the PSI report an ML-monitoring
+    pipeline computes per feature per scoring window.
+
+    Shape: one skinny pass finds the global time midpoint (per-batch
+    min/max epoch rows; the driver reduces O(batches) ints), then
+    per-batch (type, half, bin) count partials cross ONE exchange on
+    the type; each bucket scatters its types' exact counts into a
+    dense (2 × NB) grid and computes every Laplace-smoothed PSI term
+    vectorized.  Output is LONG FORM (type, bin, c_ref, c_cur,
+    psi_term_e6) — no cross-bin float sum ever crosses the engine
+    boundary (the per-bin scalar tree is mirrored token-for-token in
+    the twin and floor-e6-quantized, the q63 device for absorbing
+    transcendental last-ulp noise); total PSI is the consumer's
+    exact-integer sum."""
+    from ..functions.grouping import hash_exchange
+
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def mm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.column_names:
+            return pa.table({"lo": pa.array([], type=pa.int64()),
+                             "hi": pa.array([], type=pa.int64())})
+        e = np.asarray(t["ts"].cast(pa.int64()))
+        return pa.table({"lo": pa.array([int(e.min())]),
+                         "hi": pa.array([int(e.max())])})
+
+    mmdf = (ds.select_columns(["ts"])
+            .map_batches(mm, batch_format="pyarrow").to_pandas())
+    mid = (int(mmdf["lo"].min()) + int(mmdf["hi"].max())) // 2
+
+    def counts(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return pa.table({"event_type": pa.array([], pa.large_string()),
+                             "half": pa.array([], pa.int64()),
+                             "bin": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        return (pl.from_arrow(t)
+                .with_columns(
+                    half=(pl.col("ts").cast(pl.Int64) >= mid)
+                    .cast(pl.Int64),
+                    bin=(pl.col("value") / PSI_BINW).floor()
+                    .clip(0, PSI_NB - 1).cast(pl.Int64))
+                .group_by(["event_type", "half", "bin"]).len(name="c")
+                .with_columns(pl.col("c").cast(pl.Int64))
+                .select(["event_type", "half", "bin", "c"])
+                .to_arrow())
+
+    out_schema = pa.schema([("event_type", pa.large_string()),
+                            ("bin", pa.int64()),
+                            ("c_ref", pa.int64()),
+                            ("c_cur", pa.int64()),
+                            ("psi_term_e6", pa.int64())])
+
+    def psi(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return out_schema.empty_table()
+        df = (pl.from_arrow(t).group_by(["event_type", "half", "bin"])
+              .agg(pl.col("c").sum()))
+        uniq, inv = np.unique(df["event_type"].to_numpy(),
+                              return_inverse=True)
+        flat = np.zeros(len(uniq) * 2 * PSI_NB, dtype=np.int64)
+        flat[inv * 2 * PSI_NB + df["half"].to_numpy() * PSI_NB
+             + df["bin"].to_numpy()] = df["c"].to_numpy()
+        c = flat.reshape(len(uniq), 2, PSI_NB)
+        n0 = c[:, 0, :].sum(axis=1, keepdims=True)
+        n1 = c[:, 1, :].sum(axis=1, keepdims=True)
+        # mirrored float tree: p, q each ONE double division of exact
+        # integers; term = ((p - q) * ln(p / q)) * 1e6, floored
+        p = (c[:, 0, :] + 1.0) / (n0 + 20.0)
+        q = (c[:, 1, :] + 1.0) / (n1 + 20.0)
+        term = np.floor(((p - q) * np.log(p / q)) * 1_000_000.0)
+        nb = np.arange(PSI_NB, dtype=np.int64)
+        return pa.table({
+            "event_type": pa.array(np.repeat(uniq, PSI_NB).tolist(),
+                                   type=pa.large_string()),
+            "bin": pa.array(np.tile(nb, len(uniq))),
+            "c_ref": pa.array(c[:, 0, :].ravel()),
+            "c_cur": pa.array(c[:, 1, :].ravel()),
+            "psi_term_e6": pa.array(term.ravel().astype(np.int64)),
+        })
+
+    part = ds.map_batches(counts, batch_format="pyarrow")
+    return hash_exchange(part, "event_type", psi, num_buckets=8)
+
+
+SQL_Q101 = f"""
+WITH m AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid FROM events
+), c AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) >= (SELECT mid FROM m) THEN 1 ELSE 0 END
+           AS half,
+         LEAST(GREATEST(CAST(floor(value / {PSI_BINW}) AS BIGINT), 0),
+               {PSI_NB - 1}) AS bin,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+), grid AS (
+  SELECT t.event_type, b.bin
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(0, {PSI_NB - 1})) AS bin) b
+), f AS (
+  SELECT g.event_type, g.bin,
+         COALESCE(max(CASE WHEN half = 0 THEN cnt END), 0) AS c_ref,
+         COALESCE(max(CASE WHEN half = 1 THEN cnt END), 0) AS c_cur
+  FROM grid g LEFT JOIN c ON g.event_type = c.event_type
+                         AND g.bin = c.bin
+  GROUP BY 1, 2
+), n AS (
+  SELECT event_type, sum(c_ref) AS n0, sum(c_cur) AS n1 FROM f GROUP BY 1
+)
+SELECT f.event_type, f.bin,
+       CAST(f.c_ref AS BIGINT) AS c_ref,
+       CAST(f.c_cur AS BIGINT) AS c_cur,
+       CAST(floor(
+         (((CAST(f.c_ref + 1 AS DOUBLE) / CAST(n.n0 + 20 AS DOUBLE))
+           - (CAST(f.c_cur + 1 AS DOUBLE) / CAST(n.n1 + 20 AS DOUBLE)))
+          * ln((CAST(f.c_ref + 1 AS DOUBLE) / CAST(n.n0 + 20 AS DOUBLE))
+               / (CAST(f.c_cur + 1 AS DOUBLE)
+                  / CAST(n.n1 + 20 AS DOUBLE))))
+         * 1000000.0) AS BIGINT) AS psi_term_e6
+FROM f JOIN n USING (event_type)
+"""
+
 # --- q35: exact per-group quantiles (fully distributed) ----------------------
 
 QUANTILES_E4 = (2500, 5000, 7500, 9000, 9900)   # shared with q29
@@ -1682,6 +1816,7 @@ QUERIES = {
     "q14_sessionize": (q14_sessionize, SQL_Q14),
     "q99_peak_concurrency": (q99_peak_concurrency, SQL_Q99),
     "q100_hourly_gapfill": (q100_hourly_gapfill, SQL_Q100),
+    "q101_psi_drift": (q101_psi_drift, SQL_Q101),
     "q28_topk_per_group": (q28_topk_per_group, SQL_Q28),
     "q29_doc_len_quantiles": (q29_doc_len_quantiles, SQL_Q29),
     "q30_customers_without_big_orders":
