@@ -391,6 +391,75 @@ QUALIFY row_number() OVER
 """
 
 
+SCD2_OPEN_US = 4_102_444_800_000_000   # 2100-01-01: open-version sentinel
+
+
+def q102_scd2(sf_dir: str):
+    """Slowly-changing-dimension TYPE-2 build — the warehouse op that
+    turns a keyed change stream into versioned validity intervals:
+    each user's ``event_type`` attribute is run-length encoded over
+    (ts, event_id) order, one row per value CHANGE with
+    ``[valid_from_us, valid_to_us)`` bounds (the current version gets
+    the year-2100 open sentinel, so the int64 column stays
+    non-nullable across engines).  q81's CDC compaction keeps only the
+    last version; this keeps the full history — the as-of lookup side
+    of `asof_join`.
+
+    ONE hash exchange on the key; run starts and interval ends are
+    two vectorized shift passes inside the owning bucket (a key's
+    whole history co-locates by construction).  Exact int64 µs."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("event_type", pa.large_string()),
+                            ("valid_from_us", pa.int64()),
+                            ("valid_to_us", pa.int64())])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return out_schema.empty_table()
+        df = (pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+              .with_columns(ts_us=pl.col("ts").cast(pl.Int64))
+              .with_columns(
+                  chg=(pl.col("event_type")
+                       != pl.col("event_type").shift(1).over("user_id"))
+                  .fill_null(True)))
+        runs = (df.filter(pl.col("chg"))
+                .with_columns(valid_from_us=pl.col("ts_us"))
+                .with_columns(
+                    valid_to_us=pl.col("valid_from_us").shift(-1)
+                    .over("user_id").fill_null(SCD2_OPEN_US)))
+        return (runs.select(["user_id", "event_type", "valid_from_us",
+                             "valid_to_us"])
+                .to_arrow().cast(out_schema))
+
+    return hash_exchange(ev, "user_id", bucket, num_buckets=16)
+
+
+SQL_Q102 = f"""
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), r AS (
+  SELECT user_id, event_type, ts_us, event_id
+  FROM o WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, ts_us AS valid_from_us,
+       COALESCE(lead(ts_us) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id),
+                {SCD2_OPEN_US}) AS valid_to_us
+FROM r
+"""
+
+
 # --- q90: retention cohort matrix ------------------------------------------
 
 def q90_retention_cohorts(sf_dir: str):
@@ -541,4 +610,5 @@ QUERIES = {
     "q36_event_lag": (q36_event_lag, SQL_Q36),
     "q45_funnel": (q45_funnel, SQL_Q45),
     "q81_cdc_compact": (q81_cdc_compact, SQL_Q81),
+    "q102_scd2": (q102_scd2, SQL_Q102),
 }
