@@ -645,6 +645,111 @@ FROM cal LEFT JOIN h ON cal.event_type = h.event_type
                     AND cal.hr_us = h.hr_us
 """
 
+def q103_locf_impute(sf_dir: str):
+    """Gap-fill + LOCF imputation: q100's dense per-type hourly
+    calendar carrying the hourly cents SUM, with empty hours imputed
+    by the last observed hour's value (last-observation-carried-
+    forward — the `locf()` of TimescaleDB / InfluxDB, the fill step
+    before any differencing or forecasting math).  `observed` keeps
+    the imputation mask honest.
+
+    Same shape as q100: per-batch (type, hour, cents) partials, ONE
+    exchange on the type, dense calendar + vectorized forward-fill
+    (np.maximum.accumulate over observed indices) inside the owning
+    bucket.  The calendar starts at each type's first ACTIVE hour, so
+    there is never a leading null to invent.  Exact int64 cents."""
+    from ..functions.grouping import hash_exchange
+
+    HOUR_US = 3_600_000_000
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return pa.table({"event_type": pa.array([], pa.large_string()),
+                             "hr_us": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        return (pl.from_arrow(t)
+                .with_columns(
+                    hr_us=(pl.col("ts").cast(pl.Int64) // HOUR_US)
+                    * HOUR_US,
+                    cents=(pl.col("value") * 100 + 0.5).floor()
+                    .cast(pl.Int64))
+                .group_by(["event_type", "hr_us"])
+                .agg(pl.col("cents").sum())
+                .select(["event_type", "hr_us", "cents"])
+                .to_arrow())
+
+    out_schema = pa.schema([("event_type", pa.large_string()),
+                            ("hr_us", pa.int64()),
+                            ("cents_locf", pa.int64()),
+                            ("observed", pa.int64())])
+
+    def densify_fill(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return out_schema.empty_table()
+        df = (pl.from_arrow(t).group_by(["event_type", "hr_us"])
+              .agg(pl.col("cents").sum()).sort(["event_type", "hr_us"]))
+        types = df["event_type"].to_numpy()
+        hrs = df["hr_us"].to_numpy()
+        cents = df["cents"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, types[1:] != types[:-1]])
+        bounds = np.append(starts, len(types))
+        out_t, out_h, out_c, out_o = [], [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            dense = np.arange(hrs[s], hrs[e - 1] + HOUR_US, HOUR_US,
+                              dtype=np.int64)
+            pos = (hrs[s:e] - hrs[s]) // HOUR_US
+            obs = np.zeros(len(dense), dtype=np.int64)
+            obs[pos] = 1
+            vals = np.zeros(len(dense), dtype=np.int64)
+            vals[pos] = cents[s:e]
+            # forward-fill: index of the last observed hour ≤ this one
+            # (position 0 is always observed — the calendar starts at
+            # the first active hour)
+            src = np.maximum.accumulate(
+                np.where(obs == 1, np.arange(len(dense)), 0))
+            out_t.append(np.repeat(types[s], len(dense)))
+            out_h.append(dense)
+            out_c.append(vals[src])
+            out_o.append(obs)
+        return pa.table({
+            "event_type": pa.array(np.concatenate(out_t).tolist(),
+                                   type=pa.large_string()),
+            "hr_us": pa.array(np.concatenate(out_h)),
+            "cents_locf": pa.array(np.concatenate(out_c)),
+            "observed": pa.array(np.concatenate(out_o)),
+        })
+
+    part = ds.map_batches(counts, batch_format="pyarrow")
+    return hash_exchange(part, "event_type", densify_fill, num_buckets=8)
+
+
+SQL_Q103 = """
+WITH h AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hr_us,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, min(hr_us) AS lo, max(hr_us) AS hi FROM h GROUP BY 1
+), cal AS (
+  SELECT event_type, unnest(generate_series(lo, hi, 3600000000)) AS hr_us
+  FROM b
+)
+SELECT cal.event_type, cal.hr_us,
+       last_value(h.cents IGNORE NULLS)
+         OVER (PARTITION BY cal.event_type ORDER BY cal.hr_us
+               ROWS UNBOUNDED PRECEDING) AS cents_locf,
+       CASE WHEN h.cents IS NULL THEN 0 ELSE 1 END AS observed
+FROM cal LEFT JOIN h ON cal.event_type = h.event_type
+                    AND cal.hr_us = h.hr_us
+"""
+
+
 PSI_NB = 20          # fixed-width value bins
 PSI_BINW = 25.0      # bin width (value spans ~0..500)
 
@@ -1817,6 +1922,7 @@ QUERIES = {
     "q99_peak_concurrency": (q99_peak_concurrency, SQL_Q99),
     "q100_hourly_gapfill": (q100_hourly_gapfill, SQL_Q100),
     "q101_psi_drift": (q101_psi_drift, SQL_Q101),
+    "q103_locf_impute": (q103_locf_impute, SQL_Q103),
     "q28_topk_per_group": (q28_topk_per_group, SQL_Q28),
     "q29_doc_len_quantiles": (q29_doc_len_quantiles, SQL_Q29),
     "q30_customers_without_big_orders":
