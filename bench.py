@@ -232,7 +232,7 @@ OPS_DEFAULT = [
     "q93_embedding_quantize", "q94_audience_overlap", "q95_ab_welch",
     "q96_pmi_pairs", "q97_attribution", "q98_source_shift",
     "q99_peak_concurrency", "q100_hourly_gapfill", "q101_psi_drift",
-    "q102_scd2", "q103_locf_impute",
+    "q102_scd2", "q103_locf_impute", "link_blocking_quality",
     "link_topic_segments", "mm_png_stats",
     "link_incremental",
 ]

@@ -276,6 +276,113 @@ FROM bands GROUP BY band, bkey
 """
 
 
+def link_blocking_quality(sf_dir: str):
+    """Blocking-quality metrics (Christen 2012): pairs completeness and
+    reduction ratio of the md5 MinHash-LSH blocker against the labeled
+    gold pairs — the pre-scoring evaluation every record-linkage
+    blocker needs (the flagship's F1 gate judges DECISIONS; this
+    judges the candidate set itself).  PC = |cand ∩ gold| / |gold|
+    (candidate recall), RR = 1 − |cand| / C(n,2) (how much of the
+    quadratic pair space blocking pruned).
+
+    The gold table is the curated eval split (q50's broadcast
+    assumption): its canonical pair keys are sorted + `ray.put` once
+    and every candidate batch counts hits via searchsorted, so only
+    O(batches) skinny partial rows reach the driver; n_convs uses the
+    q31 exact-distinct discipline.  Exact integers; e4/e6 ratios by
+    integer division, mirrored in the twin."""
+    import pyarrow.compute as pc
+
+    from ..functions.grouping import hash_exchange
+
+    cand = link_minhash_lsh_candidates(sf_dir)
+    gold = _labels(sf_dir).filter(pc.field("is_match"))
+    gk = np.sort(np.array([a + "\x1f" + b for a, b in
+                           zip(gold["conv_a"].to_pylist(),
+                               gold["conv_b"].to_pylist())]))
+    gref = ray.put(gk)
+
+    def hits(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_cand": pa.array([], type=pa.int64()),
+                          "n_hit": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "conv_a" not in t.column_names:
+            return empty
+        g = ray.get(gref) if isinstance(gref, ray.ObjectRef) else gref
+        keys = np.asarray(pc.binary_join_element_wise(
+            t["conv_a"], t["conv_b"], "\x1f"))
+        if len(g) == 0:
+            h = 0
+        else:
+            pos = np.clip(np.searchsorted(g, keys), 0, len(g) - 1)
+            h = int((g[pos] == keys).sum())
+        return pa.table({"n_cand": pa.array([t.num_rows], type=pa.int64()),
+                         "n_hit": pa.array([h], type=pa.int64())})
+
+    hp = (cand.map_batches(hits, batch_format="pyarrow").to_pandas())
+    n_cand, n_hit = int(hp["n_cand"].sum()), int(hp["n_hit"].sum())
+
+    def conv_batch(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return pa.table({"conv_id": pa.array([], type=pa.string())})
+        return pl.from_arrow(t.select(["conv_id"])).unique().to_arrow()
+
+    def bucket_count(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return pa.table({"n_partial": pa.array([], type=pa.int64())})
+        return pa.table({"n_partial": pa.array(
+            [pl.from_arrow(t)["conv_id"].n_unique()], type=pa.int64())})
+
+    parts = hash_exchange(
+        _turns(sf_dir).map_batches(conv_batch, batch_format="pyarrow"),
+        "conv_id", bucket_count, num_buckets=16)
+    n_convs = int(parts.to_pandas()["n_partial"].sum())
+
+    n_gold = gold.num_rows
+    total_pairs = n_convs * (n_convs - 1) // 2
+    return pa.table({
+        "n_convs": pa.array([n_convs], type=pa.int64()),
+        "n_candidates": pa.array([n_cand], type=pa.int64()),
+        "n_gold": pa.array([n_gold], type=pa.int64()),
+        "n_hit": pa.array([n_hit], type=pa.int64()),
+        "pc_e4": pa.array([10000 * n_hit // n_gold], type=pa.int64()),
+        "rr_e6": pa.array([1_000_000 - (1_000_000 * n_cand) // total_pairs],
+                          type=pa.int64()),
+    })
+
+
+_SQL_LABELS = f"{corpus_dir(CORPUS_CACHE, 2000)}/labels.parquet"
+
+SQL_BLOCKING_QUALITY = f"""
+WITH {_SQL_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT a.conv_id AS conv_a, b.conv_id AS conv_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.conv_id < b.conv_id
+),
+gold AS (
+  SELECT conv_a, conv_b FROM read_parquet('{_SQL_LABELS}') WHERE is_match
+),
+s AS (
+  SELECT (SELECT count(DISTINCT conv_id)
+            FROM read_parquet('{_SQL_TURNS}')) AS n_convs,
+         (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM gold) AS n_gold,
+         (SELECT count(*) FROM cand JOIN gold
+            ON cand.conv_a = gold.conv_a
+           AND cand.conv_b = gold.conv_b) AS n_hit
+)
+SELECT n_convs, n_candidates, n_gold, n_hit,
+       10000 * n_hit // n_gold AS pc_e4,
+       1000000 - (1000000 * n_candidates)
+                 // (n_convs * (n_convs - 1) // 2) AS rr_e6
+FROM s
+"""
+
+
 # --- rows-only flagship stages ----------------------------------------------
 
 _RUN_CACHE: dict[str, object] = {}
@@ -922,6 +1029,7 @@ QUERIES = {
     "link_dedup_exact": (link_dedup_exact, SQL_DEDUP_EXACT),
     "link_minhash_lsh_candidates": (link_minhash_lsh_candidates, SQL_MINHASH),
     "link_block_inventory_md5": (link_block_inventory_md5, SQL_BLOCK_INV_MD5),
+    "link_blocking_quality": (link_blocking_quality, SQL_BLOCKING_QUALITY),
     "link_pairs_scored": (link_pairs_scored, None),
     "link_clusters": (link_clusters, None),
     "link_block_inventory": (link_block_inventory, None),
