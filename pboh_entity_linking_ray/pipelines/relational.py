@@ -750,6 +750,55 @@ FROM cal LEFT JOIN h ON cal.event_type = h.event_type
 """
 
 
+def q104_coclustered_join(sf_dir: str):
+    """Revenue per part type via an EXCHANGE-FREE co-clustered join:
+    lineitem is range-clustered on l_partkey (q83's layout machinery),
+    part is then written with the SAME cut points, and the join runs
+    as one independent task per aligned range-file pair
+    (`state/clustered.py:coclustered_join`) — the Hive/Spark
+    bucketed-table join as a storage feature.  The per-range task
+    fuses the revenue partial aggregate, so the wide joined rows never
+    leave it; only O(ranges × types) skinny partials reach the final
+    tiny groupby.  At 100 TB the fact⋈dim shuffle disappears into the
+    write-time layout."""
+    from ray.data.aggregate import Sum
+
+    from ..state.clustered import clustered_write, coclustered_join
+
+    base = os.path.join("/tmp/pboh_clustered",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_extendedprice", "l_discount"])
+    man = clustered_write(li, "l_partkey", base + "_li_cc", n_files=8)
+    pt = _t(sf_dir, "part", ["p_partkey", "p_type"])
+    clustered_write(pt, "p_partkey", base + "_part_cc", cuts=man["cuts"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        x = (np.asarray(t["l_extendedprice"])
+             * (1.0 - np.asarray(t["l_discount"])))
+        return (pl.DataFrame({
+            "p_type": t["p_type"].to_pylist(),
+            "rev_e4": np.floor(x * 10000 + 0.5).astype(np.int64)})
+            .group_by("p_type").agg(pl.col("rev_e4").sum())
+            .to_arrow())
+
+    parts = coclustered_join(base + "_li_cc", base + "_part_cc",
+                             post=rev_partial)
+    return (parts.groupby("p_type")
+            .aggregate(Sum("rev_e4", alias_name="revenue_e4")))
+
+
+SQL_Q104 = """
+SELECT p_type,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 PSI_NB = 20          # fixed-width value bins
 PSI_BINW = 25.0      # bin width (value spans ~0..500)
 
@@ -1923,6 +1972,7 @@ QUERIES = {
     "q100_hourly_gapfill": (q100_hourly_gapfill, SQL_Q100),
     "q101_psi_drift": (q101_psi_drift, SQL_Q101),
     "q103_locf_impute": (q103_locf_impute, SQL_Q103),
+    "q104_coclustered_join": (q104_coclustered_join, SQL_Q104),
     "q28_topk_per_group": (q28_topk_per_group, SQL_Q28),
     "q29_doc_len_quantiles": (q29_doc_len_quantiles, SQL_Q29),
     "q30_customers_without_big_orders":

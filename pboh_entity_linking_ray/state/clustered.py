@@ -95,11 +95,14 @@ def _cut_points(ds: ray.data.Dataset, col: str, n_files: int) -> list:
 
 
 def clustered_write(ds: ray.data.Dataset, col: str, out_dir: str,
-                    n_files: int = 8) -> dict:
+                    n_files: int = 8, cuts: list | None = None) -> dict:
     """Write ``ds`` range-clustered on ``col`` (one sorted Parquet file
     per key range + zone-map manifest).  Idempotent: an existing
     manifest short-circuits (delete the dir to rewrite).  Returns the
-    manifest dict."""
+    manifest dict (including the interior ``cuts``, so a SECOND table
+    can be written CO-CLUSTERED by passing them back in — aligned key
+    ranges make the range-k files of both tables joinable with no
+    exchange, see ``coclustered_join``)."""
     man_path = os.path.join(out_dir, "manifest.json")
     if os.path.exists(man_path):
         with open(man_path) as f:
@@ -108,7 +111,8 @@ def clustered_write(ds: ray.data.Dataset, col: str, out_dir: str,
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
 
-    cuts = _cut_points(ds, col, n_files)
+    if cuts is None:
+        cuts = _cut_points(ds, col, n_files)
     n = len(cuts) + 1
     blocks = ds.materialize().to_arrow_refs()
     parts = [_route_by_cuts.options(num_returns=n).remote(b, col, cuts, n)
@@ -120,12 +124,56 @@ def clustered_write(ds: ray.data.Dataset, col: str, out_dir: str,
                             col, *[p[k] for p in parts])
         for k in range(n)])
     manifest = {"col": col,
-                "files": [e for e in entries if e["rows"] > 0]}
+                "cuts": [c if not hasattr(c, "item") else c.item()
+                         for c in cuts],
+                "files": [dict(e, range=k) for k, e in enumerate(entries)
+                          if e["rows"] > 0]}
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     shutil.rmtree(out_dir, ignore_errors=True)
     os.rename(tmp, out_dir)                      # manifest lands LAST
     return manifest
+
+
+@ray.remote
+def _join_range(left_path: str, right_path: str, left_on: str,
+                right_on: str, post) -> pa.Table:
+    import polars as pl
+
+    j = pl.read_parquet(left_path).join(
+        pl.read_parquet(right_path), left_on=left_on, right_on=right_on)
+    out = j.to_arrow()
+    return post(out) if post is not None else out
+
+
+def coclustered_join(left_dir: str, right_dir: str,
+                     post=None) -> ray.data.Dataset:
+    """EXCHANGE-FREE inner join of two co-clustered layouts: both tables
+    were written with the SAME interior cut points, so every join key
+    lives in the same range index on both sides and the join decomposes
+    into one independent task per aligned file pair — the Hive/Spark
+    bucketed-table join obtained as a storage feature.  At 100 TB this
+    turns the fact⋈dim shuffle into a metadata zip plus embarrassingly
+    parallel local joins.  ``post`` fuses a per-range projection or
+    partial aggregate into the join task so the wide joined rows never
+    leave it.  A range missing on either side joins to nothing (inner
+    semantics) and is skipped."""
+    mans = []
+    for d in (left_dir, right_dir):
+        with open(os.path.join(d, "manifest.json")) as f:
+            mans.append(json.load(f))
+    if mans[0]["cuts"] != mans[1]["cuts"]:
+        raise ValueError("layouts are not co-clustered (cut points differ)")
+    lmap = {e["range"]: os.path.join(left_dir, e["file"])
+            for e in mans[0]["files"]}
+    rmap = {e["range"]: os.path.join(right_dir, e["file"])
+            for e in mans[1]["files"]}
+    refs = [_join_range.remote(lmap[k], rmap[k], mans[0]["col"],
+                               mans[1]["col"], post)
+            for k in sorted(lmap.keys() & rmap.keys())]
+    if not refs:
+        return ray.data.from_items([])
+    return ray.data.from_arrow_refs(refs)
 
 
 def pruned_files(out_dir: str, lo, hi) -> tuple[list[str], int]:

@@ -60,3 +60,41 @@ def test_clustered_write_and_pruned_read(ray_session, tmp_path):
     assert sorted(e["min"] for e in man3["files"]) == \
         sorted(e["min"] for e in man["files"])
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_coclustered_join_matches_shuffle_join(ray_session, tmp_path):
+    """The exchange-free aligned-file join returns exactly the rows a
+    plain join does, and refuses layouts with different cut points."""
+    import pandas as pd
+    import pytest
+
+    from pboh_entity_linking_ray.state.clustered import coclustered_join
+
+    li_dir, pt_dir = str(tmp_path / "li_cc"), str(tmp_path / "pt_cc")
+    li = ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                               columns=["l_partkey", "l_quantity"])
+    pt = ray.data.read_parquet(f"{SF}/part.parquet",
+                               columns=["p_partkey", "p_type"])
+    man = clustered_write(li, "l_partkey", li_dir, n_files=8)
+    assert man["cuts"]                      # cuts are recorded
+    clustered_write(pt, "p_partkey", pt_dir, cuts=man["cuts"])
+
+    got = (coclustered_join(li_dir, pt_dir).to_pandas()
+           .sort_values(["l_partkey", "l_quantity", "p_type"])
+           .reset_index(drop=True))
+    want = (duckdb.sql(
+        f"SELECT l_partkey, l_quantity, p_type "
+        f"FROM '{SF}/lineitem.parquet' JOIN '{SF}/part.parquet' "
+        f"ON l_partkey = p_partkey").fetchdf()
+        .sort_values(["l_partkey", "l_quantity", "p_type"])
+        .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["l_partkey", "l_quantity", "p_type"]].astype(
+            {"l_partkey": "int64"}),
+        want.astype({"l_partkey": "int64"}))
+
+    # misaligned layouts are rejected, never silently wrong
+    other = str(tmp_path / "pt_own_cuts")
+    clustered_write(pt, "p_partkey", other, n_files=3)
+    with pytest.raises(ValueError, match="co-clustered"):
+        coclustered_join(li_dir, other)
