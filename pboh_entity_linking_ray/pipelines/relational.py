@@ -799,6 +799,75 @@ GROUP BY 1
 """
 
 
+Q105_LO, Q105_HI = 40, 120      # the delta's narrow key band
+
+
+def q105_clustered_merge(sf_dir: str):
+    """LSM-style partial compaction exercised END TO END: a base
+    lineitem layout (two thirds of the rows, range-clustered on
+    l_partkey) absorbs a delta confined to a narrow key band via
+    `state/clustered.py:clustered_merge` — only the range files the
+    band overlaps get a new generation, everything else keeps its
+    bytes — then revenue per returnflag is read off the merged layout
+    and must equal SQL over base ∪ delta.  The upsert-into-clustered-
+    storage op of every warehouse ingest path; crash at any point
+    leaves the previous manifest pointing at intact files."""
+    import shutil
+
+    from ray.data.aggregate import Sum
+
+    from ..state.clustered import clustered_merge, clustered_write
+
+    out = os.path.join(
+        "/tmp/pboh_clustered",
+        os.path.basename(os.path.normpath(sf_dir)) + "_li_merge")
+    shutil.rmtree(out, ignore_errors=True)    # merge is stateful: rebuild
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_returnflag",
+             "l_extendedprice", "l_discount"])
+
+    def base_f(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(
+            (np.asarray(t["l_orderkey"]) % 3) != 0))
+
+    def delta_f(t: pa.Table) -> pa.Table:
+        pk = np.asarray(t["l_partkey"])
+        return t.filter(pa.array(
+            ((np.asarray(t["l_orderkey"]) % 3) == 0)
+            & (pk >= Q105_LO) & (pk <= Q105_HI)))
+
+    clustered_write(li.map_batches(base_f, batch_format="pyarrow"),
+                    "l_partkey", out, n_files=8)
+    man = clustered_merge(
+        out, li.map_batches(delta_f, batch_format="pyarrow"))
+
+    merged = ray.data.read_parquet(
+        [os.path.join(out, e["file"]) for e in man["files"]])
+
+    def rev(t: pa.Table) -> pa.Table:
+        x = (np.asarray(t["l_extendedprice"])
+             * (1.0 - np.asarray(t["l_discount"])))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "rev_e4": pa.array(np.floor(x * 10000 + 0.5).astype(np.int64)),
+        })
+
+    return (merged.map_batches(rev, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("rev_e4", alias_name="revenue_e4")))
+
+
+SQL_Q105 = f"""
+SELECT l_returnflag,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+WHERE l_orderkey % 3 <> 0
+   OR (l_partkey BETWEEN {Q105_LO} AND {Q105_HI})
+GROUP BY 1
+"""
+
+
 PSI_NB = 20          # fixed-width value bins
 PSI_BINW = 25.0      # bin width (value spans ~0..500)
 
@@ -1973,6 +2042,7 @@ QUERIES = {
     "q101_psi_drift": (q101_psi_drift, SQL_Q101),
     "q103_locf_impute": (q103_locf_impute, SQL_Q103),
     "q104_coclustered_join": (q104_coclustered_join, SQL_Q104),
+    "q105_clustered_merge": (q105_clustered_merge, SQL_Q105),
     "q28_topk_per_group": (q28_topk_per_group, SQL_Q28),
     "q29_doc_len_quantiles": (q29_doc_len_quantiles, SQL_Q29),
     "q30_customers_without_big_orders":

@@ -136,6 +136,80 @@ def clustered_write(ds: ray.data.Dataset, col: str, out_dir: str,
 
 
 @ray.remote
+def _merge_range(old_path: str | None, new_path: str, col: str,
+                 new_name: str, k: int, *parts: pa.Table):
+    """Merge one range's delta rows into its (optional) existing file:
+    writes a NEW-generation file and returns its zone-map entry, or
+    None when the delta has no rows for this range (nothing written —
+    the old file stays live)."""
+    live = [p for p in parts if p.num_rows]
+    if not live:
+        return None
+    if old_path is not None:
+        live.insert(0, pq.read_table(old_path))
+    t = pa.concat_tables(live).sort_by(col)
+    pq.write_table(t, new_path)
+    v = t[col]
+    return {"file": new_name, "rows": t.num_rows,
+            "min": v[0].as_py(), "max": v[-1].as_py(), "range": k}
+
+
+def clustered_merge(out_dir: str, delta: ray.data.Dataset) -> dict:
+    """LSM-style PARTIAL compaction: merge a delta into an existing
+    clustered layout, rewriting ONLY the range files the delta's keys
+    land in.  The delta routes by the layout's recorded cut points,
+    each touched range gets a new-GENERATION file (old files are never
+    modified in place), the manifest is atomically swapped LAST, and
+    only then are the superseded files unlinked — a crash at any point
+    leaves the previous manifest pointing at intact previous-generation
+    files.  Untouched ranges keep their bytes; at 100 TB an upsert of
+    a narrow key band rewrites O(band) files, not the table."""
+    man_path = os.path.join(out_dir, "manifest.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    col, cuts = man["col"], man["cuts"]
+    gen = man.get("gen", 1) + 1
+    n = len(cuts) + 1
+    by_range = {e["range"]: e for e in man["files"]}
+
+    blocks = delta.materialize().to_arrow_refs()
+    parts = [_route_by_cuts.options(num_returns=n).remote(b, col, cuts, n)
+             for b in blocks]
+    if n == 1:
+        parts = [[p] for p in parts]
+    refs = []
+    for k in range(n):
+        old = by_range.get(k)
+        old_path = os.path.join(out_dir, old["file"]) if old else None
+        new_name = f"range-{k:05d}-g{gen}.parquet"
+        refs.append(_merge_range.remote(
+            old_path, os.path.join(out_dir, new_name), col, new_name, k,
+            *[p[k] for p in parts]))
+    entries = ray.get(refs)
+
+    files, superseded = [], []
+    for k in range(n):
+        if entries[k] is None:
+            if k in by_range:
+                files.append(by_range[k])
+        else:
+            files.append(entries[k])
+            if k in by_range:
+                superseded.append(by_range[k]["file"])
+    man2 = {"col": col, "cuts": cuts, "gen": gen, "files": files}
+    tmp_man = man_path + ".tmp"
+    with open(tmp_man, "w") as f:
+        json.dump(man2, f, indent=1)
+    os.replace(tmp_man, man_path)            # manifest swap lands LAST
+    for name in superseded:                   # best-effort cleanup
+        try:
+            os.remove(os.path.join(out_dir, name))
+        except OSError:
+            pass
+    return man2
+
+
+@ray.remote
 def _join_range(left_path: str, right_path: str, left_on: str,
                 right_on: str, post) -> pa.Table:
     import polars as pl

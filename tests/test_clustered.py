@@ -98,3 +98,38 @@ def test_coclustered_join_matches_shuffle_join(ray_session, tmp_path):
     clustered_write(pt, "p_partkey", other, n_files=3)
     with pytest.raises(ValueError, match="co-clustered"):
         coclustered_join(li_dir, other)
+
+
+def test_clustered_merge_partial_compaction(ray_session, tmp_path):
+    """clustered_merge rewrites ONLY the delta-overlapping ranges (new
+    generation), leaves other files byte-identical, and the merged
+    layout holds exactly base + delta."""
+    out = str(tmp_path / "li_merge")
+    li = ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                               columns=["l_partkey", "l_quantity"])
+    base = li.filter(lambda r: r["l_partkey"] > 25)
+    delta = li.filter(lambda r: r["l_partkey"] <= 25)
+    man1 = clustered_write(base, "l_partkey", out, n_files=8)
+    sizes1 = {e["file"]: os.path.getsize(os.path.join(out, e["file"]))
+              for e in man1["files"]}
+
+    from pboh_entity_linking_ray.state.clustered import clustered_merge
+
+    man2 = clustered_merge(out, delta)
+    assert man2["gen"] == 2
+    touched = [e for e in man2["files"] if "-g2" in e["file"]]
+    kept = [e for e in man2["files"] if "-g2" not in e["file"]]
+    assert touched and kept                # partial, not full, rewrite
+    for e in kept:                         # untouched files byte-stable
+        assert os.path.getsize(os.path.join(out, e["file"])) \
+            == sizes1[e["file"]]
+    # delta keys are all <= 25 → only low ranges may be touched
+    assert all(e["min"] <= 25 for e in touched)
+    # merged rows == base + delta == the whole table
+    total = sum(e["rows"] for e in man2["files"])
+    n_total = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/lineitem.parquet'").fetchone()[0]
+    assert total == n_total
+    # superseded generation-1 files are gone; manifest files all exist
+    for e in man2["files"]:
+        assert os.path.exists(os.path.join(out, e["file"]))
