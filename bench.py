@@ -233,7 +233,7 @@ OPS_DEFAULT = [
     "q96_pmi_pairs", "q97_attribution", "q98_source_shift",
     "q99_peak_concurrency", "q100_hourly_gapfill", "q101_psi_drift",
     "q102_scd2", "q103_locf_impute", "link_blocking_quality",
-    "q104_coclustered_join", "q105_clustered_merge",
+    "q104_coclustered_join", "q105_clustered_merge", "q106_bfs",
     "link_topic_segments", "mm_png_stats",
     "link_incremental",
 ]

@@ -992,6 +992,124 @@ FROM e{KCORE_ROUNDS} GROUP BY s
 """
 
 
+BFS_ROUNDS = 3       # fixed frontier expansions → CTE-chain twin
+BFS_SEED_MOD = 100   # seeds: customers with c_custkey % 100 == 1
+
+
+def q106_bfs(sf_dir: str):
+    """Bounded-round breadth-first search over the bipartite
+    customer↔part purchase graph (part ids offset by PR_PART_OFF):
+    hop distance from a deterministic seed set of customers — the
+    reachability / neighborhood-expansion primitive (fraud rings,
+    recommendation halos) the PageRank/k-core family doesn't cover.
+
+    Each round is three skinny exchanges: a SEMI `hash_join` of the
+    edge list against the current frontier (only the frontier's key
+    column ships), an in-bucket distinct of the reached neighbors, and
+    an ANTI `hash_join` against the visited set — frontier and visited
+    stay O(nodes) datasets, never driver-collected.  Fixed
+    `BFS_ROUNDS` keeps it oracle-pairable via the chained-CTE device
+    (q68/q89); production runs to an empty frontier, and the q68
+    upgrade path (pin edge shards once, ship only frontier deltas)
+    applies verbatim."""
+    import pyarrow.compute as pc
+
+    from ..functions.grouping import dedup_keep_first, hash_join
+    from .relational import _t
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: pa.table({"ok": t["o_orderkey"],
+                            "c": pc.cast(t["o_custkey"], pa.int64())}),
+        batch_format="pyarrow")
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: pa.table({
+            "ok": t["l_orderkey"],
+            "p": pc.add(pc.cast(t["l_partkey"], pa.int64()), PR_PART_OFF),
+        }),
+        batch_format="pyarrow")
+
+    def pack(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["c"], dtype=np.int64)
+        p = np.asarray(t["p"], dtype=np.int64)
+        _, first = np.unique(c * 100_000_000 + p, return_index=True)
+        return pa.table({"c": pa.array(c[first], type=pa.int64()),
+                         "p": pa.array(p[first], type=pa.int64())})
+
+    pairs = hash_join(li, orders, "ok", post=pack)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"s": t["c"], "d": t["p"]}),
+        batch_format="pyarrow",
+    ).union(pairs.map_batches(
+        lambda t: pa.table({"s": t["p"], "d": t["c"]}),
+        batch_format="pyarrow")).materialize()
+
+    def seed_f(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["c_custkey"], dtype=np.int64)
+        return pa.table({"n": pa.array(n[n % BFS_SEED_MOD == 1])})
+
+    seeds = _t(sf_dir, "customer", ["c_custkey"]).map_batches(
+        seed_f, batch_format="pyarrow").materialize()
+
+    def _n_schema(t: pa.Table, col: str) -> pa.Table:
+        if t.num_rows == 0 or col not in t.column_names:
+            return pa.table({"n": pa.array([], type=pa.int64())})
+        return pa.table({"n": t[col]})
+
+    levels = [seeds]
+    visited = seeds
+    frontier = seeds
+    for _ in range(BFS_ROUNDS):
+        fr_s = frontier.map_batches(lambda t: _n_schema(t, "n")
+                                    .rename_columns(["s"]),
+                                    batch_format="pyarrow")
+        reached = hash_join(edges, fr_s, "s", num_buckets=16, how="semi")
+        nb = dedup_keep_first(
+            reached.map_batches(lambda t: _n_schema(t, "d"),
+                                batch_format="pyarrow"), "n",
+            engine="exchange")
+        frontier = hash_join(nb, visited, "n", num_buckets=16,
+                             how="anti").materialize()
+        visited = visited.union(frontier).materialize()
+        levels.append(frontier)
+
+    out = None
+    for dist, lvl in enumerate(levels):
+        tagged = lvl.map_batches(
+            lambda t, dist=dist: _n_schema(t, "n").append_column(
+                "dist", pa.array(np.full(
+                    len(_n_schema(t, "n")), dist, dtype=np.int64))),
+            batch_format="pyarrow")
+        out = tagged if out is None else out.union(tagged)
+    return out
+
+
+def _bfs_round_sql(r: int) -> str:
+    not_in = " AND ".join(
+        f"d NOT IN (SELECT n FROM d{k})" for k in range(r))
+    return f"""
+d{r} AS (
+  SELECT DISTINCT d AS n FROM ed JOIN d{r - 1} f ON ed.s = f.n
+  WHERE {not_in}
+)"""
+
+
+SQL_Q106 = f"""
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey + {PR_PART_OFF} AS p
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+ed AS (SELECT c AS s, p AS d FROM e UNION ALL SELECT p, c FROM e),
+d0 AS (
+  SELECT CAST(c_custkey AS BIGINT) AS n FROM customer
+  WHERE c_custkey % {BFS_SEED_MOD} = 1
+),
+{",".join(_bfs_round_sql(r) for r in range(1, BFS_ROUNDS + 1))}
+{" UNION ALL ".join(
+    f"SELECT n, CAST({r} AS BIGINT) AS dist FROM d{r}"
+    for r in range(BFS_ROUNDS + 1))}
+"""
+
+
 # --- q85: distributed skyline (Pareto-dominance filter) --------------------
 
 def _skyline_kernel(t: pa.Table) -> pa.Table:
@@ -1075,4 +1193,5 @@ QUERIES = {
     "q84_triangles": (q84_triangles, SQL_Q84),
     "q85_skyline": (q85_skyline, SQL_Q85),
     "q89_kcore": (q89_kcore, SQL_Q89),
+    "q106_bfs": (q106_bfs, SQL_Q106),
 }
