@@ -722,6 +722,67 @@ CHI2_SCALE = 1_000_000   # per-term fixed-point: term = cnt²·SCALE // ctot
                          # int64-safe while cnt ≤ ~3e6 per (source, tok)
 
 
+FH_DIM = 16        # hashed feature dimensions
+FH_SIGN_BIT = 4    # hash bit driving the sign (disjoint from dim bits)
+
+
+def q107_feature_hashing(sf_dir: str):
+    """The hashing trick (Weinberger et al. 2009): every document
+    becomes a FH_DIM-dimensional signed integer feature vector with
+    NO vocabulary — token t adds sign(bit4(h)) to dimension h % 16,
+    weighted by its term frequency.  The vocabulary-free featurizer a
+    streaming ML pipeline uses when a fitted vocabulary can't exist
+    yet; collisions are the accepted trade (that's the trick).
+
+    Entirely doc-local: tokens group per (doc, dim) inside the batch
+    (a documents row IS the doc), so the whole op is ONE streaming
+    map_batches with ZERO shuffles and long-form exact-int output.
+    md5 is the cross-engine hash family (the q13/q15 device); the
+    production variant swaps in whole-column xxhash."""
+    def feats(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "dim": pa.array([], type=pa.int64()),
+                             "val": pa.array([], type=pa.int64())})
+        df = (pl.DataFrame({
+            "doc_id": pl.from_arrow(t["doc_id"].combine_chunks())
+            .cast(pl.Int64),
+            "tok": pl.from_arrow(t["text"].combine_chunks())
+            .str.to_lowercase().str.extract_all("[a-z0-9]+"),
+        }).explode("tok").drop_nulls("tok")
+            .group_by(["doc_id", "tok"]).len(name="tf"))
+        hs = _md5_cached({}, df["tok"].to_list())
+        dim = (hs % np.uint64(FH_DIM)).astype(np.int64)
+        sign = (((hs >> np.uint64(FH_SIGN_BIT)) & np.uint64(1))
+                .astype(np.int64) * 2 - 1)
+        out = (pl.DataFrame({
+            "doc_id": df["doc_id"],
+            "dim": dim,
+            "val": sign * df["tf"].cast(pl.Int64).to_numpy(),
+        }).group_by(["doc_id", "dim"]).agg(pl.col("val").sum()))
+        return out.to_arrow()
+
+    return _docs(sf_dir).map_batches(feats, batch_format="pyarrow",
+                                     batch_size=512)
+
+
+SQL_Q107 = f"""
+WITH s AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, md5_number_lower(tok) AS hv FROM s
+)
+SELECT doc_id, CAST(hv % {FH_DIM} AS BIGINT) AS dim,
+       CAST(sum(CASE WHEN (hv >> {FH_SIGN_BIT}) & 1 = 1
+                     THEN 1 ELSE -1 END) AS BIGINT) AS val
+FROM h GROUP BY 1, 2
+"""
+
+
 def q98_source_shift(sf_dir: str):
     """Domain-shift scoring for corpus mixing: how far each source's
     token distribution sits from the pooled corpus, as the χ²
@@ -1905,6 +1966,7 @@ QUERIES = {
     "q20_frequent_pairs": (q20_frequent_pairs, SQL_Q20),
     "q96_pmi_pairs": (q96_pmi_pairs, SQL_Q96),
     "q98_source_shift": (q98_source_shift, SQL_Q98),
+    "q107_feature_hashing": (q107_feature_hashing, SQL_Q107),
     "q13_simhash": (q13_simhash, SQL_Q13),
     "q26_simhash_neardup": (q26_simhash_neardup, SQL_Q26),
     "q15_winnow_fingerprints": (q15_winnow_fingerprints, SQL_Q15),
