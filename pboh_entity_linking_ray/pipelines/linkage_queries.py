@@ -668,6 +668,76 @@ def link_sft_pairs(sf_dir: str):
     return bucketed_groups(turns, "conv_id", per_conv)
 
 
+CTX_WIN_W = 4   # turns per window
+CTX_WIN_S = 2   # window stride (W/S = 2 memberships per turn)
+
+
+def link_context_windows(sf_dir: str):
+    """Sliding turn-window assembly for retrieval corpora: every
+    conversation becomes overlapping windows of CTX_WIN_W turns at
+    stride CTX_WIN_S — the conversation analog of q46's document
+    chunking and the unit a RAG index embeds (link_sft_pairs cuts
+    fixed context for SFT targets; this cuts the retrieval view).
+
+    ONE bucketed exchange on conv_id, then pure vectorized frames: a
+    turn at in-conv position r belongs to exactly W/S = 2 windows
+    (start r−(r%S) and that minus S when ≥ 0), so membership is a
+    two-frame concat — no per-window loop — and one group_by
+    assembles every window's ordered text."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_groups
+
+    turns = _turns(sf_dir).select_columns(["conv_id", "turn_idx", "text"])
+
+    empty = pa.table({
+        "conv_id": pa.array([], type=pa.string()),
+        "win_idx": pa.array([], type=pa.int64()),
+        "n_turns": pa.array([], type=pa.int64()),
+        "win_text": pa.array([], type=pa.string())})
+
+    def per_conv(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return empty
+        base = (pl.from_arrow(t).sort(["conv_id", "turn_idx"])
+                .with_columns(
+                    r=pl.int_range(pl.len()).over("conv_id")))
+        ws1 = pl.col("r") - (pl.col("r") % CTX_WIN_S)
+        m1 = base.with_columns(ws=ws1)
+        m0 = (base.with_columns(ws=ws1 - CTX_WIN_S)
+              .filter(pl.col("ws") >= 0))
+        out = (pl.concat([m1, m0])
+               .group_by(["conv_id", "ws"])
+               .agg(n_turns=pl.len().cast(pl.Int64),
+                    win_text=pl.col("text").sort_by("r")
+                    .str.join("\n"))
+               .with_columns(win_idx=(pl.col("ws") // CTX_WIN_S)
+                             .cast(pl.Int64))
+               .select(["conv_id", "win_idx", "n_turns", "win_text"]))
+        return out.to_arrow().cast(empty.schema)
+
+    return bucketed_groups(turns, "conv_id", per_conv)
+
+
+SQL_CONTEXT_WINDOWS = f"""
+WITH t AS (
+  SELECT conv_id, text,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+           AS r
+  FROM read_parquet('{_SQL_TURNS}')
+), m AS (
+  SELECT conv_id, text, r, r - (r % {CTX_WIN_S}) AS ws FROM t
+  UNION ALL
+  SELECT conv_id, text, r, r - (r % {CTX_WIN_S}) - {CTX_WIN_S} FROM t
+  WHERE r - (r % {CTX_WIN_S}) - {CTX_WIN_S} >= 0
+)
+SELECT conv_id, CAST(ws // {CTX_WIN_S} AS BIGINT) AS win_idx,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(text, chr(10) ORDER BY r) AS win_text
+FROM m GROUP BY conv_id, ws
+"""
+
+
 SQL_SFT_PAIRS = f"""
 WITH w AS (
   SELECT conv_id, turn_idx, role, text,
@@ -1021,6 +1091,7 @@ QUERIES = {
     "link_topic_segments": (link_topic_segments, SQL_TOPIC_SEGMENTS),
     "link_boilerplate_turns": (link_boilerplate_turns, SQL_BOILERPLATE),
     "link_sft_pairs": (link_sft_pairs, SQL_SFT_PAIRS),
+    "link_context_windows": (link_context_windows, SQL_CONTEXT_WINDOWS),
     "link_sft_corpus": (link_sft_corpus, SQL_SFT_CORPUS),
     "link_transition_matrix": (link_transition_matrix, SQL_TRANSITIONS),
     "link_turn_quality": (link_turn_quality, SQL_TURN_QUALITY),

@@ -22,6 +22,14 @@ which at 100 TB is the difference between a scan and a lookup.
 Reference analog: the reference's sharded index files loaded by range
 (SURVEY §2.1 loaders); here the layout is derived from data quantiles
 instead of fixed shard counts.
+
+Two layout-exploiting operators build on the manifest's recorded cut
+points: ``coclustered_join`` (write a second table with the SAME cuts →
+every join key shares a range index on both sides → one independent
+task per aligned file pair, no exchange) and ``clustered_merge``
+(LSM-style partial compaction: only delta-overlapping ranges get a
+new-generation file; the manifest swaps atomically last, so a crash at
+any point leaves the previous manifest pointing at intact files).
 """
 
 from __future__ import annotations
