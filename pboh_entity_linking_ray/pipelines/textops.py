@@ -640,9 +640,11 @@ def q96_pmi_pairs(sf_dir: str):
                                      batch_format="pyarrow",
                                      batch_size=512).materialize()
 
+    # materialized: hash_join's schema fetch would execute the lazy
+    # mining chain once and the join a second time (q75/q82 trap)
     shared = bucketed_groups(rows, "doc_id", _pairs_bucket)
     pairs = bucketed_sum(shared, ["tok_a", "tok_b"], "n_p", "n_p") \
-        .filter(expr=f"n_p >= {FREQ_PAIR_MIN}")
+        .filter(expr=f"n_p >= {FREQ_PAIR_MIN}").materialize()
 
     def count_df(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "tok" not in t.column_names:
@@ -651,8 +653,10 @@ def q96_pmi_pairs(sf_dir: str):
         return pa.table({"tok": t["tok"],
                          "one": np.ones(t.num_rows, dtype=np.int64)})
 
+    # materialized: BOTH join sides (df_a, df_b) consume this exchange —
+    # lazy it would execute twice (the q75/q82 double-execution trap)
     df = bucketed_sum(rows.map_batches(count_df, batch_format="pyarrow"),
-                      ["tok"], "one", "df")
+                      ["tok"], "one", "df").materialize()
 
     def _as_side(t: pa.Table, side: str) -> pa.Table:
         if t.num_rows == 0 or "tok" not in t.column_names:
@@ -665,7 +669,8 @@ def q96_pmi_pairs(sf_dir: str):
     df_a = df.map_batches(lambda t: _as_side(t, "a"), batch_format="pyarrow")
     df_b = df.map_batches(lambda t: _as_side(t, "b"), batch_format="pyarrow")
 
-    j = hash_join(hash_join(pairs, df_a, on="tok_a"), df_b, on="tok_b")
+    j = hash_join(hash_join(pairs, df_a, on="tok_a").materialize(),
+                  df_b, on="tok_b")
 
     def finish(t: pa.Table) -> pa.Table:
         _OUT = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
