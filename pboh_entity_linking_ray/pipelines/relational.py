@@ -868,6 +868,103 @@ GROUP BY 1
 """
 
 
+KAPPA_LEN_MIN = 250   # annotator A: keep iff n_chars ≥ this
+KAPPA_TOK_MIN = 45    # annotator B: keep iff token count ≥ this
+
+
+def q108_annotator_agreement(sf_dir: str):
+    """Inter-annotator agreement (Cohen's kappa) between two
+    deterministic keep/drop labelers of the documents table — the
+    labeling-QA metric an RLHF / eval-annotation pipeline computes
+    before trusting a label source (here the two "annotators" are the
+    length gate and the lexical-token gate; in production they are two
+    human passes or a human vs a model judge).
+
+    One streaming pass: each batch emits its 2×2 confusion counts
+    (4 ints), the driver sums O(batches) rows, and kappa's scalar
+    float tree — po, chance agreement pe from the marginals, then
+    (po − pe)/(1 − pe) — is mirrored token-for-token in the twin with
+    every product CAST to DOUBLE before multiplying (int64 marginal
+    products overflow near 3e9 docs; DuckDB would silently widen to
+    HUGEINT and diverge) and floor-e6 quantized (the q63 device)."""
+    import math
+
+    ds = _t(sf_dir, "documents", ["text", "n_chars"])
+
+    def confusion(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        empty = pa.table({k: pa.array([], type=pa.int64())
+                          for k in ("n11", "n10", "n01", "n00")})
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return empty
+        df = pl.from_arrow(t)
+        a = (df["n_chars"] >= KAPPA_LEN_MIN).to_numpy()
+        b = (df["text"].str.to_lowercase()
+             .str.extract_all("[a-z0-9]+").list.len()
+             >= KAPPA_TOK_MIN).to_numpy()
+        return pa.table({
+            "n11": pa.array([int((a & b).sum())], type=pa.int64()),
+            "n10": pa.array([int((a & ~b).sum())], type=pa.int64()),
+            "n01": pa.array([int((~a & b).sum())], type=pa.int64()),
+            "n00": pa.array([int((~a & ~b).sum())], type=pa.int64()),
+        })
+
+    c = (ds.map_batches(confusion, batch_format="pyarrow")
+         .to_pandas().sum())
+    n11, n10 = int(c["n11"]), int(c["n10"])
+    n01, n00 = int(c["n01"]), int(c["n00"])
+    n = n11 + n10 + n01 + n00
+    # mirrored scalar tree (see SQL_Q108)
+    po = float(n11 + n00) / float(n)
+    pe = ((float(n11 + n10) * float(n11 + n01)
+           + float(n01 + n00) * float(n10 + n00))
+          / (float(n) * float(n)))
+    kappa = (po - pe) / (1.0 - pe)
+    return pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "n11": pa.array([n11], type=pa.int64()),
+        "n10": pa.array([n10], type=pa.int64()),
+        "n01": pa.array([n01], type=pa.int64()),
+        "n00": pa.array([n00], type=pa.int64()),
+        "po_e6": pa.array([math.floor(po * 1_000_000.0)], type=pa.int64()),
+        "kappa_e6": pa.array([math.floor(kappa * 1_000_000.0)],
+                             type=pa.int64()),
+    })
+
+
+SQL_Q108 = f"""
+WITH l AS (
+  SELECT CASE WHEN n_chars >= {KAPPA_LEN_MIN} THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   >= {KAPPA_TOK_MIN} THEN 1 ELSE 0 END AS b
+  FROM documents
+), c AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
+         sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n10,
+         sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n01,
+         sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00
+  FROM l
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+       CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+       CAST(floor(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS po_e6,
+       CAST(floor(
+         ((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+           - ((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+               + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+          / (1.0 - ((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+               + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))))
+         * 1000000.0) AS BIGINT) AS kappa_e6
+FROM c
+"""
+
+
 PSI_NB = 20          # fixed-width value bins
 PSI_BINW = 25.0      # bin width (value spans ~0..500)
 
@@ -2043,6 +2140,7 @@ QUERIES = {
     "q103_locf_impute": (q103_locf_impute, SQL_Q103),
     "q104_coclustered_join": (q104_coclustered_join, SQL_Q104),
     "q105_clustered_merge": (q105_clustered_merge, SQL_Q105),
+    "q108_annotator_agreement": (q108_annotator_agreement, SQL_Q108),
     "q28_topk_per_group": (q28_topk_per_group, SQL_Q28),
     "q29_doc_len_quantiles": (q29_doc_len_quantiles, SQL_Q29),
     "q30_customers_without_big_orders":
