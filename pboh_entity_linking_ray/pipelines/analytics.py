@@ -995,6 +995,30 @@ FROM e{KCORE_ROUNDS} GROUP BY s
 BFS_ROUNDS = 3       # fixed frontier expansions → CTE-chain twin
 BFS_SEED_MOD = 100   # seeds: customers with c_custkey % 100 == 1
 
+_EMPTY_BFS_N = pa.table({"n": pa.array([], type=pa.int64())})
+
+
+def _bfs_state(tbl: pa.Table | None):
+    """PinnedShards init for BFS: one shard's (src, dst) edges, deduped
+    locally (src-routing co-locates every copy of a src's edges)."""
+    import polars as pl
+
+    if tbl is None:
+        return None
+    return pl.from_arrow(tbl).unique(subset=["src", "dst"])
+
+
+def _bfs_neighbors(state, probe: pa.Table | None) -> pa.Table:
+    """One expansion on one shard: frontier rows ⋈ pinned edges →
+    this shard's DISTINCT reached neighbors (skinny O(dst) rows)."""
+    import polars as pl
+
+    if state is None or probe is None:
+        return _EMPTY_BFS_N
+    f = pl.from_arrow(probe)
+    return (state.join(f, on="src", how="semi")
+            .select(pl.col("dst").alias("n")).unique().to_arrow())
+
 
 def q106_bfs(sf_dir: str):
     """Bounded-round breadth-first search over the bipartite
@@ -1003,18 +1027,20 @@ def q106_bfs(sf_dir: str):
     reachability / neighborhood-expansion primitive (fraud rings,
     recommendation halos) the PageRank/k-core family doesn't cover.
 
-    Each round is three skinny exchanges: a SEMI `hash_join` of the
-    edge list against the current frontier (only the frontier's key
-    column ships), an in-bucket distinct of the reached neighbors, and
-    an ANTI `hash_join` against the visited set — frontier and visited
-    stay O(nodes) datasets, never driver-collected.  Fixed
-    `BFS_ROUNDS` keeps it oracle-pairable via the chained-CTE device
-    (q68/q89); production runs to an empty frontier, and the q68
-    upgrade path (pin edge shards once, ship only frontier deltas)
-    applies verbatim."""
+    The edge topology is STATIC across rounds — exactly the
+    ``PinnedShards`` case (unlike q89's k-core, whose graph mutates
+    each peel) — so the edges pin ONCE into src-routed actor shards
+    (q68's intake) and each round ships only O(frontier) rows: route
+    the frontier to the shards, per-shard distinct neighbors in-actor,
+    one global distinct, one ANTI `hash_join` against the visited set.
+    Frontier and visited stay O(nodes) datasets, never
+    driver-collected.  Fixed `BFS_ROUNDS` keeps it oracle-pairable via
+    the chained-CTE device (q68/q89); production runs to an empty
+    frontier."""
     import pyarrow.compute as pc
 
     from ..functions.grouping import dedup_keep_first, hash_join
+    from ..functions.pinned import PinnedShards
     from .relational import _t
 
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
@@ -1037,11 +1063,12 @@ def q106_bfs(sf_dir: str):
 
     pairs = hash_join(li, orders, "ok", post=pack)
     edges = pairs.map_batches(
-        lambda t: pa.table({"s": t["c"], "d": t["p"]}),
+        lambda t: pa.table({"src": t["c"], "dst": t["p"]}),
         batch_format="pyarrow",
     ).union(pairs.map_batches(
-        lambda t: pa.table({"s": t["p"], "d": t["c"]}),
-        batch_format="pyarrow")).materialize()
+        lambda t: pa.table({"src": t["p"], "dst": t["c"]}),
+        batch_format="pyarrow"))
+    shards = PinnedShards(edges, "src", _bfs_state, n_shards=PR_SHARDS)
 
     def seed_f(t: pa.Table) -> pa.Table:
         n = np.asarray(t["c_custkey"], dtype=np.int64)
@@ -1060,11 +1087,11 @@ def q106_bfs(sf_dir: str):
     frontier = seeds
     for _ in range(BFS_ROUNDS):
         fr_s = frontier.map_batches(lambda t: _n_schema(t, "n")
-                                    .rename_columns(["s"]),
+                                    .rename_columns(["src"]),
                                     batch_format="pyarrow")
-        reached = hash_join(edges, fr_s, "s", num_buckets=16, how="semi")
+        reached = shards.map(fr_s, _bfs_neighbors).materialize()
         nb = dedup_keep_first(
-            reached.map_batches(lambda t: _n_schema(t, "d"),
+            reached.map_batches(lambda t: _n_schema(t, "n"),
                                 batch_format="pyarrow"), "n",
             engine="exchange")
         frontier = hash_join(nb, visited, "n", num_buckets=16,
