@@ -234,7 +234,7 @@ OPS_DEFAULT = [
     "q99_peak_concurrency", "q100_hourly_gapfill", "q101_psi_drift",
     "q102_scd2", "q103_locf_impute", "link_blocking_quality",
     "q104_coclustered_join", "q105_clustered_merge", "q106_bfs",
-    "q107_feature_hashing", "q108_annotator_agreement",
+    "q107_feature_hashing", "q108_annotator_agreement", "q109_debounce",
     "link_context_windows",
     "link_topic_segments", "mm_png_stats",
     "link_incremental",

@@ -460,6 +460,64 @@ FROM r
 """
 
 
+DEBOUNCE_SEC = 300   # suppress same-(user, type) repeats within 5 min
+
+
+def q109_debounce(sf_dir: str):
+    """Telemetry debouncing: drop an event when the SAME (user, type)
+    fired within DEBOUNCE_SEC before it — the duplicate-suppression
+    pass every event-ingest pipeline runs against retry storms and
+    double-clicks (q81 keeps one row per key; this keeps every run's
+    FIRST event, the time-aware variant).
+
+    ONE user-keyed exchange (a user's history co-locates), then a
+    vectorized lag over the (user, type)-partitioned (ts, event_id)
+    order inside the bucket.  Exact int64 µs gap arithmetic."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("event_type", pa.large_string()),
+                            ("ts_us", pa.int64())])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return out_schema.empty_table()
+        df = (pl.from_arrow(t)
+              .with_columns(ts_us=pl.col("ts").cast(pl.Int64))
+              .sort(["user_id", "event_type", "ts_us", "event_id"])
+              .with_columns(
+                  gap=pl.col("ts_us")
+                  - pl.col("ts_us").shift(1)
+                  .over(["user_id", "event_type"])))
+        kept = df.filter(pl.col("gap").is_null()
+                         | (pl.col("gap") > DEBOUNCE_SEC * 1_000_000))
+        return (kept.select(["event_id", "user_id", "event_type",
+                             "ts_us"])
+                .to_arrow().cast(out_schema))
+
+    return hash_exchange(ev, "user_id", bucket, num_buckets=16)
+
+
+SQL_Q109 = f"""
+WITH o AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts_us
+FROM o WHERE gap IS NULL OR gap > {DEBOUNCE_SEC * 1_000_000}
+"""
+
+
 # --- q90: retention cohort matrix ------------------------------------------
 
 def q90_retention_cohorts(sf_dir: str):
@@ -611,4 +669,5 @@ QUERIES = {
     "q45_funnel": (q45_funnel, SQL_Q45),
     "q81_cdc_compact": (q81_cdc_compact, SQL_Q81),
     "q102_scd2": (q102_scd2, SQL_Q102),
+    "q109_debounce": (q109_debounce, SQL_Q109),
 }
