@@ -1251,7 +1251,9 @@ def q58_neardup_clusters(sf_dir: str):
     return labels.map_batches(back, batch_format="pyarrow")
 
 
-SQL_Q58 = f"""
+# the q58 CC machinery as a reusable CTE prefix (q58 = labels;
+# q110 = golden records over the same clusters)
+_SQL_NEARDUP_CC_CTE = f"""
 WITH RECURSIVE s AS (
   SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh
   FROM (SELECT doc_id, list_distinct(list_transform(
@@ -1285,10 +1287,83 @@ reach(node, m) AS (
   SELECT u, u FROM edges
   UNION
   SELECT e.u, r.m FROM edges e JOIN reach r ON r.node = e.v
-)
+)"""
+
+SQL_Q58 = _SQL_NEARDUP_CC_CTE + """
 SELECT CAST(node AS BIGINT) AS doc_id,
        CAST(min(m) AS BIGINT) AS cluster_id
 FROM reach GROUP BY node
+"""
+
+
+def q110_golden_records(sf_dir: str):
+    """Survivorship / golden-record construction — the MDM merge step
+    after dedup clustering: every q58 near-dup cluster collapses to
+    ONE canonical record (representative = longest text, tie-break
+    smallest doc_id) plus member count and total chars.  The op a
+    master-data pipeline runs between "cluster the duplicates" and
+    "publish the entity table"; the flagship's conv clusters get the
+    same treatment in production.
+
+    Cluster labels attach to the documents via one bucketed
+    `hash_join` on doc_id (the label table is O(docs) — never
+    broadcast), then ONE exchange on cluster_id resolves survivorship
+    vectorized (sort + keep-first per cluster)."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange, hash_join
+
+    clusters = q58_neardup_clusters(sf_dir).materialize()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+
+    j = hash_join(clusters, docs, on="doc_id")
+
+    out_schema = pa.schema([("cluster_id", pa.int64()),
+                            ("n_members", pa.int64()),
+                            ("rep_doc_id", pa.int64()),
+                            ("rep_n_chars", pa.int64()),
+                            ("chars_total", pa.int64())])
+
+    def golden(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_id" not in t.column_names:
+            return out_schema.empty_table()
+        df = (pl.from_arrow(t)
+              .sort(["cluster_id", "n_chars", "doc_id"],
+                    descending=[False, True, False]))
+        out = (df.group_by("cluster_id", maintain_order=True)
+               .agg(n_members=pl.len().cast(pl.Int64),
+                    rep_doc_id=pl.col("doc_id").first(),
+                    rep_n_chars=pl.col("n_chars").first(),
+                    chars_total=pl.col("n_chars").sum()))
+        return out.to_arrow().cast(out_schema)
+
+    return hash_exchange(j, "cluster_id", golden, num_buckets=16)
+
+
+SQL_Q110 = _SQL_NEARDUP_CC_CTE + """,
+cl AS (
+  SELECT CAST(node AS BIGINT) AS doc_id,
+         CAST(min(m) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY node
+),
+j AS (
+  SELECT cl.cluster_id, d.doc_id, d.n_chars
+  FROM cl JOIN documents d ON cl.doc_id = d.doc_id
+)
+SELECT cluster_id, n_members, doc_id AS rep_doc_id,
+       n_chars AS rep_n_chars, chars_total
+FROM (
+  SELECT cluster_id, doc_id, n_chars,
+         CAST(count(*) OVER w AS BIGINT) AS n_members,
+         CAST(sum(n_chars) OVER w AS BIGINT) AS chars_total,
+         row_number() OVER
+           (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id)
+           AS rn
+  FROM j
+  WINDOW w AS (PARTITION BY cluster_id)
+)
+WHERE rn = 1
 """
 
 
@@ -1963,6 +2038,7 @@ QUERIES = {
     "bpe_encode": (bpe_encode, None),
     "q57_bpe_token_count": (q57_bpe_token_count, SQL_Q57),
     "q58_neardup_clusters": (q58_neardup_clusters, SQL_Q58),
+    "q110_golden_records": (q110_golden_records, SQL_Q110),
     "q12_ngram_jaccard_pairs": (q12_ngram_jaccard_pairs, SQL_Q12),
     "q44_tfidf_pairs": (q44_tfidf_pairs, SQL_Q44),
     "q46_chunk_documents": (q46_chunk_documents, SQL_Q46),
