@@ -229,7 +229,7 @@ def _join_range(left_path: str, right_path: str, left_on: str,
 
 
 def coclustered_join(left_dir: str, right_dir: str,
-                     post=None) -> ray.data.Dataset:
+                     post=None, lo=None, hi=None) -> ray.data.Dataset:
     """EXCHANGE-FREE inner join of two co-clustered layouts: both tables
     were written with the SAME interior cut points, so every join key
     lives in the same range index on both sides and the join decomposes
@@ -239,17 +239,26 @@ def coclustered_join(left_dir: str, right_dir: str,
     parallel local joins.  ``post`` fuses a per-range projection or
     partial aggregate into the join task so the wide joined rows never
     leave it.  A range missing on either side joins to nothing (inner
-    semantics) and is skipped."""
+    semantics) and is skipped.  ``lo``/``hi`` zone-map-prune BOTH
+    sides at once: only aligned pairs whose key range overlaps
+    [lo, hi] are even opened (a range-restricted join touches
+    O(selectivity) bytes of each table; the join keys equal on both
+    rows, so no residual filter is needed beyond the pair's bounds —
+    callers needing exact edge trimming filter in ``post``)."""
     mans = []
     for d in (left_dir, right_dir):
         with open(os.path.join(d, "manifest.json")) as f:
             mans.append(json.load(f))
     if mans[0]["cuts"] != mans[1]["cuts"]:
         raise ValueError("layouts are not co-clustered (cut points differ)")
+    def keep(e):
+        return ((lo is None or e["max"] >= lo)
+                and (hi is None or e["min"] <= hi))
+
     lmap = {e["range"]: os.path.join(left_dir, e["file"])
-            for e in mans[0]["files"]}
+            for e in mans[0]["files"] if keep(e)}
     rmap = {e["range"]: os.path.join(right_dir, e["file"])
-            for e in mans[1]["files"]}
+            for e in mans[1]["files"] if keep(e)}
     refs = [_join_range.remote(lmap[k], rmap[k], mans[0]["col"],
                                mans[1]["col"], post)
             for k in sorted(lmap.keys() & rmap.keys())]

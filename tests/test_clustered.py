@@ -133,3 +133,41 @@ def test_clustered_merge_partial_compaction(ray_session, tmp_path):
     # superseded generation-1 files are gone; manifest files all exist
     for e in man2["files"]:
         assert os.path.exists(os.path.join(out, e["file"]))
+
+
+def test_coclustered_join_range_prune(ray_session, tmp_path):
+    """lo/hi prunes aligned file pairs on both sides; with an exact
+    residual in post, results equal the range-filtered plain join."""
+    import pandas as pd
+
+    from pboh_entity_linking_ray.state.clustered import coclustered_join
+
+    li_dir, pt_dir = str(tmp_path / "li"), str(tmp_path / "pt")
+    li = ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                               columns=["l_partkey", "l_quantity"])
+    pt = ray.data.read_parquet(f"{SF}/part.parquet",
+                               columns=["p_partkey", "p_type"])
+    man = clustered_write(li, "l_partkey", li_dir, n_files=8)
+    clustered_write(pt, "p_partkey", pt_dir, cuts=man["cuts"])
+
+    lo, hi = 40, 60
+
+    def residual(t):
+        import numpy as np
+        import pyarrow as pa
+        v = np.asarray(t["l_partkey"])
+        return t.filter(pa.array((v >= lo) & (v <= hi)))
+
+    got = (coclustered_join(li_dir, pt_dir, post=residual, lo=lo, hi=hi)
+           .to_pandas().sort_values(["l_partkey", "l_quantity", "p_type"])
+           .reset_index(drop=True))
+    want = (duckdb.sql(
+        f"SELECT l_partkey, l_quantity, p_type "
+        f"FROM '{SF}/lineitem.parquet' JOIN '{SF}/part.parquet' "
+        f"ON l_partkey = p_partkey "
+        f"WHERE l_partkey BETWEEN {lo} AND {hi}").fetchdf()
+        .sort_values(["l_partkey", "l_quantity", "p_type"])
+        .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"l_partkey": "int64"}),
+        want.astype({"l_partkey": "int64"}))
