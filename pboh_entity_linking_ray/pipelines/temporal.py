@@ -460,6 +460,77 @@ FROM r
 """
 
 
+WAU_WIN = 7          # rolling active-user window, days
+_DAY_US = 86_400_000_000
+
+
+def q111_rolling_wau(sf_dir: str):
+    """Exact rolling 7-day active users per day (the WAU curve; swap
+    the constant for DAU/MAU) — the sliding-window COUNT DISTINCT
+    every growth dashboard needs and naive groupbys get wrong (a user
+    active twice in one window must count once).
+
+    Exact and distributed via the q31 co-location discipline: distinct
+    (user, day) activity explodes to its WAU_WIN window-end
+    memberships (vectorized tile — a bounded ×7 row blowup of the
+    already-deduped activity, not of the raw events), rows route by
+    USER so in-bucket `unique` is globally exact, per-bucket counts
+    per window-end day then one tiny groupby-sum.  Windows with zero
+    activity produce no row (mirrored: the twin has none either)."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.grouping import hash_exchange
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def memberships(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "wday": pa.array([], type=pa.int64())})
+        u = np.asarray(t["user_id"], dtype=np.int64)
+        d = np.asarray(t["ts"].cast(pa.int64())) // _DAY_US
+        act = np.unique(u * 1_000_000 + d)          # distinct (user, day)
+        au, ad = act // 1_000_000, act % 1_000_000
+        wday = (ad[:, None] + np.arange(WAU_WIN)).ravel()
+        user = np.repeat(au, WAU_WIN)
+        mem = np.unique(user * 1_000_000 + wday)    # batch-level dedup
+        return pa.table({"user_id": pa.array(mem // 1_000_000),
+                         "wday": pa.array(mem % 1_000_000)})
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"wday": pa.array([], type=pa.int64()),
+                             "n_partial": pa.array([], type=pa.int64())})
+        return (pl.from_arrow(t).unique()
+                .group_by("wday").len(name="n_partial")
+                .with_columns(pl.col("n_partial").cast(pl.Int64))
+                .to_arrow())
+
+    mem = ev.map_batches(memberships, batch_format="pyarrow")
+    partials = hash_exchange(mem, "user_id", bucket_counts,
+                             num_buckets=16)
+    return (partials.groupby("wday")
+            .aggregate(Sum("n_partial", alias_name="wau")))
+
+
+SQL_Q111 = f"""
+WITH a AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // {_DAY_US} AS d
+  FROM events
+), m AS (
+  SELECT DISTINCT user_id, d + g AS wday
+  FROM a CROSS JOIN
+       (SELECT unnest(generate_series(0, {WAU_WIN - 1})) AS g)
+)
+SELECT wday, CAST(count(*) AS BIGINT) AS wau
+FROM m GROUP BY wday
+"""
+
+
 DEBOUNCE_SEC = 300   # suppress same-(user, type) repeats within 5 min
 
 
@@ -670,4 +741,5 @@ QUERIES = {
     "q81_cdc_compact": (q81_cdc_compact, SQL_Q81),
     "q102_scd2": (q102_scd2, SQL_Q102),
     "q109_debounce": (q109_debounce, SQL_Q109),
+    "q111_rolling_wau": (q111_rolling_wau, SQL_Q111),
 }
