@@ -868,6 +868,106 @@ GROUP BY 1
 """
 
 
+LORENZ_PCTS = tuple(range(10, 101, 10))
+_LZ_REV_CAP = 1 << 38    # descending-order key headroom: rev < $2.7B/cust
+
+
+def q112_revenue_concentration(sf_dir: str):
+    """Revenue-concentration (Lorenz / Pareto) report: the share of
+    total revenue held by the top p% of customers, p = 10..100 — the
+    "do 20% of customers drive 80% of revenue" curve, computed with NO
+    global sort: customers rank descending by revenue via the q62
+    packed-key trick (ord = (CAP − rev_cents) << 24 | custkey; the
+    24-bit id lane fits test scale — production widens the pack or
+    two-level keys), and TWO ``range_prefix_sum`` scans over the same
+    skinny table give each customer's running revenue and rank.  The
+    decile rows filter out per batch; exact int64 cents end to end,
+    share_e6 by integer division."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.grouping import range_prefix_sum
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["o_totalprice"])
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "rev": pa.array(np.floor(x * 100 + 0.5).astype(np.int64)),
+        })
+
+    rev = (orders.map_batches(cents, batch_format="pyarrow")
+           .groupby("o_custkey").aggregate(Sum("rev", alias_name="rev"))
+           .materialize())
+    n = rev.count()
+    total = rev.sum("rev")
+
+    def keyed(t: pa.Table) -> pa.Table:
+        r = np.asarray(t["rev"], dtype=np.int64)
+        k = np.asarray(t["o_custkey"], dtype=np.int64)
+        return pa.table({
+            "ord": pa.array(((_LZ_REV_CAP - r) << 24) | k),
+            "rev": pa.array(r),
+            "one": pa.array(np.ones(len(r), dtype=np.int64)),
+        })
+
+    skinny = rev.map_batches(keyed, batch_format="pyarrow").materialize()
+    c = range_prefix_sum(skinny, "ord", "rev", out_name="cum_before",
+                         range_width=1 << 52, num_buckets=8)
+    r = range_prefix_sum(c, "ord", "one", out_name="rank0",
+                         range_width=1 << 52, num_buckets=8)
+
+    targets = {(p * n + 99) // 100: p for p in LORENZ_PCTS}
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = pa.table({"pct": pa.array([], type=pa.int64()),
+                          "rank_n": pa.array([], type=pa.int64()),
+                          "cum_cents": pa.array([], type=pa.int64()),
+                          "share_e6": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "ord" not in t.column_names:
+            return empty
+        rn = np.asarray(t["rank0"], dtype=np.int64) + 1
+        keep = np.isin(rn, np.fromiter(targets, dtype=np.int64))
+        if not keep.any():
+            return empty
+        rn = rn[keep]
+        cum = (np.asarray(t["cum_before"], dtype=np.int64)[keep]
+               + np.asarray(t["rev"], dtype=np.int64)[keep])
+        return pa.table({
+            "pct": pa.array([targets[int(x)] for x in rn],
+                            type=pa.int64()),
+            "rank_n": pa.array(rn),
+            "cum_cents": pa.array(cum),
+            "share_e6": pa.array(1_000_000 * cum // total),
+        })
+
+    return r.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_Q112 = f"""
+WITH r AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+), o AS (
+  SELECT o_custkey, rev,
+         row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+         CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM r
+), t AS (
+  SELECT CAST(sum(rev) AS BIGINT) AS total, count(*) AS n FROM r
+)
+SELECT CAST(p.pct AS BIGINT) AS pct, CAST(o.rn AS BIGINT) AS rank_n,
+       o.cum AS cum_cents, 1000000 * o.cum // t.total AS share_e6
+FROM t, (SELECT unnest([{", ".join(str(p) for p in LORENZ_PCTS)}]) AS pct) p
+JOIN o ON o.rn = (p.pct * t.n + 99) // 100
+"""
+
+
 KAPPA_LEN_MIN = 250   # annotator A: keep iff n_chars ≥ this
 KAPPA_TOK_MIN = 45    # annotator B: keep iff token count ≥ this
 
@@ -2141,6 +2241,7 @@ QUERIES = {
     "q104_coclustered_join": (q104_coclustered_join, SQL_Q104),
     "q105_clustered_merge": (q105_clustered_merge, SQL_Q105),
     "q108_annotator_agreement": (q108_annotator_agreement, SQL_Q108),
+    "q112_revenue_concentration": (q112_revenue_concentration, SQL_Q112),
     "q28_topk_per_group": (q28_topk_per_group, SQL_Q28),
     "q29_doc_len_quantiles": (q29_doc_len_quantiles, SQL_Q29),
     "q30_customers_without_big_orders":
