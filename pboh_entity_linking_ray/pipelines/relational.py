@@ -868,6 +868,81 @@ GROUP BY 1
 """
 
 
+_WEEK_US = 7 * 86_400_000_000
+
+
+def q113_wow_change(sf_dir: str):
+    """Period-over-period report: week-over-week revenue change per
+    event type (delta cents + e4 percent change) — the BI trend table
+    behind every "up 12% WoW" line.  Per-batch (type, week, cents)
+    partials cross ONE exchange on the type; the ordered lag is a
+    vectorized shift inside the owning bucket.  The percent change is
+    computed as (cur·10⁴)//prev − 10⁴ so the integer division only
+    ever sees a NON-NEGATIVE numerator — Python floors where DuckDB
+    truncates, and they agree only above zero (the q93 trap)."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange
+
+    ds = _t(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return pa.table({"event_type": pa.array([], pa.large_string()),
+                             "week": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        return (pl.from_arrow(t)
+                .with_columns(
+                    week=pl.col("ts").cast(pl.Int64) // _WEEK_US,
+                    c=(pl.col("value") * 100 + 0.5).floor()
+                    .cast(pl.Int64))
+                .group_by(["event_type", "week"])
+                .agg(cents=pl.col("c").sum())
+                .to_arrow())
+
+    out_schema = pa.schema([("event_type", pa.large_string()),
+                            ("week", pa.int64()),
+                            ("cents", pa.int64()),
+                            ("prev_cents", pa.int64()),
+                            ("delta_cents", pa.int64()),
+                            ("pct_chg_e4", pa.int64())])
+
+    def wow(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return out_schema.empty_table()
+        df = (pl.from_arrow(t).group_by(["event_type", "week"])
+              .agg(pl.col("cents").sum())
+              .sort(["event_type", "week"])
+              .with_columns(prev_cents=pl.col("cents").shift(1)
+                            .over("event_type"))
+              .drop_nulls("prev_cents")
+              .with_columns(
+                  delta_cents=pl.col("cents") - pl.col("prev_cents"),
+                  pct_chg_e4=(pl.col("cents") * 10000)
+                  // pl.col("prev_cents") - 10000))
+        return df.select(out_schema.names).to_arrow().cast(out_schema)
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(part, "event_type", wow, num_buckets=8)
+
+
+SQL_Q113 = f"""
+WITH w AS (
+  SELECT event_type, epoch_us(ts) // {_WEEK_US} AS week,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week, cents, prev_cents,
+       cents - prev_cents AS delta_cents,
+       (cents * 10000) // prev_cents - 10000 AS pct_chg_e4
+FROM (SELECT *, lag(cents) OVER (PARTITION BY event_type ORDER BY week)
+               AS prev_cents
+      FROM w)
+WHERE prev_cents IS NOT NULL
+"""
+
+
 LORENZ_PCTS = tuple(range(10, 101, 10))
 _LZ_REV_CAP = 1 << 38    # descending-order key headroom: rev < $2.7B/cust
 
@@ -2242,6 +2317,7 @@ QUERIES = {
     "q105_clustered_merge": (q105_clustered_merge, SQL_Q105),
     "q108_annotator_agreement": (q108_annotator_agreement, SQL_Q108),
     "q112_revenue_concentration": (q112_revenue_concentration, SQL_Q112),
+    "q113_wow_change": (q113_wow_change, SQL_Q113),
     "q28_topk_per_group": (q28_topk_per_group, SQL_Q28),
     "q29_doc_len_quantiles": (q29_doc_len_quantiles, SQL_Q29),
     "q30_customers_without_big_orders":
