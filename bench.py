@@ -237,6 +237,7 @@ OPS_DEFAULT = [
     "q107_feature_hashing", "q108_annotator_agreement", "q109_debounce",
     "q110_golden_records", "q111_rolling_wau",
     "q112_revenue_concentration", "q113_wow_change",
+    "q114_source_contamination",
     "link_context_windows",
     "link_topic_segments", "mm_png_stats",
     "link_incremental",

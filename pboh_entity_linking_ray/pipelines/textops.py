@@ -1517,6 +1517,106 @@ GROUP BY a.doc_id, b.doc_id
 """
 
 
+def q114_source_contamination(sf_dir: str):
+    """Cross-source contamination matrix — the corpus-governance
+    report behind "how much does source A copy source B": for every
+    source pair, the number of verbatim SPAN_W-token span
+    co-occurrences between their documents (q71's span machinery with
+    the SOURCE carried through, so the matrix needs NO doc→source
+    join afterwards).  Distinct (span, doc, source) rows cross ONE
+    exchange on the span hash; each bucket applies the exact
+    doc-frequency boilerplate cap and counts its span groups' doc
+    pairs per (least, greatest) source pair — O(sources²) partials —
+    then one tiny sum finishes."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.grouping import bucketed_groups
+    from .relational import _t
+
+    def spans(t: pa.Table) -> pa.Table:
+        empty = pa.table({"h": pa.array([], type=pa.int64()),
+                          "doc_id": pa.array([], type=pa.int64()),
+                          "source": pa.array([], type=pa.large_string())})
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return empty
+        df = _doc_shingles(t, SPAN_W)
+        if len(df) == 0:
+            return empty
+        rid = df["rid"].to_numpy()
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        src = t["source"].to_pylist()
+        return pa.table({
+            "h": pa.array(_md5_cached({}, df["sh"].to_list())
+                          .view(np.int64), type=pa.int64()),
+            "doc_id": pa.array(ids[rid], type=pa.int64()),
+            "source": pa.array([src[i] for i in rid],
+                               type=pa.large_string()),
+        })
+
+    empty_p = pa.table({"src_a": pa.array([], type=pa.large_string()),
+                        "src_b": pa.array([], type=pa.large_string()),
+                        "n_partial": pa.array([], type=pa.int64())})
+
+    def bucket_matrix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return empty_p
+        df = (pl.from_arrow(t).unique(subset=["h", "doc_id"])
+              .sort(["h", "doc_id"]))
+        h = df["h"].to_numpy()
+        src = df["source"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        sizes = np.diff(np.append(starts, len(h)))
+        sa, sb = [], []
+        for s, size in zip(starts, sizes):
+            if size < 2 or size > SPAN_DF_CAP:
+                continue
+            a, b = np.triu_indices(size, k=1)
+            ga, gb = src[s:s + size][a], src[s:s + size][b]
+            lo = np.minimum(ga, gb)
+            hi = np.maximum(ga, gb)
+            sa.append(lo)
+            sb.append(hi)
+        if not sa:
+            return empty_p
+        vc = (pl.DataFrame({"src_a": np.concatenate(sa),
+                            "src_b": np.concatenate(sb)})
+              .group_by(["src_a", "src_b"]).len(name="n_partial")
+              .with_columns(pl.col("n_partial").cast(pl.Int64)))
+        return vc.to_arrow().cast(empty_p.schema)
+
+    sh = (_t(sf_dir, "documents", ["doc_id", "text", "source"])
+          .map_batches(spans, batch_format="pyarrow", batch_size=256))
+    return (bucketed_groups(sh, "h", bucket_matrix)
+            .groupby(["src_a", "src_b"])
+            .aggregate(Sum("n_partial", alias_name="n_cooc")))
+
+
+SQL_Q114 = f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         md5_number_lower(unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(t) - {SPAN_W - 1}, 0)),
+             i -> list_aggregate(t[i : i + {SPAN_W - 1}], 'string_agg', ' ')
+         )))) AS h
+  FROM toks
+),
+keep AS (SELECT h FROM sh GROUP BY h
+         HAVING count(*) BETWEEN 2 AND {SPAN_DF_CAP})
+SELECT least(a.source, b.source) AS src_a,
+       greatest(a.source, b.source) AS src_b,
+       CAST(count(*) AS BIGINT) AS n_cooc
+FROM sh a JOIN keep USING (h) JOIN sh b USING (h)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 # --- q73: leakage-safe (cluster-aware) train/eval split ----------------------
 
 SPLIT_MOD = 10   # md5(cluster) % 10 → 0=eval, 1=val, 2-9=train
@@ -2028,6 +2128,7 @@ WHERE levenshtein(x.pre, y.pre) <= {ED_K}
 QUERIES = {
     "q88_edit_distance_pairs": (q88_edit_distance_pairs, SQL_Q88),
     "q71_shared_span_pairs": (q71_shared_span_pairs, SQL_Q71),
+    "q114_source_contamination": (q114_source_contamination, SQL_Q114),
     "q72_bpe_pair_counts": (q72_bpe_pair_counts, SQL_Q72),
     "q73_leakage_safe_split": (q73_leakage_safe_split, SQL_Q73),
     # iterative argmax merge loop → rows-only; q72 oracle-checks the
