@@ -2298,8 +2298,110 @@ GROUP BY event_type
 """
 
 
+# --- q116: snapshot diff (dataset-versioning added/deleted/changed) --------
+
+DIFF_ABSENT = -1          # sentinel for "no value on this side"
+
+
+def q116_snapshot_diff(sf_dir: str):
+    """Snapshot diff between two dataset versions — the dataset-
+    versioning primitive behind "what changed between crawl N and crawl
+    N+1": emit one row per ADDED / DELETED / CHANGED key, unchanged keys
+    drop.  The two versions are derived deterministically from the
+    events table (v1 lacks ``event_id % 13 == 5``, v2 lacks
+    ``% 11 == 3`` and bumps ``value`` by 1.0 where ``% 7 == 0``) so the
+    diff has all three classes at every scale with no external data.
+
+    Values are reduced to exact e2 integers BEFORE the join (the float
+    tree ``floor(value*100 + 0.5)`` is mirrored token-for-token in the
+    twin), so the exchange ships only (int64 key, int64 value) rows and
+    the change test is exact integer equality.  One full-outer
+    ``hash_join`` co-partitions both versions; the classify/filter step
+    rides the join's ``post`` hook, so the matched bulk (unchanged rows,
+    the vast majority at web scale) dies inside the bucket task and
+    never crosses the object store."""
+    import polars as pl
+
+    from ..functions.grouping import hash_join
+
+    empty = pa.table({"event_id": pa.array([], type=pa.int64()),
+                      "change": pa.array([], type=pa.string()),
+                      "v_old": pa.array([], type=pa.int64()),
+                      "v_new": pa.array([], type=pa.int64())})
+
+    def v_old(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "v_old": pa.array([], type=pa.int64())})
+        ids = np.asarray(t["event_id"], dtype=np.int64)
+        val = np.asarray(t["value"], dtype=np.float64)
+        keep = ids % 13 != 5
+        return pa.table({
+            "event_id": pa.array(ids[keep], type=pa.int64()),
+            "v_old": pa.array(np.floor(val[keep] * 100 + 0.5)
+                              .astype(np.int64), type=pa.int64())})
+
+    def v_new(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "v_new": pa.array([], type=pa.int64())})
+        ids = np.asarray(t["event_id"], dtype=np.int64)
+        val = np.asarray(t["value"], dtype=np.float64)
+        keep = ids % 11 != 3
+        bumped = np.where(ids % 7 == 0, val + 1.0, val)
+        return pa.table({
+            "event_id": pa.array(ids[keep], type=pa.int64()),
+            "v_new": pa.array(np.floor(bumped[keep] * 100 + 0.5)
+                              .astype(np.int64), type=pa.int64())})
+
+    def classify(j: pa.Table) -> pa.Table:
+        if j.num_rows == 0 or "event_id" not in j.column_names:
+            return empty
+        df = (pl.from_arrow(j)
+              .filter(pl.col("v_old").is_null() | pl.col("v_new").is_null()
+                      | (pl.col("v_old") != pl.col("v_new")))
+              .with_columns(
+                  change=pl.when(pl.col("v_new").is_null())
+                           .then(pl.lit("deleted"))
+                           .when(pl.col("v_old").is_null())
+                           .then(pl.lit("added"))
+                           .otherwise(pl.lit("changed")),
+                  v_old=pl.col("v_old").fill_null(DIFF_ABSENT),
+                  v_new=pl.col("v_new").fill_null(DIFF_ABSENT))
+              .select(["event_id", "change", "v_old", "v_new"]))
+        return df.to_arrow().cast(empty.schema)
+
+    ev = _t(sf_dir, "events", ["event_id", "value"])
+    old = ev.map_batches(v_old, batch_format="pyarrow")
+    new = ev.map_batches(v_new, batch_format="pyarrow")
+    return hash_join(old, new, "event_id", how="full", post=classify)
+
+
+SQL_Q116 = f"""
+WITH v1 AS (
+  SELECT event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_old
+  FROM events WHERE event_id % 13 != 5
+),
+v2 AS (
+  SELECT event_id,
+         CAST(FLOOR((CASE WHEN event_id % 7 = 0 THEN value + 1.0
+                          ELSE value END) * 100 + 0.5) AS BIGINT) AS v_new
+  FROM events WHERE event_id % 11 != 3
+)
+SELECT COALESCE(v1.event_id, v2.event_id) AS event_id,
+       CASE WHEN v2.event_id IS NULL THEN 'deleted'
+            WHEN v1.event_id IS NULL THEN 'added'
+            ELSE 'changed' END AS change,
+       COALESCE(v_old, {DIFF_ABSENT}) AS v_old,
+       COALESCE(v_new, {DIFF_ABSENT}) AS v_new
+FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id
+WHERE v1.event_id IS NULL OR v2.event_id IS NULL OR v_old != v_new
+"""
+
+
 QUERIES = {
     "q01_lineitem_agg": (q01_lineitem_agg, SQL_Q01),
+    "q116_snapshot_diff": (q116_snapshot_diff, SQL_Q116),
     "q02_customer_revenue": (q02_customer_revenue, SQL_Q02),
     "q03_top_parts": (q03_top_parts, SQL_Q03),
     "q04_events_hourly": (q04_events_hourly, SQL_Q04),

@@ -2125,8 +2125,111 @@ WHERE levenshtein(x.pre, y.pre) <= {ED_K}
 """
 
 
+# --- q115: blocked Jaro-Winkler similarity join (ER blocking classic) ------
+
+JW_MIN_E4 = 8600          # keep pairs with jw >= 0.86, e4 fixed point
+
+
+def q115_jaro_winkler_pairs(sf_dir: str):
+    """Brand-blocked Jaro-Winkler similarity join over part names — the
+    classic record-linkage pairing step (block on a cheap exact key,
+    score the in-block pairs with a typo-tolerant string measure;
+    reference analogue: the fuzzy mention matcher family,
+    index/MentionEntitiesFrequencyIndex.scala:82-119, recast with the
+    Winkler measure the ER literature defaults to).  One hash exchange
+    on the block key; each bucket segments by brand, enumerates in-block
+    pairs at the DISTINCT-NAME level (part names repeat heavily, so the
+    DP runs once per distinct name pair, not once per part pair), prunes
+    with the multiset common-char upper bound
+    ``jw ≤ 0.6·((c/la + c/lb + 1)/3) + 0.4`` (c ≥ jaro's matches m and
+    (m−t)/m ≤ 1; boost adds at most 0.4·(1−jaro)) — a superset filter,
+    the exact e4 test runs after — and scores survivors with the
+    pair-axis-vectorized ``jaro_winkler_batch``.
+
+    Oracle: DuckDB's builtin ``jaro_winkler_similarity``; the kernel's
+    ``boost_threshold=0.7`` mode is bit-identical to it (50k-pair
+    validation), so the e4 fixed-point floor matches exactly.
+
+    Scale note: per-block work is O(distinct-name pairs passing the
+    bound), never O(block²) string DPs; a skewed block key routes
+    through the same in-bucket segmenting every blocking stage here
+    uses, and the distinct-name dedup is exactly the collapsing that
+    makes web-scale name corpora (Zipfian name frequencies) tractable."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_groups
+    from ..functions.similarity import jaro_winkler_batch
+    from .relational import _t
+
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64()),
+                      "jw_e4": pa.array([], type=pa.int64())})
+    thr = JW_MIN_E4 / 10000.0
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "p_partkey" not in t.column_names:
+            return empty
+        df = pl.from_arrow(t).sort(["p_brand", "p_partkey"])
+        ids = df["p_partkey"].to_numpy()
+        brands = df["p_brand"].to_numpy()
+        uniq, uidx = np.unique(df["p_name"].to_numpy(), return_inverse=True)
+        starts = np.flatnonzero(np.r_[True, brands[1:] != brands[:-1]])
+        sizes = np.diff(np.append(starts, len(brands)))
+        ia_l, ib_l = [], []
+        for s, size in zip(starts, sizes):
+            if size < 2:
+                continue
+            ti, tj = np.triu_indices(size, k=1)
+            ia_l.append(ti + s)
+            ib_l.append(tj + s)
+        if not ia_l:
+            return empty
+        ia = np.concatenate(ia_l)
+        ib = np.concatenate(ib_l)
+        combo = uidx[ia].astype(np.int64) * len(uniq) + uidx[ib]
+        cu, inv = np.unique(combo, return_inverse=True)
+        ca = cu // len(uniq)
+        cb = cu % len(uniq)
+        # multiset common-char upper bound (ASCII names: char == byte)
+        enc = [u.encode() for u in uniq]
+        lens = np.array([len(e) for e in enc], dtype=np.int64)
+        cnt = np.zeros((len(uniq), 128), dtype=np.int32)
+        for i, e in enumerate(enc):
+            np.add.at(cnt[i], np.frombuffer(e, dtype=np.uint8), 1)
+        c = np.minimum(cnt[ca], cnt[cb]).sum(axis=1)
+        jaro_ub = (c / lens[ca] + c / lens[cb] + 1.0) / 3.0
+        feasible = 0.6 * np.minimum(jaro_ub, 1.0) + 0.4 >= thr - 1e-9
+        jw_e4 = np.zeros(len(cu), dtype=np.int64)
+        if feasible.any():
+            jw = jaro_winkler_batch([uniq[i] for i in ca[feasible]],
+                                    [uniq[i] for i in cb[feasible]],
+                                    boost_threshold=0.7)
+            jw_e4[feasible] = np.floor(jw * 10000.0 + 0.5).astype(np.int64)
+        keep = (jw_e4 >= JW_MIN_E4)[inv]
+        return pa.table({"a": pa.array(ids[ia[keep]], type=pa.int64()),
+                         "b": pa.array(ids[ib[keep]], type=pa.int64()),
+                         "jw_e4": pa.array(jw_e4[inv[keep]],
+                                           type=pa.int64())})
+
+    parts = _t(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+    return bucketed_groups(parts, "p_brand", block_pairs, num_buckets=32)
+
+
+SQL_Q115 = f"""
+WITH p AS (SELECT p_partkey, p_name, p_brand FROM part)
+SELECT x.p_partkey AS a, y.p_partkey AS b,
+       CAST(FLOOR(jaro_winkler_similarity(x.p_name, y.p_name) * 10000
+                  + 0.5) AS BIGINT) AS jw_e4
+FROM p x JOIN p y
+  ON x.p_brand = y.p_brand AND x.p_partkey < y.p_partkey
+WHERE CAST(FLOOR(jaro_winkler_similarity(x.p_name, y.p_name) * 10000
+                 + 0.5) AS BIGINT) >= {JW_MIN_E4}
+"""
+
+
 QUERIES = {
     "q88_edit_distance_pairs": (q88_edit_distance_pairs, SQL_Q88),
+    "q115_jaro_winkler_pairs": (q115_jaro_winkler_pairs, SQL_Q115),
     "q71_shared_span_pairs": (q71_shared_span_pairs, SQL_Q71),
     "q114_source_contamination": (q114_source_contamination, SQL_Q114),
     "q72_bpe_pair_counts": (q72_bpe_pair_counts, SQL_Q72),
