@@ -21,6 +21,7 @@ from pboh_entity_linking_ray.pipelines import (
     ann,
     cardinality,
     curation,
+    er,
     fuzzy,
     linkage_queries,
     multimodal,
@@ -35,7 +36,7 @@ from pboh_entity_linking_ray.pipelines import (
 
 _ALL = {}
 for mod in (relational, textops, sampling, temporal, analytics, fuzzy, ann,
-            multimodal, cardinality, curation, search, prep, training,
+            multimodal, cardinality, curation, er, search, prep, training,
             linkage_queries):
     _ALL.update(mod.QUERIES)
 

@@ -1,0 +1,440 @@
+"""Entity-resolution blocking/scoring operators beyond the flagship's
+MinHash-LSH family — the other classic candidate-generation and match-
+weight techniques from the record-linkage literature, each expressed as
+one or two skinny hash exchanges with vectorized in-bucket kernels:
+
+- q117 sorted-neighborhood blocking (Hernandez & Stolfo): order-
+  preserving range exchange + local sliding window, with an exact
+  O(w x buckets) driver-side seam pass for cross-range pairs.
+- q118 meta-blocking (Papadakis et al., common-blocks scheme): prune
+  fingerprint-block candidate pairs to those sharing >= MB_MIN_CBS
+  blocks, with a block-size purge cap.
+- q119 Fellegi-Sunter m/u sufficient statistics: per-feature agreement
+  counts conditioned on match status over blocked pairs — the exact
+  integer inputs of the classic match/unmatch weight estimator.
+- q120 score-calibration curve: empirical match rate per similarity
+  bin over blocked pairs (reliability diagram as a dataset op).
+
+Reference analogue: the candidate-generation + scoring split of the
+blocking family (stages/blocking.py here; reference
+index/MentEntsFreqIndexWrapper.scala:30-40 generates candidates from a
+cheap index, loopybeliefpropagation/Scorer.scala:7-14 scores them) —
+these operators are the ER-literature alternatives a user of that
+pipeline would reach for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.grouping import bucketed_groups, bucketed_sum, bucketed_sum_multi
+from ..functions.similarity import jaro_winkler_batch
+from .relational import _t
+
+# --- q117: sorted-neighborhood blocking -------------------------------------
+
+SN_W = 5            # sliding-window width (pairs within w positions)
+SN_BUCKETS = 32     # order-preserving ranges (two-char prefix cells)
+
+_SN_EMPTY = {"a": pa.int64(), "b": pa.int64(), "dist": pa.int64()}
+
+
+def _sn_prep(t: pa.Table) -> pa.Table:
+    """Skinny rows + order-preserving range id from the 2-char prefix.
+
+    The range id is MONOTONE in (p_name, p_partkey) order: names that
+    differ in their first two chars sort exactly as their cells do, and
+    names sharing the prefix share the cell — so ranges partition the
+    global order into contiguous runs and a local sort inside each range
+    reproduces the global neighborhood (TPC-H-ish names are lowercase
+    ASCII; other alphabets need a wider prefix, same construction)."""
+    if t.num_rows == 0:
+        return pa.table({"p_partkey": pa.array([], type=pa.int64()),
+                         "p_name": pa.array([], type=pa.string()),
+                         "rb": pa.array([], type=pa.int64())})
+    names = np.asarray(t["p_name"])
+    codes = names.astype("U2").view(np.uint32).reshape(len(names), 2)
+    c = np.clip(codes.astype(np.int64) - 97, 0, 25)
+    cell = c[:, 0] * 26 + c[:, 1]
+    return pa.table({
+        "p_partkey": t["p_partkey"].cast(pa.int64()),
+        "p_name": t["p_name"],
+        "rb": pa.array(cell * SN_BUCKETS // 676, type=pa.int64()),
+    })
+
+
+def _sn_sorted(t: pa.Table):
+    import polars as pl
+
+    df = pl.from_arrow(t).sort(["rb", "p_name", "p_partkey"])
+    return (df["rb"].to_numpy(), df["p_partkey"].to_numpy())
+
+
+def q117_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood candidate pairs over part names: every pair of
+    parts within ``SN_W`` positions of each other in global (p_name,
+    p_partkey) order, with its rank distance.
+
+    No global sort: rows take ONE order-preserving range exchange (range
+    id = 2-char-prefix cell, see ``_sn_prep``), each range sorts locally
+    and emits its window pairs with w shifted vectorized comparisons.
+    Cross-range pairs are closed by a seam pass that ships only the
+    first/last w rows of every range plus range sizes — O(w x ranges)
+    rows to the driver regardless of input size (the same seam-window
+    idea as the flagship blocker's in-bucket salting,
+    stages/blocking.py) — from which exact global ranks of the boundary
+    rows are reconstructed."""
+
+    def pairs_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "p_partkey" not in t.column_names:
+            return pa.table({k: pa.array([], type=v)
+                             for k, v in _SN_EMPTY.items()})
+        rb, ids = _sn_sorted(t)
+        outs_a, outs_b, outs_d = [], [], []
+        for d in range(1, SN_W + 1):
+            if d >= len(ids):
+                break
+            m = rb[:-d] == rb[d:]          # stay inside one range
+            outs_a.append(ids[:-d][m])
+            outs_b.append(ids[d:][m])
+            outs_d.append(np.full(int(m.sum()), d, dtype=np.int64))
+        if not outs_a:
+            return pa.table({k: pa.array([], type=v)
+                             for k, v in _SN_EMPTY.items()})
+        return pa.table({"a": pa.array(np.concatenate(outs_a), type=pa.int64()),
+                         "b": pa.array(np.concatenate(outs_b), type=pa.int64()),
+                         "dist": pa.array(np.concatenate(outs_d))})
+
+    def frag_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({"rb": pa.array([], type=pa.int64()),
+                          "pos": pa.array([], type=pa.int64()),
+                          "size": pa.array([], type=pa.int64()),
+                          "key": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "p_partkey" not in t.column_names:
+            return empty
+        rb, ids = _sn_sorted(t)
+        starts = np.flatnonzero(np.r_[True, rb[1:] != rb[:-1]])
+        bounds = np.append(starts, len(rb))
+        sizes = np.repeat(np.diff(bounds), np.diff(bounds))
+        pos = np.arange(len(rb)) - np.repeat(starts, np.diff(bounds))
+        keep = (pos < SN_W) | (pos >= sizes - SN_W)
+        return pa.table({"rb": pa.array(rb[keep], type=pa.int64()),
+                         "pos": pa.array(pos[keep]),
+                         "size": pa.array(sizes[keep]),
+                         "key": pa.array(ids[keep], type=pa.int64())})
+
+    parts = _t(sf_dir, "part", ["p_partkey", "p_name"])
+    skinny = parts.map_batches(_sn_prep, batch_format="pyarrow",
+                               batch_size=8192)
+    within = bucketed_groups(skinny, "rb", pairs_fn,
+                             num_buckets=SN_BUCKETS, engine="exchange")
+
+    frags = bucketed_groups(skinny, "rb", frag_fn,
+                            num_buckets=SN_BUCKETS,
+                            engine="exchange").take_all()
+    cross = pa.table({k: pa.array([], type=v) for k, v in _SN_EMPTY.items()})
+    if frags:
+        rb = np.array([r["rb"] for r in frags], dtype=np.int64)
+        pos = np.array([r["pos"] for r in frags], dtype=np.int64)
+        size = np.array([r["size"] for r in frags], dtype=np.int64)
+        key = np.array([r["key"] for r in frags], dtype=np.int64)
+        # exact global rank of every boundary row: range sizes ride on
+        # each fragment, so offsets are a cumsum over range ids
+        ubs = np.unique(rb)
+        sz = np.zeros(len(ubs), dtype=np.int64)
+        sz[np.searchsorted(ubs, rb)] = size
+        offs = np.concatenate(([0], np.cumsum(sz)[:-1]))
+        rank = offs[np.searchsorted(ubs, rb)] + pos
+        o = np.argsort(rank)
+        rank, rb, key = rank[o], rb[o], key[o]
+        dmat = rank[None, :] - rank[:, None]
+        ii, jj = np.nonzero((dmat >= 1) & (dmat <= SN_W)
+                            & (rb[None, :] != rb[:, None]))
+        cross = pa.table({"a": pa.array(key[ii], type=pa.int64()),
+                          "b": pa.array(key[jj], type=pa.int64()),
+                          "dist": pa.array(dmat[ii, jj], type=pa.int64())})
+    return within.union(ray.data.from_arrow(cross))
+
+
+SQL_Q117 = f"""
+WITH r AS (
+  SELECT p_partkey, p_name,
+         ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rk
+  FROM part
+)
+SELECT x.p_partkey AS a, y.p_partkey AS b,
+       CAST(y.rk - x.rk AS BIGINT) AS dist
+FROM r x JOIN r y ON y.rk > x.rk AND y.rk <= x.rk + {SN_W}
+"""
+
+
+# --- q118: meta-blocking (common-blocks pair pruning) -----------------------
+
+MB_CAP = 50       # block purge: fingerprints in more docs emit no pairs
+MB_MIN_CBS = 2    # keep pairs sharing at least this many blocks
+
+
+def q118_metablocking(sf_dir: str):
+    """Meta-blocking over winnow-fingerprint blocks: candidate pairs are
+    kept only if they co-occur in >= MB_MIN_CBS blocks (the common-
+    blocks weighting scheme), after purging oversize blocks (> MB_CAP
+    docs).  Turns a noisy one-block-is-enough candidate set into a
+    multi-evidence one — the standard second stage on top of any
+    redundancy-positive blocker.
+
+    Shape: the q15 fingerprint stream -> ONE exchange on the block key
+    (df = block size is exact inside the bucket) emitting packed pair
+    partials via size-batched triu -> ONE pair-key sum + threshold.
+    Per-block work is capped by MB_CAP, so no key can pin a core."""
+    from .textops import q15_winnow_fingerprints
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"pair": pa.array([], type=pa.int64()),
+                          "cbs_p": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return empty
+        import polars as pl
+
+        df = pl.from_arrow(t).sort(["fp_hex", "doc_id"])
+        ids = df["doc_id"].to_numpy()
+        fps = df["fp_hex"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, fps[1:] != fps[:-1]])
+        bounds = np.append(starts, len(fps))
+        sizes = np.diff(bounds)
+        ok = (sizes >= 2) & (sizes <= MB_CAP)
+        ap, bp = [], []
+        for m in np.unique(sizes[ok]):
+            ia, ib = np.triu_indices(int(m), k=1)
+            base = bounds[:-1][ok & (sizes == m)]
+            ap.append((base[:, None] + ia[None, :]).ravel())
+            bp.append((base[:, None] + ib[None, :]).ravel())
+        if not ap:
+            return empty
+        ai = np.concatenate(ap)
+        bi = np.concatenate(bp)
+        pair = ids[ai] * (1 << 32) + ids[bi]   # in-group sorted => a < b
+        upair, cnt = np.unique(pair, return_counts=True)
+        return pa.table({"pair": pa.array(upair, type=pa.int64()),
+                         "cbs_p": pa.array(cnt.astype(np.int64))})
+
+    fps = q15_winnow_fingerprints(sf_dir)
+    partial = bucketed_groups(fps, "fp_hex", emit_pairs, engine="exchange")
+    agg = bucketed_sum(partial, ["pair"], "cbs_p", "cbs", engine="exchange")
+
+    def finish(t: pa.Table) -> pa.Table:
+        pair = np.asarray(t["pair"], dtype=np.int64)
+        cbs = np.asarray(t["cbs"], dtype=np.int64)
+        keep = cbs >= MB_MIN_CBS
+        return pa.table({"a": pa.array(pair[keep] >> 32),
+                         "b": pa.array(pair[keep] & 0xFFFFFFFF),
+                         "cbs": pa.array(cbs[keep])})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_q118() -> str:
+    from .textops import SQL_Q15
+
+    return f"""
+WITH fp AS ({SQL_Q15}),
+live AS (SELECT fp_hex FROM fp GROUP BY fp_hex HAVING COUNT(*) <= {MB_CAP})
+SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS cbs
+FROM fp x JOIN fp y ON x.fp_hex = y.fp_hex AND x.doc_id < y.doc_id
+WHERE x.fp_hex IN (SELECT fp_hex FROM live)
+GROUP BY 1, 2 HAVING COUNT(*) >= {MB_MIN_CBS}
+"""
+
+
+# --- q119 / q120: within-brand blocked pairs --------------------------------
+
+def _brand_pairs(t: pa.Table):
+    """Sorted in-bucket (brand-segmented) pair enumeration shared by the
+    FS-statistics and calibration ops: returns the sorted polars frame
+    plus (ai, bi) row-index arrays of every within-brand pair (a's
+    p_partkey < b's by in-segment id order), triu batched by segment
+    size so one Python call covers all equal-size segments."""
+    import polars as pl
+
+    df = pl.from_arrow(t).sort(["p_brand", "p_partkey"])
+    brands = df["p_brand"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, brands[1:] != brands[:-1]])
+    bounds = np.append(starts, len(brands))
+    sizes = np.diff(bounds)
+    ap, bp = [], []
+    ok = sizes >= 2
+    for m in np.unique(sizes[ok]):
+        ia, ib = np.triu_indices(int(m), k=1)
+        base = bounds[:-1][ok & (sizes == m)]
+        ap.append((base[:, None] + ia[None, :]).ravel())
+        bp.append((base[:, None] + ib[None, :]).ravel())
+    if not ap:
+        return df, (np.empty(0, dtype=np.int64),) * 2
+    return df, (np.concatenate(ap), np.concatenate(bp))
+
+
+FS_FEATURES = ("size", "type", "price")
+
+
+def q119_fs_weights(sf_dir: str):
+    """Fellegi-Sunter sufficient statistics over brand-blocked part
+    pairs: for each comparison feature (size / type / price-cents
+    agreement), the exact integer counts (agree & match, total match,
+    agree & unmatch, total unmatch) from which the classic m/u
+    probabilities and log2(m/u) match weights derive — match truth =
+    exact name equality.  Emitting the counts rather than float weights
+    keeps the op exact end-to-end (the log is a driver-side epilogue).
+
+    One brand exchange; pairs enumerate per brand segment at int-code
+    level (names/types uniqued per bucket), partial counts per bucket,
+    then a 3-key sum — O(1) driver traffic."""
+
+    def fs_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"feature": pa.array([], type=pa.string()),
+                          **{c: pa.array([], type=pa.int64())
+                             for c in ("m_agree", "m_total",
+                                       "u_agree", "u_total")}})
+        if t.num_rows == 0 or "p_partkey" not in t.column_names:
+            return empty
+        df, (ai, bi) = _brand_pairs(t)
+        if len(ai) == 0:
+            return empty
+        _, name_c = np.unique(df["p_name"].to_numpy(), return_inverse=True)
+        _, type_c = np.unique(df["p_type"].to_numpy(), return_inverse=True)
+        size = df["p_size"].to_numpy().astype(np.int64)
+        cents = np.floor(df["p_retailprice"].to_numpy() * 100
+                         + 0.5).astype(np.int64)
+        match = name_c[ai] == name_c[bi]
+        n_m = int(match.sum())
+        n_u = len(ai) - n_m
+        rows = []
+        for feat, agree in (("size", size[ai] == size[bi]),
+                            ("type", type_c[ai] == type_c[bi]),
+                            ("price", cents[ai] == cents[bi])):
+            rows.append((feat, int((agree & match).sum()), n_m,
+                         int((agree & ~match).sum()), n_u))
+        return pa.table({
+            "feature": pa.array([r[0] for r in rows]),
+            "m_agree": pa.array([r[1] for r in rows], type=pa.int64()),
+            "m_total": pa.array([r[2] for r in rows], type=pa.int64()),
+            "u_agree": pa.array([r[3] for r in rows], type=pa.int64()),
+            "u_total": pa.array([r[4] for r in rows], type=pa.int64()),
+        })
+
+    parts = _t(sf_dir, "part", ["p_partkey", "p_name", "p_brand",
+                                "p_type", "p_size", "p_retailprice"])
+    partial = bucketed_groups(parts, "p_brand", fs_partial,
+                              num_buckets=16, engine="exchange")
+    return bucketed_sum_multi(partial, ["feature"],
+                              {c: c for c in ("m_agree", "m_total",
+                                              "u_agree", "u_total")},
+                              num_buckets=4, engine="exchange")
+
+
+SQL_Q119 = """
+WITH p AS (
+  SELECT p_partkey, p_name, p_brand, p_type, p_size,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM part
+),
+pr AS (
+  SELECT x.p_name = y.p_name AS is_match,
+         x.p_size = y.p_size AS ag_size,
+         x.p_type = y.p_type AS ag_type,
+         x.cents = y.cents AS ag_price
+  FROM p x JOIN p y ON x.p_brand = y.p_brand AND x.p_partkey < y.p_partkey
+)
+SELECT 'size' AS feature,
+       CAST(SUM(CASE WHEN is_match AND ag_size THEN 1 ELSE 0 END) AS BIGINT) AS m_agree,
+       CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS m_total,
+       CAST(SUM(CASE WHEN NOT is_match AND ag_size THEN 1 ELSE 0 END) AS BIGINT) AS u_agree,
+       CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS u_total
+FROM pr
+UNION ALL
+SELECT 'type',
+       CAST(SUM(CASE WHEN is_match AND ag_type THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN NOT is_match AND ag_type THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
+FROM pr
+UNION ALL
+SELECT 'price',
+       CAST(SUM(CASE WHEN is_match AND ag_price THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN NOT is_match AND ag_price THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
+FROM pr
+"""
+
+
+def q120_score_calibration(sf_dir: str):
+    """Reliability diagram of a pair scorer as a dataset op: brand-
+    blocked part pairs are scored with Jaro-Winkler on names (the
+    DuckDB-parity gated kernel), binned by floor(jw*10), and each bin
+    reports pair count and empirical agreement rate of an independent
+    signal (p_type equality) — the curve that tells a linkage operator
+    where a string score is trustworthy (reference analogue: the
+    scorer-vs-baseline differential of eval/EvalOnDatasets.scala:192-195
+    recast as a calibration table).
+
+    Scores are computed once per DISTINCT NAME PAIR per bucket (names
+    repeat heavily; the per-pair lookup is an int gather), so the string
+    DP count is O(distinct-name pairs), not O(pairs)."""
+
+    def cal_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bin": pa.array([], type=pa.int64()),
+                          "n_pairs_p": pa.array([], type=pa.int64()),
+                          "n_match_p": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "p_partkey" not in t.column_names:
+            return empty
+        df, (ai, bi) = _brand_pairs(t)
+        if len(ai) == 0:
+            return empty
+        uniq, name_c = np.unique(df["p_name"].to_numpy(),
+                                 return_inverse=True)
+        _, type_c = np.unique(df["p_type"].to_numpy(), return_inverse=True)
+        na, nb = name_c[ai], name_c[bi]
+        combo = (np.minimum(na, nb).astype(np.int64) * len(uniq)
+                 + np.maximum(na, nb))
+        ucombo, inv = np.unique(combo, return_inverse=True)
+        jw = jaro_winkler_batch([uniq[i] for i in ucombo // len(uniq)],
+                                [uniq[i] for i in ucombo % len(uniq)],
+                                boost_threshold=0.7)
+        bins = np.floor(jw * 10).astype(np.int64)[inv]
+        lab = (type_c[ai] == type_c[bi]).astype(np.int64)
+        key = bins * 2 + lab
+        cnt = np.bincount(key, minlength=22)
+        n_all = cnt[0::2] + cnt[1::2]
+        live = np.flatnonzero(n_all)
+        return pa.table({"bin": pa.array(live, type=pa.int64()),
+                         "n_pairs_p": pa.array(n_all[live]),
+                         "n_match_p": pa.array(cnt[1::2][live])})
+
+    parts = _t(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_type"])
+    partial = bucketed_groups(parts, "p_brand", cal_partial,
+                              num_buckets=16, engine="exchange")
+    return bucketed_sum_multi(partial, ["bin"],
+                              {"n_pairs_p": "n_pairs",
+                               "n_match_p": "n_match"},
+                              num_buckets=4, engine="exchange")
+
+
+SQL_Q120 = """
+SELECT CAST(FLOOR(jaro_winkler_similarity(x.p_name, y.p_name) * 10)
+            AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN x.p_type = y.p_type THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_match
+FROM part x JOIN part y
+  ON x.p_brand = y.p_brand AND x.p_partkey < y.p_partkey
+GROUP BY bin
+"""
+
+
+QUERIES = {
+    "q117_sorted_neighborhood": (q117_sorted_neighborhood, SQL_Q117),
+    "q118_metablocking": (q118_metablocking, _sql_q118()),
+    "q119_fs_weights": (q119_fs_weights, SQL_Q119),
+    "q120_score_calibration": (q120_score_calibration, SQL_Q120),
+}

@@ -9,6 +9,7 @@ from pboh_entity_linking_ray.pipelines import (
     ann,
     cardinality,
     curation,
+    er,
     fuzzy,
     linkage_queries,
     multimodal,
@@ -26,7 +27,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 PAIRED = {}
 for mod in (relational, textops, sampling, temporal, analytics, fuzzy, ann,
-            multimodal, cardinality, curation, search, prep, training,
+            multimodal, cardinality, curation, er, search, prep, training,
             linkage_queries):
     for name, (fn, sql) in mod.QUERIES.items():
         if sql is not None:
