@@ -240,6 +240,9 @@ OPS_DEFAULT = [
     "q114_source_contamination",
     "link_context_windows",
     "link_topic_segments", "mm_png_stats",
+    "q115_jaro_winkler_pairs", "q116_snapshot_diff",
+    "q117_sorted_neighborhood", "q118_metablocking",
+    "q119_fs_weights", "q120_score_calibration",
     "link_incremental",
 ]
 
