@@ -243,6 +243,7 @@ OPS_DEFAULT = [
     "q115_jaro_winkler_pairs", "q116_snapshot_diff",
     "q117_sorted_neighborhood", "q118_metablocking",
     "q119_fs_weights", "q120_score_calibration",
+    "q121_bm25_search", "q122_review_queue", "q123_gazetteer_tag",
     "link_incremental",
 ]
 

@@ -432,9 +432,73 @@ GROUP BY bin
 """
 
 
+# --- q122: clerical-review queue ---------------------------------------------
+
+REVIEW_LO = 8600      # uncertain band (e4): q115's floor …
+REVIEW_HI = 9300      # … up to where pairs are confidently matches
+REVIEW_K = 200        # review budget (pairs a human will look at)
+
+
+def q122_review_queue(sf_dir: str):
+    """Clerical-review sampling — the workflow step between pair
+    classification and evaluation in the classic record-linkage pipeline
+    (Christen 2012: blocking → comparison → classification → CLERICAL
+    REVIEW → evaluation) that every production linkage system staffs:
+    pairs whose similarity lands in the uncertain band
+    [8600, 9300) e4 are routed to a bounded review queue,
+    selected by a DETERMINISTIC md5 lottery (the q54/q59 device) so the
+    queue is reproducible under any re-partitioning and re-run.
+
+    Shape: q115's blocked scorer streams; the band filter + priority
+    hash run per batch (the overwhelming majority of pairs die here);
+    only the tiny banded set reaches the final sort+limit — the sort is
+    O(review candidates), never O(pairs).  Reference analogue: the
+    reference has no review step (its gold labels are given); this is
+    the operator a user linking UNLABELED corpora needs first."""
+    import polars as pl
+
+    from .textops import _md5_cached, q115_jaro_winkler_pairs
+
+    def band(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "jw_e4": pa.array([], type=pa.int64()),
+                             "priority": pa.array([], type=pa.int64())})
+        df = pl.from_arrow(t).filter(
+            (pl.col("jw_e4") >= REVIEW_LO) & (pl.col("jw_e4") < REVIEW_HI))
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        pri = (_md5_cached({}, [f"{x}:{y}" for x, y in zip(a, b)])
+               % np.uint64(1_000_000_000)).astype(np.int64)
+        return pa.table({"a": pa.array(a, type=pa.int64()),
+                         "b": pa.array(b, type=pa.int64()),
+                         "jw_e4": df["jw_e4"].to_arrow(),
+                         "priority": pa.array(pri, type=pa.int64())})
+
+    banded = q115_jaro_winkler_pairs(sf_dir).map_batches(
+        band, batch_format="pyarrow")
+    return banded.sort(["priority", "a", "b"]).limit(REVIEW_K)
+
+
+def _sql_q122() -> str:
+    from .textops import SQL_Q115
+    return f"""
+WITH s AS ({SQL_Q115})
+SELECT a, b, jw_e4,
+       CAST(md5_number_lower(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR))
+            % 1000000000 AS BIGINT) AS priority
+FROM s
+WHERE jw_e4 >= {REVIEW_LO} AND jw_e4 < {REVIEW_HI}
+ORDER BY priority, a, b
+LIMIT {REVIEW_K}
+"""
+
+
 QUERIES = {
     "q117_sorted_neighborhood": (q117_sorted_neighborhood, SQL_Q117),
     "q118_metablocking": (q118_metablocking, _sql_q118()),
     "q119_fs_weights": (q119_fs_weights, SQL_Q119),
     "q120_score_calibration": (q120_score_calibration, SQL_Q120),
+    "q122_review_queue": (q122_review_queue, _sql_q122()),
 }
