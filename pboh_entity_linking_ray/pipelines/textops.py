@@ -2227,7 +2227,282 @@ WHERE CAST(FLOOR(jaro_winkler_similarity(x.p_name, y.p_name) * 10000
 """
 
 
+# --- q124: PPJoin set-similarity join (prefix filtering) --------------------
+
+PP_TAU_E4 = 9000          # token-set Jaccard >= 0.9, e4 fixed point
+
+
+def _pp_gather(fv: np.ndarray, off: np.ndarray, sel: np.ndarray,
+               limit: np.ndarray | None = None):
+    """Gather variable-length slices ``fv[off[s]:off[s]+ln[s]]`` for each
+    row index in ``sel`` (optionally truncated to ``limit``), returning
+    the flat values plus the owning position in ``sel`` — the vectorized
+    ragged gather every pair kernel here builds on."""
+    ln = (off[sel + 1] - off[sel]).astype(np.int64)
+    if limit is not None:
+        ln = np.minimum(ln, limit)
+    tot = int(ln.sum())
+    base = np.repeat(off[sel], ln)
+    local = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(ln) - ln, ln)
+    owner = np.repeat(np.arange(len(sel), dtype=np.int64), ln)
+    return fv[base + local], owner
+
+
+PP_BITSET_VOCAB_MAX = 65536   # bitset verify while vocab bitmask ≤ 8 KB/doc
+
+
+def q124_ppjoin(sf_dir: str, bitset_vocab_max: int = PP_BITSET_VOCAB_MAX):
+    """All-pairs token-set Jaccard >= 0.9 join via PREFIX FILTERING — the
+    canonical exact set-similarity join (Bayardo et al. 2007 All-Pairs /
+    Xiao et al. 2008 PPJoin), upgrading q12's df-capped inverted-index
+    heuristic to the algorithm with a completeness GUARANTEE: order every
+    doc's distinct tokens by ascending global df (rarest first), emit
+    only the first ``n - ceil(tau*n) + 1`` tokens; if J(x,y) >= tau the
+    two prefixes provably share a token, so routing prefix emissions
+    through ONE token-keyed exchange generates every true pair.
+
+    In-bucket, per token group: id-ordered pairs, the length filter
+    (tau*max(n) <= min(n)), exchange-free dedup by PREFIX-MIN OWNERSHIP —
+    a pair survives only in the group of the smallest rank its two
+    prefixes share (the q26 lowest-band-ownership device, derivable
+    locally because each emission carries its doc's full sorted rank
+    list).  Ownership and exact intersection both run over per-doc
+    VOCABULARY BITSETS (AND + SWAR popcount — one (pairs × words)
+    vectorized pass) while the vocabulary bitmask stays small
+    (``bitset_vocab_max``, default 64 Ki tokens = 8 KB/doc); a larger
+    vocabulary falls back to the ragged gather + sort-merge kernel
+    (same results — parity-pinned in pytest), whose cost scales with
+    per-doc set size instead of vocabulary size.  Integer-exact
+    threshold test ``inter*1e4 >= tau_e4*union``; no float ever crosses
+    engines.
+
+    Scale shape: pass 1 is the q55/q66 exact-df scan (driver holds
+    O(vocab), broadcast once via ray.put); pass 2 emits O(prefix) skinny
+    rows per doc; per-bucket work is bounded by the prefix groups —
+    ascending-df ordering makes those the RAREST tokens, the algorithm's
+    own skew guard.  The synthetic corpus's 31-word vocabulary is the
+    adversarial case for prefix filtering (every doc's prefix hits the
+    same handful of tokens, and dup cliques make the OUTPUT itself
+    quadratic, as in q26) — which is exactly what the bitset kernel
+    absorbs: the dominant group's ~7M candidates verify in one
+    AND+popcount sweep; a web-scale vocabulary is where the prefix
+    filter's pruning actually bites."""
+    import polars as pl
+    import ray
+
+    from ..functions.grouping import bucketed_groups
+
+    # pass 1: exact global token df (per-doc-distinct), driver O(vocab)
+    def df_part(t: pa.Table) -> pa.Table:
+        g = (pl.DataFrame({"tok": pl.from_arrow(t["text"].combine_chunks())
+                           .str.to_lowercase().str.extract_all("[a-z0-9]+")})
+             .with_row_index("d").explode("tok").drop_nulls("tok")
+             .unique(subset=["d", "tok"])
+             .group_by("tok").agg(pl.len().cast(pl.Int64).alias("df")))
+        return pa.table({"tok": g["tok"].to_arrow().cast(pa.string()),
+                         "df": g["df"].to_arrow()})
+
+    dfs: dict[str, int] = {}
+    for b in (_docs(sf_dir)
+              .map_batches(df_part, batch_format="pyarrow", batch_size=1024)
+              .iter_batches(batch_format="pyarrow")):
+        for tok, n in zip(b["tok"].to_pylist(), b["df"].to_pylist()):
+            dfs[tok] = dfs.get(tok, 0) + n
+    order = sorted(dfs, key=lambda k: (dfs[k], k))         # rarest first
+    rank = {tok: i for i, tok in enumerate(order)}
+    toks_sorted = np.array(sorted(order))
+    rank_sorted = np.array([rank[t] for t in toks_sorted], dtype=np.int64)
+    vocab_ref = ray.put((toks_sorted, rank_sorted))
+
+    emit_schema = {"rk": pa.int64(), "doc_id": pa.int64(),
+                   "n": pa.int64(), "ranks": pa.large_list(pa.int64())}
+
+    def emit_prefix(t: pa.Table, vocab_ref) -> pa.Table:
+        toks_s, rk_s = ray.get(vocab_ref)
+        ex = (pl.DataFrame({
+                "doc_id": pl.from_arrow(t["doc_id"].combine_chunks())
+                            .cast(pl.Int64),
+                "tok": pl.from_arrow(t["text"].combine_chunks())
+                         .str.to_lowercase().str.extract_all("[a-z0-9]+")})
+              .explode("tok").drop_nulls("tok")
+              .unique(subset=["doc_id", "tok"]))
+        if ex.height == 0:
+            return pa.table({c: pa.array([], type=ty)
+                             for c, ty in emit_schema.items()})
+        ids = ex["doc_id"].to_numpy()
+        rk = rk_s[np.searchsorted(toks_s, ex["tok"].to_numpy())]
+        o = np.lexsort((rk, ids))
+        ids, rk = ids[o], rk[o]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        n_doc = np.diff(np.append(starts, len(ids)))       # distinct per doc
+        pos = np.arange(len(ids)) - np.repeat(starts, n_doc)
+        p = n_doc - (PP_TAU_E4 * n_doc + 9999) // 10000 + 1
+        pref = pos < np.repeat(p, n_doc)
+        doc_of = np.repeat(np.arange(len(starts)), n_doc)
+        off = np.append(starts, len(ids)).astype(np.int64)
+        ranks_per_doc = pa.LargeListArray.from_arrays(off, pa.array(rk))
+        return pa.table({
+            "rk": pa.array(rk[pref], type=pa.int64()),
+            "doc_id": pa.array(ids[pref], type=pa.int64()),
+            "n": pa.array(n_doc[doc_of[pref]], type=pa.int64()),
+            "ranks": ranks_per_doc.take(pa.array(doc_of[pref])),
+        })
+
+    empty_out = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "jacc_e4": pa.array([], type=pa.int64())})
+
+    n_vocab = len(order)
+    use_bitset = n_vocab <= bitset_vocab_max
+
+    def _minc_sortmerge(flat, off, rows_a, rows_b, lim_a, lim_b, n_pairs):
+        """min common value of two ragged slices per pair (sort-merge)."""
+        va, oa = _pp_gather(flat, off, rows_a, lim_a)
+        vb, ob = _pp_gather(flat, off, rows_b, lim_b)
+        v = np.concatenate([va, vb])
+        ow = np.concatenate([oa, ob])
+        so = np.lexsort((v, ow))
+        v, ow = v[so], ow[so]
+        dup = np.r_[False, (v[1:] == v[:-1]) & (ow[1:] == ow[:-1])]
+        minc = np.full(n_pairs, np.iinfo(np.int64).max)
+        np.minimum.at(minc, ow[dup], v[dup])
+        return minc
+
+    def _inter_sortmerge(flat, off, rows_a, rows_b, n_pairs):
+        """exact |A∩B| per pair over the full ragged slices."""
+        va, oa = _pp_gather(flat, off, rows_a)
+        vb, ob = _pp_gather(flat, off, rows_b)
+        v = np.concatenate([va, vb])
+        ow = np.concatenate([oa, ob])
+        so = np.lexsort((v, ow))
+        v, ow = v[so], ow[so]
+        dup = np.r_[False, (v[1:] == v[:-1]) & (ow[1:] == ow[:-1])]
+        return np.bincount(ow[dup], minlength=n_pairs).astype(np.int64)
+
+    def _bitsets(flat, off, n_rows, limit=None):
+        """(rows × words) uint64 vocabulary bitmask matrix."""
+        w = (n_vocab + 63) // 64
+        bits = np.zeros((n_rows, w), dtype=np.uint64)
+        sel = np.arange(n_rows, dtype=np.int64)
+        v, ow = _pp_gather(flat, off, sel, limit)
+        np.bitwise_or.at(bits, (ow, v >> 6),
+                         np.uint64(1) << (v & 63).astype(np.uint64))
+        return bits
+
+    def _minc_bitset(common):
+        """lowest set bit index per row of a (pairs × words) AND mask."""
+        minc = np.full(common.shape[0], np.iinfo(np.int64).max)
+        undecided = np.arange(common.shape[0])
+        for w in range(common.shape[1]):
+            word = common[undecided, w]
+            has = word != 0
+            if has.any():
+                lsb = word[has] & (~word[has] + np.uint64(1))
+                tz = np.frexp(lsb.astype(np.float64))[1] - 1
+                minc[undecided[has]] = 64 * w + tz
+                undecided = undecided[~has]
+                if not len(undecided):
+                    break
+        return minc
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import popcount_u64
+
+        if t.num_rows == 0 or "rk" not in t.column_names:
+            return empty_out
+        rk = np.asarray(t["rk"], dtype=np.int64)
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        n = np.asarray(t["n"], dtype=np.int64)
+        lists = t["ranks"].combine_chunks()
+        off = np.asarray(lists.offsets, dtype=np.int64)
+        flat = np.asarray(lists.values, dtype=np.int64)
+        o = np.lexsort((ids, rk))
+        rk, ids, n = rk[o], ids[o], n[o]
+        row_of = o                                  # sorted pos → table row
+        p_lim = n - (PP_TAU_E4 * n + 9999) // 10000 + 1
+        if use_bitset:
+            full_bits = _bitsets(flat, off, t.num_rows)[row_of]
+            pref_bits = _bitsets(flat, off, t.num_rows,
+                                 p_lim[np.argsort(row_of)])[row_of]
+        starts = np.flatnonzero(np.r_[True, rk[1:] != rk[:-1]])
+        sizes = np.diff(np.append(starts, len(rk)))
+        ia_l, ib_l, gen_l = [], [], []
+        for s, size in zip(starts, sizes):
+            if size < 2:
+                continue
+            ti, tj = np.triu_indices(size, k=1)
+            ia_l.append(ti + s)
+            ib_l.append(tj + s)
+            gen_l.append(np.full(len(ti), rk[s], dtype=np.int64))
+        if not ia_l:
+            return empty_out
+        ia = np.concatenate(ia_l)
+        ib = np.concatenate(ib_l)
+        gen = np.concatenate(gen_l)
+        # length filter: J >= tau forces tau*max(n) <= min(n)
+        lo = np.minimum(n[ia], n[ib])
+        hi = np.maximum(n[ia], n[ib])
+        keep = PP_TAU_E4 * hi <= 10000 * lo
+        ia, ib, gen = ia[keep], ib[keep], gen[keep]
+        if not len(ia):
+            return empty_out
+        # prefix-min ownership: keep a candidate only where its
+        # generating rank equals the smallest rank the two PREFIXES share
+        if use_bitset:
+            min_common = _minc_bitset(pref_bits[ia] & pref_bits[ib])
+        else:
+            min_common = _minc_sortmerge(
+                flat, off, row_of[ia], row_of[ib],
+                p_lim[ia], p_lim[ib], len(ia))
+        own = gen == min_common
+        ia, ib = ia[own], ib[own]
+        if not len(ia):
+            return empty_out
+        # exact intersection over the FULL token sets of owned pairs
+        if use_bitset:
+            inter = popcount_u64(full_bits[ia] & full_bits[ib]) \
+                .sum(axis=1).astype(np.int64)
+        else:
+            inter = _inter_sortmerge(flat, off, row_of[ia], row_of[ib],
+                                     len(ia))
+        union = n[ia] + n[ib] - inter
+        ok = inter * 10000 >= PP_TAU_E4 * union
+        a = np.minimum(ids[ia], ids[ib])[ok]
+        b = np.maximum(ids[ia], ids[ib])[ok]
+        return pa.table({
+            "a": pa.array(a, type=pa.int64()),
+            "b": pa.array(b, type=pa.int64()),
+            "jacc_e4": pa.array(inter[ok] * 10000 // union[ok],
+                                type=pa.int64()),
+        })
+
+    emissions = _docs(sf_dir).map_batches(
+        emit_prefix, fn_kwargs={"vocab_ref": vocab_ref},
+        batch_format="pyarrow", batch_size=1024)
+    return bucketed_groups(emissions, "rk", bucket_pairs, num_buckets=32,
+                           engine="exchange")
+
+
+SQL_Q124 = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+             regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+  FROM documents
+),
+nz AS (SELECT * FROM toks WHERE len(t) > 0)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(len(list_intersect(x.t, y.t)) * 10000
+            // (len(x.t) + len(y.t) - len(list_intersect(x.t, y.t)))
+            AS BIGINT) AS jacc_e4
+FROM nz x JOIN nz y ON x.doc_id < y.doc_id
+WHERE len(list_intersect(x.t, y.t)) * 10000
+      >= {PP_TAU_E4} * (len(x.t) + len(y.t) - len(list_intersect(x.t, y.t)))
+"""
+
+
 QUERIES = {
+    "q124_ppjoin": (q124_ppjoin, SQL_Q124),
     "q88_edit_distance_pairs": (q88_edit_distance_pairs, SQL_Q88),
     "q115_jaro_winkler_pairs": (q115_jaro_winkler_pairs, SQL_Q115),
     "q71_shared_span_pairs": (q71_shared_span_pairs, SQL_Q71),

@@ -192,3 +192,19 @@ def test_bpe_encode_matches_independent_reencode(ray_session):
         assert want[int(doc_id)] == (int(n_words), int(n_bpe)), doc_id
     # merges only ever shrink: n_words <= n_tokens_bpe <= total chars
     assert (got["n_tokens_bpe"] >= got["n_words"]).all()
+
+
+def test_ppjoin_bitset_equals_sortmerge(ray_session):
+    """q124's two verification kernels (vocab bitset vs ragged
+    sort-merge) must produce identical pairs; the bitset path is what
+    the tiny-vocab corpus exercises, the sort-merge path is the
+    large-vocabulary fallback."""
+    from pboh_entity_linking_ray.pipelines.textops import q124_ppjoin
+
+    sf = "/root/testdata/sf0.001"
+    fast = q124_ppjoin(sf).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    slow = q124_ppjoin(sf, bitset_vocab_max=0).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(fast) > 0
+    assert fast.equals(slow)
