@@ -244,7 +244,7 @@ OPS_DEFAULT = [
     "q117_sorted_neighborhood", "q118_metablocking",
     "q119_fs_weights", "q120_score_calibration",
     "q121_bm25_search", "q122_review_queue", "q123_gazetteer_tag",
-    "q124_ppjoin",
+    "q124_ppjoin", "q125_cluster_metrics",
     "link_incremental",
 ]
 

@@ -1683,6 +1683,173 @@ FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id""")
 SQL_Q73 = SQL_Q73.replace(")\nlab AS (", "),\nlab AS (")
 
 
+# --- q125: cluster-quality metrics (B-cubed + ARI) ---------------------------
+
+
+def q125_cluster_metrics(sf_dir: str):
+    """Cluster-level ER evaluation — B-cubed precision/recall/F1 (Bagga
+    & Baldwin 1998, the standard coreference/dedup cluster metric) and
+    the adjusted Rand index between the q58 near-dup clustering and the
+    exact TOKEN-SET reference clustering (docs with identical distinct
+    token sets — same content modulo word order and repetition; the
+    corpus has no byte-identical texts, which would make the reference
+    all singletons and ARI degenerate), as one long-form (metric,
+    value) report.  Completes the evaluation
+    family: the flagship gates on PAIRWISE F1 (stages/evaluate.py,
+    reference eval/Verifier.scala:24-43), link_blocking_quality scores
+    the candidate set, q120 calibrates scores — this scores the final
+    PARTITION.
+
+    Everything reduces to the (pred, gold) CONTINGENCY TABLE: per-batch
+    (c, g) count partials cross one keyed exchange (O(cells) ≤ O(docs)
+    skinny rows), the driver folds the tiny cell table, and every metric
+    is exact integer arithmetic — B-cubed terms are per-cell
+    floor(n²·10⁶/n_c) sums (order-free, unlike a float mean-of-ratios),
+    ARI is a ratio of exact pair-count polynomials clamped at 0 — so the
+    twin matches hash-exactly with HUGEINT casts and no float ever
+    crosses engines.  Singleton docs (absent from q58's edge-bearing
+    labels) re-attach as their own predicted cluster via one left
+    hash_join (the q73 device)."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_groups, bucketed_sum_multi, hash_join
+    from .relational import _t
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    gold_empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                           "g": pa.array([], type=pa.int64())})
+
+    def set_key(t: pa.Table) -> pa.Table:
+        """canonical distinct-token-set string per doc (the q124
+        collapse key); token-less docs share the empty key."""
+        df = (pl.DataFrame({
+                "doc_id": pl.from_arrow(t["doc_id"].combine_chunks())
+                            .cast(pl.Int64),
+                "tok": pl.from_arrow(t["text"].combine_chunks())
+                         .str.to_lowercase().str.extract_all("[a-z0-9]+")})
+              .explode("tok")
+              .group_by("doc_id")
+              .agg(pl.col("tok").drop_nulls().unique().sort()
+                     .str.join(" ").alias("s"))
+              .with_columns(pl.col("s").fill_null("")))
+        return df.select("doc_id", "s").to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("s", pa.string())]))
+
+    def gold_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "s" not in t.column_names:
+            return gold_empty
+        df = pl.from_arrow(t).select(
+            pl.col("doc_id").cast(pl.Int64),
+            pl.col("doc_id").cast(pl.Int64).min().over("s").alias("g"))
+        return df.to_arrow().cast(gold_empty.schema)
+
+    gold = bucketed_groups(
+        docs.map_batches(set_key, batch_format="pyarrow"),
+        "s", gold_bucket, num_buckets=32,
+        engine="exchange").materialize()
+    labels = q58_neardup_clusters(sf_dir).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "cl": t["cluster_id"]}),
+        batch_format="pyarrow").materialize()
+    both = hash_join(gold, labels, "doc_id", how="left")
+
+    cell_empty = pa.table({"c": pa.array([], type=pa.int64()),
+                           "g": pa.array([], type=pa.int64()),
+                           "n_p": pa.array([], type=pa.int64())})
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "g" not in t.column_names:
+            return cell_empty
+        df = (pl.from_arrow(t)
+              .with_columns(pl.col("cl").fill_null(pl.col("doc_id"))
+                            .cast(pl.Int64).alias("c"))
+              .group_by("c", "g")
+              .agg(pl.len().cast(pl.Int64).alias("n_p")))
+        return df.select("c", "g", "n_p").to_arrow().cast(cell_empty.schema)
+
+    cells_ds = bucketed_sum_multi(
+        both.map_batches(cell_partial, batch_format="pyarrow"),
+        ["c", "g"], {"n_p": "n"}, num_buckets=16, engine="exchange")
+
+    # the cell table is O(distinct cluster pairs) ≤ O(docs) skinny rows;
+    # the metric polynomials fold on the driver in exact Python ints
+    nc: dict[int, int] = {}
+    ng: dict[int, int] = {}
+    cells: list[tuple[int, int, int]] = []
+    for b in cells_ds.iter_batches(batch_format="pyarrow"):
+        for c, g, n in zip(b["c"].to_pylist(), b["g"].to_pylist(),
+                           b["n"].to_pylist()):
+            cells.append((c, g, n))
+            nc[c] = nc.get(c, 0) + n
+            ng[g] = ng.get(g, 0) + n
+    nn = sum(n for _, _, n in cells)
+    e6 = 1_000_000
+    p_sum = sum((n * n * e6) // nc[c] for c, _, n in cells)
+    r_sum = sum((n * n * e6) // ng[g] for _, g, n in cells)
+    p_e6 = p_sum // nn if nn else 0
+    r_e6 = r_sum // nn if nn else 0
+    f1_e6 = (2 * p_e6 * r_e6) // (p_e6 + r_e6) if p_e6 + r_e6 else 0
+    idx = sum(n * (n - 1) // 2 for _, _, n in cells)
+    a = sum(v * (v - 1) // 2 for v in nc.values())
+    b_ = sum(v * (v - 1) // 2 for v in ng.values())
+    cn2 = nn * (nn - 1) // 2
+    den = (a + b_) * cn2 - 2 * a * b_
+    num = 2 * (idx * cn2 - a * b_)
+    ari_e6 = e6 if den == 0 else (max(num, 0) * e6) // den
+    out = [("n_docs", nn), ("n_pred_clusters", len(nc)),
+           ("n_gold_clusters", len(ng)),
+           ("bcubed_p_e6", p_e6), ("bcubed_r_e6", r_e6),
+           ("bcubed_f1_e6", f1_e6), ("ari_e6", ari_e6)]
+    return pa.table({
+        "metric": pa.array([m for m, _ in out], type=pa.string()),
+        "value": pa.array([v for _, v in out], type=pa.int64()),
+    })
+
+
+_SQL_Q125_TAIL = """lab AS (
+  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+),
+pg AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS c,
+         MIN(d.doc_id) OVER (PARTITION BY COALESCE(list_aggregate(
+             list_sort(list_distinct(
+                 regexp_extract_all(lower(d.text), '[a-z0-9]+'))),
+             'string_agg', ' '), '')) AS g
+  FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+),
+cell AS (SELECT c, g, CAST(count(*) AS HUGEINT) AS n FROM pg GROUP BY c, g),
+ncs AS (SELECT c, SUM(n) AS nc FROM cell GROUP BY c),
+ngs AS (SELECT g, SUM(n) AS ng FROM cell GROUP BY g),
+agg AS (SELECT
+    (SELECT SUM(n) FROM cell) AS nn,
+    (SELECT count(*) FROM ncs) AS kc,
+    (SELECT count(*) FROM ngs) AS kg,
+    (SELECT SUM((n*n*1000000) // nc) FROM cell JOIN ncs USING (c)) AS p_sum,
+    (SELECT SUM((n*n*1000000) // ng) FROM cell JOIN ngs USING (g)) AS r_sum,
+    (SELECT SUM(n*(n-1)//2) FROM cell) AS idx,
+    (SELECT SUM(nc*(nc-1)//2) FROM ncs) AS a,
+    (SELECT SUM(ng*(ng-1)//2) FROM ngs) AS b
+),
+fin AS (SELECT nn, kc, kg, p_sum // nn AS p_e6, r_sum // nn AS r_e6,
+               idx, a, b, nn*(nn-1)//2 AS cn2 FROM agg)
+SELECT 'n_docs' AS metric, CAST(nn AS BIGINT) AS value FROM fin
+UNION ALL SELECT 'n_pred_clusters', CAST(kc AS BIGINT) FROM fin
+UNION ALL SELECT 'n_gold_clusters', CAST(kg AS BIGINT) FROM fin
+UNION ALL SELECT 'bcubed_p_e6', CAST(p_e6 AS BIGINT) FROM fin
+UNION ALL SELECT 'bcubed_r_e6', CAST(r_e6 AS BIGINT) FROM fin
+UNION ALL SELECT 'bcubed_f1_e6',
+  CAST(CASE WHEN p_e6 + r_e6 = 0 THEN 0
+       ELSE (2*p_e6*r_e6) // (p_e6 + r_e6) END AS BIGINT) FROM fin
+UNION ALL SELECT 'ari_e6',
+  CAST(CASE WHEN (a + b)*cn2 - 2*a*b = 0 THEN 1000000
+       ELSE (GREATEST(2*(idx*cn2 - a*b), 0) * 1000000)
+            // ((a + b)*cn2 - 2*a*b) END AS BIGINT) FROM fin"""
+
+SQL_Q125 = SQL_Q58.replace(_Q58_TAIL, _SQL_Q125_TAIL) \
+    .replace(")\nlab AS (", "),\nlab AS (")
+
+
 # --- q72 / bpe_train: BPE tokenizer induction --------------------------------
 
 BPE_MERGES = 20
@@ -2503,6 +2670,7 @@ WHERE len(list_intersect(x.t, y.t)) * 10000
 
 QUERIES = {
     "q124_ppjoin": (q124_ppjoin, SQL_Q124),
+    "q125_cluster_metrics": (q125_cluster_metrics, SQL_Q125),
     "q88_edit_distance_pairs": (q88_edit_distance_pairs, SQL_Q88),
     "q115_jaro_winkler_pairs": (q115_jaro_winkler_pairs, SQL_Q115),
     "q71_shared_span_pairs": (q71_shared_span_pairs, SQL_Q71),
