@@ -244,7 +244,8 @@ OPS_DEFAULT = [
     "q117_sorted_neighborhood", "q118_metablocking",
     "q119_fs_weights", "q120_score_calibration",
     "q121_bm25_search", "q122_review_queue", "q123_gazetteer_tag",
-    "q124_ppjoin", "q125_cluster_metrics",
+    "q124_ppjoin", "q125_cluster_metrics", "q126_mutual_knn",
+    "q127_pr_curve", "link_tool_latency",
     "link_incremental",
 ]
 

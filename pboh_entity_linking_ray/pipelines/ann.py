@@ -1106,8 +1106,105 @@ FROM m
 """
 
 
+# --- q126: mutual-kNN pair filter --------------------------------------------
+
+MKNN_K = 5
+
+
+def q126_mutual_knn(sf_dir: str):
+    """Mutual k-nearest-neighbor pairs: (a, b) survives only if b is in
+    a's exact top-K cosine neighbors AND a is in b's — the standard
+    precision filter over raw similarity edges (asymmetric neighbors are
+    the classic near-dup false-positive: a boilerplate-ish vector is in
+    everyone's top-K, but almost nobody is in its).
+
+    Shape: the corpus matrix broadcasts once (the q10/q11 exact-baseline
+    device — the labeled O(n·corpus) path; at scale the same mutuality
+    filter composes over ann_ivf/semantic_dedup's confined neighbor
+    edges), each batch computes its rows' COMPLETE directed top-K in one
+    matmul + partial-top-k (a batch row sees the whole corpus, so no
+    shuffle is needed for its neighbor list), and mutuality is ONE
+    exchange on the packed undirected pair key — a pair key collects
+    exactly 2 rows iff both directions agree."""
+    from ..functions.grouping import bucketed_groups
+
+    ids_all, mat_all = _query_side(sf_dir, 1 << 62)      # whole corpus
+    ref = ray.put((ids_all, mat_all))
+
+    class Directed:
+        def __init__(self, cref):
+            self.ids, self.mat = ray.get(cref) \
+                if isinstance(cref, ray.ObjectRef) else cref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, mat = _matrix(t)
+            cos_e6 = _cos_e6(mat, self.mat)              # (batch, corpus)
+            nb, nc = cos_e6.shape
+            src = np.repeat(ids, nc)
+            dst = np.tile(self.ids, nb)
+            flat = cos_e6.ravel()
+            keep = src != dst
+            src, dst, flat = src[keep], dst[keep], flat[keep]
+            m = _topk_mask(src, flat, dst, MKNN_K)       # batch-complete
+            src, dst, flat = src[m], dst[m], flat[m]
+            pk = np.minimum(src, dst) * (1 << 32) + np.maximum(src, dst)
+            return pa.table({
+                "pk": pa.array(pk, type=pa.int64()),
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+                "cos_e6": pa.array(flat, type=pa.int64()),
+            })
+
+    edges = _read_embeddings(sf_dir).map_batches(
+        Directed, fn_constructor_kwargs={"cref": ref},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64()),
+                      "cos_e6": pa.array([], type=pa.int64())})
+
+    def mutual(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pk" not in t.column_names:
+            return empty
+        pk = np.asarray(t["pk"], dtype=np.int64)
+        src = np.asarray(t["src"], dtype=np.int64)
+        dst = np.asarray(t["dst"], dtype=np.int64)
+        cos = np.asarray(t["cos_e6"], dtype=np.int64)
+        _, inv, cnt = np.unique(pk, return_inverse=True, return_counts=True)
+        keep = (cnt[inv] == 2) & (src < dst)   # one row per mutual pair
+        return pa.table({
+            "a": pa.array(src[keep], type=pa.int64()),
+            "b": pa.array(dst[keep], type=pa.int64()),
+            "cos_e6": pa.array(cos[keep], type=pa.int64()),
+        })
+
+    return bucketed_groups(edges, "pk", mutual, num_buckets=16,
+                           engine="exchange")
+
+
+SQL_Q126 = f"""
+WITH n AS (SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(embedding,
+                       x -> x::DOUBLE * x::DOUBLE))) AS nrm
+           FROM embeddings),
+c AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+             CAST(floor(({_COS_SQL.format(a='a.embedding', b='b.embedding',
+                                          na='a.nrm', nb='b.nrm')})
+                        * 1000000 + 0.5) AS BIGINT) AS cos_e6
+      FROM n a CROSS JOIN n b
+      WHERE a.vec_id <> b.vec_id),
+k AS (SELECT * FROM c
+      QUALIFY row_number() OVER (PARTITION BY src
+                                 ORDER BY cos_e6 DESC, dst) <= {MKNN_K})
+SELECT x.src AS a, x.dst AS b, x.cos_e6
+FROM k x JOIN k y ON y.src = x.dst AND y.dst = x.src
+WHERE x.src < x.dst
+"""
+
+
 QUERIES = {
     "q10_knn_bruteforce": (q10_knn_bruteforce, SQL_Q10),
+    "q126_mutual_knn": (q126_mutual_knn, SQL_Q126),
     "q61_embedding_dedup": (q61_embedding_dedup, SQL_Q61),
     "q11_embedding_neardup": (q11_embedding_neardup, SQL_Q11),
     "ann_lsh_topk": (ann_lsh, None),        # approximate → rows-only check

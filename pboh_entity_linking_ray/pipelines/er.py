@@ -432,6 +432,72 @@ GROUP BY bin
 """
 
 
+# --- q127: precision/recall curve over score thresholds ----------------------
+
+
+def q127_pr_curve(sf_dir: str):
+    """Threshold-selection curve for the pair scorer: cumulative
+    precision and recall of the type-agreement signal at every
+    similarity-decile threshold — q120's reliability bins accumulated
+    from the top, i.e. "if we auto-match at jw >= t/10, what P/R do we
+    get" for each t.  The operating-point report every linkage
+    deployment reads before fixing its match threshold (and the
+    uncertain band q122 reviews is exactly the region where this curve
+    says neither P nor R is acceptable alone).
+
+    Shape: all pair work happens inside q120's exchange; this adds an
+    O(bins) driver fold — cumulative sums over ≤ 11 exact-integer rows —
+    so the curve costs nothing beyond the calibration table it reads."""
+    bins: dict[int, tuple[int, int]] = {}
+    for t in q120_score_calibration(sf_dir).iter_batches(
+            batch_format="pyarrow"):
+        for b, n, m in zip(t["bin"].to_pylist(), t["n_pairs"].to_pylist(),
+                           t["n_match"].to_pylist()):
+            p, q = bins.get(b, (0, 0))
+            bins[b] = (p + n, q + m)
+    total_match = sum(m for _, m in bins.values())
+    out = []
+    cum_n = cum_m = 0
+    for b in sorted(bins, reverse=True):
+        n, m = bins[b]
+        cum_n += n
+        cum_m += m
+        p_e6 = cum_m * 1_000_000 // cum_n if cum_n else 0
+        r_e6 = cum_m * 1_000_000 // total_match if total_match else 0
+        out.append((b, cum_n, cum_m, p_e6, r_e6))
+    out.sort()
+    return pa.table({
+        "thr_bin": pa.array([r[0] for r in out], type=pa.int64()),
+        "cum_pairs": pa.array([r[1] for r in out], type=pa.int64()),
+        "cum_match": pa.array([r[2] for r in out], type=pa.int64()),
+        "precision_e6": pa.array([r[3] for r in out], type=pa.int64()),
+        "recall_e6": pa.array([r[4] for r in out], type=pa.int64()),
+    })
+
+
+def _sql_q127() -> str:
+    return f"""
+WITH cal AS ({SQL_Q120}),
+cum AS (
+  SELECT bin AS thr_bin,
+         SUM(n_pairs) OVER (ORDER BY bin DESC) AS cum_pairs,
+         SUM(n_match) OVER (ORDER BY bin DESC) AS cum_match,
+         (SELECT SUM(n_match) FROM cal) AS total_match
+  FROM cal
+)
+SELECT thr_bin,
+       CAST(cum_pairs AS BIGINT) AS cum_pairs,
+       CAST(cum_match AS BIGINT) AS cum_match,
+       CAST(CASE WHEN cum_pairs = 0 THEN 0
+            ELSE cum_match * 1000000 // cum_pairs END AS BIGINT)
+           AS precision_e6,
+       CAST(CASE WHEN total_match = 0 THEN 0
+            ELSE cum_match * 1000000 // total_match END AS BIGINT)
+           AS recall_e6
+FROM cum
+"""
+
+
 # --- q122: clerical-review queue ---------------------------------------------
 
 REVIEW_LO = 8600      # uncertain band (e4): q115's floor …
@@ -501,4 +567,5 @@ QUERIES = {
     "q119_fs_weights": (q119_fs_weights, SQL_Q119),
     "q120_score_calibration": (q120_score_calibration, SQL_Q120),
     "q122_review_queue": (q122_review_queue, _sql_q122()),
+    "q127_pr_curve": (q127_pr_curve, _sql_q127()),
 }
