@@ -432,6 +432,115 @@ GROUP BY bin
 """
 
 
+# --- q128: phonetic (Soundex) blocking ---------------------------------------
+
+# a→0 b→1 c→2 d→3 e→0 f→1 g→2 h→0 i→0 j→2 k→2 l→4 m→5 n→5 o→0 p→1
+# q→2 r→6 s→2 t→3 u→0 v→1 w→0 x→2 y→0 z→2  (simplified American Soundex:
+# vowels/h/w code 0 and act only as run breakers; the h/w-transparent
+# refinement of archival Soundex is deliberately out of spec so both
+# engines implement the IDENTICAL function)
+_SOUNDEX_MAP = "01230120022455012623010202"
+_SOUNDEX_TR = str.maketrans("abcdefghijklmnopqrstuvwxyz", _SOUNDEX_MAP)
+
+
+def _soundex(word: str) -> str:
+    """The exact function the SQL twin's translate/regexp chain computes."""
+    import re
+
+    d = word.translate(_SOUNDEX_TR)
+    for c in "0123456":
+        d = re.sub(f"{c}{c}+", c, d)         # per-digit run collapse
+    tail = d[1:].replace("0", "")
+    return word[0].upper() + (tail + "000")[:3]
+
+
+def q128_soundex_blocking(sf_dir: str):
+    """Phonetic blocking inventory — Soundex codes over every part-name
+    word (multi-key phonetic blocking: each name token contributes a
+    key), the third classic blocking-key family next to the flagship's
+    MinHash-LSH bands and q117's sorted neighborhood (phonetic keys
+    catch the spelling variants character-LSH misses: Robert/Rupert
+    share R163).  Per code: member count, distinct head words, and the
+    exact in-block pair count C(n,2) — the candidate-budget column a
+    blocking-strategy comparison reads (same role as
+    link_block_inventory for the LSH blocker).
+
+    Shape: the code is a pure per-row function — encode per batch at
+    the DISTINCT-WORD level (the q115 device; name words repeat
+    heavily), emit O(codes) partials incl. per-batch-deduped (code,
+    word) rows for the exact distinct count (the q31 co-location
+    discipline), ONE skinny exchange on the code.  Scale note: Soundex
+    keys are ≤ 26·7³ ≈ 9k distinct — hot codes are inherent to phonetic
+    blocking and the inventory is exactly the tool that exposes them."""
+    import polars as pl
+
+    from .relational import _t
+
+    part_schema = pa.schema([("code", pa.string()), ("n_p", pa.int64()),
+                             ("word", pa.string())])
+
+    def encode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({f.name: pa.array([], type=f.type)
+                             for f in part_schema})
+        ex = (pl.DataFrame({"toks": pl.from_arrow(
+                  t["p_name"].combine_chunks())
+                  .str.to_lowercase().str.extract_all("[a-z]+")})
+              .explode("toks").drop_nulls("toks"))
+        words = ex["toks"].to_numpy()
+        uniq, inv = np.unique(words, return_inverse=True)
+        codes = np.array([_soundex(u) for u in uniq])
+        df = (pl.DataFrame({"code": codes[inv], "word": words})
+              .group_by("code", "word")
+              .agg(pl.len().cast(pl.Int64).alias("n_p")))
+        return df.select("code", "n_p", "word").to_arrow().cast(part_schema)
+
+    empty = pa.table({"code": pa.array([], type=pa.string()),
+                      "n_parts": pa.array([], type=pa.int64()),
+                      "n_words": pa.array([], type=pa.int64()),
+                      "n_pairs": pa.array([], type=pa.int64())})
+
+    def inventory(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "code" not in t.column_names:
+            return empty
+        g = (pl.from_arrow(t).group_by("code")
+             .agg(pl.col("n_p").sum().alias("n_parts"),
+                  pl.col("word").n_unique().cast(pl.Int64)
+                    .alias("n_words"))
+             .with_columns((pl.col("n_parts") * (pl.col("n_parts") - 1)
+                            // 2).alias("n_pairs")))
+        return g.select("code", "n_parts", "n_words", "n_pairs") \
+            .to_arrow().cast(empty.schema)
+
+    parts = _t(sf_dir, "part", ["p_name"]).map_batches(
+        encode, batch_format="pyarrow")
+    return bucketed_groups(parts, "code", inventory, num_buckets=8,
+                           engine="exchange")
+
+
+_SOUNDEX_SQL_CODE = (
+    "upper(substr(w, 1, 1)) || substr(replace(substr("
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(regexp_replace("
+    "translate(w, 'abcdefghijklmnopqrstuvwxyz', '" + _SOUNDEX_MAP + "'), "
+    "'00+', '0', 'g'), '11+', '1', 'g'), '22+', '2', 'g'), "
+    "'33+', '3', 'g'), '44+', '4', 'g'), '55+', '5', 'g'), "
+    "'66+', '6', 'g'), 2), '0', '') || '000', 1, 3)"
+)
+
+SQL_Q128 = f"""
+WITH h AS (
+  SELECT unnest(regexp_extract_all(lower(p_name), '[a-z]+')) AS w FROM part
+),
+c AS (SELECT {_SOUNDEX_SQL_CODE} AS code, w FROM h)
+SELECT code,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+       CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+FROM c GROUP BY code
+"""
+
+
 # --- q127: precision/recall curve over score thresholds ----------------------
 
 
@@ -568,4 +677,5 @@ QUERIES = {
     "q120_score_calibration": (q120_score_calibration, SQL_Q120),
     "q122_review_queue": (q122_review_queue, _sql_q122()),
     "q127_pr_curve": (q127_pr_curve, _sql_q127()),
+    "q128_soundex_blocking": (q128_soundex_blocking, SQL_Q128),
 }
