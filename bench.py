@@ -245,7 +245,8 @@ OPS_DEFAULT = [
     "q119_fs_weights", "q120_score_calibration",
     "q121_bm25_search", "q122_review_queue", "q123_gazetteer_tag",
     "q124_ppjoin", "q125_cluster_metrics", "q126_mutual_knn",
-    "q127_pr_curve", "q128_soundex_blocking", "link_tool_latency",
+    "q127_pr_curve", "q128_soundex_blocking", "q129_item_similarity",
+    "link_tool_latency",
     "link_incremental",
 ]
 

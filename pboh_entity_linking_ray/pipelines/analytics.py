@@ -1207,7 +1207,153 @@ WHERE NOT EXISTS (
 """
 
 
+# --- q129: item-item collaborative filtering ---------------------------------
+
+CF_TOP_K = 10
+CF_SCALE = 100_000_000     # e8 fixed point for the squared-cosine score
+
+
+def q129_item_similarity(sf_dir: str):
+    """Item-item collaborative filtering over the co-purchase graph —
+    the classic recommender candidate generator (Sarwar et al. 2001 /
+    Amazon item-to-item): for every part, the top-K most-similar parts
+    by co-occurrence cosine ``n_ab / sqrt(n_a·n_b)`` over distinct
+    orders.  Ranking uses the exact-integer SQUARED cosine
+    ``n_ab²·1e8 // (n_a·n_b)`` — monotone in the cosine, so no
+    sqrt/float ever crosses engines (the q96 PMI-positivity device).
+
+    Shape: one l_orderkey exchange emits KIND-TAGGED partials (the q91
+    device) — per-order distinct-part pair keys and per-order item
+    keys — so pair counts and item popularities share ONE co-location
+    pass; one (kind, key) sum exchange; two bucketed hash_joins attach
+    the endpoint popularities to the O(pairs) table (materialized
+    first — the q75/q82 schema-fetch guard); both directions then feed
+    ``topk_per_group``, whose combiner forwards at most K rows per item
+    per batch.  No stage ever sees more than the distinct pair space
+    the orders actually witness."""
+    import polars as pl
+
+    from ..functions.grouping import (
+        bucketed_sum_multi,
+        hash_exchange,
+        hash_join,
+        topk_per_group,
+    )
+    from .relational import _t
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: pa.table({"ok": t["l_orderkey"],
+                            "p": pa.compute.cast(t["l_partkey"],
+                                                 pa.int64())}),
+        batch_format="pyarrow")
+
+    tagged_empty = pa.table({"kind": pa.array([], type=pa.int64()),
+                             "key": pa.array([], type=pa.int64()),
+                             "n_p": pa.array([], type=pa.int64())})
+
+    def order_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ok" not in t.column_names:
+            return tagged_empty
+        df = pl.from_arrow(t).unique(subset=["ok", "p"]).sort(["ok", "p"])
+        okv = df["ok"].to_numpy()
+        pv = df["p"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, okv[1:] != okv[:-1]])
+        sizes = np.diff(np.append(starts, len(okv)))
+        ap, bp = [], []
+        for m in np.unique(sizes[sizes >= 2]):
+            ia, ib = np.triu_indices(int(m), k=1)
+            base = starts[sizes == m]
+            ap.append((base[:, None] + ia[None, :]).ravel())
+            bp.append((base[:, None] + ib[None, :]).ravel())
+        pair_keys = (np.concatenate([pv[np.concatenate(ap)] * TRI_OFF
+                                     + pv[np.concatenate(bp)]])
+                     if ap else np.array([], dtype=np.int64))
+        # per-bucket combine: several orders in this bucket may witness
+        # the same pair / item — pre-sum before the keyed exchange
+        pk_u, pk_n = np.unique(pair_keys, return_counts=True)
+        it_u, it_n = np.unique(pv, return_counts=True)
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(len(it_u), dtype=np.int64),
+                                   np.ones(len(pk_u), dtype=np.int64)]),
+            "key": pa.array(np.r_[it_u, pk_u], type=pa.int64()),
+            "n_p": pa.array(np.r_[it_n, pk_n.astype(np.int64)],
+                            type=pa.int64()),
+        })
+
+    tagged = hash_exchange(li, "ok", order_partials, num_buckets=32)
+    sums = bucketed_sum_multi(tagged, ["kind", "key"], {"n_p": "n"},
+                              num_buckets=32,
+                              engine="exchange").materialize()
+
+    items = sums.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], 0)),
+        batch_format="pyarrow").map_batches(
+        lambda t: pa.table({"p": t["key"], "pop": t["n"]}),
+        batch_format="pyarrow").materialize()
+    def split_pairs(t: pa.Table) -> pa.Table:
+        sub = t.filter(pa.compute.equal(t["kind"], 1))
+        k = np.asarray(sub["key"], dtype=np.int64)
+        return pa.table({"a": pa.array(k // TRI_OFF, type=pa.int64()),
+                         "b": pa.array(k % TRI_OFF, type=pa.int64()),
+                         "n_ab": sub["n"]})
+
+    pairs = sums.map_batches(split_pairs, batch_format="pyarrow")
+
+    pop_a = items.map_batches(
+        lambda t: pa.table({"a": t["p"], "pop_a": t["pop"]}),
+        batch_format="pyarrow")
+    pop_b = items.map_batches(
+        lambda t: pa.table({"b": t["p"], "pop_b": t["pop"]}),
+        batch_format="pyarrow")
+
+    def score_and_mirror(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"], dtype=np.int64)
+        b = np.asarray(t["b"], dtype=np.int64)
+        n_ab = np.asarray(t["n_ab"], dtype=np.int64)
+        sc = n_ab * n_ab * CF_SCALE // (np.asarray(t["pop_a"],
+                                                   dtype=np.int64)
+                                        * np.asarray(t["pop_b"],
+                                                     dtype=np.int64))
+        return pa.table({
+            "item": pa.array(np.r_[a, b], type=pa.int64()),
+            "nbr": pa.array(np.r_[b, a], type=pa.int64()),
+            "n_ab": pa.array(np.r_[n_ab, n_ab], type=pa.int64()),
+            "score_e8": pa.array(np.r_[sc, sc], type=pa.int64()),
+        })
+
+    with_a = hash_join(pairs, pop_a, "a", num_buckets=32).materialize()
+    scored = hash_join(with_a, pop_b, "b", num_buckets=32,
+                       post=score_and_mirror)
+    return topk_per_group(scored, "item", "score_e8", CF_TOP_K,
+                          tie_cols=["nbr"], num_buckets=32)
+
+
+SQL_Q129 = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS p
+            FROM lineitem),
+pc AS (SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS n_ab
+       FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p
+       GROUP BY 1, 2),
+ic AS (SELECT p, CAST(count(*) AS BIGINT) AS pop FROM op GROUP BY p),
+dir AS (
+  SELECT a AS item, b AS nbr, n_ab FROM pc
+  UNION ALL
+  SELECT b, a, n_ab FROM pc
+),
+sc AS (
+  SELECT item, nbr, n_ab,
+         CAST(n_ab * n_ab * {CF_SCALE} // (ia.pop * ib.pop) AS BIGINT)
+             AS score_e8
+  FROM dir JOIN ic ia ON ia.p = dir.item JOIN ic ib ON ib.p = dir.nbr
+)
+SELECT item, nbr, n_ab, score_e8 FROM sc
+QUALIFY row_number() OVER (PARTITION BY item
+                           ORDER BY score_e8 DESC, nbr) <= {CF_TOP_K}
+"""
+
+
 QUERIES = {
+    "q129_item_similarity": (q129_item_similarity, SQL_Q129),
     "q39_order_rank": (q39_order_rank, SQL_Q39),
     "q40_running_revenue": (q40_running_revenue, SQL_Q40),
     "q41_rollup_revenue": (q41_rollup_revenue, SQL_Q41),
