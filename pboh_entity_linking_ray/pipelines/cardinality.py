@@ -598,8 +598,96 @@ FROM i JOIN c ca ON ca.event_type = i.ta
 """
 
 
+# --- q132: shuffle-key skew profiler -----------------------------------------
+
+SKEW_TOPK = 50
+
+
+def q132_key_skew(sf_dir: str):
+    """Shuffle-key skew profile — the diagnostic every wide operation
+    here should be planned against (CLAUDE.md: skewed keys hurt; the
+    flagship blocker salts hot keys, q48 salts hot segments — THIS op
+    is how an operator finds out a key needs salting before the shuffle
+    melts a worker): the ``SKEW_TOPK`` hottest values of a prospective
+    partition key (orders.o_custkey) with exact count, dense rank,
+    per-key share and cumulative share of all rows (e6 fixed point) —
+    read the cum-share column at rank k to size a salting whitelist.
+
+    Shape: per-batch combiner counts → ONE skinny exchange summing per
+    key → per-batch LOCAL top-K + one ``__total__`` sentinel per batch
+    (post-exchange key sets are disjoint, so local top-Ks are exact
+    partials) → a driver fold over O(K × batches) rows.  Nothing
+    proportional to rows or distinct keys ever reaches the driver."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+
+    def combiner(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], type=pa.int64()),
+                             "cnt_p": pa.array([], type=pa.int64())})
+        return (pl.from_arrow(t)
+                .group_by("o_custkey")
+                .agg(pl.len().cast(pl.Int64).alias("cnt_p"))
+                .rename({"o_custkey": "key"})
+                .select("key", "cnt_p").to_arrow()
+                .cast(pa.schema([("key", pa.int64()),
+                                 ("cnt_p", pa.int64())])))
+
+    counts = bucketed_sum(orders.map_batches(combiner,
+                                             batch_format="pyarrow"),
+                          ["key"], "cnt_p", "cnt", engine="exchange")
+
+    def local_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return pa.table({"key": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        df = (pl.from_arrow(t)
+              .sort(["cnt", "key"], descending=[True, False])
+              .head(SKEW_TOPK))
+        total = int(np.asarray(t["cnt"], dtype=np.int64).sum())
+        return pa.table({
+            "key": pa.array(list(df["key"]) + [-1], type=pa.int64()),
+            "cnt": pa.array(list(df["cnt"]) + [total], type=pa.int64()),
+        })
+
+    rows = counts.map_batches(local_top, batch_format="pyarrow").take_all()
+    total = sum(r["cnt"] for r in rows if r["key"] == -1)
+    live = sorted(((r["cnt"], r["key"]) for r in rows if r["key"] != -1),
+                  key=lambda x: (-x[0], x[1]))[:SKEW_TOPK]
+    cum = 0
+    out = {"key": [], "cnt": [], "rank": [], "share_e6": [],
+           "cum_share_e6": []}
+    for rk, (cnt, key) in enumerate(live, start=1):
+        cum += cnt
+        out["key"].append(key)
+        out["cnt"].append(cnt)
+        out["rank"].append(rk)
+        out["share_e6"].append(cnt * 1_000_000 // total)
+        out["cum_share_e6"].append(cum * 1_000_000 // total)
+    return pa.table({k: pa.array(v, type=pa.int64())
+                     for k, v in out.items()})
+
+
+SQL_Q132 = f"""
+WITH c AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS t FROM c),
+r AS (SELECT key, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rk
+      FROM c)
+SELECT key, CAST(cnt AS BIGINT) AS cnt, CAST(rk AS BIGINT) AS rank,
+       CAST(cnt * 1000000 // t AS BIGINT) AS share_e6,
+       CAST(SUM(cnt) OVER (ORDER BY rk) * 1000000 // t AS BIGINT)
+           AS cum_share_e6
+FROM r, tot WHERE rk <= {SKEW_TOPK}
+"""
+
+
 QUERIES = {
     "q31_distinct_users": (q31_distinct_users, SQL_Q31),
+    "q132_key_skew": (q132_key_skew, SQL_Q132),
     "q94_audience_overlap": (q94_audience_overlap, SQL_Q94),
     "hll_distinct_users": (hll_distinct_users, None),
     "q47_heavy_tokens": (q47_heavy_tokens, SQL_Q47),

@@ -670,6 +670,263 @@ LIMIT {REVIEW_K}
 """
 
 
+# --- q130: deterministic canopy assignment over the near-dup graph ----------
+
+CANOPY_PRI_MOD = 1_000_000_000
+
+
+def q130_canopy(sf_dir: str):
+    """Canopy construction (McCallum/Nigam/Ungar 2000) over the document
+    near-dup graph, recast for a shared-nothing engine: the classic
+    algorithm's GREEDY sequential center draw is replaced by a
+    deterministic one-hop leader rule — a node is a canopy center iff it
+    holds the minimum (md5-priority, id) in its cheap-similarity
+    neighborhood (the local-minimum device of MapReduce correlation/
+    affinity clustering) — so center selection is a single co-location
+    pass with no sequential dependency and identical output under any
+    partitioning.  Cheap similarity = q12's stop-shingle-guarded n-gram
+    Jaccard join.  Assignment keeps canopy semantics: every node joins
+    the canopy of EVERY adjacent center (canopies overlap, unlike the
+    partitional q58 clusters), adjacent centers cannot coexist (the
+    minimum rule is antisymmetric), and a node with no adjacent center —
+    centers themselves, orphans, and isolated docs — opens its own
+    singleton canopy, preserving the classic invariant that every record
+    lands in ≥ 1 canopy.
+
+    Shape: q12's candidate pairs (all pair work bounded by its stop-
+    shingle cap) → ONE exchange on the node key for the local-minimum
+    flags (priorities are pure per-id hashes, computed in-bucket, never
+    shipped) → one semi join (sym edges ⋉ centers) + one anti join
+    (docs ∖ assigned) — each a skinny-key bucketed exchange.  md5 is the
+    oracle-parity hash (CLAUDE.md discipline); a production run would
+    swap xxhash into the same rule.
+
+    Reference analogue: candidate-generation before scoring
+    (index/MentEntsFreqIndexWrapper.scala:30-40) — canopies are the
+    classic cheap-distance alternative to its exact-key candidate sets.
+    """
+    import polars as pl
+
+    from ..functions.grouping import hash_join
+    from .textops import _md5_cached, q12_ngram_jaccard_pairs
+
+    sym_schema = pa.schema([("doc_id", pa.int64()), ("m", pa.int64())])
+
+    def sym(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({f.name: pa.array([], type=f.type)
+                             for f in sym_schema})
+        a = np.asarray(t["doc_a"], dtype=np.int64)
+        b = np.asarray(t["doc_b"], dtype=np.int64)
+        return pa.table({"doc_id": pa.array(np.concatenate([a, b])),
+                         "m": pa.array(np.concatenate([b, a]))})
+
+    def center_flags(t: pa.Table) -> pa.Table:
+        """Per node: is its packed (pri, id) below every neighbor's?"""
+        empty = pa.table({"m": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return empty
+        n_ids = np.asarray(t["doc_id"], dtype=np.int64)
+        m_ids = np.asarray(t["m"], dtype=np.int64)
+        uniq = np.unique(np.concatenate([n_ids, m_ids]))
+        pri = (_md5_cached({}, [str(x) for x in uniq])
+               % np.uint64(CANOPY_PRI_MOD)).astype(np.int64)
+        packed = pri * (1 << 32) + uniq        # lexicographic (pri, id)
+        pk_n = packed[np.searchsorted(uniq, n_ids)]
+        pk_m = packed[np.searchsorted(uniq, m_ids)]
+        o = np.argsort(n_ids, kind="stable")
+        ns, pkn, pkm = n_ids[o], pk_n[o], pk_m[o]
+        starts = np.flatnonzero(np.r_[True, ns[1:] != ns[:-1]])
+        min_nbr = np.minimum.reduceat(pkm, starts)
+        is_center = pkn[starts] < min_nbr
+        return pa.table({"m": pa.array(ns[starts][is_center])})
+
+    pairs = q12_ngram_jaccard_pairs(sf_dir)
+    edges = pairs.map_batches(sym, batch_format="pyarrow")
+    centers = bucketed_groups(edges, "doc_id", center_flags,
+                              num_buckets=8, engine="exchange")
+    # (node, center-neighbor) assignments: edges whose far end is a center
+    asg = hash_join(edges, centers, on="m", how="semi", num_buckets=8)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    loners = hash_join(docs, asg, on="doc_id", how="anti", num_buckets=8)
+
+    def as_canopy(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.int64())
+        return pa.table({"doc_id": ids, "canopy": ids})
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "canopy": pa.array([], type=pa.int64())})
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "canopy": t["m"].cast(pa.int64())})
+
+    return (asg.map_batches(project, batch_format="pyarrow")
+            .union(loners.map_batches(as_canopy, batch_format="pyarrow")))
+
+
+def _sql_q130() -> str:
+    from .textops import SQL_Q12
+
+    return f"""
+WITH pairs AS ({SQL_Q12}),
+sym AS (SELECT doc_a AS n, doc_b AS m FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+pri AS (SELECT doc_id,
+               CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                    % {CANOPY_PRI_MOD} AS BIGINT) * 4294967296 + doc_id
+                 AS pk
+        FROM documents),
+centers AS (
+  SELECT pn.doc_id
+  FROM pri pn
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sym s JOIN pri pm ON pm.doc_id = s.m
+    WHERE s.n = pn.doc_id AND pm.pk < pn.pk)
+),
+asg AS (SELECT s.n AS doc_id, s.m AS canopy
+        FROM sym s WHERE s.m IN (SELECT doc_id FROM centers))
+SELECT doc_id, canopy FROM asg
+UNION ALL
+SELECT d.doc_id, d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM asg)
+"""
+
+
+# --- q131: Monge-Elkan token-level similarity scoring ------------------------
+
+ME_MIN_E4 = 8000       # symmetric Monge-Elkan >= 0.80 (e4 fixed point)
+
+
+def q131_monge_elkan(sf_dir: str):
+    """Symmetric Monge-Elkan scoring over brand-blocked part pairs — the
+    hybrid token/character measure the ER literature reaches for when
+    fields are multi-word and word ORDER is unreliable (q115's whole-
+    string Jaro-Winkler punishes token swaps; ME does not): for each
+    pair, every token of one side takes its best Jaro-Winkler match on
+    the other, directional means are averaged, all in exact e4 integer
+    arithmetic (token jw_e4 = FLOOR(jw·10⁴ + ½); per-direction mean and
+    the final average use integer division, mirrored token-for-token in
+    the SQL twin — the q93/q95 fixed-point discipline).
+
+    Shape: ONE brand exchange; in-bucket work collapses twice — pairs
+    dedup to DISTINCT NAME pairs (the q115 device), then their token
+    cross-products dedup to DISTINCT TOKEN pairs before the string DP
+    runs (Zipfian token frequencies make this the difference between
+    O(pairs·k²) and O(distinct-token-pairs) DP calls at corpus scale);
+    per-pair reductions are shape-batched numpy (pairs grouped by token-
+    count signature, max/sum over dense [m,la,lb] blocks, no per-pair
+    Python).  Reference analogue: the per-candidate string scoring
+    inside the fuzzy matcher family
+    (index/MentionEntitiesFrequencyIndex.scala:82-119)."""
+    import polars as pl
+
+    from ..functions.similarity import jaro_winkler_batch
+
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64()),
+                      "me_e4": pa.array([], type=pa.int64())})
+
+    def me_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "p_partkey" not in t.column_names:
+            return empty
+        df, (ai, bi) = _brand_pairs(t)
+        if len(ai) == 0:
+            return empty
+        ids = df["p_partkey"].to_numpy()
+        uniq, name_c = np.unique(df["p_name"].to_numpy(), return_inverse=True)
+        U = len(uniq)
+        na_c, nb_c = name_c[ai], name_c[bi]
+        combo = (np.minimum(na_c, nb_c).astype(np.int64) * U
+                 + np.maximum(na_c, nb_c))           # ME is symmetric
+        ucombo, inv = np.unique(combo, return_inverse=True)
+        ca, cb = ucombo // U, ucombo % U
+
+        tid_lists = [np.unique(n.split(" ")) for n in uniq]
+        all_toks = np.unique(np.concatenate(tid_lists)) if U else \
+            np.empty(0, dtype=object)
+        T = len(all_toks)
+        maxlen = max(len(tl) for tl in tid_lists)
+        M = np.zeros((U, maxlen), dtype=np.int64)
+        lens = np.empty(U, dtype=np.int64)
+        for i, tl in enumerate(tid_lists):
+            lens[i] = len(tl)
+            M[i, :len(tl)] = np.searchsorted(all_toks, tl)
+        la, lb = lens[ca], lens[cb]
+
+        # pass 1: collect every needed token-id pair across shape groups
+        shapes = np.unique(la * (maxlen + 1) + lb)
+        crosses = []
+        for sh in shapes:
+            A, B = int(sh) // (maxlen + 1), int(sh) % (maxlen + 1)
+            sel = (la == A) & (lb == B)
+            TA, TB = M[ca[sel], :A], M[cb[sel], :B]
+            crosses.append((sel, A, B,
+                            (TA[:, :, None] * T + TB[:, None, :]).ravel()))
+        ucp = np.unique(np.concatenate([c[3] for c in crosses]))
+        jw = jaro_winkler_batch(list(all_toks[ucp // T]),
+                                list(all_toks[ucp % T]),
+                                boost_threshold=0.7)
+        jw_e4 = np.floor(jw * 10000 + 0.5).astype(np.int64)
+
+        # pass 2: per distinct name pair, directional means -> symmetric me
+        scores = np.empty(len(ucombo), dtype=np.int64)
+        for sel, A, B, flat in crosses:
+            g = jw_e4[np.searchsorted(ucp, flat)].reshape(-1, A, B)
+            s_ab = g.max(axis=2).sum(axis=1)   # each a-token's best match
+            s_ba = g.max(axis=1).sum(axis=1)
+            scores[sel] = (s_ab // A + s_ba // B) // 2
+        me = scores[inv]
+        keep = me >= ME_MIN_E4
+        return pa.table({"a": pa.array(ids[ai[keep]], type=pa.int64()),
+                         "b": pa.array(ids[bi[keep]], type=pa.int64()),
+                         "me_e4": pa.array(me[keep])})
+
+    parts = _t(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+    return bucketed_groups(parts, "p_brand", me_pairs,
+                           num_buckets=16, engine="exchange")
+
+
+SQL_Q131 = f"""
+WITH tok AS (
+  SELECT p_partkey, unnest(list_distinct(string_split(p_name, ' '))) AS t
+  FROM part
+),
+pr AS (
+  SELECT x.p_partkey AS a, y.p_partkey AS b
+  FROM part x JOIN part y
+    ON x.p_brand = y.p_brand AND x.p_partkey < y.p_partkey
+),
+m_ab AS (
+  SELECT pr.a, pr.b, ta.t,
+         MAX(CAST(FLOOR(jaro_winkler_similarity(ta.t, tb.t) * 10000 + 0.5)
+                  AS BIGINT)) AS m
+  FROM pr JOIN tok ta ON ta.p_partkey = pr.a
+          JOIN tok tb ON tb.p_partkey = pr.b
+  GROUP BY pr.a, pr.b, ta.t
+),
+s_ab AS (SELECT a, b, SUM(m) AS s, COUNT(*) AS n FROM m_ab GROUP BY a, b),
+m_ba AS (
+  SELECT pr.a, pr.b, tb.t,
+         MAX(CAST(FLOOR(jaro_winkler_similarity(tb.t, ta.t) * 10000 + 0.5)
+                  AS BIGINT)) AS m
+  FROM pr JOIN tok ta ON ta.p_partkey = pr.a
+          JOIN tok tb ON tb.p_partkey = pr.b
+  GROUP BY pr.a, pr.b, tb.t
+),
+s_ba AS (SELECT a, b, SUM(m) AS s, COUNT(*) AS n FROM m_ba GROUP BY a, b),
+me AS (
+  SELECT s_ab.a, s_ab.b,
+         (s_ab.s // s_ab.n + s_ba.s // s_ba.n) // 2 AS me_e4
+  FROM s_ab JOIN s_ba ON s_ab.a = s_ba.a AND s_ab.b = s_ba.b
+)
+SELECT a, b, CAST(me_e4 AS BIGINT) AS me_e4 FROM me
+WHERE me_e4 >= {ME_MIN_E4}
+"""
+
+
 QUERIES = {
     "q117_sorted_neighborhood": (q117_sorted_neighborhood, SQL_Q117),
     "q118_metablocking": (q118_metablocking, _sql_q118()),
@@ -678,4 +935,6 @@ QUERIES = {
     "q122_review_queue": (q122_review_queue, _sql_q122()),
     "q127_pr_curve": (q127_pr_curve, _sql_q127()),
     "q128_soundex_blocking": (q128_soundex_blocking, SQL_Q128),
+    "q130_canopy": (q130_canopy, _sql_q130()),
+    "q131_monge_elkan": (q131_monge_elkan, SQL_Q131),
 }

@@ -1188,8 +1188,95 @@ FROM j GROUP BY 1
 """
 
 
+def link_protocol_gate(sf_dir: str):
+    """Transcript protocol-violation gate — the q79 data-expectations
+    pattern applied to conversation STRUCTURE, emitting only offending
+    conversations: a well-formed agent transcript starts with a user
+    turn, ends with an assistant turn, never repeats a role back-to-back
+    (link_turn_quality reports that count for every conv; this gate
+    isolates the offenders), and only fires tool turns directly after an
+    assistant turn (an orphan tool call is a truncated or re-ordered
+    log).  The violations-only output is what makes it a 100 TB gate:
+    downstream quarantine joins against O(bad convs), not O(convs).
+
+    ONE bucketed exchange on conv_id (ordered lags need co-located
+    turns), a vectorized polars window per bucket, in-bucket filter so
+    clean conversations never leave the bucket task."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_groups
+
+    turns = _turns(sf_dir).select_columns(["conv_id", "turn_idx", "role"])
+
+    empty = pa.table({
+        "conv_id": pa.array([], type=pa.string()),
+        "n_turns": pa.array([], type=pa.int64()),
+        "same_role_adj": pa.array([], type=pa.int64()),
+        "orphan_tool_turns": pa.array([], type=pa.int64()),
+        "starts_nonuser": pa.array([], type=pa.int64()),
+        "ends_nonassistant": pa.array([], type=pa.int64()),
+    })
+
+    def gate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return empty
+        prev = pl.col("role").shift(1)
+        df = (pl.from_arrow(t).sort(["conv_id", "turn_idx"])
+              .group_by("conv_id", maintain_order=True)
+              .agg(
+                  n_turns=pl.len().cast(pl.Int64),
+                  same_role_adj=(pl.col("role") == prev)
+                  .fill_null(False).sum().cast(pl.Int64),
+                  orphan_tool_turns=((pl.col("role") == "tool")
+                                     & (prev.fill_null("") != "assistant"))
+                  .sum().cast(pl.Int64),
+                  starts_nonuser=(pl.col("role").first() != "user")
+                  .cast(pl.Int64),
+                  ends_nonassistant=(pl.col("role").last() != "assistant")
+                  .cast(pl.Int64),
+              )
+              .filter(pl.col("same_role_adj") + pl.col("orphan_tool_turns")
+                      + pl.col("starts_nonuser")
+                      + pl.col("ends_nonassistant") > 0))
+        return df.to_arrow().cast(empty.schema)
+
+    return bucketed_groups(turns, "conv_id", gate)
+
+
+SQL_PROTOCOL_GATE = f"""
+WITH s AS (
+  SELECT conv_id, role,
+         LAG(role) OVER w AS prev_role,
+         FIRST_VALUE(role) OVER w AS first_role,
+         LAST_VALUE(role) OVER (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_role
+  FROM read_parquet('{_SQL_TURNS}')
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+g AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(coalesce(sum(CASE WHEN role = prev_role THEN 1 END), 0)
+              AS BIGINT) AS same_role_adj,
+         CAST(coalesce(sum(CASE WHEN role = 'tool'
+                    AND coalesce(prev_role, '') <> 'assistant'
+                    THEN 1 END), 0) AS BIGINT) AS orphan_tool_turns,
+         CAST(max(CASE WHEN first_role <> 'user' THEN 1 ELSE 0 END)
+              AS BIGINT) AS starts_nonuser,
+         CAST(max(CASE WHEN last_role <> 'assistant' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ends_nonassistant
+  FROM s GROUP BY conv_id
+)
+SELECT * FROM g
+WHERE same_role_adj + orphan_tool_turns + starts_nonuser
+      + ends_nonassistant > 0
+"""
+
+
 QUERIES = {
     "link_canonicalize": (link_canonicalize, SQL_CANONICALIZE),
+    "link_protocol_gate": (link_protocol_gate, SQL_PROTOCOL_GATE),
     "link_topic_segments": (link_topic_segments, SQL_TOPIC_SEGMENTS),
     "link_boilerplate_turns": (link_boilerplate_turns, SQL_BOILERPLATE),
     "link_sft_pairs": (link_sft_pairs, SQL_SFT_PAIRS),
