@@ -379,8 +379,89 @@ GROUP BY m.doc_id, g.label
 """
 
 
+# --- q134: reciprocal-rank fusion of two rankers ------------------------------
+
+RRF_K = 60             # the canonical RRF constant (Cormack et al. 2009)
+RRF_TOP_K = 10
+
+
+def q134_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of the two
+    retrieval rankers — q55's integer tf·⌊W/df⌋ scorer and q121's BM25 —
+    into one ranking per query: each list contributes
+    ⌊10⁶/(RRF_K + rank)⌋ per (query, doc), summed, re-ranked.  Rank
+    fusion is how production retrieval stacks combine lexical + learned
+    scorers without calibrating their incomparable score scales; the
+    integer-truncated contribution keeps both engines on identical
+    arithmetic (the q96 exact-ordering device).
+
+    Shape: ALL corpus work happens inside the two rankers' pipelines
+    (each ends in a ``topk_per_group`` whose combiner caps the exchange
+    at k rows per query per batch); fusion itself folds
+    O(k × |queries|) rows on the driver — the same O(bins) epilogue
+    contract as q127.  Ranks are re-derived from (score DESC, doc_id)
+    inside the fold, so fusion is deterministic under any block order."""
+    lists = []
+    for ds, col in ((q55_keyword_search(sf_dir), "score"),
+                    (q121_bm25_search(sf_dir), "score_e6")):
+        rows = (ds.take_all() if hasattr(ds, "take_all")
+                else ds.to_pylist())
+        by_q: dict[str, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        lists.append((by_q, col))
+
+    acc: dict[tuple[str, int], int] = {}
+    for by_q, col in lists:
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: (-r[col], r["doc_id"]))
+            for rank, r in enumerate(rs, start=1):
+                key = (q, r["doc_id"])
+                acc[key] = acc.get(key, 0) + 1_000_000 // (RRF_K + rank)
+
+    out = {"query_id": [], "doc_id": [], "rrf_e6": []}
+    by_query: dict[str, list] = {}
+    for (q, d), s in acc.items():
+        by_query.setdefault(q, []).append((s, d))
+    for q in sorted(by_query):
+        for s, d in sorted(by_query[q], key=lambda x: (-x[0], x[1]))[
+                :RRF_TOP_K]:
+            out["query_id"].append(q)
+            out["doc_id"].append(d)
+            out["rrf_e6"].append(s)
+    return pa.table({"query_id": pa.array(out["query_id"],
+                                          type=pa.string()),
+                     "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                     "rrf_e6": pa.array(out["rrf_e6"], type=pa.int64())})
+
+
+SQL_Q134 = f"""
+WITH s55 AS ({SQL_Q55}),
+s121 AS ({SQL_Q121}),
+r1 AS (SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS rn
+       FROM s55),
+r2 AS (SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_e6 DESC, doc_id) AS rn
+       FROM s121),
+u AS (SELECT query_id, doc_id, 1000000 // ({RRF_K} + rn) AS c FROM r1
+      UNION ALL
+      SELECT query_id, doc_id, 1000000 // ({RRF_K} + rn) AS c FROM r2),
+f AS (SELECT query_id, doc_id, SUM(c) AS rrf_e6 FROM u GROUP BY 1, 2),
+rr AS (SELECT query_id, doc_id, rrf_e6,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_e6 DESC, doc_id) AS rn
+       FROM f)
+SELECT query_id, doc_id, CAST(rrf_e6 AS BIGINT) AS rrf_e6
+FROM rr WHERE rn <= {RRF_TOP_K}
+"""
+
+
 QUERIES = {
     "q55_keyword_search": (q55_keyword_search, SQL_Q55),
     "q121_bm25_search": (q121_bm25_search, SQL_Q121),
+    "q134_rrf_fusion": (q134_rrf_fusion, SQL_Q134),
     "q123_gazetteer_tag": (q123_gazetteer_tag, SQL_Q123),
 }

@@ -2668,7 +2668,196 @@ WHERE len(list_intersect(x.t, y.t)) * 10000
 """
 
 
+# --- q133: prefix-containment dedup ------------------------------------------
+
+PFX_MIN_CHARS = 64      # a doc participates as a prefix only at >= this length
+
+
+def q133_prefix_containment(sf_dir: str):
+    """Partial-duplicate detection the exact-hash dedup (q06) and the
+    near-dup family (q12/q26/ann) both miss: pairs where one document is
+    a STRICT PREFIX of another — truncated re-crawls, cut-off
+    re-uploads, and resumed generations, the classic containment case
+    in web-corpus dedup.  A doc participates as the short side only at
+    ≥ ``PFX_MIN_CHARS`` chars (below that "prefix of" is noise); equal
+    texts are q06's domain and excluded.
+
+    Shape: any strict-prefix pair shares its first ``PFX_MIN_CHARS``
+    chars, so that substring is a complete blocking key — ONE exchange
+    on it.  In-bucket the check is NOT pairwise: texts sort
+    lexicographically, and the extensions of a text t are exactly the
+    contiguous run (t, t + SENTINEL) — a vectorized searchsorted per
+    bucket, O(g log g + output) where a naive in-block scan is O(g²)
+    (the boilerplate-header block every web corpus has would melt a
+    quadratic verifier).  Output pairs carry both lengths so a
+    downstream keep-longest policy is a pure filter."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_groups
+
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64()),
+                      "len_a": pa.array([], type=pa.int64()),
+                      "len_b": pa.array([], type=pa.int64())})
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "text": pa.array([], type=pa.string()),
+                             "pfx": pa.array([], type=pa.string())})
+        df = (pl.from_arrow(t)
+              .filter(pl.col("text").str.len_chars() >= PFX_MIN_CHARS)
+              .with_columns(pfx=pl.col("text").str.slice(0, PFX_MIN_CHARS)))
+        return df.select("doc_id", "text", "pfx").to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                       ("pfx", pa.string())]))
+
+    def contain_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2 or "doc_id" not in t.column_names:
+            return empty
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        texts = np.asarray(t["text"], dtype=object)
+        o = np.argsort(texts, kind="stable")
+        srt, sids = texts[o], ids[o]
+        # extensions of srt[i] live in the contiguous run (i, hi[i])
+        hi = np.searchsorted(srt, np.array(
+            [s + "\U0010ffff" for s in srt], dtype=object), side="left")
+        runs = hi - np.arange(len(srt)) - 1
+        if runs.sum() == 0:
+            return empty
+        ai = np.repeat(np.arange(len(srt)), runs)
+        bi = np.concatenate([np.arange(i + 1, h)
+                             for i, h in enumerate(hi) if h > i + 1])
+        la = np.fromiter((len(s) for s in srt), dtype=np.int64,
+                         count=len(srt))
+        strict = la[bi] > la[ai]            # equal texts are q06's domain
+        ai, bi = ai[strict], bi[strict]
+        return pa.table({"a": pa.array(sids[ai]),
+                         "b": pa.array(sids[bi]),
+                         "len_a": pa.array(la[ai]),
+                         "len_b": pa.array(la[bi])})
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    keyed = docs.map_batches(prep, batch_format="pyarrow")
+    return bucketed_groups(keyed, "pfx", contain_pairs,
+                           num_buckets=16, engine="exchange")
+
+
+SQL_Q133 = f"""
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(length(x.text) AS BIGINT) AS len_a,
+       CAST(length(y.text) AS BIGINT) AS len_b
+FROM documents x JOIN documents y
+  ON length(x.text) >= {PFX_MIN_CHARS}
+ AND length(y.text) > length(x.text)
+ AND substr(y.text, 1, length(x.text)) = x.text
+"""
+
+
+# --- q135: bigram language model with absolute discounting -------------------
+
+BLM_D_E2 = 75          # absolute discount D = 0.75, e2 fixed point
+BLM_MIN_C = 3          # emit bigrams seen at least this often
+
+
+def q135_bigram_lm(sf_dir: str):
+    """Bigram language-model estimation with absolute discounting (Ney/
+    Essen/Kneser 1994 — the smoothing family under Kneser-Ney) over the
+    documents corpus: per surviving bigram (c ≥ ``BLM_MIN_C``), the
+    discounted probability p(w2|w1) = (c12 − D)/c1 and the per-history
+    backoff mass λ(w1) = D·N₁₊(w1)/c1, all in exact integer fixed point
+    (D = 75 e2; p and λ e6 via integer division — both engines compute
+    the IDENTICAL integers, no float log/division crosses).  The
+    estimation counterpart of q66's unigram perplexity scorer and the
+    training step a from-scratch data-quality LM needs.
+
+    Shape: per-batch polars bigram combiner (docs are row-local, so a
+    batch's pair counts are exact partials) → ONE (w1, w2) sum exchange
+    → ONE w1-keyed exchange where c1 = Σc12 and N₁₊ = distinct
+    successors are both bucket-local (co-location IS the distinct).
+    The wire carries O(distinct bigrams) skinny rows, never tokens."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_groups, bucketed_sum
+
+    pair_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                             ("c_p", pa.int64())])
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({f.name: pa.array([], type=f.type)
+                             for f in pair_schema})
+        df = (pl.DataFrame({"toks": pl.from_arrow(
+                  t["text"].combine_chunks())
+                  .str.to_lowercase().str.extract_all("[a-z0-9]+")})
+              .with_columns(w2s=pl.col("toks").list.shift(-1))
+              .explode("toks", "w2s")
+              .drop_nulls()
+              .rename({"toks": "w1", "w2s": "w2"})
+              .group_by("w1", "w2")
+              .agg(pl.len().cast(pl.Int64).alias("c_p")))
+        return df.select("w1", "w2", "c_p").to_arrow().cast(pair_schema)
+
+    empty = pa.table({"w1": pa.array([], type=pa.string()),
+                      "w2": pa.array([], type=pa.string()),
+                      "c12": pa.array([], type=pa.int64()),
+                      "c1": pa.array([], type=pa.int64()),
+                      "n_next": pa.array([], type=pa.int64()),
+                      "p_disc_e6": pa.array([], type=pa.int64()),
+                      "lambda_e6": pa.array([], type=pa.int64())})
+
+    def history_stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "w1" not in t.column_names:
+            return empty
+        df = (pl.from_arrow(t)
+              .with_columns(
+                  c1=pl.col("c12").sum().over("w1"),
+                  n_next=pl.col("c12").len().over("w1").cast(pl.Int64))
+              .filter(pl.col("c12") >= BLM_MIN_C)
+              .with_columns(
+                  p_disc_e6=((pl.col("c12") * 100 - BLM_D_E2)
+                             * 1_000_000) // (pl.col("c1") * 100),
+                  lambda_e6=(BLM_D_E2 * pl.col("n_next") * 10_000)
+                  // pl.col("c1")))
+        return (df.select("w1", "w2", "c12", "c1", "n_next",
+                          "p_disc_e6", "lambda_e6")
+                .to_arrow().cast(empty.schema))
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    partial = docs.map_batches(bigram_partial, batch_format="pyarrow")
+    counts = bucketed_sum(partial, ["w1", "w2"], "c_p", "c12",
+                          num_buckets=16, engine="exchange")
+    return bucketed_groups(counts, "w1", history_stats,
+                           num_buckets=8, engine="exchange")
+
+
+SQL_Q135 = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+),
+c AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+h AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n_next FROM c GROUP BY 1)
+SELECT c.w1, c.w2,
+       CAST(c.c12 AS BIGINT) AS c12,
+       CAST(h.c1 AS BIGINT) AS c1,
+       CAST(h.n_next AS BIGINT) AS n_next,
+       CAST((c.c12 * 100 - {BLM_D_E2}) * 1000000 // (h.c1 * 100) AS BIGINT)
+           AS p_disc_e6,
+       CAST(({BLM_D_E2} * h.n_next * 10000) // h.c1 AS BIGINT) AS lambda_e6
+FROM c JOIN h USING (w1)
+WHERE c.c12 >= {BLM_MIN_C}
+"""
+
+
 QUERIES = {
+    "q133_prefix_containment": (q133_prefix_containment, SQL_Q133),
+    "q135_bigram_lm": (q135_bigram_lm, SQL_Q135),
     "q124_ppjoin": (q124_ppjoin, SQL_Q124),
     "q125_cluster_metrics": (q125_cluster_metrics, SQL_Q125),
     "q88_edit_distance_pairs": (q88_edit_distance_pairs, SQL_Q88),
