@@ -248,6 +248,9 @@ OPS_DEFAULT = [
     "q127_pr_curve", "q128_soundex_blocking", "q129_item_similarity",
     "link_tool_latency",
     "link_incremental",
+    "q130_canopy", "q131_monge_elkan", "q132_key_skew",
+    "link_protocol_gate", "q133_prefix_containment", "q134_rrf_fusion",
+    "q135_bigram_lm",
 ]
 
 
