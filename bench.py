@@ -251,6 +251,8 @@ OPS_DEFAULT = [
     "q130_canopy", "q131_monge_elkan", "q132_key_skew",
     "link_protocol_gate", "q133_prefix_containment", "q134_rrf_fusion",
     "q135_bigram_lm",
+    "q136_label_propagation", "q137_link_prediction",
+    "q138_one_to_one_match", "q139_seasonal_anomaly",
 ]
 
 

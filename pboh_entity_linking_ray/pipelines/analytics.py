@@ -1352,6 +1352,268 @@ QUALIFY row_number() OVER (PARTITION BY item
 """
 
 
+# --- q136: synchronous label-propagation communities -----------------------
+
+LPA_ROUNDS = 3      # fixed synchronous rounds → CTE-chain oracle twin
+
+
+def _lpa_state(tbl: pa.Table | None):
+    """PinnedShards init for LPA: one shard's (n, m) directed edge rows,
+    routed by m (the LABEL-holder end) so a round ships only labels."""
+    import polars as pl
+
+    if tbl is None:
+        return None
+    return pl.from_arrow(tbl)
+
+
+_EMPTY_LPA_VOTES = pa.table({"n": pa.array([], type=pa.int64()),
+                             "lbl": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+
+
+def _lpa_votes(state, probe: pa.Table | None) -> pa.Table:
+    """One LPA round on one shard: current labels (m, lbl) ⋈ pinned
+    edges (n, m) → partial per-(n, lbl) vote counts — O(shard edges)
+    rows in, O(distinct (n, lbl)) skinny rows out."""
+    import polars as pl
+
+    if state is None or probe is None or probe.num_rows == 0:
+        return _EMPTY_LPA_VOTES
+    p = pl.from_arrow(probe)
+    return (state.join(p, on="m", how="inner")
+            .group_by(["n", "lbl"])
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow())
+
+
+def q136_label_propagation(sf_dir: str):
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over the part co-purchase graph, made deterministic and
+    oracle-pairable: every node starts labelled with its own id; each
+    of LPA_ROUNDS synchronous rounds relabels every node with the MODE
+    of its neighbors' labels plus ONE self-vote (the self-loop damping
+    that stops 2-coloring oscillation on bipartite-ish subgraphs),
+    ties broken toward the SMALLEST label — no sequential dependency,
+    identical output under any partitioning (the q130-canopy
+    determinism discipline applied to an iterative algorithm).
+
+    Shape: the edge topology is static across rounds — exactly the
+    ``PinnedShards`` case (q106 BFS / q68 PageRank intake): the
+    symmetrized edges pin ONCE into m-routed actor shards, and each
+    round ships only the O(nodes) label table — route labels to the
+    shards, per-shard polars join + partial (n, lbl) vote counts
+    in-actor, then ONE skinny exchange on n that sums counts, adds the
+    self-vote, and takes the argmax per node with one lexsort.  Per
+    round data motion is O(nodes + distinct votes), never O(edges).
+
+    Reference analogue: the per-mention argmax over accumulated
+    candidate scores (SURVEY §2 M13 / A7's closed-form message pass) —
+    LPA is that same "adopt the locally-dominant label" reduction run
+    over graph rounds instead of one scoring pass."""
+    import polars as pl
+
+    from ..functions.pinned import PinnedShards
+
+    edges = _copurchase_edges(sf_dir).materialize()
+    sym = edges.map_batches(
+        lambda t: pa.table({"n": t["a"], "m": t["b"]}),
+        batch_format="pyarrow",
+    ).union(edges.map_batches(
+        lambda t: pa.table({"n": t["b"], "m": t["a"]}),
+        batch_format="pyarrow"))
+    shards = PinnedShards(sym, "m", _lpa_state, n_shards=PR_SHARDS)
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return pa.table({"m": pa.array([], type=pa.int64()),
+                             "lbl": pa.array([], type=pa.int64())})
+        u = np.unique(np.asarray(t["n"], dtype=np.int64))
+        return pa.table({"m": pa.array(u), "lbl": pa.array(u)})
+
+    # label table keyed by the ROUTING column name m = node id
+    labels = hash_exchange(sym, "n", init_labels,
+                           num_buckets=16).materialize()
+
+    def pick_mode(t: pa.Table) -> pa.Table:
+        """Sum partial vote counts and take the per-node argmax
+        (count desc, label asc) — one lexsort, no Python per node."""
+        empty = pa.table({"m": pa.array([], type=pa.int64()),
+                          "lbl": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return empty
+        df = (pl.from_arrow(t).group_by(["n", "lbl"])
+              .agg(pl.col("c").sum().alias("c")))
+        n = df["n"].to_numpy()
+        lbl = df["lbl"].to_numpy()
+        c = df["c"].to_numpy()
+        order = np.lexsort((lbl, -c, n))
+        ns = n[order]
+        starts = np.flatnonzero(np.r_[True, ns[1:] != ns[:-1]])
+        return pa.table({"m": pa.array(ns[starts]),
+                         "lbl": pa.array(lbl[order][starts])})
+
+    for _ in range(LPA_ROUNDS):
+        votes = shards.map(labels, _lpa_votes)
+        self_votes = labels.map_batches(
+            lambda t: pa.table({
+                "n": t["m"], "lbl": t["lbl"],
+                "c": pa.array(np.ones(t.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow")
+        labels = hash_exchange(votes.union(self_votes), "n", pick_mode,
+                               num_buckets=16).materialize()
+
+    return labels.map_batches(
+        lambda t: pa.table({"node_id": t["m"], "community": t["lbl"]}),
+        batch_format="pyarrow")
+
+
+def _lpa_round_sql(r: int) -> str:
+    return f"""
+v{r} AS (
+  SELECT s.n AS node, l.lbl, CAST(count(*) AS BIGINT) AS c
+  FROM sym s JOIN l{r - 1} l ON l.node = s.m GROUP BY 1, 2
+  UNION ALL
+  SELECT node, lbl, 1 FROM l{r - 1}
+),
+c{r} AS (SELECT node, lbl, SUM(c) AS c FROM v{r} GROUP BY node, lbl),
+l{r} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM c{r}) WHERE rn = 1
+)"""
+
+
+SQL_Q136 = f"""
+WITH pp AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+sym AS (SELECT a AS n, b AS m FROM pp UNION ALL SELECT b, a FROM pp),
+l0 AS (SELECT DISTINCT n AS node, n AS lbl FROM sym),
+{",".join(_lpa_round_sql(r) for r in range(1, LPA_ROUNDS + 1))}
+SELECT CAST(node AS BIGINT) AS node_id, CAST(lbl AS BIGINT) AS community
+FROM l{LPA_ROUNDS}
+"""
+
+
+# --- q137: resource-allocation link prediction ------------------------------
+
+RA_CENTER_CAP = 1000   # block-purging cap on wedge centers: a center of
+#                        degree d emits d(d-1)/2 weight-(1e6//d) pairs;
+#                        beyond the cap its per-pair contribution is
+#                        ≤ 1e6/cap anyway (mirrored in the SQL twin)
+RA_TOP = 100
+
+
+def q137_link_prediction(sf_dir: str):
+    """Resource-allocation link prediction (Zhou/Lü/Zhang 2009) over
+    the part co-purchase graph: for every non-adjacent pair (x, y),
+    score Σ_w 1/deg(w) over their common neighbors w — the link-
+    prediction index that outperforms Adamic-Adar in their benchmark
+    while staying EXACT in integers (weight = 1_000_000 // deg, floor
+    division identical in numpy and DuckDB on non-negative operands,
+    so no log() float seam).  Top RA_TOP predicted edges by (score
+    desc, pair asc).
+
+    Shape: ONE exchange on the wedge center co-locates each node's
+    full neighborhood (deg is simply the local group size — never a
+    separate degree join); per bucket the grouped-triu idiom (q84)
+    emits (packed pair, weight) rows batched by group size; ONE
+    O(distinct pairs) bucketed sum combines them; an ANTI hash_join
+    against the packed existing-edge keys keeps only genuinely new
+    links; the global sort runs over the O(candidate pairs) skinny
+    scored set.  Centers above RA_CENTER_CAP are purged (standard
+    meta-blocking block purging, q118) — their per-pair weight is
+    bounded by 1e6/cap, and the cap is mirrored in the twin so both
+    engines score the identical wedge set.
+
+    Reference analogue: candidate augmentation from co-occurrence
+    statistics (SURVEY §2 M9 / A4's CocitationMap) — RA is that same
+    "two hops through a shared witness" candidate generator with a
+    principled witness weighting."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum, hash_join
+
+    edges = _copurchase_edges(sf_dir).materialize()
+    sym = edges.map_batches(
+        lambda t: pa.table({"n": t["a"], "m": t["b"]}),
+        batch_format="pyarrow",
+    ).union(edges.map_batches(
+        lambda t: pa.table({"n": t["b"], "m": t["a"]}),
+        batch_format="pyarrow"))
+
+    def wedge_weights(t: pa.Table) -> pa.Table:
+        empty = pa.table({"pk": pa.array([], type=pa.int64()),
+                          "w": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return empty
+        df = pl.from_arrow(t).sort(["n", "m"])
+        nv = df["n"].to_numpy()
+        mv = df["m"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, nv[1:] != nv[:-1]])
+        sizes = np.diff(np.append(starts, len(nv)))
+        pk_l, w_l = [], []
+        for d in np.unique(sizes):
+            if d < 2 or d > RA_CENTER_CAP:
+                continue
+            ia, ib = np.triu_indices(int(d), k=1)
+            base = starts[sizes == d]
+            ai = (base[:, None] + ia[None, :]).ravel()
+            bi = (base[:, None] + ib[None, :]).ravel()
+            pk_l.append(mv[ai] * TRI_OFF + mv[bi])   # in-group sorted → x<y
+            w_l.append(np.full(len(ai), 1_000_000 // int(d),
+                               dtype=np.int64))
+        if not pk_l:
+            return empty
+        return pa.table({"pk": pa.array(np.concatenate(pk_l)),
+                         "w": pa.array(np.concatenate(w_l))})
+
+    wedge = hash_exchange(sym, "n", wedge_weights, num_buckets=32)
+    scored = bucketed_sum(wedge, ["pk"], "w", "ra_e6",
+                          engine="exchange").materialize()
+    edge_pk = edges.map_batches(
+        lambda t: pa.table({"pk": pa.array(
+            np.asarray(t["a"], dtype=np.int64) * TRI_OFF
+            + np.asarray(t["b"], dtype=np.int64))}),
+        batch_format="pyarrow")
+    pred = hash_join(scored, edge_pk, "pk", num_buckets=32, how="anti")
+    top = pred.sort(["ra_e6", "pk"], descending=[True, False]).limit(RA_TOP)
+    return top.map_batches(
+        lambda t: pa.table({
+            "a": pa.array(np.asarray(t["pk"], dtype=np.int64) // TRI_OFF),
+            "b": pa.array(np.asarray(t["pk"], dtype=np.int64) % TRI_OFF),
+            "ra_e6": t["ra_e6"]}),
+        batch_format="pyarrow")
+
+
+SQL_Q137 = f"""
+WITH pp AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+sym AS (SELECT a AS n, b AS m FROM pp UNION ALL SELECT b, a FROM pp),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY n),
+ra AS (
+  SELECT s1.m AS x, s2.m AS y, SUM(1000000 // g.d) AS ra_e6
+  FROM sym s1
+  JOIN sym s2 ON s1.n = s2.n AND s1.m < s2.m
+  JOIN deg g ON g.n = s1.n
+  WHERE g.d <= {RA_CENTER_CAP}
+  GROUP BY 1, 2
+)
+SELECT CAST(x AS BIGINT) AS a, CAST(y AS BIGINT) AS b,
+       CAST(ra_e6 AS BIGINT) AS ra_e6
+FROM ra
+WHERE NOT EXISTS (SELECT 1 FROM pp WHERE pp.a = ra.x AND pp.b = ra.y)
+ORDER BY ra_e6 DESC, a, b LIMIT {RA_TOP}
+"""
+
+
 QUERIES = {
     "q129_item_similarity": (q129_item_similarity, SQL_Q129),
     "q39_order_rank": (q39_order_rank, SQL_Q39),
@@ -1367,4 +1629,6 @@ QUERIES = {
     "q85_skyline": (q85_skyline, SQL_Q85),
     "q89_kcore": (q89_kcore, SQL_Q89),
     "q106_bfs": (q106_bfs, SQL_Q106),
+    "q136_label_propagation": (q136_label_propagation, SQL_Q136),
+    "q137_link_prediction": (q137_link_prediction, SQL_Q137),
 }

@@ -927,6 +927,142 @@ WHERE me_e4 >= {ME_MIN_E4}
 """
 
 
+# --- q138: one-to-one match assignment (locally-dominant matching) ----------
+
+MBM_ROUNDS = 3          # fixed mutual-best rounds → CTE-chain oracle twin
+MBM_OFF = 1 << 32       # packed undirected pair key (ids < 2^31)
+
+
+def q138_one_to_one_match(sf_dir: str):
+    """One-to-one match assignment over the q115 Jaro-Winkler scored
+    pairs — the record-linkage ASSIGNMENT step (each record may match
+    at most one other record; the classic post-scoring constraint of
+    Fellegi-Sunter deployments).  The sequential greedy
+    sort-and-assign is replaced by MBM_ROUNDS rounds of the
+    locally-dominant-edge rule (Preis 1999 / Manne-Bisseling): a pair
+    is accepted iff it is the BEST pair (score desc, partner-id asc)
+    for BOTH endpoints; accepted endpoints leave the pool and the rule
+    repeats.  Every accepted edge is locally dominant, so the result
+    is a matching the sequential greedy would also accept — computed
+    with no sequential dependency and identical under any
+    partitioning; bounded rounds keep it oracle-pairable (production
+    loops until no pair is accepted — each round is the same two
+    skinny exchanges).
+
+    Shape per round: ONE exchange on the endpoint co-locates each
+    node's pair list (per-group argmax = one lexsort, no Python per
+    node); mutuality is ONE exchange on the packed undirected pair key
+    (a best-choice pair appears twice iff both endpoints chose it);
+    matched endpoints retire via two ANTI hash_joins that ship only
+    the O(matched) key column.
+
+    Reference analogue: the per-mention argmax entity assignment
+    (SURVEY §2 M13) hardened to the bipartite-constraint case the
+    reference never needs (its mentions pick entities independently;
+    record linkage must not let two records claim the same partner)."""
+    from ..functions.grouping import hash_exchange, hash_join
+    from .textops import q115_jaro_winkler_pairs
+
+    pairs = q115_jaro_winkler_pairs(sf_dir).materialize()
+
+    def best_per_node(t: pa.Table) -> pa.Table:
+        empty = pa.table({"pk": pa.array([], type=pa.int64()),
+                          "jw_e4": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return empty
+        n = np.asarray(t["n"], dtype=np.int64)
+        p = np.asarray(t["p"], dtype=np.int64)
+        jw = np.asarray(t["jw_e4"], dtype=np.int64)
+        order = np.lexsort((p, -jw, n))
+        ns = n[order]
+        starts = np.flatnonzero(np.r_[True, ns[1:] != ns[:-1]])
+        bn, bp = ns[starts], p[order][starts]
+        lo, hi = np.minimum(bn, bp), np.maximum(bn, bp)
+        return pa.table({"pk": pa.array(lo * MBM_OFF + hi),
+                         "jw_e4": pa.array(jw[order][starts])})
+
+    def mutual(t: pa.Table) -> pa.Table:
+        """A pk holds ≤ 2 best-choice rows (one per endpoint); exactly
+        2 ⟺ the choice was mutual."""
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "jw_e4": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "pk" not in t.column_names:
+            return empty
+        pk = np.sort(np.asarray(t["pk"], dtype=np.int64))
+        jw = np.asarray(t["jw_e4"], dtype=np.int64)[
+            np.argsort(np.asarray(t["pk"], dtype=np.int64), kind="stable")]
+        starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        two = np.diff(np.append(starts, len(pk))) == 2
+        hits = starts[two]
+        return pa.table({"a": pa.array(pk[hits] // MBM_OFF),
+                         "b": pa.array(pk[hits] % MBM_OFF),
+                         "jw_e4": pa.array(jw[hits])})
+
+    matched_rounds = []
+    for _ in range(MBM_ROUNDS):
+        sym = pairs.map_batches(
+            lambda t: pa.table({"n": t["a"], "p": t["b"],
+                                "jw_e4": t["jw_e4"]}),
+            batch_format="pyarrow",
+        ).union(pairs.map_batches(
+            lambda t: pa.table({"n": t["b"], "p": t["a"],
+                                "jw_e4": t["jw_e4"]}),
+            batch_format="pyarrow"))
+        best = hash_exchange(sym, "n", best_per_node, num_buckets=16)
+        matched = hash_exchange(best, "pk", mutual,
+                                num_buckets=16).materialize()
+        matched_rounds.append(matched)
+        ends_a = matched.map_batches(
+            lambda t: pa.table({"a": pa.array(np.r_[
+                np.asarray(t["a"], dtype=np.int64),
+                np.asarray(t["b"], dtype=np.int64)])}),
+            batch_format="pyarrow")
+        ends_b = matched.map_batches(
+            lambda t: pa.table({"b": pa.array(np.r_[
+                np.asarray(t["a"], dtype=np.int64),
+                np.asarray(t["b"], dtype=np.int64)])}),
+            batch_format="pyarrow")
+        pairs = hash_join(pairs, ends_a, "a", num_buckets=16, how="anti")
+        pairs = hash_join(pairs, ends_b, "b", num_buckets=16,
+                          how="anti").materialize()
+
+    out = matched_rounds[0]
+    for m in matched_rounds[1:]:
+        out = out.union(m)
+    return out
+
+
+def _mbm_round_sql(r: int) -> str:
+    return f"""
+s{r} AS (SELECT a AS n, b AS p, jw_e4 FROM p{r - 1}
+         UNION ALL SELECT b, a, jw_e4 FROM p{r - 1}),
+b{r} AS (SELECT n, p, jw_e4 FROM (
+           SELECT n, p, jw_e4, row_number() OVER (
+             PARTITION BY n ORDER BY jw_e4 DESC, p) AS rn
+           FROM s{r}) WHERE rn = 1),
+m{r} AS (SELECT x.n AS a, x.p AS b, x.jw_e4
+         FROM b{r} x JOIN b{r} y ON x.p = y.n AND y.p = x.n
+         WHERE x.n < x.p),
+mn{r} AS (SELECT a AS n FROM m{r} UNION ALL SELECT b FROM m{r}),
+p{r} AS (SELECT t.a, t.b, t.jw_e4 FROM p{r - 1} t
+         WHERE t.a NOT IN (SELECT n FROM mn{r})
+           AND t.b NOT IN (SELECT n FROM mn{r}))"""
+
+
+def _sql_q138() -> str:
+    from .textops import SQL_Q115
+
+    rounds = ",".join(_mbm_round_sql(r) for r in range(1, MBM_ROUNDS + 1))
+    final = " UNION ALL ".join(
+        f"SELECT a, b, jw_e4 FROM m{r}" for r in range(1, MBM_ROUNDS + 1))
+    return f"""
+WITH p0 AS ({SQL_Q115}),
+{rounds}
+{final}
+"""
+
+
 QUERIES = {
     "q117_sorted_neighborhood": (q117_sorted_neighborhood, SQL_Q117),
     "q118_metablocking": (q118_metablocking, _sql_q118()),
@@ -937,4 +1073,5 @@ QUERIES = {
     "q128_soundex_blocking": (q128_soundex_blocking, SQL_Q128),
     "q130_canopy": (q130_canopy, _sql_q130()),
     "q131_monge_elkan": (q131_monge_elkan, SQL_Q131),
+    "q138_one_to_one_match": (q138_one_to_one_match, _sql_q138()),
 }

@@ -730,6 +730,112 @@ FROM e WHERE event_type = 'purchase' GROUP BY 1, 2
 """
 
 
+# --- q139: seasonal-baseline anomaly flags ----------------------------------
+
+ANOM_MIN_CNT = 3     # ignore hours too small to call anomalous
+# flag an hour when cnt ≥ 1.5 × seasonal median; with med2 = twice the
+# median (lower+upper order statistic, an exact integer) that is
+# cnt·4 ≥ med2·3 — no float ever enters the rule
+ANOM_NUM, ANOM_DEN = 4, 3
+
+
+def q139_seasonal_anomaly(sf_dir: str):
+    """Seasonal-baseline anomaly detection over the event stream — the
+    observability pass every production pipeline runs on its own
+    telemetry: per (event_type, hour-of-week) the MEDIAN hourly volume
+    is the seasonal baseline, and an hour is flagged when its count
+    reaches 1.5× that baseline.  Everything stays in exact integers:
+    hours are epoch_us // 3600e6 (the exact-BIGINT device from the
+    CLAUDE.md twin discipline), the baseline is med2 = lower + upper
+    median order statistics (twice the median, exact for even AND odd
+    group sizes), and the flag rule cnt·4 ≥ med2·3 multiplies instead
+    of dividing — no float crosses the engine seam.  Unlike q80's
+    global MAD gate, the baseline here is CONDITIONAL on the weekly
+    season, so a busy Monday 09:00 is judged against other Monday
+    09:00s, not against 03:00 lulls.
+
+    Shape: per-batch partial (type, hour) counts → ONE skinny
+    bucketed_sum (the q04 pre-aggregation discipline; the raw events
+    never shuffle) → ONE exchange on event_type whose bucket kernel
+    resolves the per-(type, hour-of-week) order statistics with a
+    single lexsort and flags rows vectorized.  The second exchange
+    moves only O(distinct type×hour) rows — at 100 TB that is still
+    just hours × types."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = (np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+             // 3_600_000_000)
+        return (pl.DataFrame({
+            "event_type": pl.Series(np.asarray(t["event_type"]).astype(str)),
+            "h": h})
+            .group_by(["event_type", "h"])
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+            .to_arrow())
+
+    hc = bucketed_sum(ev.map_batches(partial, batch_format="pyarrow"),
+                      ["event_type", "h"], "cnt", "cnt",
+                      num_buckets=16, engine="exchange")
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "hour_idx": pa.array([], type=pa.int64()),
+                      "cnt": pa.array([], type=pa.int64()),
+                      "med2": pa.array([], type=pa.int64())})
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return empty
+        et = np.asarray(t["event_type"]).astype(object)
+        h = np.asarray(t["h"], dtype=np.int64)
+        cnt = np.asarray(t["cnt"], dtype=np.int64)
+        uet, et_id = np.unique(et, return_inverse=True)
+        gkey = et_id.astype(np.int64) * 168 + h % 168
+        order = np.lexsort((cnt, gkey))
+        gs, cs = gkey[order], cnt[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        sizes = np.diff(np.append(starts, len(gs)))
+        med2_g = cs[starts + (sizes - 1) // 2] + cs[starts + sizes // 2]
+        gidx = np.cumsum(np.r_[np.int64(0),
+                               (gs[1:] != gs[:-1]).astype(np.int64)])
+        med2 = med2_g[gidx]
+        keep = (cs * ANOM_NUM >= med2 * ANOM_DEN) & (cs >= ANOM_MIN_CNT)
+        rows = order[keep]
+        return pa.table({
+            "event_type": pa.array(list(et[rows]), type=pa.string()),
+            "hour_idx": pa.array(h[rows]),
+            "cnt": pa.array(cnt[rows]),
+            "med2": pa.array(med2[keep])})
+
+    return hash_exchange(hc, "event_type", flag, num_buckets=8)
+
+
+SQL_Q139 = f"""
+WITH hc AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+g AS (SELECT event_type, h % 168 AS how, h, cnt,
+             row_number() OVER (PARTITION BY event_type, h % 168
+                                ORDER BY cnt, h) AS rn,
+             count(*) OVER (PARTITION BY event_type, h % 168) AS k
+      FROM hc),
+med AS (SELECT event_type, how,
+               SUM(CASE WHEN rn - 1 = (k - 1) // 2 THEN cnt ELSE 0 END)
+             + SUM(CASE WHEN rn - 1 = k // 2 THEN cnt ELSE 0 END) AS med2
+        FROM g GROUP BY 1, 2)
+SELECT g.event_type, CAST(g.h AS BIGINT) AS hour_idx, g.cnt,
+       CAST(m.med2 AS BIGINT) AS med2
+FROM g JOIN med m ON m.event_type = g.event_type AND m.how = g.how
+WHERE g.cnt * {ANOM_NUM} >= m.med2 * {ANOM_DEN} AND g.cnt >= {ANOM_MIN_CNT}
+"""
+
+
 QUERIES = {
     "q23_asof_join": (q23_asof_join, SQL_Q23),
     "q97_attribution": (q97_attribution, SQL_Q97),
@@ -742,4 +848,5 @@ QUERIES = {
     "q102_scd2": (q102_scd2, SQL_Q102),
     "q109_debounce": (q109_debounce, SQL_Q109),
     "q111_rolling_wau": (q111_rolling_wau, SQL_Q111),
+    "q139_seasonal_anomaly": (q139_seasonal_anomaly, SQL_Q139),
 }
