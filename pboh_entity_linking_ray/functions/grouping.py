@@ -67,24 +67,22 @@ def bucketed_groups(ds: ray.data.Dataset, key_col: str, fn,
     return keyed.groupby(BUCKET_COL).map_groups(run, batch_format="pyarrow")
 
 
-@ray.remote
-def _exchange_split(tbl, key_col: str, num_buckets: int,
-                    inner: int = 1, stage: int = 0, n_out: int | None = None):
-    """Map side of the hash exchange: one block → ``n_out`` slices
-    (sort-by-slice + zero-copy slice; O(n log n) local, no driver
-    involvement).  The fine bucket of a row is ``hash % num_buckets``;
-    ``stage=0`` slices by its HIGH part (``fine // inner`` — the flat
-    exchange is the ``inner=1`` case) and ``stage=1`` by its LOW part
-    (``fine % inner``, the second round of the hierarchical exchange)."""
+def _split_table(tbl: pa.Table, key_col: str, num_buckets: int,
+                 inner: int = 1, stage: int = 0,
+                 n_out: int | None = None) -> tuple:
+    """One block → ``n_out`` slices by key hash (radix-stable argsort +
+    zero-copy slice).  The fine bucket of a row is ``hash %
+    num_buckets``; ``stage=0`` slices by its HIGH part (``fine //
+    inner`` — the flat exchange is the ``inner=1`` case) and
+    ``stage=1`` by its LOW part (``fine % inner``, the second round of
+    the hierarchical exchange).  Shared by the exchange's map task and
+    the fused rekey reduce."""
     import polars as pl
 
-    if not isinstance(tbl, pa.Table):          # pandas block from upstream
-        tbl = pa.Table.from_pandas(tbl, preserve_index=False)
     if n_out is None:
         n_out = num_buckets
     if tbl.num_rows == 0:
-        out = tuple(tbl for _ in range(n_out))
-        return out if n_out > 1 else out[0]
+        return tuple(tbl for _ in range(n_out))
     h = pl.from_arrow(tbl[key_col].combine_chunks()).hash(seed=17).to_numpy()
     f = (h % np.uint64(num_buckets)).astype(np.int64)
     s = (f // inner) if stage == 0 else (f % inner)
@@ -92,8 +90,17 @@ def _exchange_split(tbl, key_col: str, num_buckets: int,
     sorted_tbl = tbl.take(pa.array(order))
     counts = np.bincount(s, minlength=n_out)
     offs = np.concatenate(([0], np.cumsum(counts)))
-    out = tuple(sorted_tbl.slice(offs[i], counts[i]) for i in range(n_out))
-    return out if n_out > 1 else out[0]
+    return tuple(sorted_tbl.slice(offs[i], counts[i]) for i in range(n_out))
+
+
+@ray.remote
+def _exchange_split(tbl, key_col: str, num_buckets: int,
+                    inner: int = 1, stage: int = 0, n_out: int | None = None):
+    """Map side of the hash exchange (see ``_split_table``)."""
+    if not isinstance(tbl, pa.Table):          # pandas block from upstream
+        tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+    out = _split_table(tbl, key_col, num_buckets, inner, stage, n_out)
+    return out if len(out) > 1 else out[0]
 
 
 @ray.remote
@@ -135,6 +142,70 @@ def _exchange_apply(fn, *parts: pa.Table) -> pa.Table:
         # treat 0-column 0-row blocks as no-ops
         return bucket
     return fn(bucket)
+
+
+@ray.remote
+def _rekey_apply(fn, key2: str, num_buckets2: int, *parts: pa.Table):
+    """First-hop reduce of the fused ``rekey_exchange``: concat one
+    key1-bucket's slices, run ``fn``, and split ``fn``'s OUTPUT by the
+    key2 hash — the intermediate table goes straight from this task's
+    heap into its consumers' fetches, never landing as standalone
+    dataset blocks (saves a full write + read + re-split pass of the
+    intermediate, which for wedge-sized intermediates is the dominant
+    traffic)."""
+    live = [p for p in parts if p.num_rows]
+    bucket = (pa.concat_tables(live, promote_options="default") if live
+              else _widest(parts))
+    if bucket.num_columns == 0:
+        # all-empty schema-less input: propagate inert empties
+        return tuple(bucket for _ in range(num_buckets2))
+    return _split_table(fn(bucket), key2, num_buckets2)
+
+
+def rekey_exchange(ds: ray.data.Dataset, key1: str, fn1, key2: str, fn2,
+                   num_buckets1: int = 32,
+                   num_buckets2: int = 32) -> ray.data.Dataset:
+    """Two chained hash exchanges with the intermediate FUSED:
+    co-locate ``ds`` by ``key1``, run ``fn1`` per bucket, re-route
+    ``fn1``'s output rows by ``key2``, run ``fn2`` per key2-bucket —
+    the groupby-then-regroup shape (generate pairs per center then
+    combine per pair; count per (a,b) then rank per a; ...).
+
+    Composing two ``hash_exchange`` calls writes the full intermediate
+    to the object store, reads it back, and splits it again; here the
+    key1 reduce task splits its own output in-heap (``_rekey_apply``),
+    so the intermediate crosses the store exactly once — for
+    generation stages whose output is much larger than their input
+    (wedge/pair emitters) that one saved pass is ~40% of the job's
+    traffic.  Driver ref count is O(blocks + B1·B2); same fn contract
+    as ``hash_exchange`` (empty tolerance, stable schema), and all
+    rows of one key2 land in one output bucket."""
+    refs = _stream_block_refs(ds)
+    split = _exchange_split.options(num_returns=num_buckets1)
+    cols: list[list] = [[] for _ in range(num_buckets1)]
+    empty = True
+    for ref in refs:
+        empty = False
+        outs = split.remote(ref, key1, num_buckets1)
+        if num_buckets1 == 1:
+            outs = [outs]
+        for i, r in enumerate(outs):
+            cols[i].append(r)
+    if empty:
+        sch = ds.schema(fetch_if_missing=False)
+        if sch is None or len(sch.base_schema) == 0:
+            return ds
+        return ray.data.from_arrow(
+            fn2(fn1(sch.base_schema.empty_table())))
+    mid = [_rekey_apply.options(num_returns=num_buckets2)
+           .remote(fn1, key2, num_buckets2, *cols[i])
+           for i in range(num_buckets1)]
+    if num_buckets2 == 1:
+        mid = [[m] for m in mid]
+    out_refs = [_exchange_apply.remote(fn2, *[mid[i][j]
+                                              for i in range(num_buckets1)])
+                for j in range(num_buckets2)]
+    return ray.data.from_arrow_refs(out_refs)
 
 
 # above this many buckets the flat exchange's O(blocks × buckets) ref

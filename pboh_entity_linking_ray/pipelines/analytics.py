@@ -1518,14 +1518,20 @@ def q137_link_prediction(sf_dir: str):
     so no log() float seam).  Top RA_TOP predicted edges by (score
     desc, pair asc).
 
-    Shape: ONE exchange on the wedge center co-locates each node's
-    full neighborhood (deg is simply the local group size — never a
-    separate degree join); per bucket the grouped-triu idiom (q84)
-    emits (packed pair, weight) rows batched by group size; ONE
-    O(distinct pairs) bucketed sum combines them; an ANTI hash_join
-    against the packed existing-edge keys keeps only genuinely new
-    links; the global sort runs over the O(candidate pairs) skinny
-    scored set.  Centers above RA_CENTER_CAP are purged (standard
+    Shape: ONE fused ``rekey_exchange`` — co-locate by wedge center
+    (deg is simply the local group size, never a separate degree
+    join), per center-bucket the grouped-triu idiom (q84) emits
+    (packed pair, int32 weight) rows batched by group size, and the
+    SAME task splits them by the pair key in-heap so the Σ deg² ≈
+    150M-row wedge stream (the operator's inherent volume) crosses
+    the object store exactly ONCE; the pk-side bucket fn fuses the
+    exact int64 sum (radix sort + reduceat), the existing-edge ANTI
+    filter (edge keys broadcast once as a sorted packed array and
+    probed with searchsorted — q84's closure device; a graph whose
+    edges outgrow TRI_BCAST_MAX swaps in the anti hash_join), and an
+    EXACT per-bucket top-RA_TOP partial (each pk lives in exactly one
+    bucket) — the global sort only ever sees O(RA_TOP × buckets)
+    rows.  Centers above RA_CENTER_CAP are purged (standard
     meta-blocking block purging, q118) — their per-pair weight is
     bounded by 1e6/cap, and the cap is mirrored in the twin so both
     engines score the identical wedge set.
@@ -1536,7 +1542,8 @@ def q137_link_prediction(sf_dir: str):
     principled witness weighting."""
     import polars as pl
 
-    from ..functions.grouping import bucketed_sum, hash_join
+    from ..functions.grouping import rekey_exchange
+    from .linkage import _concat_ds
 
     edges = _copurchase_edges(sf_dir).materialize()
     sym = edges.map_batches(
@@ -1546,11 +1553,18 @@ def q137_link_prediction(sf_dir: str):
         lambda t: pa.table({"n": t["b"], "m": t["a"]}),
         batch_format="pyarrow"))
 
+    etbl = _concat_ds(edges)
+    edge_keys = np.sort(np.asarray(etbl["a"], dtype=np.int64) * TRI_OFF
+                        + np.asarray(etbl["b"], dtype=np.int64))
+    keys_ref = ray.put(edge_keys)
+
+    empty = pa.table({"pk": pa.array([], type=pa.int64()),
+                      "ra_e6": pa.array([], type=pa.int64())})
+
     def wedge_weights(t: pa.Table) -> pa.Table:
-        empty = pa.table({"pk": pa.array([], type=pa.int64()),
-                          "w": pa.array([], type=pa.int64())})
         if t.num_rows == 0 or "n" not in t.column_names:
-            return empty
+            return pa.table({"pk": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.int32())})
         df = pl.from_arrow(t).sort(["n", "m"])
         nv = df["n"].to_numpy()
         mv = df["m"].to_numpy()
@@ -1566,22 +1580,37 @@ def q137_link_prediction(sf_dir: str):
             bi = (base[:, None] + ib[None, :]).ravel()
             pk_l.append(mv[ai] * TRI_OFF + mv[bi])   # in-group sorted → x<y
             w_l.append(np.full(len(ai), 1_000_000 // int(d),
-                               dtype=np.int64))
+                               dtype=np.int32))
         if not pk_l:
-            return empty
+            return pa.table({"pk": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.int32())})
         return pa.table({"pk": pa.array(np.concatenate(pk_l)),
                          "w": pa.array(np.concatenate(w_l))})
 
-    wedge = hash_exchange(sym, "n", wedge_weights, num_buckets=32)
-    scored = bucketed_sum(wedge, ["pk"], "w", "ra_e6",
-                          engine="exchange").materialize()
-    edge_pk = edges.map_batches(
-        lambda t: pa.table({"pk": pa.array(
-            np.asarray(t["a"], dtype=np.int64) * TRI_OFF
-            + np.asarray(t["b"], dtype=np.int64))}),
-        batch_format="pyarrow")
-    pred = hash_join(scored, edge_pk, "pk", num_buckets=32, how="anti")
-    top = pred.sort(["ra_e6", "pk"], descending=[True, False]).limit(RA_TOP)
+    def sum_filter_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pk" not in t.column_names:
+            return empty
+        pk = np.asarray(t["pk"], dtype=np.int64)
+        order = np.argsort(pk, kind="stable")       # radix on int64
+        pks = pk[order]
+        ws = np.asarray(t["w"], dtype=np.int64)[order]
+        starts = np.flatnonzero(np.r_[True, pks[1:] != pks[:-1]])
+        upk = pks[starts]
+        s = np.add.reduceat(ws, starts)
+        keys = ray.get(keys_ref)
+        pos = np.searchsorted(keys, upk)
+        pos[pos == len(keys)] = 0
+        new = keys[pos] != upk if len(keys) else np.ones(len(upk), bool)
+        upk, s = upk[new], s[new]
+        if len(upk) > RA_TOP:                     # exact partial: each pk
+            sel = np.lexsort((upk, -s))[:RA_TOP]  # lives in ONE bucket
+            upk, s = upk[sel], s[sel]
+        return pa.table({"pk": pa.array(upk), "ra_e6": pa.array(s)})
+
+    partial = rekey_exchange(sym, "n", wedge_weights, "pk",
+                             sum_filter_top, 32, 32)
+    top = partial.sort(["ra_e6", "pk"],
+                       descending=[True, False]).limit(RA_TOP)
     return top.map_batches(
         lambda t: pa.table({
             "a": pa.array(np.asarray(t["pk"], dtype=np.int64) // TRI_OFF),

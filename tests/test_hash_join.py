@@ -339,3 +339,66 @@ def test_salted_join_matches_hash_join(ray_session, how):
     want = norm(hash_join(left, right, "k", how=how))
     got = norm(salted_join(left, right, "k", salt=5, how=how))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_rekey_exchange_matches_chained(ray_session):
+    """Fused rekey_exchange (groupby key1 → fn1 → regroup by key2 →
+    fn2, intermediate never written as standalone blocks) returns
+    exactly the rows of two chained hash_exchange calls — including
+    under sparse key2 (empty second-hop buckets) and a fn1 that emits
+    MORE rows than it consumes (the pair-generation shape)."""
+    from pboh_entity_linking_ray.functions.grouping import (
+        hash_exchange,
+        rekey_exchange,
+    )
+
+    rng = np.random.default_rng(7)
+    t = pa.table({
+        "g": rng.integers(0, 200, size=5000),
+        "x": rng.integers(0, 50, size=5000),
+    })
+    ds = ray.data.from_arrow(t).repartition(9)
+
+    def gen_pairs(bucket: pa.Table) -> pa.Table:
+        # per g-group: emit (x, 1) for every row plus a (g-derived, 2)
+        # marker — output larger than input, new key column
+        if bucket.num_rows == 0 or "g" not in bucket.column_names:
+            return pa.table({"k2": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.int64())})
+        g = np.asarray(bucket["g"], dtype=np.int64)
+        x = np.asarray(bucket["x"], dtype=np.int64)
+        return pa.table({
+            "k2": pa.array(np.concatenate([x, g % 7])),
+            "w": pa.array(np.concatenate([
+                np.ones(len(x), dtype=np.int64),
+                np.full(len(g), 2, dtype=np.int64)])),
+        })
+
+    def sum_k2(bucket: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if bucket.num_rows == 0 or "k2" not in bucket.column_names:
+            return pa.table({"k2": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64())})
+        return (pl.from_arrow(bucket).group_by("k2")
+                .agg(pl.col("w").sum().alias("s")).sort("k2")
+                .to_arrow().cast(pa.schema([("k2", pa.int64()),
+                                            ("s", pa.int64())])))
+
+    chained = hash_exchange(
+        hash_exchange(ds, "g", gen_pairs, num_buckets=8),
+        "k2", sum_k2, num_buckets=16).to_pandas()
+    fused = rekey_exchange(ds, "g", gen_pairs, "k2", sum_k2,
+                           num_buckets1=8, num_buckets2=16).to_pandas()
+    import pandas as pd
+
+    # same hash → same bucket order → unsorted frames must agree
+    pd.testing.assert_frame_equal(chained, fused)
+
+    # sparse second key: num_buckets2 >> distinct k2 (empty buckets
+    # reach fn2 and the result is unchanged up to row order)
+    sparse = (rekey_exchange(ds, "g", gen_pairs, "k2", sum_k2,
+                             num_buckets1=8, num_buckets2=256)
+              .to_pandas().sort_values("k2").reset_index(drop=True))
+    want = chained.sort_values("k2").reset_index(drop=True)
+    pd.testing.assert_frame_equal(sparse, want)
