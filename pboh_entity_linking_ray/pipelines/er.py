@@ -949,10 +949,11 @@ def q138_one_to_one_match(sf_dir: str):
     loops until no pair is accepted — each round is the same two
     skinny exchanges).
 
-    Shape per round: ONE exchange on the endpoint co-locates each
-    node's pair list (per-group argmax = one lexsort, no Python per
-    node); mutuality is ONE exchange on the packed undirected pair key
-    (a best-choice pair appears twice iff both endpoints chose it);
+    Shape per round: ONE fused ``rekey_exchange`` — co-locate by
+    endpoint (per-node argmax = one lexsort, no Python per node), the
+    same task re-splits the O(nodes) best-choice rows by the packed
+    undirected pair key in-heap, and the pair-side fn keeps the keys
+    appearing twice (both endpoints chose the pair ⟺ mutual);
     matched endpoints retire via two ANTI hash_joins that ship only
     the O(matched) key column.
 
@@ -960,7 +961,7 @@ def q138_one_to_one_match(sf_dir: str):
     (SURVEY §2 M13) hardened to the bipartite-constraint case the
     reference never needs (its mentions pick entities independently;
     record linkage must not let two records claim the same partner)."""
-    from ..functions.grouping import hash_exchange, hash_join
+    from ..functions.grouping import hash_join, rekey_exchange
     from .textops import q115_jaro_winkler_pairs
 
     pairs = q115_jaro_winkler_pairs(sf_dir).materialize()
@@ -1009,9 +1010,8 @@ def q138_one_to_one_match(sf_dir: str):
             lambda t: pa.table({"n": t["b"], "p": t["a"],
                                 "jw_e4": t["jw_e4"]}),
             batch_format="pyarrow"))
-        best = hash_exchange(sym, "n", best_per_node, num_buckets=16)
-        matched = hash_exchange(best, "pk", mutual,
-                                num_buckets=16).materialize()
+        matched = rekey_exchange(sym, "n", best_per_node, "pk", mutual,
+                                 16, 16).materialize()
         matched_rounds.append(matched)
         ends_a = matched.map_batches(
             lambda t: pa.table({"a": pa.array(np.r_[
