@@ -1643,8 +1643,132 @@ ORDER BY ra_e6 DESC, a, b LIMIT {RA_TOP}
 """
 
 
+# --- q141: HITS hubs/authorities on the part-supplier bipartite graph ------
+
+_HITS_OFF = 1 << 32
+
+
+def q141_hits(sf_dir: str):
+    """HITS hubs/authorities (Kleinberg 1999, the public algorithm) over
+    the DISTINCT part–supplier bipartite edge set, in the exact
+    integer path-counting form: with h0 ≡ 1, a1[s] = deg(s),
+    h1[p] = Σ_{s∈N(p)} a1[s], a2[s] = Σ_{p∈N(s)} h1[p], h2[p] = Σ a2 —
+    unnormalized scores are path counts, so every value is an exact
+    int64 and the SQL twin (three join+groupby rounds) matches
+    hash-exactly; the production variant at more rounds would normalize
+    in DOUBLE per round (overflow), traded away here for oracle
+    exactness.
+
+    Shape: edge dedup is one packed-key exchange (distinct (p,s) ≪
+    lineitem); each hop is ONE bucketed join exchange with the
+    per-target partial sum FUSED into the bucket task (``post=``) so
+    the joined rows never cross the object store, plus one O(nodes)
+    skinny regroup.  Score tables are O(nodes) rows — never broadcast,
+    never driver-materialized, so billion-node graphs stream.
+
+    Reference analog: the co-citation neighborhood scoring family
+    (SURVEY §2 A4/J4) generalized to the mutual-reinforcement ranking
+    the IR literature uses."""
+    import pyarrow.compute as pc
+
+    from ..functions.grouping import (bucketed_sum, hash_exchange,
+                                      hash_join)
+    from .relational import _t
+
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        lambda t: pa.table({"pk": pc.add(
+            pc.multiply(pc.cast(t["l_partkey"], pa.int64()), _HITS_OFF),
+            pc.cast(t["l_suppkey"], pa.int64()))}),
+        batch_format="pyarrow")
+
+    def uniq(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pk" not in t.column_names:
+            return pa.table({"p": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64())})
+        pk = np.unique(np.asarray(t["pk"], dtype=np.int64))
+        return pa.table({"p": pa.array(pk // _HITS_OFF),
+                         "s": pa.array(pk % _HITS_OFF)})
+
+    dedup = li.map_batches(
+        lambda t: (pa.table({"pk": pa.array(
+            np.unique(np.asarray(t["pk"], dtype=np.int64)))})
+            if t.num_rows and "pk" in t.column_names
+            else pa.table({"pk": pa.array([], type=pa.int64())})),
+        batch_format="pyarrow")
+    edges = hash_exchange(dedup, "pk", uniq, num_buckets=16).materialize()
+
+    def count_s(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0 or "s" not in t.column_names:
+            return pa.table({"s": pa.array([], type=pa.int64()),
+                             "v": pa.array([], type=pa.int64())})
+        return (pl.from_arrow(t).group_by("s")
+                .agg(v=pl.len().cast(pl.Int64)).to_arrow())
+
+    a1 = hash_exchange(edges, "s", count_s, num_buckets=16)
+
+    def _hop(scores, from_col: str, to_col: str):
+        def part(t: pa.Table) -> pa.Table:
+            import polars as pl
+
+            if t.num_rows == 0 or to_col not in t.column_names:
+                return pa.table({to_col: pa.array([], type=pa.int64()),
+                                 "vp": pa.array([], type=pa.int64())})
+            return (pl.from_arrow(t).group_by(to_col)
+                    .agg(vp=pl.col("v").sum()).to_arrow())
+
+        joined = hash_join(edges, scores, on=from_col, num_buckets=16,
+                           post=part)
+        return bucketed_sum(joined, [to_col], "vp", "v", num_buckets=16,
+                            engine="exchange")
+
+    h1 = _hop(a1, "s", "p").materialize()
+    a2 = _hop(h1, "p", "s").materialize()
+    h2 = _hop(a2, "s", "p")
+
+    def tag(node_type: str, col: str):
+        def f(t: pa.Table) -> pa.Table:
+            _OUT = pa.schema([("node_type", pa.string()),
+                              ("node_id", pa.int64()),
+                              ("score", pa.int64())])
+            if t.num_rows == 0 or col not in t.column_names:
+                return _OUT.empty_table()
+            return pa.table({
+                "node_type": pa.array([node_type] * t.num_rows),
+                "node_id": t[col].combine_chunks().cast(pa.int64()),
+                "score": t["v"].combine_chunks().cast(pa.int64()),
+            })
+
+        return f
+
+    parts_side = h2.map_batches(tag("part", "p"), batch_format="pyarrow")
+    supp_side = a2.map_batches(tag("supplier", "s"), batch_format="pyarrow")
+    return parts_side.union(supp_side)
+
+
+SQL_Q141 = """
+WITH e AS (
+  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p,
+                  CAST(l_suppkey AS BIGINT) AS s
+  FROM lineitem
+),
+a1 AS (SELECT s, CAST(count(*) AS BIGINT) AS v FROM e GROUP BY s),
+h1 AS (SELECT e.p, CAST(SUM(a1.v) AS BIGINT) AS v
+       FROM e JOIN a1 USING (s) GROUP BY e.p),
+a2 AS (SELECT e.s, CAST(SUM(h1.v) AS BIGINT) AS v
+       FROM e JOIN h1 USING (p) GROUP BY e.s),
+h2 AS (SELECT e.p, CAST(SUM(a2.v) AS BIGINT) AS v
+       FROM e JOIN a2 USING (s) GROUP BY e.p)
+SELECT 'part' AS node_type, p AS node_id, v AS score FROM h2
+UNION ALL
+SELECT 'supplier' AS node_type, s AS node_id, v AS score FROM a2
+"""
+
+
 QUERIES = {
     "q129_item_similarity": (q129_item_similarity, SQL_Q129),
+    "q141_hits": (q141_hits, SQL_Q141),
     "q39_order_rank": (q39_order_rank, SQL_Q39),
     "q40_running_revenue": (q40_running_revenue, SQL_Q40),
     "q41_rollup_revenue": (q41_rollup_revenue, SQL_Q41),

@@ -685,8 +685,136 @@ FROM r, tot WHERE rk <= {SKEW_TOPK}
 """
 
 
+# --- q140: Pearson correlation matrix from exact sufficient statistics -----
+
+# lineitem's numeric columns, integerized so every sufficient statistic
+# is an EXACT int64 (cross-engine float-order-of-summation immunity):
+# whole units for price (cents would push Σp² past int64 at sf ≥ 1),
+# e2 for the small-ratio columns, unit quantity.
+_CORR_COLS = ("disc", "price", "qty", "tax")
+_CORR_PAIRS = [(a, b) for i, a in enumerate(_CORR_COLS)
+               for b in _CORR_COLS[i + 1:]]
+
+_CORR_PART = pa.schema(
+    [("pair", pa.string())]
+    + [(c, pa.int64()) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+
+
+def _corr_partial(t: pa.Table) -> pa.Table:
+    """One row per column pair per batch: exact integer (n, Σx, Σy,
+    Σxy, Σx², Σy²) partials.  6 skinny rows replace the batch."""
+    if t.num_rows == 0 or "l_quantity" not in t.column_names:
+        return _CORR_PART.empty_table()
+    cols = {
+        "qty": np.floor(np.asarray(t["l_quantity"]) + 0.5).astype(np.int64),
+        "price": np.floor(np.asarray(t["l_extendedprice"])
+                          + 0.5).astype(np.int64),
+        "disc": np.floor(np.asarray(t["l_discount"]) * 100
+                         + 0.5).astype(np.int64),
+        "tax": np.floor(np.asarray(t["l_tax"]) * 100 + 0.5).astype(np.int64),
+    }
+    n = t.num_rows
+    rows = {k: [] for k in ("pair", "n", "sx", "sy", "sxy", "sxx", "syy")}
+    for cx, cy in _CORR_PAIRS:
+        x, y = cols[cx], cols[cy]
+        rows["pair"].append(f"{cx}|{cy}")
+        rows["n"].append(n)
+        rows["sx"].append(int(x.sum()))
+        rows["sy"].append(int(y.sum()))
+        rows["sxy"].append(int((x * y).sum()))
+        rows["sxx"].append(int((x * x).sum()))
+        rows["syy"].append(int((y * y).sum()))
+    return pa.table({"pair": pa.array(rows["pair"], type=pa.string()),
+                     **{k: pa.array(rows[k], type=pa.int64())
+                        for k in ("n", "sx", "sy", "sxy", "sxx", "syy")}})
+
+
+def q140_correlation_matrix(sf_dir: str):
+    """Pearson correlation matrix over lineitem's four numeric columns
+    (quantity / extendedprice / discount / tax) — the profiling step a
+    feature-engineering pipeline runs before model training.  One
+    vectorized per-batch pass reduces each batch to six exact-integer
+    sufficient-statistic rows, ONE O(pairs)-key exchange sums them, and
+    a closed-form finish computes corr; the float expression tree
+    (DOUBLE casts before every big product, op order) is mirrored
+    token-for-token in the SQL twin so the e4 floor matches hash-exactly
+    (CLAUDE.md q95 discipline).  Driver never sees row data — the
+    exchange carries 6 rows per map task regardless of input size.
+    At extreme scale (Σprice² past int64 around sf ~100) the partial
+    pass would switch to DOUBLE Welford merges; exact ints are kept here
+    because they are what makes the oracle twin bit-stable."""
+    from ..functions.grouping import bucketed_sum_multi
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    parts = li.map_batches(_corr_partial, batch_format="pyarrow")
+    sums = bucketed_sum_multi(
+        parts, ["pair"],
+        {c: c for c in ("n", "sx", "sy", "sxy", "sxx", "syy")},
+        num_buckets=4, engine="exchange")
+
+    def finish(t: pa.Table) -> pa.Table:
+        _OUT = pa.schema([("col_x", pa.string()), ("col_y", pa.string()),
+                          ("n", pa.int64()), ("corr_e4", pa.int64())])
+        if t.num_rows == 0 or "pair" not in t.column_names:
+            return _OUT.empty_table()
+        n = np.asarray(t["n"], dtype=np.int64).astype(np.float64)
+        sx = np.asarray(t["sx"], dtype=np.int64).astype(np.float64)
+        sy = np.asarray(t["sy"], dtype=np.int64).astype(np.float64)
+        sxy = np.asarray(t["sxy"], dtype=np.int64).astype(np.float64)
+        sxx = np.asarray(t["sxx"], dtype=np.int64).astype(np.float64)
+        syy = np.asarray(t["syy"], dtype=np.int64).astype(np.float64)
+        corr = (n * sxy - sx * sy) / np.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy))
+        pairs = t["pair"].to_pylist()          # 6 rows total, not row data
+        return pa.table({
+            "col_x": pa.array([p.split("|")[0] for p in pairs]),
+            "col_y": pa.array([p.split("|")[1] for p in pairs]),
+            "n": t["n"].combine_chunks().cast(pa.int64()),
+            "corr_e4": pa.array(np.floor(corr * 10000 + 0.5)
+                                .astype(np.int64)),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_q140() -> str:
+    stats = []
+    for c in _CORR_COLS:
+        stats.append(f"SUM({c}) AS s_{c}, SUM({c} * {c}) AS ss_{c}")
+    for cx, cy in _CORR_PAIRS:
+        stats.append(f"SUM({cx} * {cy}) AS c_{cx}_{cy}")
+    sel = []
+    for cx, cy in _CORR_PAIRS:
+        expr = (f"(CAST(n AS DOUBLE) * CAST(c_{cx}_{cy} AS DOUBLE)"
+                f" - CAST(s_{cx} AS DOUBLE) * CAST(s_{cy} AS DOUBLE))"
+                f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{cx} AS DOUBLE)"
+                f" - CAST(s_{cx} AS DOUBLE) * CAST(s_{cx} AS DOUBLE))"
+                f" * (CAST(n AS DOUBLE) * CAST(ss_{cy} AS DOUBLE)"
+                f" - CAST(s_{cy} AS DOUBLE) * CAST(s_{cy} AS DOUBLE)))")
+        sel.append(f"SELECT '{cx}' AS col_x, '{cy}' AS col_y, n,"
+                   f" CAST(FLOOR({expr} * 10000 + 0.5) AS BIGINT)"
+                   f" AS corr_e4 FROM s")
+    return f"""
+WITH b AS (
+  SELECT CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+         CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS price,
+         CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS disc,
+         CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) AS tax
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, {", ".join(stats)}
+  FROM b
+)
+{" UNION ALL ".join(sel)}
+"""
+
+
 QUERIES = {
     "q31_distinct_users": (q31_distinct_users, SQL_Q31),
+    "q140_correlation_matrix": (q140_correlation_matrix, _sql_q140()),
     "q132_key_skew": (q132_key_skew, SQL_Q132),
     "q94_audience_overlap": (q94_audience_overlap, SQL_Q94),
     "hll_distinct_users": (hll_distinct_users, None),

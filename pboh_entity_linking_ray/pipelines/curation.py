@@ -1076,8 +1076,172 @@ GROUP BY t.doc_id
 """
 
 
+# --- q142: per-language character histogram ---------------------------------
+
+_HIST_PART = pa.schema([("lang", pa.string()), ("ch", pa.string()),
+                        ("cnt_p", pa.int64())])
+
+
+def _char_hist_partial(t: pa.Table) -> pa.Table:
+    """Per-batch (lang, char) counts: one byte-level ``np.bincount`` per
+    language group (the corpus is ASCII, where bytes ≡ characters; a
+    UTF-8 corpus would route through a decoded codepoint column first).
+    Replaces the batch with ≤ |langs|·256 skinny partial rows."""
+    import polars as pl
+
+    if t.num_rows == 0 or "lang" not in t.column_names:
+        return _HIST_PART.empty_table()
+    df = pl.from_arrow(t.select(["lang", "text"]))
+    langs, chs, cnts = [], [], []
+    for (lv,), g in df.group_by("lang"):
+        joined = g["text"].str.join("")
+        buf = np.frombuffer(joined[0].encode("utf-8"), dtype=np.uint8)
+        bc = np.bincount(buf, minlength=256)
+        nz = np.flatnonzero(bc)
+        langs.extend([lv] * len(nz))
+        chs.extend(chr(c) for c in nz)
+        cnts.extend(bc[nz].tolist())
+    return pa.table({"lang": pa.array(langs, type=pa.string()),
+                     "ch": pa.array(chs, type=pa.string()),
+                     "cnt_p": pa.array(cnts, type=pa.int64())})
+
+
+def q142_char_histogram(sf_dir: str):
+    """Corpus character-frequency histogram per language — the unigram
+    byte/char distribution langid models and compression-ratio
+    estimators are fit on.  Per-batch ``np.bincount`` over the
+    language-grouped byte stream collapses each batch to ≤ 256 rows per
+    language, so the ONE exchange that follows moves O(langs × charset)
+    rows regardless of corpus size — the canonical combiner-first
+    aggregate (same discipline as q05 word count, at character
+    granularity)."""
+    from ..functions.grouping import bucketed_sum
+
+    parts = _docs(sf_dir, columns=("lang", "text")).map_batches(
+        _char_hist_partial, batch_format="pyarrow")
+    return bucketed_sum(parts, ["lang", "ch"], "cnt_p", "cnt",
+                        num_buckets=8, engine="exchange")
+
+
+SQL_Q142 = """
+SELECT lang, c AS ch, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT lang, unnest(string_split(text, '')) AS c FROM documents)
+GROUP BY lang, c
+"""
+
+
+# --- q143: per-document n-gram novelty rate ---------------------------------
+
+NOV_W = 5           # shingle width for the novelty attribution
+
+
+def _novelty_rows(t: pa.Table) -> pa.Table:
+    """batch → exploded (h, doc_id) rows: per-doc DISTINCT NOV_W-token
+    shingles under the md5 oracle-parity hash (bit-cast to int64 for
+    Ray, CLAUDE.md uint64 rule)."""
+    _OUT = pa.schema([("h", pa.int64()), ("doc_id", pa.int64())])
+    if t.num_rows == 0 or "text" not in t.column_names:
+        return _OUT.empty_table()
+    ids = np.asarray(t["doc_id"], dtype=np.int64)
+    df = _doc_shingles(t, NOV_W)
+    if len(df) == 0:
+        return _OUT.empty_table()
+    rid = df["rid"].to_numpy().astype(np.int64)
+    hs = _md5_cached({}, df["sh"].to_list())
+    return pa.table({"h": pa.array(hs.view(np.int64), type=pa.int64()),
+                     "doc_id": pa.array(ids[rid], type=pa.int64())})
+
+
+def q143_novelty_rate(sf_dir: str):
+    """Per-document content-novelty rate: the fraction of a document's
+    distinct NOV_W-token shingles whose global FIRST occurrence (min
+    doc_id owner) is this document — the marginal-contribution measure
+    a curation pipeline uses to rank near-redundant sources (each
+    shingle's credit goes to exactly one doc, so Σ novel over the
+    corpus = |global distinct shingles|).
+
+    ONE fused ``rekey_exchange``: shingle-keyed buckets resolve each
+    hash's owning doc AND the per-doc row counts (totals need no second
+    pass — a doc's shingle rows are its total), then the per-doc
+    partials re-route by doc_id and sum.  The exploded shingle stream
+    crosses the object store exactly once; the md5 keying keeps hash
+    collisions identical in both engines (CLAUDE.md parity
+    discipline)."""
+    import polars as pl
+
+    from ..functions.grouping import rekey_exchange
+
+    rows = _docs(sf_dir).map_batches(_novelty_rows,
+                                     batch_format="pyarrow",
+                                     batch_size=256)
+
+    _MID = pa.schema([("doc_id", pa.int64()), ("total_p", pa.int64()),
+                      ("novel_p", pa.int64())])
+
+    def per_hash(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return _MID.empty_table()
+        df = pl.from_arrow(t)
+        tot = df.group_by("doc_id").agg(total_p=pl.len().cast(pl.Int64))
+        win = (df.group_by("h").agg(pl.col("doc_id").min())
+               .group_by("doc_id").agg(novel_p=pl.len().cast(pl.Int64)))
+        out = (tot.join(win, on="doc_id", how="full", coalesce=True)
+               .fill_null(0))
+        return out.select(["doc_id", "total_p", "novel_p"]).to_arrow() \
+                  .cast(_MID)
+
+    _OUT = pa.schema([("doc_id", pa.int64()), ("n_shingles", pa.int64()),
+                      ("n_novel", pa.int64()), ("novelty_e4", pa.int64())])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return _OUT.empty_table()
+        df = (pl.from_arrow(t).group_by("doc_id")
+              .agg(n_shingles=pl.col("total_p").sum(),
+                   n_novel=pl.col("novel_p").sum()))
+        ns = df["n_shingles"].to_numpy().astype(np.int64)
+        nv = df["n_novel"].to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": df["doc_id"].to_arrow().cast(pa.int64()),
+            "n_shingles": pa.array(ns),
+            "n_novel": pa.array(nv),
+            "novelty_e4": pa.array(10000 * nv // ns),
+        })
+
+    return rekey_exchange(rows, "h", per_hash, "doc_id", per_doc,
+                          num_buckets1=32, num_buckets2=16)
+
+
+SQL_Q143 = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         md5_number_lower(unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(t) - {NOV_W - 1}, 0)),
+             i -> list_aggregate(t[i : i + {NOV_W - 1}], 'string_agg', ' ')
+         )))) AS h
+  FROM toks
+),
+own AS (SELECT h, min(doc_id) AS owner FROM sh GROUP BY h),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+        FROM sh GROUP BY doc_id),
+nov AS (SELECT owner AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        FROM own GROUP BY owner)
+SELECT t.doc_id, t.n_shingles,
+       COALESCE(n.n_novel, 0) AS n_novel,
+       CAST(10000 * COALESCE(n.n_novel, 0) // t.n_shingles AS BIGINT)
+           AS novelty_e4
+FROM tot t LEFT JOIN nov n USING (doc_id)
+"""
+
+
 QUERIES = {
     "q50_decontaminate": (q50_decontaminate, SQL_Q50),
+    "q142_char_histogram": (q142_char_histogram, SQL_Q142),
+    "q143_novelty_rate": (q143_novelty_rate, SQL_Q143),
     "q51_pii_scrub": (q51_pii_scrub, SQL_Q51),
     "q52_repetition_filter": (q52_repetition_filter, SQL_Q52),
     "q53_pack_sequences": (q53_pack_sequences, SQL_Q53),

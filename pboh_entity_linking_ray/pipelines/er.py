@@ -1063,8 +1063,115 @@ WITH p0 AS ({SQL_Q115}),
 """
 
 
+# --- q144: transitivity audit of the scored match graph --------------------
+
+def q144_transitivity_audit(sf_dir: str):
+    """Per-node transitivity audit of the q115 match graph — the
+    standard consistency diagnostic on a pairwise matcher before
+    clustering: for every center n with matched neighbors u, v, is
+    (u, v) itself matched?  Open wedges (it is not) are exactly the
+    decisions connected-components clustering will force by
+    transitivity without pairwise evidence; nodes with low closure are
+    routed to clerical review (q122).
+
+    Shape: ONE hash exchange on the wedge center — a center's
+    symmetrized rows all land in one bucket, so wedge counts are FINAL
+    there (no second shuffle): grouped-triu enumeration (q84 idiom)
+    batched by degree, closure probe via the sorted packed edge-key
+    array broadcast once (`ray.put`) and searchsorted per bucket —
+    q84's closure device; a match graph outgrowing TRI_BCAST_MAX swaps
+    in the anti hash_join.  Work per bucket is O(Σ deg²) with no
+    Python per wedge.
+
+    Reference analogue: the solution-consistency checks of
+    eval/Verifier-family bulk set intersections (SURVEY §2 J6/D4),
+    applied to the matcher's own output graph."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange
+    from .linkage import _concat_ds
+    from .textops import q115_jaro_winkler_pairs
+
+    pairs = q115_jaro_winkler_pairs(sf_dir).materialize()
+    etbl = _concat_ds(pairs)
+    edge_keys = np.sort(np.asarray(etbl["a"], dtype=np.int64) * MBM_OFF
+                        + np.asarray(etbl["b"], dtype=np.int64))
+    keys_ref = ray.put(edge_keys)
+
+    sym = pairs.map_batches(
+        lambda t: pa.table({"n": t["a"], "m": t["b"]}),
+        batch_format="pyarrow",
+    ).union(pairs.map_batches(
+        lambda t: pa.table({"n": t["b"], "m": t["a"]}),
+        batch_format="pyarrow"))
+
+    _OUT = pa.schema([("node", pa.int64()), ("n_wedges", pa.int64()),
+                      ("n_open", pa.int64()), ("closure_e4", pa.int64())])
+
+    def per_center(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return _OUT.empty_table()
+        df = pl.from_arrow(t).sort(["n", "m"])
+        nv = df["n"].to_numpy()
+        mv = df["m"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, nv[1:] != nv[:-1]])
+        sizes = np.diff(np.append(starts, len(nv)))
+        keys = ray.get(keys_ref)
+        ctr_l, pk_l = [], []
+        for d in np.unique(sizes):
+            if d < 2:
+                continue
+            ia, ib = np.triu_indices(int(d), k=1)
+            base = starts[sizes == d]
+            ai = (base[:, None] + ia[None, :]).ravel()
+            bi = (base[:, None] + ib[None, :]).ravel()
+            pk_l.append(mv[ai] * MBM_OFF + mv[bi])  # in-group sorted → u<v
+            ctr_l.append(np.repeat(nv[base], len(ia)))
+        if not pk_l:
+            return _OUT.empty_table()
+        ctr = np.concatenate(ctr_l)
+        pk = np.concatenate(pk_l)
+        pos = np.searchsorted(keys, pk)
+        closed = ((pos < len(keys))
+                  & (keys[np.minimum(pos, len(keys) - 1)] == pk))
+        order = np.argsort(ctr, kind="stable")
+        cs = ctr[order]
+        seg = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        n_wedges = np.diff(np.append(seg, len(cs))).astype(np.int64)
+        n_closed = np.add.reduceat(
+            closed[order].astype(np.int64), seg)
+        n_open = n_wedges - n_closed
+        return pa.table({
+            "node": pa.array(cs[seg], type=pa.int64()),
+            "n_wedges": pa.array(n_wedges),
+            "n_open": pa.array(n_open),
+            "closure_e4": pa.array(10000 * n_closed // n_wedges),
+        })
+
+    return hash_exchange(sym, "n", per_center, num_buckets=16)
+
+
+def _sql_q144() -> str:
+    from .textops import SQL_Q115
+
+    return f"""
+WITH p0 AS ({SQL_Q115}),
+sym AS (SELECT a AS n, b AS m FROM p0 UNION ALL SELECT b, a FROM p0),
+w AS (SELECT x.n AS ctr, x.m AS u, y.m AS v
+      FROM sym x JOIN sym y ON x.n = y.n AND x.m < y.m),
+o AS (SELECT w.ctr, CASE WHEN p.a IS NULL THEN 1 ELSE 0 END AS op
+      FROM w LEFT JOIN p0 p ON w.u = p.a AND w.v = p.b)
+SELECT ctr AS node, CAST(count(*) AS BIGINT) AS n_wedges,
+       CAST(SUM(op) AS BIGINT) AS n_open,
+       CAST(10000 * (count(*) - SUM(op)) // count(*) AS BIGINT)
+           AS closure_e4
+FROM o GROUP BY ctr
+"""
+
+
 QUERIES = {
     "q117_sorted_neighborhood": (q117_sorted_neighborhood, SQL_Q117),
+    "q144_transitivity_audit": (q144_transitivity_audit, _sql_q144()),
     "q118_metablocking": (q118_metablocking, _sql_q118()),
     "q119_fs_weights": (q119_fs_weights, SQL_Q119),
     "q120_score_calibration": (q120_score_calibration, SQL_Q120),
