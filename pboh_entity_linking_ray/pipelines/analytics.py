@@ -1747,6 +1747,131 @@ def q141_hits(sf_dir: str):
     return parts_side.union(supp_side)
 
 
+# --- q148: degree assortativity of the co-purchase graph --------------------
+
+def q148_degree_assortativity(sf_dir: str):
+    """Degree assortativity (Newman 2002) of the part co-purchase
+    graph: the Pearson correlation of (deg(u), deg(v)) over all
+    DIRECTED edges — do high-degree parts co-purchase with high-degree
+    parts?  Reduces to exact int64 sufficient statistics (n, Σx, Σy,
+    Σxy, Σx², Σy² over directed edges; symmetry makes Σx = Σy, computed
+    independently anyway), finished with the q140 mirrored float
+    expression tree → e4 hash-exact.
+
+    Shape: degrees from ONE node-keyed exchange over the symmetrized
+    edge list (count = local group size); two bucketed ``hash_join``s
+    attach deg(u) then deg(v) with the per-batch sufficient-statistic
+    partial FUSED into the second join's bucket task (``post=``) — the
+    widest (u, v, dx, dy) rows never cross the object store; a final
+    O(1)-row sum.  No driver materialization of nodes or edges."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum_multi, hash_exchange, \
+        hash_join
+
+    edges = _copurchase_edges(sf_dir).materialize()
+    sym = edges.map_batches(
+        lambda t: pa.table({"n": t["a"], "m": t["b"]}),
+        batch_format="pyarrow",
+    ).union(edges.map_batches(
+        lambda t: pa.table({"n": t["b"], "m": t["a"]}),
+        batch_format="pyarrow")).materialize()
+
+    def deg_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "dx": pa.array([], type=pa.int64())})
+        return (pl.from_arrow(t).group_by("n")
+                .agg(dx=pl.len().cast(pl.Int64)).to_arrow())
+
+    deg_x = hash_exchange(sym, "n", deg_fn, num_buckets=16)
+    deg_y = deg_x.map_batches(
+        lambda t: pa.table({"m": t["n"], "dy": t["dx"]}),
+        batch_format="pyarrow")
+
+    with_dx = hash_join(sym, deg_x, on="n", num_buckets=16)
+
+    _PART = pa.schema([("k", pa.int64())]
+                      + [(c, pa.int64())
+                         for c in ("n_e", "sx", "sy", "sxy", "sxx", "syy")])
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "dx" not in t.column_names:
+            return _PART.empty_table()
+        x = np.asarray(t["dx"], dtype=np.int64)
+        y = np.asarray(t["dy"], dtype=np.int64)
+        return pa.table({
+            "k": pa.array([0], type=pa.int64()),
+            "n_e": pa.array([t.num_rows], type=pa.int64()),
+            "sx": pa.array([int(x.sum())], type=pa.int64()),
+            "sy": pa.array([int(y.sum())], type=pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+            "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+        })
+
+    parts = hash_join(with_dx, deg_y, on="m", num_buckets=16,
+                      post=stat_partial)
+    sums = bucketed_sum_multi(
+        parts, ["k"],
+        {c: c for c in ("n_e", "sx", "sy", "sxy", "sxx", "syy")},
+        num_buckets=1, engine="exchange")
+
+    def finish(t: pa.Table) -> pa.Table:
+        _OUT = pa.schema([("n_edges_directed", pa.int64()),
+                          ("assort_e4", pa.int64())])
+        if t.num_rows == 0 or "n_e" not in t.column_names:
+            return _OUT.empty_table()
+        n = np.asarray(t["n_e"], dtype=np.int64).astype(np.float64)
+        sx = np.asarray(t["sx"], dtype=np.int64).astype(np.float64)
+        sy = np.asarray(t["sy"], dtype=np.int64).astype(np.float64)
+        sxy = np.asarray(t["sxy"], dtype=np.int64).astype(np.float64)
+        sxx = np.asarray(t["sxx"], dtype=np.int64).astype(np.float64)
+        syy = np.asarray(t["syy"], dtype=np.int64).astype(np.float64)
+        corr = (n * sxy - sx * sy) / np.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy))
+        return pa.table({
+            "n_edges_directed": pa.array(
+                np.asarray(t["n_e"], dtype=np.int64)),
+            "assort_e4": pa.array(np.floor(corr * 10000 + 0.5)
+                                  .astype(np.int64)),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_Q148 = """
+WITH pp AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+sym AS (SELECT a AS n, b AS m FROM pp UNION ALL SELECT b, a FROM pp),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY n),
+ed AS (
+  SELECT dx.d AS x, dy.d AS y
+  FROM sym JOIN deg dx ON sym.n = dx.n JOIN deg dy ON sym.m = dy.n
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM ed
+)
+SELECT n AS n_edges_directed,
+       CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  * 10000 + 0.5) AS BIGINT) AS assort_e4
+FROM s
+"""
+
+
 SQL_Q141 = """
 WITH e AS (
   SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p,
@@ -1769,6 +1894,7 @@ SELECT 'supplier' AS node_type, s AS node_id, v AS score FROM a2
 QUERIES = {
     "q129_item_similarity": (q129_item_similarity, SQL_Q129),
     "q141_hits": (q141_hits, SQL_Q141),
+    "q148_degree_assortativity": (q148_degree_assortativity, SQL_Q148),
     "q39_order_rank": (q39_order_rank, SQL_Q39),
     "q40_running_revenue": (q40_running_revenue, SQL_Q40),
     "q41_rollup_revenue": (q41_rollup_revenue, SQL_Q41),

@@ -2399,8 +2399,101 @@ WHERE v1.event_id IS NULL OR v2.event_id IS NULL OR v_old != v_new
 """
 
 
+# --- q147: grouped weighted median ------------------------------------------
+
+def q147_weighted_median(sf_dir: str):
+    """Exact quantity-weighted median unit price per return flag — the
+    grouped WEIGHTED order statistic (robust price point where each row
+    counts by volume, not once).  Definition: smallest value v with
+    2·cumweight(≤v) ≥ totalweight — pure integer comparisons, so both
+    engines pick the identical row with no interpolation float.
+
+    Shape: per-batch (group, value) weight partials collapse duplicates
+    (prices repeat heavily) → ONE exchange keyed on the GROUP (a
+    group's value histogram co-locates; O(distinct values) rows move,
+    never lineitem) → per-group sort + cumsum + first-true probe,
+    vectorized over all groups in the bucket with one lexsort — the
+    q29 histogram-quantile discipline extended with weights."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange
+
+    li = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    _PART = pa.schema([("grp", pa.string()), ("v", pa.int64()),
+                       ("w_p", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_returnflag" not in t.column_names:
+            return _PART.empty_table()
+        return (pl.DataFrame({
+            "grp": pl.from_arrow(t["l_returnflag"].combine_chunks()),
+            "v": np.floor(np.asarray(t["l_extendedprice"]) * 100
+                          + 0.5).astype(np.int64),
+            "w_p": np.floor(np.asarray(t["l_quantity"])
+                            + 0.5).astype(np.int64)})
+            .group_by(["grp", "v"]).agg(pl.col("w_p").sum())
+            .to_arrow().cast(_PART))
+
+    _OUT = pa.schema([("grp", pa.string()), ("wmedian_cents", pa.int64()),
+                      ("total_weight", pa.int64())])
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "grp" not in t.column_names:
+            return _OUT.empty_table()
+        df = (pl.from_arrow(t).group_by(["grp", "v"])
+              .agg(w=pl.col("w_p").sum()).sort(["grp", "v"]))
+        g = df["grp"].to_numpy()
+        v = df["v"].to_numpy().astype(np.int64)
+        w = df["w"].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        cw = np.cumsum(w)
+        base = np.repeat(np.r_[0, cw[starts[1:] - 1]],
+                         np.diff(np.append(starts, len(g))))
+        cumw = cw - base
+        tot = np.repeat(np.add.reduceat(w, starts),
+                        np.diff(np.append(starts, len(g))))
+        ok = 2 * cumw >= tot
+        # first qualifying row per group (ok is monotone within a group);
+        # O(groups) loop over segments, not rows
+        idx = np.asarray(
+            [st + int(np.argmax(ok[st:en]))
+             for st, en in zip(starts, np.append(starts[1:], len(g)))],
+            dtype=np.int64)
+        return pa.table({
+            "grp": pa.array(g[idx].tolist(), type=pa.string()),
+            "wmedian_cents": pa.array(v[idx]),
+            "total_weight": pa.array(tot[idx]),
+        })
+
+    parts = li.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(parts, "grp", pick, num_buckets=4)
+
+
+SQL_Q147 = """
+WITH b AS (
+  SELECT l_returnflag AS grp,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS w
+  FROM lineitem
+),
+c AS (SELECT grp, v, CAST(SUM(w) AS BIGINT) AS w FROM b GROUP BY 1, 2),
+a AS (
+  SELECT grp, v,
+         SUM(w) OVER (PARTITION BY grp ORDER BY v) AS cw,
+         SUM(w) OVER (PARTITION BY grp) AS tw
+  FROM c
+)
+SELECT grp, CAST(MIN(v) AS BIGINT) AS wmedian_cents,
+       CAST(MIN(tw) AS BIGINT) AS total_weight
+FROM a WHERE 2 * cw >= tw GROUP BY grp
+"""
+
+
 QUERIES = {
     "q01_lineitem_agg": (q01_lineitem_agg, SQL_Q01),
+    "q147_weighted_median": (q147_weighted_median, SQL_Q147),
     "q116_snapshot_diff": (q116_snapshot_diff, SQL_Q116),
     "q02_customer_revenue": (q02_customer_revenue, SQL_Q02),
     "q03_top_parts": (q03_top_parts, SQL_Q03),

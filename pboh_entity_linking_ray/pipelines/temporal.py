@@ -836,8 +836,183 @@ WHERE g.cnt * {ANOM_NUM} >= m.med2 * {ANOM_DEN} AND g.cnt >= {ANOM_MIN_CNT}
 """
 
 
+# --- q145: CUSUM change-point detection in exact integers -------------------
+
+CUSUM_H_MULT = 4      # alarm when cusum > H_MULT × per-type hourly mean
+_US_HOUR = 3_600_000_000
+
+
+def q145_cusum(sf_dir: str):
+    """Upper CUSUM change detection (Page 1954) over each event type's
+    hourly revenue series, in EXACT integer arithmetic end to end: the
+    sequential recurrence s_t = max(0, s_{t-1} + x_t − k) is replaced by
+    its closed form s_t = cum_t − min(0, min_{j≤t} cum_j) with
+    cum_t = Σ_{i≤t}(x_i − k) — a cumulative sum and a prefix min, both
+    order-free to express and exactly mirrored by SQL window functions,
+    so no float ever crosses engines.  Reference k = per-type hourly
+    mean (floor), alarm threshold H = CUSUM_H_MULT·k.
+
+    Shape: per-batch (type, hour) cent partials (combiner) → ONE
+    event_type exchange (a type's hourly series co-locates by
+    construction, O(hours) rows per type, never raw events) → per-type
+    vectorized cumsum + running-min inside the bucket.  The scan is the
+    q99/q111 distributed-scan family applied to the drift statistic."""
+    import polars as pl
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+
+    _PART = pa.schema([("event_type", pa.string()), ("hr", pa.int64()),
+                       ("x_p", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return _PART.empty_table()
+        hr = (np.asarray(t["ts"].cast(pa.timestamp("us")), dtype="int64")
+              // _US_HOUR)
+        cents = np.floor(np.asarray(t["value"]) * 100
+                         + 0.5).astype(np.int64)
+        return (pl.DataFrame({
+            "event_type": pl.from_arrow(t["event_type"].combine_chunks()),
+            "hr": hr, "x_p": cents})
+            .group_by(["event_type", "hr"])
+            .agg(pl.col("x_p").sum()).to_arrow().cast(_PART))
+
+    _OUT = pa.schema([("event_type", pa.string()), ("hr", pa.int64()),
+                      ("cusum", pa.int64()), ("alarm", pa.int64())])
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return _OUT.empty_table()
+        df = (pl.from_arrow(t).group_by(["event_type", "hr"])
+              .agg(x=pl.col("x_p").sum()).sort(["event_type", "hr"]))
+        et = df["event_type"].to_numpy()
+        x = df["x"].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        sizes = np.diff(np.append(starts, len(et)))
+        cus = np.empty(len(et), dtype=np.int64)
+        alarm = np.empty(len(et), dtype=np.int64)
+        for st, sz in zip(starts, sizes):      # O(types) segments, not rows
+            seg = x[st:st + sz]
+            k = seg.sum() // sz
+            cum = np.cumsum(seg - k)
+            pmin = np.minimum(np.minimum.accumulate(cum), 0)
+            s = cum - pmin
+            cus[st:st + sz] = s
+            alarm[st:st + sz] = (s > CUSUM_H_MULT * k).astype(np.int64)
+        return pa.table({
+            "event_type": df["event_type"].to_arrow().cast(pa.string()),
+            "hr": df["hr"].to_arrow().cast(pa.int64()),
+            "cusum": pa.array(cus), "alarm": pa.array(alarm)})
+
+    parts = ev.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(parts, "event_type", scan, num_buckets=8)
+
+
+SQL_Q145 = f"""
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // {_US_HOUR} AS hr,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT event_type, CAST(SUM(x) // count(*) AS BIGINT) AS k
+      FROM h GROUP BY 1),
+c AS (
+  SELECT h.event_type, hr, m.k,
+         SUM(x - k) OVER (PARTITION BY h.event_type ORDER BY hr) AS cum
+  FROM h JOIN m USING (event_type)
+),
+s AS (
+  SELECT event_type, hr, k, cum,
+         LEAST(0, MIN(cum) OVER (PARTITION BY event_type ORDER BY hr))
+             AS pmin
+  FROM c
+)
+SELECT event_type, hr, CAST(cum - pmin AS BIGINT) AS cusum,
+       CAST(CASE WHEN cum - pmin > {CUSUM_H_MULT} * k
+                 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM s
+"""
+
+
+# --- q146: sequential-pattern mining (top event-type trigrams) --------------
+
+TRIGRAM_TOP = 50
+
+
+def q146_event_trigrams(sf_dir: str):
+    """Top-``TRIGRAM_TOP`` consecutive event-type trigrams across user
+    journeys — the sequential-pattern report behind funnel discovery
+    (q45 checks ONE hypothesized order; this mines which orders exist).
+    ONE fused ``rekey_exchange``: co-locate by user (per-user time sort
+    + two vectorized shifts → trigram partial counts, all inside the
+    bucket), re-route the O(distinct trigram) partials by trigram and
+    sum — each trigram finishes in exactly one bucket, so a per-bucket
+    top-``TRIGRAM_TOP`` prefilter bounds the final global sort to
+    O(TOP × buckets) rows (the topk_per_group discipline)."""
+    import polars as pl
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+
+    _MID = pa.schema([("trigram", pa.string()), ("c", pa.int64())])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _MID.empty_table()
+        df = (pl.from_arrow(t)
+              .sort(["user_id", "ts", "event_id"])
+              .with_columns(
+                  e2=pl.col("event_type").shift(-1).over("user_id"),
+                  e3=pl.col("event_type").shift(-2).over("user_id"))
+              .drop_nulls(["e2", "e3"])
+              .with_columns(trigram=pl.concat_str(
+                  [pl.col("event_type"), pl.col("e2"), pl.col("e3")],
+                  separator=">"))
+              .group_by("trigram").agg(c=pl.len().cast(pl.Int64)))
+        return df.select(["trigram", "c"]).to_arrow().cast(_MID)
+
+    _OUT = pa.schema([("trigram", pa.string()), ("cnt", pa.int64())])
+
+    def per_trigram(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "trigram" not in t.column_names:
+            return _OUT.empty_table()
+        df = (pl.from_arrow(t).group_by("trigram")
+              .agg(cnt=pl.col("c").sum())
+              .sort(["cnt", "trigram"], descending=[True, False])
+              .head(TRIGRAM_TOP))
+        return df.to_arrow().cast(_OUT)
+
+    from ..functions.grouping import rekey_exchange
+
+    tops = rekey_exchange(ev, "user_id", per_user, "trigram", per_trigram,
+                          num_buckets1=16, num_buckets2=8)
+    return tops.sort(["cnt", "trigram"], descending=[True, False]) \
+               .limit(TRIGRAM_TOP)
+
+
+SQL_Q146 = f"""
+WITH s AS (
+  SELECT event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS trigram,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY cnt DESC, trigram
+LIMIT {TRIGRAM_TOP}
+"""
+
+
 QUERIES = {
     "q23_asof_join": (q23_asof_join, SQL_Q23),
+    "q145_cusum": (q145_cusum, SQL_Q145),
+    "q146_event_trigrams": (q146_event_trigrams, SQL_Q146),
     "q97_attribution": (q97_attribution, SQL_Q97),
     "q90_retention_cohorts": (q90_retention_cohorts, SQL_Q90),
     "q24_sliding_window": (q24_sliding_window, SQL_Q24),
