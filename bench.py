@@ -253,6 +253,10 @@ OPS_DEFAULT = [
     "q135_bigram_lm",
     "q136_label_propagation", "q137_link_prediction",
     "q138_one_to_one_match", "q139_seasonal_anomaly",
+    "q140_correlation_matrix", "q141_hits", "q142_char_histogram",
+    "q143_novelty_rate", "q144_transitivity_audit", "q145_cusum",
+    "q146_event_trigrams", "q147_weighted_median",
+    "q148_degree_assortativity",
 ]
 
 
