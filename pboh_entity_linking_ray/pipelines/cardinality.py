@@ -812,9 +812,69 @@ s AS (
 """
 
 
+# --- q152: k-anonymity audit -------------------------------------------------
+
+K_ANON = 5          # minimum group size per quasi-identifier combo
+
+
+def q152_k_anonymity(sf_dir: str):
+    """k-anonymity audit before a data release (Sweeney 2002): every
+    quasi-identifier combination — (nation, market segment, account-
+    balance band) — whose group is smaller than K_ANON, i.e. the cells
+    that re-identify individuals.  Balance banding shifts cents
+    non-negative BEFORE the integer division (DuckDB ``//`` truncates
+    where numpy floors — CLAUDE.md trap; on non-negative operands they
+    agree).  Per-batch combo partials → ONE composite-key sum exchange
+    → size filter; the audit output is O(violating cells), the input
+    never leaves its partition un-aggregated."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    _PART = pa.schema([("nation", pa.int64()), ("seg", pa.string()),
+                       ("bal_bin", pa.int64()), ("n_p", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_nationkey" not in t.column_names:
+            return _PART.empty_table()
+        cents = np.floor(np.asarray(t["c_acctbal"]) * 100
+                         + 0.5).astype(np.int64)
+        return (pl.DataFrame({
+            "nation": np.asarray(t["c_nationkey"].cast(pa.int64()),
+                                 dtype=np.int64),
+            "seg": pl.from_arrow(t["c_mktsegment"].combine_chunks()),
+            "bal_bin": (cents + 1_000_000) // 100_000})
+            .group_by(["nation", "seg", "bal_bin"])
+            .agg(n_p=pl.len().cast(pl.Int64))
+            .to_arrow().cast(_PART))
+
+    sums = bucketed_sum(cust.map_batches(partial, batch_format="pyarrow"),
+                        ["nation", "seg", "bal_bin"], "n_p", "n",
+                        num_buckets=8, engine="exchange")
+    return sums.filter(expr=f"n < {K_ANON}")
+
+
+SQL_Q152 = f"""
+WITH q AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         c_mktsegment AS seg,
+         (CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 1000000)
+             // 100000 AS bal_bin
+  FROM customer
+)
+SELECT nation, seg, bal_bin, CAST(count(*) AS BIGINT) AS n
+FROM q GROUP BY 1, 2, 3 HAVING count(*) < {K_ANON}
+"""
+
+
 QUERIES = {
     "q31_distinct_users": (q31_distinct_users, SQL_Q31),
     "q140_correlation_matrix": (q140_correlation_matrix, _sql_q140()),
+    "q152_k_anonymity": (q152_k_anonymity, SQL_Q152),
     "q132_key_skew": (q132_key_skew, SQL_Q132),
     "q94_audience_overlap": (q94_audience_overlap, SQL_Q94),
     "hll_distinct_users": (hll_distinct_users, None),

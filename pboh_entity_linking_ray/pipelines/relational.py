@@ -2471,6 +2471,178 @@ def q147_weighted_median(sf_dir: str):
     return hash_exchange(parts, "grp", pick, num_buckets=4)
 
 
+# --- q150: RFM customer segmentation ----------------------------------------
+
+_US_DAY = 86_400_000_000
+
+
+def _qdisc_from_hist(vals: np.ndarray, cnts: np.ndarray, q: float) -> int:
+    """DuckDB ``quantile_disc`` on a (sorted distinct value, count)
+    histogram: the value at sorted position max(1, ceil(q·n)) — the q29
+    rule, computed from O(distinct) rows instead of the rows."""
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    pos = max(1, -(-int(q * 1e6) * n // 1_000_000))  # ceil(q·n) in ints
+    return int(vals[np.searchsorted(cum, pos)])
+
+
+def q150_rfm_segments(sf_dir: str):
+    """RFM customer segmentation (recency / frequency / monetary), the
+    classic CRM cube: per-user aggregates quartile-coded per dimension,
+    reported as segment cells (r, f, m) with user counts and revenue.
+    Quartile boundaries use the explicit quantile_disc rule (value at
+    position max(1, ceil(q·n)) — q29's discipline) so both engines cut
+    identically; codes are integer comparisons against the three cuts.
+
+    Shape: per-batch user partials → ONE user-keyed exchange resolves
+    (f, m, last_day) per user; per-dimension boundaries come from THREE
+    O(distinct-value) histograms (the q29 device — the driver folds
+    distinct values, never users); coded users collapse to ≤ 64 segment
+    cells inside the same map, one tiny final sum.  No user-level data
+    ever reaches the driver."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum_multi, hash_exchange
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "value"])
+
+    _UA = pa.schema([("user_id", pa.int64()), ("f", pa.int64()),
+                     ("m", pa.int64()), ("last_day", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _UA.empty_table()
+        day = (np.asarray(t["ts"].cast(pa.timestamp("us")), dtype="int64")
+               // _US_DAY)
+        cents = np.floor(np.asarray(t["value"]) * 100
+                         + 0.5).astype(np.int64)
+        return (pl.DataFrame({
+            "user_id": np.asarray(t["user_id"], dtype=np.int64),
+            "f": np.ones(t.num_rows, dtype=np.int64),
+            "m": cents, "last_day": day})
+            .group_by("user_id")
+            .agg(f=pl.col("f").sum(), m=pl.col("m").sum(),
+                 last_day=pl.col("last_day").max())
+            .select(["user_id", "f", "m", "last_day"])
+            .to_arrow().cast(_UA))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _UA.empty_table()
+        return (pl.from_arrow(t).group_by("user_id")
+                .agg(f=pl.col("f").sum(), m=pl.col("m").sum(),
+                     last_day=pl.col("last_day").max())
+                .select(["user_id", "f", "m", "last_day"])
+                .to_arrow().cast(_UA))
+
+    users = hash_exchange(ev.map_batches(partial, batch_format="pyarrow"),
+                          "user_id", resolve,
+                          num_buckets=16).materialize()
+
+    def hist_of(col: str, arr_fn):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "user_id" not in t.column_names:
+                return pa.table({"v": pa.array([], type=pa.int64()),
+                                 "c_p": pa.array([], type=pa.int64())})
+            v = arr_fn(t)
+            return (pl.DataFrame({"v": v}).group_by("v")
+                    .len(name="c_p").with_columns(
+                        pl.col("c_p").cast(pl.Int64)).to_arrow())
+
+        h = bucketed_sum_multi(
+            users.map_batches(f, batch_format="pyarrow"),
+            ["v"], {"c_p": "c"}, num_buckets=4, engine="exchange")
+        tb = pa.concat_tables(
+            [b for b in h.iter_batches(batch_format="pyarrow")
+             if b.num_rows])
+        order = np.argsort(np.asarray(tb["v"], dtype=np.int64))
+        return (np.asarray(tb["v"], dtype=np.int64)[order],
+                np.asarray(tb["c"], dtype=np.int64)[order])
+
+    # global anchor day = max over user last_days (one tiny fold)
+    lv, _lc = hist_of("last_day", lambda t: np.asarray(t["last_day"],
+                                                       dtype=np.int64))
+    maxd = int(lv[-1])
+
+    rv, rc = hist_of("r", lambda t: maxd - np.asarray(t["last_day"],
+                                                      dtype=np.int64))
+    fv, fc = hist_of("f", lambda t: np.asarray(t["f"], dtype=np.int64))
+    mv, mc = hist_of("m", lambda t: np.asarray(t["m"], dtype=np.int64))
+    cuts = {
+        dim: tuple(_qdisc_from_hist(v, c, q) for q in (0.25, 0.5, 0.75))
+        for dim, (v, c) in {"r": (rv, rc), "f": (fv, fc),
+                            "m": (mv, mc)}.items()
+    }
+    cuts_ref = ray.put(cuts)
+
+    _OUT = pa.schema([("r_code", pa.int64()), ("f_code", pa.int64()),
+                      ("m_code", pa.int64()), ("n_users", pa.int64()),
+                      ("sum_m_cents", pa.int64())])
+
+    def code(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _OUT.empty_table()
+        cu = ray.get(cuts_ref)
+
+        def c3(v, ks):
+            return (1 + (v > ks[0]).astype(np.int64)
+                    + (v > ks[1]).astype(np.int64)
+                    + (v > ks[2]).astype(np.int64))
+
+        r = maxd - np.asarray(t["last_day"], dtype=np.int64)
+        f = np.asarray(t["f"], dtype=np.int64)
+        m = np.asarray(t["m"], dtype=np.int64)
+        return (pl.DataFrame({
+            "r_code": c3(r, cu["r"]), "f_code": c3(f, cu["f"]),
+            "m_code": c3(m, cu["m"]), "n_users": np.ones_like(f),
+            "sum_m_cents": m})
+            .group_by(["r_code", "f_code", "m_code"])
+            .agg(n_users=pl.col("n_users").sum(),
+                 sum_m_cents=pl.col("sum_m_cents").sum())
+            .to_arrow().cast(_OUT))
+
+    cells = users.map_batches(code, batch_format="pyarrow")
+    return bucketed_sum_multi(cells, ["r_code", "f_code", "m_code"],
+                              {"n_users": "n_users",
+                               "sum_m_cents": "sum_m_cents"},
+                              num_buckets=2, engine="exchange")
+
+
+SQL_Q150 = f"""
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS f,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS m,
+         CAST(MAX(epoch_us(ts) // {_US_DAY}) AS BIGINT) AS last_day
+  FROM events GROUP BY 1
+),
+g AS (SELECT MAX(last_day) AS maxd FROM u),
+u2 AS (SELECT user_id, maxd - last_day AS r, f, m FROM u, g),
+q AS (
+  SELECT quantile_disc(r, 0.25) AS r1, quantile_disc(r, 0.5) AS r2,
+         quantile_disc(r, 0.75) AS r3,
+         quantile_disc(f, 0.25) AS f1, quantile_disc(f, 0.5) AS f2,
+         quantile_disc(f, 0.75) AS f3,
+         quantile_disc(m, 0.25) AS m1, quantile_disc(m, 0.5) AS m2,
+         quantile_disc(m, 0.75) AS m3
+  FROM u2
+),
+c AS (
+  SELECT CAST(1 + (r > r1)::INT + (r > r2)::INT + (r > r3)::INT
+              AS BIGINT) AS r_code,
+         CAST(1 + (f > f1)::INT + (f > f2)::INT + (f > f3)::INT
+              AS BIGINT) AS f_code,
+         CAST(1 + (m > m1)::INT + (m > m2)::INT + (m > m3)::INT
+              AS BIGINT) AS m_code,
+         m
+  FROM u2, q
+)
+SELECT r_code, f_code, m_code, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(m) AS BIGINT) AS sum_m_cents
+FROM c GROUP BY 1, 2, 3
+"""
+
+
 SQL_Q147 = """
 WITH b AS (
   SELECT l_returnflag AS grp,
@@ -2494,6 +2666,7 @@ FROM a WHERE 2 * cw >= tw GROUP BY grp
 QUERIES = {
     "q01_lineitem_agg": (q01_lineitem_agg, SQL_Q01),
     "q147_weighted_median": (q147_weighted_median, SQL_Q147),
+    "q150_rfm_segments": (q150_rfm_segments, SQL_Q150),
     "q116_snapshot_diff": (q116_snapshot_diff, SQL_Q116),
     "q02_customer_revenue": (q02_customer_revenue, SQL_Q02),
     "q03_top_parts": (q03_top_parts, SQL_Q03),

@@ -1009,9 +1009,117 @@ LIMIT {TRIGRAM_TOP}
 """
 
 
+# --- q151: day-over-day audience-churn Jaccard -------------------------------
+
+_US_DAY = 86_400_000_000
+
+
+def q151_day_churn(sf_dir: str):
+    """Day-over-day audience stability: for every consecutive day pair
+    (d, d+1), the exact Jaccard of the active-user sets — the churn
+    curve behind q90's cohort retention (q90 anchors to first-touch;
+    this is the rolling day-to-day stickiness report).
+
+    Shape: per-batch distinct (user, day) partials → ONE user-keyed
+    exchange where a user's full day set co-locates, so both per-day
+    membership counts AND consecutive-day co-membership (sorted days +
+    one shifted compare, vectorized across all users) reduce to O(days)
+    partial rows in the same pass → one tiny day-keyed sum → an
+    O(days) driver epilogue aligns day d with d+1 (the q127 epilogue
+    contract: the driver folds report-sized rows, never user rows).
+    Jaccard in exact integers: 10⁴·inter // (|A|+|B|−inter)."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum_multi, hash_exchange
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    _UD = pa.schema([("user_id", pa.int64()), ("day", pa.int64())])
+
+    def ud_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _UD.empty_table()
+        day = (np.asarray(t["ts"].cast(pa.timestamp("us")), dtype="int64")
+               // _US_DAY)
+        return (pl.DataFrame({
+            "user_id": np.asarray(t["user_id"], dtype=np.int64),
+            "day": day}).unique().to_arrow().cast(_UD))
+
+    _DP = pa.schema([("day", pa.int64()), ("a_p", pa.int64()),
+                     ("i_p", pa.int64())])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _DP.empty_table()
+        df = (pl.from_arrow(t).unique()
+              .sort(["user_id", "day"])
+              .with_columns(nxt=pl.col("day").shift(-1).over("user_id")))
+        return (df.with_columns(
+            a_p=pl.lit(1, dtype=pl.Int64),
+            i_p=(pl.col("nxt") == pl.col("day") + 1)
+                .fill_null(False).cast(pl.Int64))
+            .group_by("day")
+            .agg(a_p=pl.col("a_p").sum(), i_p=pl.col("i_p").sum())
+            .to_arrow().cast(_DP))
+
+    rows = ev.map_batches(ud_partial, batch_format="pyarrow")
+    parts = hash_exchange(rows, "user_id", per_user, num_buckets=16)
+    sums = bucketed_sum_multi(parts, ["day"], {"a_p": "a", "i_p": "i"},
+                              num_buckets=2, engine="exchange")
+
+    tb_parts = [b for b in sums.iter_batches(batch_format="pyarrow")
+                if b.num_rows]
+    _OUT = pa.schema([("day", pa.int64()), ("active", pa.int64()),
+                      ("active_next", pa.int64()), ("inter", pa.int64()),
+                      ("jaccard_e4", pa.int64())])
+    if not tb_parts:
+        return _OUT.empty_table()
+    tb = pa.concat_tables(tb_parts)
+    order = np.argsort(np.asarray(tb["day"], dtype=np.int64))
+    day = np.asarray(tb["day"], dtype=np.int64)[order]
+    a = np.asarray(tb["a"], dtype=np.int64)[order]
+    i = np.asarray(tb["i"], dtype=np.int64)[order]
+    pos = np.searchsorted(day, day + 1)
+    has_next = (pos < len(day)) & (day[np.minimum(pos, len(day) - 1)]
+                                   == day + 1)
+    keep = np.flatnonzero(has_next)
+    b = a[pos[keep]]
+    inter = i[keep]
+    return pa.table({
+        "day": pa.array(day[keep]),
+        "active": pa.array(a[keep]),
+        "active_next": pa.array(b),
+        "inter": pa.array(inter),
+        "jaccard_e4": pa.array(10000 * inter
+                               // (a[keep] + b - inter)),
+    })
+
+
+SQL_Q151 = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_US_DAY} AS day FROM events
+),
+a AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM ud GROUP BY day),
+i AS (
+  SELECT x.day, CAST(count(*) AS BIGINT) AS inter
+  FROM ud x JOIN ud y ON x.user_id = y.user_id AND y.day = x.day + 1
+  GROUP BY x.day
+)
+SELECT a.day, a.n AS active, b.n AS active_next,
+       COALESCE(i.inter, 0) AS inter,
+       CAST(10000 * COALESCE(i.inter, 0)
+            // (a.n + b.n - COALESCE(i.inter, 0)) AS BIGINT)
+           AS jaccard_e4
+FROM a JOIN a b ON b.day = a.day + 1
+LEFT JOIN i ON i.day = a.day
+"""
+
+
 QUERIES = {
     "q23_asof_join": (q23_asof_join, SQL_Q23),
     "q145_cusum": (q145_cusum, SQL_Q145),
+    "q151_day_churn": (q151_day_churn, SQL_Q151),
     "q146_event_trigrams": (q146_event_trigrams, SQL_Q146),
     "q97_attribution": (q97_attribution, SQL_Q97),
     "q90_retention_cohorts": (q90_retention_cohorts, SQL_Q90),

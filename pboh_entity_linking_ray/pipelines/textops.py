@@ -589,6 +589,141 @@ def q20_frequent_pairs(sf_dir: str):
     return agg.filter(expr=f"n_docs >= {FREQ_PAIR_MIN}")
 
 
+# --- q149: association rules (confidence + lift over frequent pairs) --------
+
+def _rules_bucket(bucket: pa.Table) -> pa.Table:
+    """q20's per-doc triu pair partials EXTENDED with the marginals the
+    rule metrics need, all in the same doc-co-located pass: item rows
+    (tok_b = '' sentinel — impossible for a real [a-z0-9]+ token) carry
+    per-token live-doc counts, and one ('', '') row carries the bucket's
+    live-doc count.  One exchange serves pairs, items, and N."""
+    import polars as pl
+
+    _OUT = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
+                      ("n_p", pa.int64())])
+    if bucket.num_rows == 0 or "doc_id" not in bucket.column_names:
+        return _OUT.empty_table()
+    df = pl.from_arrow(bucket).sort(["doc_id", "tok"])
+    doc = df["doc_id"].to_numpy()
+    tok = df["tok"].to_numpy()
+    n = len(doc)
+    starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+    bounds = np.append(starts, n)
+    sizes = np.diff(bounds)
+    live = sizes <= FREQ_STOP_DF
+    live_rows = np.repeat(live, sizes)
+    items = (pl.DataFrame({"tok_a": tok[live_rows]})
+             .group_by("tok_a").len(name="n_p")
+             .with_columns(tok_b=pl.lit(""),
+                           n_p=pl.col("n_p").cast(pl.Int64))
+             .select(["tok_a", "tok_b", "n_p"]))
+    nrow = pl.DataFrame({"tok_a": [""], "tok_b": [""],
+                         "n_p": [int(live.sum())]},
+                        schema={"tok_a": pl.String, "tok_b": pl.String,
+                                "n_p": pl.Int64})
+    pairs = pl.from_arrow(_pairs_bucket(bucket))
+    return pl.concat([pairs, items, nrow]).to_arrow().cast(_OUT)
+
+
+def q149_association_rules(sf_dir: str):
+    """Directed association rules ant → cons over q20's frequent token
+    pairs, with exact-integer confidence (conf_e4 = 10⁴·c_ab // c_ant)
+    and lift (lift_e6 = 10⁶·c_ab·N // (c_ant·c_cons)) — the market-
+    basket step after frequent-itemset mining (Agrawal/Srikant).  ONE
+    doc-co-located exchange emits pair partials AND the item/N
+    marginals (sentinel rows, `_rules_bucket`), one keyed sum finishes
+    all three, and the O(vocab) marginal table is collected once and
+    broadcast for a per-batch polars join over the pair rows (vocab ≪
+    pairs at any scale — the broadcast-small-side discipline; integer
+    products stay far inside int64 up to ~10⁹ live docs, past which the
+    lift term would move to the q140 mirrored-DOUBLE tree)."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_groups, bucketed_sum
+
+    rows = _docs(sf_dir).map_batches(_explode_distinct_toks,
+                                     batch_format="pyarrow", batch_size=512)
+    shared = bucketed_groups(rows, "doc_id", _rules_bucket)
+    sums = bucketed_sum(shared, ["tok_a", "tok_b"], "n_p", "c",
+                        engine="exchange").materialize()
+
+    def _marginals(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["tok_b"], ""))
+
+    side_parts = [
+        b for b in sums.map_batches(_marginals, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows]
+    side = pa.concat_tables(side_parts)
+    toks = side["tok_a"].to_pylist()
+    cnts = np.asarray(side["c"], dtype=np.int64)
+    n_live = int(cnts[toks.index("")])
+    item_df = pl.DataFrame({"tok": toks, "c_item": cnts}).filter(
+        pl.col("tok") != "")
+    item_ref = ray.put(item_df)
+
+    _OUT = pa.schema([("ant", pa.string()), ("cons", pa.string()),
+                      ("n_pair", pa.int64()), ("n_ant", pa.int64()),
+                      ("conf_e4", pa.int64()), ("lift_e6", pa.int64())])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tok_a" not in t.column_names:
+            return _OUT.empty_table()
+        df = pl.from_arrow(t).filter(
+            (pl.col("tok_b") != "") & (pl.col("c") >= FREQ_PAIR_MIN))
+        if df.height == 0:
+            return _OUT.empty_table()
+        items = ray.get(item_ref)
+        both = pl.concat([
+            df.select(ant="tok_a", cons="tok_b", n_pair="c"),
+            df.select(ant="tok_b", cons="tok_a", n_pair="c"),
+        ])
+        j = (both.join(items.rename({"tok": "ant", "c_item": "n_ant"}),
+                       on="ant")
+             .join(items.rename({"tok": "cons", "c_item": "n_cons"}),
+                   on="cons"))
+        c = j["n_pair"].to_numpy().astype(np.int64)
+        ca = j["n_ant"].to_numpy().astype(np.int64)
+        cc = j["n_cons"].to_numpy().astype(np.int64)
+        return pa.table({
+            "ant": j["ant"].to_arrow().cast(pa.string()),
+            "cons": j["cons"].to_arrow().cast(pa.string()),
+            "n_pair": pa.array(c), "n_ant": pa.array(ca),
+            "conf_e4": pa.array(10000 * c // ca),
+            "lift_e6": pa.array(1_000_000 * c * n_live // (ca * cc)),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_Q149 = f"""
+WITH s AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+live AS (SELECT doc_id FROM s GROUP BY doc_id
+         HAVING count(*) <= {FREQ_STOP_DF}),
+sl AS (SELECT s.doc_id, s.tok FROM s JOIN live USING (doc_id)),
+item AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM sl GROUP BY tok),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM live),
+p AS (
+  SELECT a.tok AS ta, b.tok AS tb, CAST(count(*) AS BIGINT) AS c
+  FROM sl a JOIN sl b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING count(*) >= {FREQ_PAIR_MIN}
+),
+d AS (SELECT ta AS ant, tb AS cons, c FROM p
+      UNION ALL SELECT tb, ta, c FROM p)
+SELECT d.ant, d.cons, d.c AS n_pair, ia.c AS n_ant,
+       CAST(10000 * d.c // ia.c AS BIGINT) AS conf_e4,
+       CAST(1000000 * d.c * nn.n // (ia.c * ic.c) AS BIGINT) AS lift_e6
+FROM d JOIN item ia ON d.ant = ia.tok
+       JOIN item ic ON d.cons = ic.tok, nn
+"""
+
+
 SQL_Q20 = f"""
 WITH s AS (
   SELECT DISTINCT doc_id,
@@ -2857,6 +2992,7 @@ WHERE c.c12 >= {BLM_MIN_C}
 
 QUERIES = {
     "q133_prefix_containment": (q133_prefix_containment, SQL_Q133),
+    "q149_association_rules": (q149_association_rules, SQL_Q149),
     "q135_bigram_lm": (q135_bigram_lm, SQL_Q135),
     "q124_ppjoin": (q124_ppjoin, SQL_Q124),
     "q125_cluster_metrics": (q125_cluster_metrics, SQL_Q125),

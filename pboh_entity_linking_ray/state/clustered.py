@@ -134,8 +134,11 @@ def clustered_write(ds: ray.data.Dataset, col: str, out_dir: str,
     manifest = {"col": col,
                 "cuts": [c if not hasattr(c, "item") else c.item()
                          for c in cuts],
+                "gen": 1,
                 "files": [dict(e, range=k) for k, e in enumerate(entries)
                           if e["rows"] > 0]}
+    with open(os.path.join(tmp, "manifest-g1.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -205,16 +208,70 @@ def clustered_merge(out_dir: str, delta: ray.data.Dataset) -> dict:
             if k in by_range:
                 superseded.append(by_range[k]["file"])
     man2 = {"col": col, "cuts": cuts, "gen": gen, "files": files}
+    with open(os.path.join(out_dir, f"manifest-g{gen}.json"), "w") as f:
+        json.dump(man2, f, indent=1)
     tmp_man = man_path + ".tmp"
     with open(tmp_man, "w") as f:
         json.dump(man2, f, indent=1)
     os.replace(tmp_man, man_path)            # manifest swap lands LAST
-    for name in superseded:                   # best-effort cleanup
-        try:
-            os.remove(os.path.join(out_dir, name))
-        except OSError:
-            pass
+    # superseded files are RETAINED: older generation manifests still
+    # reference them (snapshot isolation / time travel — the Iceberg
+    # pattern).  Space is reclaimed explicitly via ``vacuum``.
+    del superseded
     return man2
+
+
+def generations(out_dir: str) -> list[int]:
+    """Generation numbers whose snapshot manifests are still present."""
+    gens = []
+    for name in os.listdir(out_dir):
+        if name.startswith("manifest-g") and name.endswith(".json"):
+            gens.append(int(name[len("manifest-g"):-len(".json")]))
+    return sorted(gens)
+
+
+def read_generation(out_dir: str, gen: int | None = None
+                    ) -> ray.data.Dataset:
+    """Time-travel read: the layout exactly as of generation ``gen``
+    (default: current).  Every generation's manifest is immutable and
+    its files are never rewritten in place, so a snapshot read is just
+    'read the files that manifest names' — no copy-on-write, no lock;
+    concurrent ``clustered_merge`` calls cannot disturb a reader that
+    resolved its manifest first (the Iceberg/Delta snapshot-isolation
+    contract, rebuilt on plain Parquet + JSON)."""
+    name = "manifest.json" if gen is None else f"manifest-g{gen}.json"
+    with open(os.path.join(out_dir, name)) as f:
+        man = json.load(f)
+    files = [os.path.join(out_dir, e["file"]) for e in man["files"]]
+    if not files:
+        return ray.data.from_items([])
+    return ray.data.read_parquet(files)
+
+
+def vacuum(out_dir: str, keep_last: int = 1) -> list[str]:
+    """Reclaim space: drop all but the newest ``keep_last`` generation
+    manifests and unlink every data file no retained manifest
+    references.  Returns the removed file names.  Readers that already
+    resolved a retained manifest are unaffected; vacuuming a snapshot a
+    reader still holds is the operator's explicit call — exactly
+    Iceberg's ``expire_snapshots`` contract."""
+    gens = generations(out_dir)
+    keep = set(gens[-keep_last:]) if keep_last > 0 else set()
+    live: set[str] = set()
+    for g in keep:
+        with open(os.path.join(out_dir, f"manifest-g{g}.json")) as f:
+            live.update(e["file"] for e in json.load(f)["files"])
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        live.update(e["file"] for e in json.load(f)["files"])
+    removed = []
+    for g in gens:
+        if g not in keep:
+            os.remove(os.path.join(out_dir, f"manifest-g{g}.json"))
+    for name in os.listdir(out_dir):
+        if name.endswith(".parquet") and name not in live:
+            os.remove(os.path.join(out_dir, name))
+            removed.append(name)
+    return removed
 
 
 @ray.remote

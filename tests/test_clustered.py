@@ -171,3 +171,49 @@ def test_coclustered_join_range_prune(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.astype({"l_partkey": "int64"}),
         want.astype({"l_partkey": "int64"}))
+
+
+def test_time_travel_and_vacuum(ray_session, tmp_path):
+    """Generation manifests are immutable snapshots: gen-1 reads the
+    pre-merge table byte-for-byte after a merge lands gen 2; vacuum
+    drops expired generations and every file only they referenced."""
+    from pboh_entity_linking_ray.state.clustered import (
+        clustered_merge,
+        generations,
+        read_generation,
+        vacuum,
+    )
+
+    out = str(tmp_path / "li_tt")
+    li = ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                               columns=["l_partkey", "l_quantity"])
+    base = li.filter(lambda r: r["l_partkey"] > 25)
+    delta = li.filter(lambda r: r["l_partkey"] <= 25)
+    n_base = base.count()
+    n_total = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/lineitem.parquet'").fetchone()[0]
+
+    clustered_write(base, "l_partkey", out, n_files=8)
+    clustered_merge(out, delta)
+    assert generations(out) == [1, 2]
+
+    # snapshot reads: gen 1 == base, gen 2 (and current) == base + delta
+    assert read_generation(out, 1).count() == n_base
+    assert read_generation(out, 2).count() == n_total
+    assert read_generation(out).count() == n_total
+    g1_sum = int(np.sum([b["l_quantity"].to_numpy().sum()
+                         for b in read_generation(out, 1)
+                         .iter_batches(batch_format="pyarrow")]))
+    base_sum = int(duckdb.sql(
+        f"SELECT CAST(SUM(l_quantity) AS BIGINT) "
+        f"FROM '{SF}/lineitem.parquet' WHERE l_partkey > 25").fetchone()[0])
+    assert g1_sum == base_sum
+
+    # vacuum: gen 1 expires, its superseded files are unlinked, and the
+    # retained snapshot still reads in full
+    removed = vacuum(out, keep_last=1)
+    assert generations(out) == [2]
+    assert removed                      # at least one g1 file reclaimed
+    for name in removed:
+        assert not os.path.exists(os.path.join(out, name))
+    assert read_generation(out, 2).count() == n_total
