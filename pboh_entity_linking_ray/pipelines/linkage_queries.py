@@ -1274,8 +1274,152 @@ WHERE same_role_adj + orphan_tool_turns + starts_nonuser
 """
 
 
+# --- link_forks: forked-session detection by shared turn prefix -------------
+
+FORK_BLOCK_CAP = 64     # skip first-turn blocks above this (boilerplate
+#                         openers aren't forks; mirrored in the twin)
+
+
+def link_forks(sf_dir: str):
+    """Forked-session pairs: conversations that open with the SAME
+    turns verbatim and then diverge — the retry / regenerate / branch
+    artifact every transcript corpus accumulates, invisible to exact
+    dedup (different tails) and diluted in near-dup scoring (long
+    divergent tails swamp the shared head).  Reported as (conv_a,
+    conv_b, shared-prefix turn count, both lengths).
+
+    Shape: per-batch (conv_id, turn_idx, md5-hex turn hash) rows (md5
+    for DuckDB parity — the one per-distinct-string Python loop the
+    twins keep) → ONE fused ``rekey_exchange``: conv-keyed buckets
+    assemble each conversation's fixed-width hash sequence (sort +
+    ordered string join, the canonicalize idiom) and re-split in-heap
+    by the FIRST turn's hash (the natural fork blocking key — any
+    shared-prefix pair shares turn 1 by definition, so blocking is
+    lossless); block-keyed buckets enumerate in-block pairs (blocks
+    above FORK_BLOCK_CAP purged, q118 block-purging) and compute each
+    pair's longest common turn prefix by comparing the sequences as
+    numpy 32-byte-per-turn arrays — one vectorized compare per pair,
+    never per character."""
+    import hashlib
+
+    import polars as pl
+
+    turns = _turns(sf_dir).select_columns(["conv_id", "turn_idx", "text"])
+
+    _ROWS = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int64()),
+                       ("h", pa.string())])
+
+    def hrows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return _ROWS.empty_table()
+        cache: dict[str, str] = {}
+        hs = []
+        for x in t["text"].to_pylist():
+            v = cache.get(x)
+            if v is None:
+                v = hashlib.md5(x.encode("utf-8")).hexdigest()
+                cache[x] = v
+            hs.append(v)
+        return pa.table({
+            "conv_id": t["conv_id"].combine_chunks().cast(pa.string()),
+            "turn_idx": t["turn_idx"].combine_chunks().cast(pa.int64()),
+            "h": pa.array(hs, type=pa.string())})
+
+    _SEQ = pa.schema([("bk", pa.string()), ("conv_id", pa.string()),
+                      ("n_turns", pa.int64()), ("seq", pa.string())])
+
+    def per_conv(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return _SEQ.empty_table()
+        df = (pl.from_arrow(t).sort(["conv_id", "turn_idx"])
+              .group_by("conv_id", maintain_order=True)
+              .agg(n_turns=pl.len().cast(pl.Int64),
+                   seq=pl.col("h").str.join("")))
+        return (df.with_columns(bk=pl.col("seq").str.slice(0, 32))
+                .select(["bk", "conv_id", "n_turns", "seq"])
+                .to_arrow().cast(_SEQ))
+
+    _OUT = pa.schema([("conv_a", pa.string()), ("conv_b", pa.string()),
+                      ("prefix_turns", pa.int64()),
+                      ("n_turns_a", pa.int64()),
+                      ("n_turns_b", pa.int64())])
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "bk" not in t.column_names:
+            return _OUT.empty_table()
+        df = pl.from_arrow(t).sort(["bk", "conv_id"])
+        bks = df["bk"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, bks[1:] != bks[:-1]])
+        bounds = np.append(starts, len(bks))
+        convs = df["conv_id"].to_numpy()
+        nts = df["n_turns"].to_numpy()
+        seqs = df["seq"].to_list()
+        rows = {k: [] for k in ("conv_a", "conv_b", "prefix_turns",
+                                "n_turns_a", "n_turns_b")}
+        for st, en in zip(bounds[:-1], bounds[1:]):
+            g = en - st
+            if g < 2 or g > FORK_BLOCK_CAP:
+                continue
+            arrs = [np.frombuffer(seqs[i].encode("ascii"), dtype="S32")
+                    for i in range(st, en)]
+            for i in range(g):
+                for j in range(i + 1, g):
+                    m = min(len(arrs[i]), len(arrs[j]))
+                    eq = arrs[i][:m] == arrs[j][:m]
+                    lcp = int(m if eq.all() else np.argmin(eq))
+                    rows["conv_a"].append(convs[st + i])
+                    rows["conv_b"].append(convs[st + j])
+                    rows["prefix_turns"].append(lcp)
+                    rows["n_turns_a"].append(int(nts[st + i]))
+                    rows["n_turns_b"].append(int(nts[st + j]))
+        return pa.table({
+            "conv_a": pa.array(rows["conv_a"], type=pa.string()),
+            "conv_b": pa.array(rows["conv_b"], type=pa.string()),
+            "prefix_turns": pa.array(rows["prefix_turns"],
+                                     type=pa.int64()),
+            "n_turns_a": pa.array(rows["n_turns_a"], type=pa.int64()),
+            "n_turns_b": pa.array(rows["n_turns_b"], type=pa.int64()),
+        })
+
+    from ..functions.grouping import rekey_exchange
+
+    rows = turns.map_batches(hrows, batch_format="pyarrow")
+    return rekey_exchange(rows, "conv_id", per_conv, "bk", per_block,
+                          num_buckets1=16, num_buckets2=8)
+
+
+SQL_FORKS = f"""
+WITH seqs AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         string_agg(md5(text), '' ORDER BY turn_idx) AS seq
+  FROM read_parquet('{_SQL_TURNS}') GROUP BY conv_id
+),
+b AS (SELECT conv_id, n_turns, seq, substr(seq, 1, 32) AS bk FROM seqs),
+ok AS (SELECT bk FROM b GROUP BY bk
+       HAVING count(*) BETWEEN 2 AND {FORK_BLOCK_CAP}),
+p AS (
+  SELECT x.conv_id AS conv_a, y.conv_id AS conv_b,
+         x.seq AS xs, y.seq AS ys,
+         x.n_turns AS n_turns_a, y.n_turns AS n_turns_b
+  FROM b x JOIN b y ON x.bk = y.bk AND x.conv_id < y.conv_id
+  JOIN ok ON ok.bk = x.bk
+),
+p2 AS (
+  SELECT conv_a, conv_b, xs, ys, n_turns_a, n_turns_b,
+         unnest(generate_series(1, least(n_turns_a, n_turns_b))) AS k
+  FROM p
+)
+SELECT conv_a, conv_b, CAST(max(k) AS BIGINT) AS prefix_turns,
+       n_turns_a, n_turns_b
+FROM p2
+WHERE substr(xs, 1, 32 * k) = substr(ys, 1, 32 * k)
+GROUP BY 1, 2, 4, 5
+"""
+
+
 QUERIES = {
     "link_canonicalize": (link_canonicalize, SQL_CANONICALIZE),
+    "link_forks": (link_forks, SQL_FORKS),
     "link_protocol_gate": (link_protocol_gate, SQL_PROTOCOL_GATE),
     "link_topic_segments": (link_topic_segments, SQL_TOPIC_SEGMENTS),
     "link_boilerplate_turns": (link_boilerplate_turns, SQL_BOILERPLATE),

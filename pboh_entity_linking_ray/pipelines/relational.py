@@ -412,6 +412,61 @@ FROM (SELECT doc_id, {_LANG_INNER}
 """
 
 
+# --- q153: langid confusion matrix ------------------------------------------
+
+def q153_langid_confusion(sf_dir: str):
+    """Confusion matrix of the q09 language identifier against the
+    corpus's declared ``lang`` labels — the classifier-evaluation
+    report (per (declared, predicted) cell counts) every curation
+    pipeline publishes before trusting an automatic labeler.  Pure
+    composition discipline: the q09 vectorized marker-argmax kernel
+    runs per batch with the declared label carried through, each batch
+    collapses to ≤ |langs|² partial rows, ONE tiny keyed sum finishes —
+    evaluation costs one streaming pass, no shuffle of documents."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum
+    from ..functions.langid import predict_lang_expr
+
+    ds = _t(sf_dir, "documents", ["text", "lang"])
+
+    _PART = pa.schema([("lang", pa.string()), ("pred_lang", pa.string()),
+                       ("n_p", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lang" not in t.column_names:
+            return _PART.empty_table()
+        df = pl.DataFrame({
+            "lang": pl.from_arrow(t["lang"].combine_chunks()),
+            "toks": pl.from_arrow(t["text"].combine_chunks())
+                      .str.to_lowercase().str.extract_all("[a-z0-9]+"),
+        })
+        return (df.select("lang",
+                          predict_lang_expr("toks").alias("pred_lang"))
+                .group_by(["lang", "pred_lang"])
+                .agg(n_p=pl.len().cast(pl.Int64))
+                .to_arrow().cast(_PART))
+
+    return bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["lang", "pred_lang"], "n_p", "n_docs",
+                        num_buckets=2, engine="exchange")
+
+
+def _sql_q153() -> str:
+    from ..functions.langid import sql_case_expr
+
+    inner, cond = sql_case_expr("toks")
+    return f"""
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT lang, {cond} AS pred_lang
+      FROM (SELECT lang, {inner}
+            FROM (SELECT lang, list_distinct(regexp_extract_all(
+                      lower(text), '[a-z0-9]+')) AS toks
+                  FROM documents)))
+GROUP BY 1, 2
+"""
+
+
 # --- q14: sessionization (windowed aggregate over an event stream) ---------
 
 SESSION_GAP_MIN = 30
@@ -2667,6 +2722,7 @@ QUERIES = {
     "q01_lineitem_agg": (q01_lineitem_agg, SQL_Q01),
     "q147_weighted_median": (q147_weighted_median, SQL_Q147),
     "q150_rfm_segments": (q150_rfm_segments, SQL_Q150),
+    "q153_langid_confusion": (q153_langid_confusion, _sql_q153()),
     "q116_snapshot_diff": (q116_snapshot_diff, SQL_Q116),
     "q02_customer_revenue": (q02_customer_revenue, SQL_Q02),
     "q03_top_parts": (q03_top_parts, SQL_Q03),

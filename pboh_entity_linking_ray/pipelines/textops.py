@@ -1431,6 +1431,99 @@ FROM reach GROUP BY node
 """
 
 
+# --- q154: dedup-savings report over the near-dup clusters -------------------
+
+def q154_dedup_savings(sf_dir: str):
+    """Dedup yield report: the cluster-size distribution of the q58
+    near-dup clustering with, per size, how many documents and how many
+    characters a keep-one-representative policy removes (representative
+    = the cluster-label doc, the component-min id) — the capacity-
+    planning number a dedup deployment is judged by before anyone flips
+    it on.  Shape: q58 labels ⋈ doc lengths via ONE bucketed hash_join
+    with the per-cluster partial aggregate FUSED into the bucket task,
+    then one fused ``rekey_exchange``-style regroup: cluster rows →
+    size-keyed histogram (O(clusters) rows, then O(sizes))."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange, hash_join
+
+    labels = q58_neardup_clusters(sf_dir)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+
+    _CL = pa.schema([("cluster_id", pa.int64()), ("sz", pa.int64()),
+                     ("dup_chars", pa.int64())])
+
+    def per_cluster_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_id" not in t.column_names:
+            return _CL.empty_table()
+        df = pl.from_arrow(t).with_columns(
+            dup=pl.when(pl.col("doc_id") != pl.col("cluster_id"))
+                  .then(pl.col("n_chars")).otherwise(0))
+        return (df.group_by("cluster_id")
+                .agg(sz=pl.len().cast(pl.Int64),
+                     dup_chars=pl.col("dup").sum())
+                .to_arrow().cast(_CL))
+
+    joined = hash_join(labels, docs, on="doc_id", num_buckets=16,
+                       post=per_cluster_partial)
+
+    _OUT = pa.schema([("cluster_size", pa.int64()),
+                      ("n_clusters", pa.int64()),
+                      ("dup_docs", pa.int64()),
+                      ("dup_chars", pa.int64())])
+
+    def resolve_cluster(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_id" not in t.column_names:
+            return _OUT.empty_table()
+        df = (pl.from_arrow(t).group_by("cluster_id")
+              .agg(sz=pl.col("sz").sum(), dup_chars=pl.col("dup_chars")
+                   .sum()))
+        return (df.group_by("sz")
+                .agg(n_clusters=pl.len().cast(pl.Int64),
+                     dup_docs=((pl.col("sz") - 1).sum()),
+                     dup_chars=pl.col("dup_chars").sum())
+                .rename({"sz": "cluster_size"})
+                .select(["cluster_size", "n_clusters", "dup_docs",
+                         "dup_chars"])
+                .to_arrow().cast(_OUT))
+
+    # a cluster's join-bucket partials may split across doc_id buckets;
+    # regroup ONCE by cluster_id and resolve sizes + the size histogram
+    # partials in the same task, then a final tiny size-keyed sum
+    per_cluster = hash_exchange(joined, "cluster_id", resolve_cluster,
+                                num_buckets=8)
+
+    def sum_sizes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_size" not in t.column_names:
+            return _OUT.empty_table()
+        return (pl.from_arrow(t).group_by("cluster_size")
+                .agg(n_clusters=pl.col("n_clusters").sum(),
+                     dup_docs=pl.col("dup_docs").sum(),
+                     dup_chars=pl.col("dup_chars").sum())
+                .to_arrow().cast(_OUT))
+
+    return hash_exchange(per_cluster, "cluster_size", sum_sizes,
+                         num_buckets=2)
+
+
+SQL_Q154 = _SQL_NEARDUP_CC_CTE + """
+, lab AS (SELECT CAST(node AS BIGINT) AS doc_id,
+                 CAST(min(m) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY node),
+cl AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz,
+         CAST(SUM(CASE WHEN d.doc_id <> cluster_id THEN d.n_chars
+                       ELSE 0 END) AS BIGINT) AS dup_chars
+  FROM lab JOIN documents d USING (doc_id) GROUP BY cluster_id
+)
+SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz - 1) AS BIGINT) AS dup_docs,
+       CAST(SUM(dup_chars) AS BIGINT) AS dup_chars
+FROM cl GROUP BY sz
+"""
+
+
 def q110_golden_records(sf_dir: str):
     """Survivorship / golden-record construction — the MDM merge step
     after dedup clustering: every q58 near-dup cluster collapses to
@@ -2993,6 +3086,7 @@ WHERE c.c12 >= {BLM_MIN_C}
 QUERIES = {
     "q133_prefix_containment": (q133_prefix_containment, SQL_Q133),
     "q149_association_rules": (q149_association_rules, SQL_Q149),
+    "q154_dedup_savings": (q154_dedup_savings, SQL_Q154),
     "q135_bigram_lm": (q135_bigram_lm, SQL_Q135),
     "q124_ppjoin": (q124_ppjoin, SQL_Q124),
     "q125_cluster_metrics": (q125_cluster_metrics, SQL_Q125),
