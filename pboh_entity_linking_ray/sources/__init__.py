@@ -13,7 +13,12 @@ from __future__ import annotations
 
 import ray.data
 
-from .text_lines import read_turns_csv, read_turns_jsonl, read_turns_tsv
+from .text_lines import (
+    read_turns_csv,
+    read_turns_jsonl,
+    read_turns_jsonl_gz,
+    read_turns_tsv,
+)
 
 
 def _read_parquet_turns(path: str) -> ray.data.Dataset:
@@ -24,6 +29,7 @@ READERS: dict[str, object] = {
     "parquet": _read_parquet_turns,
     "tsv": read_turns_tsv,
     "jsonl": read_turns_jsonl,
+    "jsonl.gz": read_turns_jsonl_gz,
     "csv": read_turns_csv,
 }
 

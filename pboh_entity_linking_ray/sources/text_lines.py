@@ -65,6 +65,19 @@ def read_turns_jsonl(path: str) -> ray.data.Dataset:
             .map_batches(conform_turns, batch_format="pyarrow"))
 
 
+def read_turns_jsonl_gz(path: str) -> ray.data.Dataset:
+    """Gzip-compressed JSONL turns source — the wire format crawl dumps
+    and log shippers actually deliver.  ``read_json`` decompresses in
+    the read tasks (``arrow_open_stream_args``), so decompression is as
+    distributed as the read itself; each ``.jsonl.gz`` file is one
+    stream (gzip is not splittable — shard the FILES, not the bytes,
+    which the partitioned-output discipline already guarantees)."""
+    return (ray.data.read_json(
+        path, arrow_open_stream_args={"compression": "gzip"},
+        file_extensions=["gz"])
+        .map_batches(conform_turns, batch_format="pyarrow"))
+
+
 def read_turns_csv(path: str) -> ray.data.Dataset:
     """Headered CSV turns source via ``ray.data.read_csv``."""
     return (ray.data.read_csv(path)

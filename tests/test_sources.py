@@ -162,3 +162,36 @@ def test_jsonl_reader_missing_optional_column(tmp_path, ray_session):
     out = read_turns(str(jp), "jsonl").to_pandas()
     assert out["tool"].isna().all()           # missing optional → nulls
     assert "extra" not in out.columns         # extras dropped
+
+
+def test_reader_registry_jsonl_gz_matches_parquet(tmp_path, ray_session):
+    """Gzip JSONL through the registry yields the same turns as the
+    parquet reader (decompression happens inside the read tasks)."""
+    import gzip
+    import json
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pboh_entity_linking_ray.sources import READERS, read_turns
+    from pboh_entity_linking_ray.sources.synthetic import generate_corpus
+
+    assert "jsonl.gz" in READERS
+    c = generate_corpus(30, 3)
+    pdir = os.path.join(str(tmp_path), "turns.parquet")
+    pq.write_table(c.turns, pdir)
+    gz = os.path.join(str(tmp_path), "turns.jsonl.gz")
+    rows = c.turns.select(
+        ["conv_id", "turn_idx", "role", "text", "tool"]).to_pylist()
+    with gzip.open(gz, "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    a = (read_turns(pdir, "parquet").to_pandas()[cols]
+         .sort_values(cols).reset_index(drop=True))
+    b = (read_turns(gz, "jsonl.gz").to_pandas()[cols]
+         .sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        a.astype({"turn_idx": "int64"}), b.astype({"turn_idx": "int64"}))
