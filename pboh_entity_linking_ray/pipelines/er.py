@@ -1169,6 +1169,139 @@ FROM o GROUP BY ctr
 """
 
 
+# --- q155: unsupervised EM estimation of Fellegi-Sunter parameters ----------
+
+EM_ITERS = 3          # unrolled in the SQL twin — keep the two in lockstep
+EM_FEATS = ("size", "type", "price")
+
+
+def q155_em_fs(sf_dir: str):
+    """Splink-style UNSUPERVISED Fellegi-Sunter parameter estimation:
+    expectation-maximization over brand-blocked comparison vectors with
+    NO match labels (q119 is the supervised twin that peeks at name
+    equality).  The 100 TB shape is the one that matters: the only pass
+    over the O(pairs) comparison space folds each pair down to its
+    3-bit agreement pattern and emits per-bucket pattern COUNTS — an
+    8-row sufficient-statistics table — so the EM iterations run on
+    O(2^k) rows regardless of data size (the same reduction Splink's
+    `estimate_parameters_using_expectation_maximisation` makes).
+
+    Fixed protocol, mirrored token-for-token in the SQL twin: init
+    lambda=0.1, m_f=0.9, u_f=0.1; EM_ITERS iterations; outputs rounded
+    to e4 fixed-point for cross-engine float stability."""
+
+    def pat_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"pattern": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "p_partkey" not in t.column_names:
+            return empty
+        df, (ai, bi) = _brand_pairs(t)
+        if len(ai) == 0:
+            return empty
+        _, type_c = np.unique(df["p_type"].to_numpy(), return_inverse=True)
+        size = df["p_size"].to_numpy().astype(np.int64)
+        cents = np.floor(df["p_retailprice"].to_numpy() * 100
+                         + 0.5).astype(np.int64)
+        pid = ((size[ai] == size[bi]).astype(np.int64) * 4
+               + (type_c[ai] == type_c[bi]).astype(np.int64) * 2
+               + (cents[ai] == cents[bi]).astype(np.int64))
+        cnt = np.bincount(pid, minlength=8)
+        keep = np.flatnonzero(cnt)
+        return pa.table({"pattern": pa.array(keep, type=pa.int64()),
+                         "n": pa.array(cnt[keep], type=pa.int64())})
+
+    parts = _t(sf_dir, "part", ["p_partkey", "p_brand", "p_type",
+                                "p_size", "p_retailprice"])
+    partial = bucketed_groups(parts, "p_brand", pat_partial,
+                              num_buckets=16, engine="exchange")
+    summed = bucketed_sum(partial, ["pattern"], "n", "n",
+                          num_buckets=4, engine="exchange")
+
+    # Driver epilogue over the 8-row pattern table (O(2^k), size-free).
+    pdf = summed.to_pandas().sort_values("pattern")
+    pat = pdf["pattern"].to_numpy(dtype=np.int64)
+    n = pdf["n"].to_numpy(dtype=np.float64)
+    g = np.stack([(pat >> 2) & 1, (pat >> 1) & 1, pat & 1]).astype(np.float64)
+    lam, m, u = 0.1, np.full(3, 0.9), np.full(3, 0.1)
+    for _ in range(EM_ITERS):
+        # mirror the SQL float tree: lam * Π_f (g? m_f : 1-m_f), etc.
+        wm = lam * np.where(g[0] == 1, m[0], 1 - m[0]) \
+                 * np.where(g[1] == 1, m[1], 1 - m[1]) \
+                 * np.where(g[2] == 1, m[2], 1 - m[2])
+        wu = (1 - lam) * np.where(g[0] == 1, u[0], 1 - u[0]) \
+                       * np.where(g[1] == 1, u[1], 1 - u[1]) \
+                       * np.where(g[2] == 1, u[2], 1 - u[2])
+        r = wm / (wm + wu)
+        lam = (n * r).sum() / n.sum()
+        m = np.array([(n * r * g[f]).sum() / (n * r).sum()
+                      for f in range(3)])
+        u = np.array([(n * (1 - r) * g[f]).sum() / (n * (1 - r)).sum()
+                      for f in range(3)])
+    params = [("lambda", lam)]
+    params += [(f"m_{f}", m[i]) for i, f in enumerate(EM_FEATS)]
+    params += [(f"u_{f}", u[i]) for i, f in enumerate(EM_FEATS)]
+    return pa.table({
+        "param": pa.array([p for p, _ in params]),
+        "value_e4": pa.array([int(np.round(v * 10000)) for _, v in params],
+                             type=pa.int64()),
+    })
+
+
+def _sql_q155() -> str:
+    """EM iterations unrolled as chained scalar CTEs over the 8-row
+    pattern-count table; float expression trees mirror q155_em_fs."""
+    it = """
+e{k} AS (
+  SELECT pat.gs, pat.gt, pat.gp, pat.n,
+         it{j}.lam * (CASE WHEN pat.gs = 1 THEN it{j}.ms ELSE 1 - it{j}.ms END)
+                   * (CASE WHEN pat.gt = 1 THEN it{j}.mt ELSE 1 - it{j}.mt END)
+                   * (CASE WHEN pat.gp = 1 THEN it{j}.mp ELSE 1 - it{j}.mp END) AS wm,
+         (1 - it{j}.lam) * (CASE WHEN pat.gs = 1 THEN it{j}.us ELSE 1 - it{j}.us END)
+                         * (CASE WHEN pat.gt = 1 THEN it{j}.ut ELSE 1 - it{j}.ut END)
+                         * (CASE WHEN pat.gp = 1 THEN it{j}.up ELSE 1 - it{j}.up END) AS wu
+  FROM pat, it{j}),
+r{k} AS (SELECT gs, gt, gp, n, wm / (wm + wu) AS r FROM e{k}),
+it{k} AS (
+  SELECT SUM(n * r) / SUM(n) AS lam,
+         SUM(n * r * gs) / SUM(n * r) AS ms,
+         SUM(n * r * gt) / SUM(n * r) AS mt,
+         SUM(n * r * gp) / SUM(n * r) AS mp,
+         SUM(n * (1 - r) * gs) / SUM(n * (1 - r)) AS us,
+         SUM(n * (1 - r) * gt) / SUM(n * (1 - r)) AS ut,
+         SUM(n * (1 - r) * gp) / SUM(n * (1 - r)) AS up
+  FROM r{k})"""
+    iters = ",".join(it.format(k=k, j=k - 1) for k in range(1, EM_ITERS + 1))
+    last = f"it{EM_ITERS}"
+    outs = [("lambda", "lam"), ("m_size", "ms"), ("m_type", "mt"),
+            ("m_price", "mp"), ("u_size", "us"), ("u_type", "ut"),
+            ("u_price", "up")]
+    sel = "\nUNION ALL ".join(
+        f"SELECT '{p}' AS param, CAST(ROUND({c} * 10000) AS BIGINT)"
+        f" AS value_e4 FROM {last}" for p, c in outs)
+    return f"""
+WITH p AS (
+  SELECT p_partkey, p_brand, p_type, p_size,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM part
+),
+pat AS (
+  SELECT CASE WHEN x.p_size = y.p_size THEN 1 ELSE 0 END AS gs,
+         CASE WHEN x.p_type = y.p_type THEN 1 ELSE 0 END AS gt,
+         CASE WHEN x.cents = y.cents THEN 1 ELSE 0 END AS gp,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM p x JOIN p y ON x.p_brand = y.p_brand AND x.p_partkey < y.p_partkey
+  GROUP BY 1, 2, 3
+),
+it0 AS (SELECT CAST(0.1 AS DOUBLE) AS lam,
+               CAST(0.9 AS DOUBLE) AS ms, CAST(0.9 AS DOUBLE) AS mt,
+               CAST(0.9 AS DOUBLE) AS mp,
+               CAST(0.1 AS DOUBLE) AS us, CAST(0.1 AS DOUBLE) AS ut,
+               CAST(0.1 AS DOUBLE) AS up),
+{iters}
+{sel}
+"""
+
+
 QUERIES = {
     "q117_sorted_neighborhood": (q117_sorted_neighborhood, SQL_Q117),
     "q144_transitivity_audit": (q144_transitivity_audit, _sql_q144()),
@@ -1181,4 +1314,5 @@ QUERIES = {
     "q130_canopy": (q130_canopy, _sql_q130()),
     "q131_monge_elkan": (q131_monge_elkan, SQL_Q131),
     "q138_one_to_one_match": (q138_one_to_one_match, _sql_q138()),
+    "q155_em_fs": (q155_em_fs, _sql_q155()),
 }
