@@ -255,7 +255,7 @@ OPS_DEFAULT = [
     "q138_one_to_one_match", "q139_seasonal_anomaly",
     "q149_association_rules", "q150_rfm_segments", "q151_day_churn",
     "q152_k_anonymity", "q153_langid_confusion", "q154_dedup_savings",
-    "link_forks", "q155_em_fs",
+    "link_forks", "q155_em_fs", "q156_priority_sample",
     "q140_correlation_matrix", "q141_hits", "q142_char_histogram",
     "q143_novelty_rate", "q144_transitivity_audit", "q145_cusum",
     "q146_event_trigrams", "q147_weighted_median",

@@ -899,6 +899,209 @@ def salted_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
     return hash_exchange(both, SKEY_COL, join_bucket, num_buckets)
 
 
+def skew_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
+              hot_keys: dict, num_buckets: int = 64, how: str = "inner",
+              post=None) -> ray.data.Dataset:
+    """``hash_join`` with a PER-KEY salt map — the surgical version of
+    ``salted_join``: only the keys named in ``hot_keys`` (key → salt
+    count ≥ 2) are spread across sub-buckets, and the right side
+    replicates each hot key's rows exactly ``salt_k`` times while COLD
+    keys ship once, exactly as in a plain hash join.  ``salted_join``
+    by contrast ships the ENTIRE right side ``salt``× — the right tool
+    when the whole left is skew-prone; this one is the right tool when
+    a handful of keys hold a disproportionate share (the Zipf reality
+    of web-scale keys: one key with 10% of a 100 TB fact table pins
+    10 TB on one task under a plain exchange).
+
+    Output is identical to ``hash_join`` for every supported ``how``
+    (inner/left/semi/anti): each (left row, right row) match meets in
+    exactly one (key, sub-key) bucket.  ``how='full'`` is rejected —
+    an unmatched hot right row would surface once per replica.
+
+    The salt map rides the object store ONCE (``ray.put`` + the
+    ``_bcast_frame`` per-worker cache); per batch the salt count
+    resolves via one vectorized polars left join against it.
+    """
+    if how == "full":
+        raise ValueError("skew_join does not support how='full'; "
+                         "use hash_join")
+    hot = {k: int(s) for k, s in hot_keys.items() if int(s) >= 2}
+    if not hot:
+        return hash_join(left, right, on, num_buckets, how, post)
+    fb = _empty_side_fallback(left, right, how)
+    if fb is not None:
+        return fb
+    lf = [(f.name, f.type) for f in left.schema().base_schema]
+    rf = [(f.name, f.type) for f in right.schema().base_schema]
+    l_names = [n for n, _ in lf]
+    filtering = how in ("semi", "anti")
+    r_rest = [] if filtering else [(n, t) for n, t in rf if n != on]
+    overlap = set(l_names) & {n for n, _ in r_rest}
+    if overlap:
+        raise ValueError(f"skew_join column collision: {sorted(overlap)}")
+    all_fields = lf + r_rest
+    out_fields = lf if filtering else all_fields
+    out_schema = pa.schema(out_fields)
+    max_salt = max(hot.values())
+    GOLDEN = 0x9E3779B97F4A7C15
+    salt_off = np.array([(i * GOLDEN) & 0xFFFFFFFFFFFFFFFF
+                         for i in range(max_salt)], dtype=np.uint64)
+    key_type = dict(lf)[on]
+    NSALT = "__nsalt"
+    map_ref = ray.put(pa.table({
+        on: pa.array(list(hot.keys()), type=key_type),
+        NSALT: pa.array(list(hot.values()), type=pa.int64()),
+    }))
+
+    def _nsalt_for(t: pa.Table) -> np.ndarray:
+        import polars as pl
+
+        keys = pl.from_arrow(t.select([on]).combine_chunks())
+        j = keys.join(_bcast_frame(map_ref), on=on, how="left",
+                      maintain_order="left")
+        return j[NSALT].fill_null(1).to_numpy().astype(np.int64,
+                                                       copy=False)
+
+    def _aligned(t: pa.Table, side: int) -> dict:
+        n = t.num_rows
+        cols = {}
+        for name, typ in all_fields:
+            if name in t.column_names:
+                col = t[name]
+                cols[name] = col.cast(typ) if col.type != typ else col
+            else:
+                cols[name] = pa.nulls(n, type=typ)
+        cols[SIDE_COL] = pa.array(np.full(n, side, dtype=np.int8))
+        return cols
+
+    def _key_hash(t: pa.Table) -> np.ndarray:
+        import polars as pl
+
+        return (pl.from_arrow(t[on].combine_chunks())
+                .hash(seed=23).to_numpy().astype(np.uint64, copy=False))
+
+    def align_left(t: pa.Table) -> pa.Table:
+        cols = _aligned(t, 0)
+        h = _key_hash(t)
+        ns = _nsalt_for(t)
+        sub = np.arange(t.num_rows, dtype=np.int64) % ns  # round-robin
+        cols[SKEY_COL] = pa.array((h + salt_off[sub]).view(np.int64))
+        cols[SALT_COL] = pa.array(sub)
+        return pa.table(cols)
+
+    def align_right(t: pa.Table) -> pa.Table:
+        ns = _nsalt_for(t)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), ns)
+        rep = t.take(pa.array(idx))
+        cols = _aligned(rep, 1)
+        h = _key_hash(rep)
+        # copy index within each source row: 0..ns_i-1
+        starts = np.repeat(np.cumsum(ns) - ns, ns)
+        sub = np.arange(len(idx), dtype=np.int64) - starts
+        cols[SKEY_COL] = pa.array((h + salt_off[sub]).view(np.int64))
+        cols[SALT_COL] = pa.array(sub)
+        return pa.table(cols)
+
+    both = left.map_batches(align_left, batch_format="pyarrow").union(
+        right.map_batches(align_right, batch_format="pyarrow"))
+    r_cols = [on, SALT_COL] + [n for n, _ in r_rest]
+
+    def join_bucket(bucket: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(bucket)
+        lhs = df.filter(pl.col(SIDE_COL) == 0).select(l_names + [SALT_COL])
+        rhs = df.filter(pl.col(SIDE_COL) == 1).select(r_cols)
+        out = lhs.join(rhs, on=[on, SALT_COL], how=how)
+        joined = (out.select([n for n, _ in out_fields])
+                  .to_arrow().cast(out_schema))
+        return post(joined) if post is not None else joined
+
+    return hash_exchange(both, SKEY_COL, join_bucket, num_buckets)
+
+
+def detect_hot_keys(ds: ray.data.Dataset, on: str, *,
+                    sample_frac: float = 0.05, hot_frac: float = 0.01,
+                    num_buckets: int = 64, max_salt: int = 16,
+                    per_batch_top: int = 16,
+                    seed: int = 7) -> dict:
+    """Estimate the hot-key set of ``ds[on]`` from one cheap sampled
+    pass: per sampled batch, the ``per_batch_top`` most frequent keys
+    (plus the batch row count) — O(top × batches) skinny rows reach the
+    driver, never the data.  A key is HOT when its sampled share is
+    ≥ ``hot_frac``; its salt is sized so its rows spread to roughly the
+    per-bucket average (share × num_buckets, clamped to [2, max_salt]).
+
+    The estimate only steers PERFORMANCE: ``skew_join`` output is
+    identical whatever map this returns (a missed hot key just joins
+    unsalted; a false positive pays a few duplicate right rows), so the
+    sampling noise of ``random_sample`` is harmless by construction —
+    the reason this can be a sample instead of an exact histogram.
+    """
+    if ds.schema() is None:
+        return {}
+    key_field = next(f for f in ds.schema().base_schema if f.name == on)
+    empty = pa.table({on: pa.array([], type=key_field.type),
+                      "cnt": pa.array([], type=pa.int64()),
+                      "bid": pa.array([], type=pa.string()),
+                      "batch_n": pa.array([], type=pa.int64())})
+
+    def topc(t: pa.Table) -> pa.Table:
+        import uuid
+
+        import polars as pl
+
+        if t.num_rows == 0 or on not in t.column_names:
+            return empty
+        vc = (pl.from_arrow(t.select([on]).combine_chunks())[on]
+              .value_counts(sort=True).head(per_batch_top))
+        return pa.table({
+            on: vc[on].to_arrow().cast(key_field.type),
+            "cnt": vc["count"].cast(pl.Int64).to_arrow(),
+            "bid": pa.array([uuid.uuid4().hex] * len(vc)),
+            "batch_n": pa.array(np.full(len(vc), t.num_rows,
+                                        dtype=np.int64)),
+        })
+
+    sample = ds if sample_frac >= 1.0 else ds.random_sample(sample_frac,
+                                                            seed=seed)
+    parts = sample.map_batches(topc, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return {}
+    total = int(parts.drop_duplicates("bid")["batch_n"].sum())
+    if total == 0:
+        return {}
+    by_key = parts.groupby(on, sort=False)["cnt"].sum()
+    hot = {}
+    for k, c in by_key.items():
+        share = c / total
+        if share >= hot_frac:
+            hot[k] = int(min(max_salt,
+                             max(2, int(np.ceil(share * num_buckets)))))
+    return hot
+
+
+def adaptive_skew_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                       on: str, num_buckets: int = 64, how: str = "inner",
+                       post=None, *, sample_frac: float = 0.05,
+                       hot_frac: float = 0.01,
+                       max_salt: int = 16) -> ray.data.Dataset:
+    """``hash_join`` that defends itself against key skew: sample the
+    LEFT side's key histogram (``detect_hot_keys``), then salt exactly
+    the detected hot keys (``skew_join``) — or run the plain join when
+    the histogram is flat.  The detection pass costs one sampled scan
+    of the left key column; the join result is identical either way.
+    """
+    if left.schema() is None or right.schema() is None:
+        return hash_join(left, right, on, num_buckets, how, post)
+    hot = detect_hot_keys(left, on, sample_frac=sample_frac,
+                          hot_frac=hot_frac, num_buckets=num_buckets,
+                          max_salt=max_salt)
+    if not hot:
+        return hash_join(left, right, on, num_buckets, how, post)
+    return skew_join(left, right, on, hot, num_buckets, how, post)
+
+
 # --- distributed prefix sum (scan) -------------------------------------------
 
 RNG_COL = "__rng"

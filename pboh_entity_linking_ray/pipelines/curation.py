@@ -1238,6 +1238,58 @@ FROM tot t LEFT JOIN nov n USING (doc_id)
 """
 
 
+# --- q156: priority sampling (weighted without replacement) ------------------
+
+PRIORITY_K = 100          # sample size
+PRIORITY_MOD = 999983     # prime modulus for the md5-derived uniform
+
+
+def q156_priority_sample(sf_dir: str):
+    """Priority sampling (Duffield-Lund-Thorup 2007): a weighted sample
+    WITHOUT replacement — the complement of q54's independent Bernoulli
+    thinning (which cannot bound the sample size).  Each doc gets an
+    exact-integer priority w·10⁹ // u from a deterministic md5-derived
+    uniform u ∈ [1, PRIORITY_MOD]; the global top-K by priority IS the
+    sample.  Integer priorities (not the textbook w/u float) keep the
+    op exact end-to-end and identical across engines; the estimator
+    caveat (coarser u granularity) is a documented trade.
+
+    Scale shape: one streaming pass emits a ≤K-row partial top-K per
+    batch, so the final exact sort ranks O(K · batches) skinny rows —
+    never the corpus.  Deterministic by construction: resumable,
+    partition-independent, no seed state."""
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        w = np.asarray(t["n_chars"], dtype=np.int64)
+        hs = _md5_cached({}, [str(i) for i in ids])
+        u = (hs % np.uint64(PRIORITY_MOD)).astype(np.int64) + 1
+        prio = w * 1_000_000_000 // u
+        order = np.lexsort((ids, -prio))[:PRIORITY_K]
+        return pa.table({
+            "doc_id": pa.array(ids[order], type=pa.int64()),
+            "n_chars": pa.array(w[order], type=pa.int64()),
+            "prio": pa.array(prio[order], type=pa.int64()),
+        })
+
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+    partials = docs.map_batches(partial_topk, batch_format="pyarrow",
+                                batch_size=4096)
+    return (partials.sort(["prio", "doc_id"], descending=[True, False])
+            .limit(PRIORITY_K))
+
+
+SQL_Q156 = f"""
+SELECT doc_id, n_chars,
+       CAST(n_chars AS BIGINT) * 1000000000
+           // CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                   % {PRIORITY_MOD} + 1 AS BIGINT) AS prio
+FROM documents
+ORDER BY prio DESC, doc_id
+LIMIT {PRIORITY_K}
+"""
+
+
 QUERIES = {
     "q50_decontaminate": (q50_decontaminate, SQL_Q50),
     "q142_char_histogram": (q142_char_histogram, SQL_Q142),
@@ -1253,4 +1305,5 @@ QUERIES = {
     "q66_lm_perplexity": (q66_lm_perplexity, SQL_Q66),
     "q74_mixture_allocation": (q74_mixture_allocation, SQL_Q74),
     "q67_fuzzy_decontaminate": (q67_fuzzy_decontaminate, SQL_Q67),
+    "q156_priority_sample": (q156_priority_sample, SQL_Q156),
 }

@@ -1,5 +1,6 @@
-"""Property tests: the three join implementations (bucketed hash_join,
-skew-salted salted_join, map-side broadcast_join) must agree with a
+"""Property tests: the join implementations (bucketed hash_join,
+uniformly-salted salted_join, per-key-salted skew_join /
+adaptive_skew_join, map-side broadcast_join) must agree with a
 pandas reference merge on arbitrary key/value tables for every how.
 
 Few examples, seeds fixed by hypothesis derandomization under pytest;
@@ -14,9 +15,12 @@ import ray.data
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from pboh_entity_linking_ray.functions.grouping import (broadcast_join,
+from pboh_entity_linking_ray.functions.grouping import (adaptive_skew_join,
+                                                        broadcast_join,
+                                                        detect_hot_keys,
                                                         hash_join,
-                                                        salted_join)
+                                                        salted_join,
+                                                        skew_join)
 
 KEYS = st.lists(st.integers(min_value=-5, max_value=9),
                 min_size=0, max_size=40)
@@ -63,6 +67,9 @@ def test_joins_agree_with_pandas(ray_session, how, lk, rk):
             ("salted", salted_join(left, right, "k", salt=3, how=how,
                                    num_buckets=8)),
             ("broadcast", broadcast_join(left, right_tbl, "k", how=how)),
+            # per-key salt map: 0/1 hot (when present), the rest cold
+            ("skew", skew_join(left, right, "k", {0: 3, 1: 2}, how=how,
+                               num_buckets=8)),
         ]
     for name, got in impls:
         got_df = _norm(got)
@@ -111,3 +118,48 @@ def test_composite_key_hash_join_agrees_with_pandas(ray_session, how,
         return
     got = got.reindex(columns=want.columns.tolist())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_adaptive_skew_join_on_planted_hot_key(ray_session):
+    """A Zipf-shaped left side: one key holds ~60% of rows.  The
+    sampled detector must flag it, and the salted plan's output must be
+    IDENTICAL to the plain hash join (detection steers performance
+    only)."""
+    rng = np.random.default_rng(11)
+    hot = np.full(1200, 7, dtype=np.int64)
+    cold = rng.integers(100, 400, size=800).astype(np.int64)
+    lk = np.concatenate([hot, cold])
+    rng.shuffle(lk)
+    ldf = pd.DataFrame({"k": lk, "lv": np.arange(len(lk), dtype="int64")})
+    rk = np.arange(0, 450, dtype=np.int64)
+    rdf = pd.DataFrame({"k": rk, "rv": rk * 10})
+    left = ray.data.from_arrow(pa.Table.from_pandas(ldf)).repartition(4)
+    right = ray.data.from_arrow(pa.Table.from_pandas(rdf)).repartition(2)
+
+    found = detect_hot_keys(left, "k", sample_frac=0.5, hot_frac=0.05,
+                            num_buckets=8)
+    assert 7 in found and found[7] >= 2
+    assert all(s <= 16 for s in found.values())
+
+    for how in ("inner", "left", "semi", "anti"):
+        want = _norm(hash_join(left, right, "k", how=how, num_buckets=8))
+        got = _norm(adaptive_skew_join(left, right, "k", how=how,
+                                       num_buckets=8, sample_frac=0.5,
+                                       hot_frac=0.05))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=how)
+
+
+def test_skew_join_string_keys_and_flat_fallback(ray_session):
+    """String-typed hot keys work (the salt map broadcast casts to the
+    key column type), and an empty/flat hot map degrades to hash_join."""
+    ldf = pd.DataFrame({"k": ["a", "a", "a", "b", "c"] * 4,
+                        "lv": np.arange(20, dtype="int64")})
+    rdf = pd.DataFrame({"k": ["a", "b", "d"], "rv": [1, 2, 3]})
+    left = ray.data.from_arrow(pa.Table.from_pandas(ldf)).repartition(3)
+    right = ray.data.from_arrow(pa.Table.from_pandas(rdf))
+    want = _norm(hash_join(left, right, "k", num_buckets=4))
+    got = _norm(skew_join(left, right, "k", {"a": 4}, num_buckets=4))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # salts < 2 are dropped; an all-cold map is exactly hash_join
+    got2 = _norm(skew_join(left, right, "k", {"a": 1}, num_buckets=4))
+    pd.testing.assert_frame_equal(got2, want, check_dtype=False)
