@@ -26,8 +26,17 @@ from ..functions.langid import predict_lang_expr, sql_case_expr
 from ..functions.text import STOPWORDS
 
 
-def _t(sf_dir: str, name: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+def _t(sf_dir: str, name: str, columns=None, filter=None):
+    """Column-pruned (and optionally predicate-pushed) table read.
+
+    ``filter`` is a ``pyarrow.dataset.Expression`` applied INSIDE the
+    read tasks: row groups whose statistics exclude the predicate are
+    skipped entirely and surviving row groups are filtered before the
+    batch enters the object store — the 'prune at the read' lever for
+    selective queries (a transform-side ``.filter`` pays the full scan
+    and ships the dead rows first)."""
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet",
+                                 columns=columns, filter=filter)
 
 
 def _round_cols(tbl: pa.Table, cols: dict[str, int]) -> pa.Table:
@@ -1444,14 +1453,21 @@ def q38_shipping_priority(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum, hash_join
 
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    cutoff = datetime.datetime.fromisoformat(Q3_DATE)
+    # predicate pushdown: the date filters run inside the read tasks
+    # (row-group statistics prune whole groups at crawl scale) instead
+    # of shipping dead rows to a transform-side filter
     line = _t(sf_dir, "lineitem",
-              ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+              ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+              filter=pads.field("l_shipdate") > cutoff)
 
     def rev_partial(t: pa.Table) -> pa.Table:
         import polars as pl
 
-        t = t.filter(pc.greater(t["l_shipdate"],
-                                pa.scalar(Q3_DATE).cast(t["l_shipdate"].type)))
         ext = np.asarray(t["l_extendedprice"])
         dis = np.asarray(t["l_discount"])
         rev = np.floor(ext * (1 - dis) * 100 + 0.5).astype(np.int64)
@@ -1471,11 +1487,8 @@ def q38_shipping_priority(sf_dir: str):
         return t.select(["c_custkey"]).rename_columns(["o_custkey"])
 
     orders = _t(sf_dir, "orders",
-                ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
-
-    def odate(t: pa.Table) -> pa.Table:
-        return t.filter(pc.less(t["o_orderdate"],
-                                pa.scalar(Q3_DATE).cast(t["o_orderdate"].type)))
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+                filter=pads.field("o_orderdate") < cutoff)
 
     def o_project(t: pa.Table) -> pa.Table:
         # explicit map projection: lazy select/rename on an exchange
@@ -1485,7 +1498,7 @@ def q38_shipping_priority(sf_dir: str):
                          "o_orderdate": t["o_orderdate"],
                          "o_orderpriority": t["o_orderpriority"]})
 
-    o_seg = hash_join(orders.map_batches(odate, batch_format="pyarrow"),
+    o_seg = hash_join(orders,
                       cust.map_batches(seg, batch_format="pyarrow"),
                       "o_custkey", how="semi") \
         .map_batches(o_project, batch_format="pyarrow")
