@@ -53,13 +53,15 @@ def q01_lineitem_agg(sf_dir: str):
     (context/WordFreqPerCorpus.scala:34-40) over numeric measures."""
     from ray.data.aggregate import Count, Sum
 
+    import pyarrow.dataset as pads
+
     ds = _t(sf_dir, "lineitem",
             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-             "l_discount", "l_shipdate"])
+             "l_discount", "l_shipdate"],
+            filter=pads.field("l_shipdate")
+            <= pd.Timestamp("1998-09-02").to_pydatetime())
 
     def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less_equal(t["l_shipdate"],
-                                   pa.scalar(pd.Timestamp("1998-09-02"))))
         # integer-scaled measures: float sums are order-dependent across
         # engines; per-row floor(x*scale+0.5) then int64 sums are exact
         disc = np.asarray(t["l_extendedprice"]) * (1.0 - np.asarray(t["l_discount"]))
@@ -1416,11 +1418,13 @@ def q30_customers_without_big_orders(sf_dir: str):
 
     cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
 
+    import pyarrow.dataset as pads
+
     def big(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t["o_totalprice"], BIG_ORDER_MIN))
         return t.select(["o_custkey"]).rename_columns(["c_custkey"])
 
-    big_orders = (_t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    big_orders = (_t(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                     filter=pads.field("o_totalprice") > BIG_ORDER_MIN)
                   .map_batches(big, batch_format="pyarrow"))
     out = hash_join(cust, big_orders, "c_custkey", how="anti")
     return out.map_batches(lambda t: _round_cols(t, {"c_acctbal": 2}),
@@ -1480,10 +1484,10 @@ def q38_shipping_priority(sf_dir: str):
                        ["l_orderkey"], "rev", "revenue_e2",
                        engine="exchange")
 
-    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = _t(sf_dir, "customer", ["c_custkey"],
+              filter=pads.field("c_mktsegment") == Q3_SEGMENT)
 
     def seg(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["c_mktsegment"], Q3_SEGMENT))
         return t.select(["c_custkey"]).rename_columns(["o_custkey"])
 
     orders = _t(sf_dir, "orders",
@@ -1535,23 +1539,20 @@ def q37_events_of_big_purchasers(sf_dir: str):
     drops definite-non-member probe rows BEFORE the exchange; the
     in-bucket exact join removes the Bloom's false positives, so the
     result is exactly the plain semi join / EXISTS."""
-    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
 
     from ..functions.bloom import bloom_filter_join
 
-    events = _t(sf_dir, "events",
-                ["event_id", "user_id", "ts", "event_type", "value"])
+    events = _t(sf_dir, "events", ["event_id", "user_id", "event_type"])
 
-    def buyers(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_(pc.equal(t["event_type"], "purchase"),
-                             pc.greater(t["value"], BIG_PURCHASE_MIN)))
-        return t.select(["user_id"])
-
-    right = events.map_batches(buyers, batch_format="pyarrow")
-    out = bloom_filter_join(
-        events.select_columns(["event_id", "user_id", "event_type"]),
-        right, "user_id", how="semi", m_bits=1 << 20)
-    return out
+    # the probe side is its own pushed-down read: the filter runs at the
+    # scan and only user_id survives it (a lazy Dataset re-executes per
+    # consumer anyway, so this costs no extra pass over `events`)
+    right = _t(sf_dir, "events", ["user_id"],
+               filter=(pads.field("event_type") == "purchase")
+               & (pads.field("value") > BIG_PURCHASE_MIN))
+    return bloom_filter_join(events, right, "user_id", how="semi",
+                             m_bits=1 << 20)
 
 
 SQL_Q37 = f"""
@@ -1716,12 +1717,14 @@ def q75_activity_reconciliation(sf_dir: str):
     """
     from ..functions.grouping import bucketed_sum_multi, hash_join
 
-    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    import pyarrow.dataset as pads
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                filter=pads.field("o_totalprice") >= 300000.0)
 
     def big_partial(t: pa.Table) -> pa.Table:
         import polars as pl
 
-        t = t.filter(pc.greater_equal(t["o_totalprice"], pa.scalar(300000.0)))
         df = pl.from_arrow(pa.table({
             "c_custkey": t["o_custkey"],
             "spend_e2": pa.array(
@@ -1740,12 +1743,12 @@ def q75_activity_reconciliation(sf_dir: str):
                         "n_big_orders": "n_big_orders"},
         engine="exchange")
 
-    events = _t(sf_dir, "events", ["user_id", "event_type", "value"])
+    events = _t(sf_dir, "events", ["user_id", "value"],
+                filter=pads.field("event_type") == "purchase")
 
     def purch_partial(t: pa.Table) -> pa.Table:
         import polars as pl
 
-        t = t.filter(pc.equal(t["event_type"], pa.scalar("purchase")))
         df = pl.from_arrow(pa.table({
             "c_custkey": t["user_id"],
             "val_e4": pa.array(
