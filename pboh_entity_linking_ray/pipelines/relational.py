@@ -2080,22 +2080,24 @@ def q76_region_revenue(sf_dir: str):
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
     rkey = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
     nat = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkey))
-    allowed = nat["n_nationkey"].combine_chunks()
     name_map = dict(zip(nat["n_nationkey"].to_pylist(),
                         nat["n_name"].to_pylist()))
 
-    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-        lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=allowed)),
-        batch_format="pyarrow")
+    import pyarrow.dataset as pads
 
-    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    # region membership pushed INTO the customer scan (the driver already
+    # resolved the tiny region→nation dims to a key list)
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"],
+              filter=pads.field("c_nationkey").isin(list(name_map)))
+
+    orders = _t(
+        sf_dir, "orders", ["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate")
+                >= pd.Timestamp("1996-01-01").to_pydatetime())
+        & (pads.field("o_orderdate")
+           < pd.Timestamp("1997-01-01").to_pydatetime()))
 
     def o_window(t: pa.Table) -> pa.Table:
-        m = pc.and_(
-            pc.greater_equal(t["o_orderdate"],
-                             pa.scalar(pd.Timestamp("1996-01-01"))),
-            pc.less(t["o_orderdate"], pa.scalar(pd.Timestamp("1997-01-01"))))
-        t = t.filter(m)
         return pa.table({"o_orderkey": t["o_orderkey"],
                          "c_custkey": t["o_custkey"]})
 
