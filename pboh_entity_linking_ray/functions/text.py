@@ -69,7 +69,10 @@ def wiki_url_to_title(col) -> pl.Series:
         .select(e=pl.col("u").str.extract(r"wikipedia/en/(.*)$", 1))
         .select(e=pl.col("e").str.slice(0, pl.col("e").str.len_chars() - 2))
     )["e"]
-    escapes = (ent.str.extract_all(r"\$[0-9A-Fa-f]{4}").explode()
+    # empty_as_null pinned: polars 2.0 flips the default, which would
+    # turn no-escape rows into empty lists and change explode() output
+    escapes = (ent.str.extract_all(r"\$[0-9A-Fa-f]{4}")
+               .list.explode(empty_as_null=True)
                .drop_nulls().unique().to_list())
     for esc in escapes:
         ent = ent.str.replace_all(esc, chr(int(esc[1:], 16)), literal=True)
