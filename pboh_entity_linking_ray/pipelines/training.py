@@ -410,9 +410,205 @@ FROM j
 """
 
 
+# --- q157: Benford first-digit audit -----------------------------------
+
+def q157_benford_audit(sf_dir: str):
+    """Benford's-law first-digit audit of the order-amount column — the
+    classic forensic/data-quality screen (Benford 1938; Nigrini 1996)
+    for fabricated or truncated numeric data: naturally occurring
+    amounts follow P(d) = log10(1 + 1/d), synthetic ones usually don't.
+
+    Exact-integer discipline end to end: amounts become cents via
+    floor(x·100+0.5) (the q01 device), the first digit is extracted by
+    a vectorized ``searchsorted`` against the 18 powers of ten —
+    integer division by 10^(digits−1), never float log10 whose boundary
+    error at exact powers of ten could misclassify — per-batch ≤9-row
+    digit partials flow through ONE tiny keyed sum, and the ≤9-row
+    driver fold emits share_e6 = n·10⁶//N vs benford_e6 =
+    floor(log10(1+1/d)·10⁶) (the nine float constants sit ≥0.01 from
+    an integer boundary at e6, so both engines floor identically).
+
+    100 TB shape: one streaming pass, O(9 × batches) partial rows, the
+    driver never sees row-level data."""
+    from ..functions.grouping import bucketed_sum
+
+    orders = _t(sf_dir, "orders", ["o_totalprice"])
+
+    _POW10 = 10 ** np.arange(1, 19, dtype=np.int64)      # 10^1 .. 10^18
+    _POW_ALL = np.concatenate(([np.int64(1)], _POW10))   # 10^0 .. 10^18
+    _PART = pa.schema([("digit", pa.int64()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_totalprice" not in t.column_names:
+            return _PART.empty_table()
+        e2 = np.floor(np.asarray(t["o_totalprice"]) * 100 + 0.5) \
+            .astype(np.int64)
+        mag = np.searchsorted(_POW10, e2, side="right")   # digits − 1
+        first = e2 // _POW_ALL[mag]
+        cnt = np.bincount(first, minlength=10)[1:10]
+        keep = cnt > 0
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10, dtype=np.int64)[keep]),
+            "n": pa.array(cnt[keep].astype(np.int64)),
+        })
+
+    sums = bucketed_sum(orders.map_batches(partial, batch_format="pyarrow"),
+                        ["digit"], "n", "n", num_buckets=4,
+                        engine="exchange")
+    # ≤9 rows reach the driver: the fold needs N = Σn across ALL digits
+    rows = sums.to_pandas()
+    digit = rows["digit"].to_numpy(dtype=np.int64)
+    n = rows["n"].to_numpy(dtype=np.int64)
+    order = np.argsort(digit)
+    digit, n = digit[order], n[order]
+    total = np.int64(n.sum())
+    share_e6 = n * 1_000_000 // total
+    benford_e6 = np.floor(
+        np.log10(1.0 + 1.0 / digit.astype(np.float64)) * 1_000_000
+    ).astype(np.int64)
+    return pa.table({
+        "digit": pa.array(digit),
+        "n": pa.array(n),
+        "share_e6": pa.array(share_e6),
+        "benford_e6": pa.array(benford_e6),
+        "dev_e6": pa.array(share_e6 - benford_e6),
+    })
+
+
+SQL_Q157 = """
+WITH e AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS e2 FROM orders
+),
+c AS (
+  SELECT CAST(substr(CAST(e2 AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT digit, n,
+       n * 1000000 // total AS share_e6,
+       CAST(floor(log10(1 + 1.0 / digit) * 1000000) AS BIGINT) AS benford_e6,
+       n * 1000000 // total
+         - CAST(floor(log10(1 + 1.0 / digit) * 1000000) AS BIGINT) AS dev_e6
+FROM c, t
+"""
+
+
+# --- q158: Mann-Whitney U rank test -------------------------------------
+
+def q158_mannwhitney(sf_dir: str):
+    """Mann-Whitney U (Wilcoxon rank-sum) test between the purchase and
+    click value distributions — the NONPARAMETRIC two-sample companion
+    of q95's Welch t (rank-based, so outliers and non-normality can't
+    fake significance).
+
+    Global midranks WITHOUT a global sort: per-batch (v_cents, arm)
+    count partials → ONE keyed sum gives the distinct-value table
+    (ranks depend only on the value multiset) → ``range_prefix_sum``
+    (the q99/q112 distributed scan) supplies each distinct value's
+    exclusive cumulative count, and 2·midrank = 2·cum_before + ties + 1
+    keeps every quantity integer (doubled midranks, the q139 device).
+    The scan output folds to ONE row of exact int64 statistics:
+    r1_x2 = Σ n1(v)·(2·cum_before+n+1), u1_x2 = r1_x2 − n1·(n1+1),
+    so both engines hash-match exactly — no float ever appears.
+
+    100 TB shape: the purchase/click filter is PUSHED INTO the scan,
+    partials are O(distinct cents × batches) skinny rows, the scan
+    splits across range buckets (no single-task ceiling), and the
+    driver folds O(batches) partial triples."""
+    import pyarrow.dataset as pads
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum_multi, range_prefix_sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"],
+        filter=pads.field("event_type").isin(["purchase", "click"]))
+
+    _PART = pa.schema([("v", pa.int64()), ("n1", pa.int64()),
+                       ("n2", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.column_names:
+            return _PART.empty_table()
+        v = np.floor(np.asarray(t["value"]) * 100 + 0.5).astype(np.int64)
+        g1 = np.asarray(t["event_type"]) == "purchase"
+        df = pl.DataFrame({"v": v,
+                           "n1": g1.astype(np.int64),
+                           "n2": (~g1).astype(np.int64)})
+        return (df.group_by("v")
+                .agg(pl.col("n1").sum(), pl.col("n2").sum())
+                .to_arrow().cast(_PART))
+
+    distinct = bucketed_sum_multi(
+        ev.map_batches(partial, batch_format="pyarrow"), ["v"],
+        {"n1": "n1", "n2": "n2"}, engine="exchange")
+
+    def with_n(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "v" not in t.column_names:
+            return pa.schema([("v", pa.int64()), ("n1", pa.int64()),
+                              ("n", pa.int64())]).empty_table()
+        n = (np.asarray(t["n1"], dtype=np.int64)
+             + np.asarray(t["n2"], dtype=np.int64))
+        return pa.table({"v": t["v"], "n1": t["n1"], "n": pa.array(n)})
+
+    run = range_prefix_sum(distinct.map_batches(with_n,
+                                                batch_format="pyarrow"),
+                           "v", "n", out_name="cum_before")
+
+    _FOLD = pa.schema([("n1", pa.int64()), ("n", pa.int64()),
+                       ("r1_x2", pa.int64())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "v" not in t.column_names:
+            return _FOLD.empty_table()
+        n1 = np.asarray(t["n1"], dtype=np.int64)
+        n = np.asarray(t["n"], dtype=np.int64)
+        cb = np.asarray(t["cum_before"], dtype=np.int64)
+        return pa.table({
+            "n1": pa.array([np.int64(n1.sum())]),
+            "n": pa.array([np.int64(n.sum())]),
+            "r1_x2": pa.array([np.int64((n1 * (2 * cb + n + 1)).sum())]),
+        })
+
+    parts = run.map_batches(fold, batch_format="pyarrow").to_pandas()
+    n1 = np.int64(parts["n1"].sum())
+    n2 = np.int64(parts["n"].sum()) - n1
+    r1_x2 = np.int64(parts["r1_x2"].sum())
+    u1_x2 = r1_x2 - n1 * (n1 + 1)
+    return pa.table({
+        "n1": pa.array([n1]), "n2": pa.array([n2]),
+        "r1_x2": pa.array([r1_x2]), "u1_x2": pa.array([u1_x2]),
+    })
+
+
+SQL_Q158 = """
+WITH x AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         (event_type = 'purchase') AS g1
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+r AS (
+  SELECT g1,
+         2 * (RANK() OVER (ORDER BY v))
+           + (COUNT(*) OVER (PARTITION BY v)) - 1 AS mr2
+  FROM x
+),
+s AS (
+  SELECT CAST(count(*) FILTER (WHERE g1) AS BIGINT) AS n1,
+         CAST(count(*) FILTER (WHERE NOT g1) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN g1 THEN mr2 ELSE 0 END) AS BIGINT) AS r1_x2
+  FROM r
+)
+SELECT n1, n2, r1_x2, r1_x2 - n1 * (n1 + 1) AS u1_x2 FROM s
+"""
+
+
 QUERIES = {
     "q63_grad_step": (q63_grad_step, SQL_Q63),
     "q95_ab_welch": (q95_ab_welch, SQL_Q95),
+    "q157_benford_audit": (q157_benford_audit, SQL_Q157),
+    "q158_mannwhitney": (q158_mannwhitney, SQL_Q158),
     "q64_sgd_train": (q64_sgd_train, None),
     "link_train_weights": (link_train_weights, None),
     "q86_user_trend": (q86_user_trend, SQL_Q86),
