@@ -494,6 +494,43 @@ FROM c, t
 """
 
 
+# --- q158/q159 shared: distinct value counts per arm --------------------
+
+def _pc_value_counts(sf_dir: str) -> ray.data.Dataset:
+    """Distinct-cents table (v, n1, n2) of the purchase (arm 1) vs click
+    (arm 2) value distributions — the sufficient statistics both rank
+    tests reduce to (ranks and CDFs depend only on the value multiset):
+    scan-pushed event-type filter, per-batch (v, arm) count partials,
+    ONE keyed sum."""
+    import pyarrow.dataset as pads
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum_multi
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"],
+        filter=pads.field("event_type").isin(["purchase", "click"]))
+
+    _PART = pa.schema([("v", pa.int64()), ("n1", pa.int64()),
+                       ("n2", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.column_names:
+            return _PART.empty_table()
+        v = np.floor(np.asarray(t["value"]) * 100 + 0.5).astype(np.int64)
+        g1 = np.asarray(t["event_type"]) == "purchase"
+        df = pl.DataFrame({"v": v,
+                           "n1": g1.astype(np.int64),
+                           "n2": (~g1).astype(np.int64)})
+        return (df.group_by("v")
+                .agg(pl.col("n1").sum(), pl.col("n2").sum())
+                .to_arrow().cast(_PART))
+
+    return bucketed_sum_multi(
+        ev.map_batches(partial, batch_format="pyarrow"), ["v"],
+        {"n1": "n1", "n2": "n2"}, engine="exchange")
+
+
 # --- q158: Mann-Whitney U rank test -------------------------------------
 
 def q158_mannwhitney(sf_dir: str):
@@ -516,33 +553,9 @@ def q158_mannwhitney(sf_dir: str):
     partials are O(distinct cents × batches) skinny rows, the scan
     splits across range buckets (no single-task ceiling), and the
     driver folds O(batches) partial triples."""
-    import pyarrow.dataset as pads
-    import polars as pl
+    from ..functions.grouping import range_prefix_sum
 
-    from ..functions.grouping import bucketed_sum_multi, range_prefix_sum
-
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type", "value"],
-        filter=pads.field("event_type").isin(["purchase", "click"]))
-
-    _PART = pa.schema([("v", pa.int64()), ("n1", pa.int64()),
-                       ("n2", pa.int64())])
-
-    def partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "value" not in t.column_names:
-            return _PART.empty_table()
-        v = np.floor(np.asarray(t["value"]) * 100 + 0.5).astype(np.int64)
-        g1 = np.asarray(t["event_type"]) == "purchase"
-        df = pl.DataFrame({"v": v,
-                           "n1": g1.astype(np.int64),
-                           "n2": (~g1).astype(np.int64)})
-        return (df.group_by("v")
-                .agg(pl.col("n1").sum(), pl.col("n2").sum())
-                .to_arrow().cast(_PART))
-
-    distinct = bucketed_sum_multi(
-        ev.map_batches(partial, batch_format="pyarrow"), ["v"],
-        {"n1": "n1", "n2": "n2"}, engine="exchange")
+    distinct = _pc_value_counts(sf_dir)
 
     def with_n(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "v" not in t.column_names:
@@ -604,11 +617,97 @@ SELECT n1, n2, r1_x2, r1_x2 - n1 * (n1 + 1) AS u1_x2 FROM s
 """
 
 
+# --- q159: Kolmogorov-Smirnov two-sample test ----------------------------
+
+def q159_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov D between the purchase and click
+    value distributions — the CDF-distance companion of q158's rank
+    test (MW detects location shift; KS detects ANY distribution
+    difference, shape included).
+
+    D = max over v of |F1(v) − F2(v)| evaluated only at the distinct
+    values (the empirical CDFs are step functions, so the max lives at
+    a step): the shared q158 distinct-cents table feeds TWO
+    ``range_prefix_sum`` scans (exclusive cum per arm; + the row's own
+    count = inclusive), and the max of the CROSS-MULTIPLIED integer
+    form |c1·n2t − c2·n1t| folds per batch — no float division until
+    the final single row, where d_e6 = max_diff·10⁶ // (n1t·n2t) is an
+    exact integer both engines agree on.  The tiny distinct table is
+    materialized once (documented small: O(distinct cents)) so the two
+    scans and the totals fold don't re-execute the events pass."""
+    from ..functions.grouping import range_prefix_sum
+
+    distinct = _pc_value_counts(sf_dir).materialize()
+
+    tot = distinct.map_batches(
+        lambda t: pa.table({
+            "n1": pa.array([np.int64(np.asarray(t["n1"]).sum())
+                            if t.num_rows else np.int64(0)]),
+            "n2": pa.array([np.int64(np.asarray(t["n2"]).sum())
+                            if t.num_rows else np.int64(0)]),
+        }) if "n1" in t.column_names else
+        pa.table({"n1": pa.array([], type=pa.int64()),
+                  "n2": pa.array([], type=pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    n1t, n2t = np.int64(tot["n1"].sum()), np.int64(tot["n2"].sum())
+
+    run = range_prefix_sum(distinct, "v", "n1", out_name="cb1")
+    run = range_prefix_sum(run, "v", "n2", out_name="cb2")
+
+    _FOLD = pa.schema([("md", pa.int64())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "v" not in t.column_names:
+            return _FOLD.empty_table()
+        c1 = (np.asarray(t["cb1"], dtype=np.int64)
+              + np.asarray(t["n1"], dtype=np.int64))
+        c2 = (np.asarray(t["cb2"], dtype=np.int64)
+              + np.asarray(t["n2"], dtype=np.int64))
+        md = np.abs(c1 * n2t - c2 * n1t).max()
+        return pa.table({"md": pa.array([np.int64(md)])})
+
+    parts = run.map_batches(fold, batch_format="pyarrow").to_pandas()
+    md = np.int64(parts["md"].max())
+    return pa.table({
+        "n1": pa.array([n1t]), "n2": pa.array([n2t]),
+        "max_cross_diff": pa.array([md]),
+        "d_e6": pa.array([np.int64(md * 1_000_000 // (n1t * n2t))]),
+    })
+
+
+SQL_Q159 = """
+WITH x AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         (event_type = 'purchase') AS g1
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+d AS (
+  SELECT v,
+         CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS n2
+  FROM x GROUP BY v
+),
+t AS (SELECT CAST(sum(n1) AS BIGINT) AS n1t,
+             CAST(sum(n2) AS BIGINT) AS n2t FROM d),
+c AS (
+  SELECT CAST(sum(n1) OVER (ORDER BY v) AS BIGINT) AS c1,
+         CAST(sum(n2) OVER (ORDER BY v) AS BIGINT) AS c2
+  FROM d
+),
+m AS (SELECT CAST(max(abs(c1 * n2t - c2 * n1t)) AS BIGINT) AS md
+      FROM c, t)
+SELECT n1t AS n1, n2t AS n2, md AS max_cross_diff,
+       md * 1000000 // (n1t * n2t) AS d_e6
+FROM m, t
+"""
+
+
 QUERIES = {
     "q63_grad_step": (q63_grad_step, SQL_Q63),
     "q95_ab_welch": (q95_ab_welch, SQL_Q95),
     "q157_benford_audit": (q157_benford_audit, SQL_Q157),
     "q158_mannwhitney": (q158_mannwhitney, SQL_Q158),
+    "q159_ks_test": (q159_ks_test, SQL_Q159),
     "q64_sgd_train": (q64_sgd_train, None),
     "link_train_weights": (link_train_weights, None),
     "q86_user_trend": (q86_user_trend, SQL_Q86),
