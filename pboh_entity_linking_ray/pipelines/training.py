@@ -702,12 +702,143 @@ FROM m, t
 """
 
 
+# --- q160: Spearman rank correlation -------------------------------------
+
+def q160_spearman(sf_dir: str):
+    """Spearman rank correlation between order amount and order date —
+    "do larger orders come later?" asked rank-wise, so outliers and
+    nonlinearity can't fake a trend (the rank-based companion of q140's
+    Pearson matrix).
+
+    Per-row global midranks WITHOUT a global sort, at join scale (the
+    q158 broadcast-free upgrade: the amount column's distinct table is
+    O(n), so rank attachment must be a JOIN, not a broadcast): each
+    column's distinct-value counts flow through ONE keyed sum +
+    ``range_prefix_sum`` to a (value, 2·midrank) rank table, and TWO
+    bucketed ``hash_join``s attach rx2/ry2 back to the row stream.
+    Doubled midranks keep ranks integer; the six sufficient statistics
+    (n, Σrx, Σry, Σrx², Σry², Σrxy) accumulate as exact int64 partials,
+    and only the final single-row Pearson-on-ranks expression goes
+    through DOUBLE (casts mirrored token-for-token in the twin — the
+    q95 device, since Σ·Σ products overflow int64 where DuckDB would
+    silently widen to HUGEINT)."""
+    import polars as pl
+
+    from ..functions.grouping import (bucketed_sum, hash_join,
+                                      range_prefix_sum)
+
+    orders = _t(sf_dir, "orders", ["o_totalprice", "o_orderdate"])
+
+    _ROW = pa.schema([("x", pa.int64()), ("y", pa.int64())])
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_totalprice" not in t.column_names:
+            return _ROW.empty_table()
+        x = np.floor(np.asarray(t["o_totalprice"]) * 100 + 0.5) \
+            .astype(np.int64)
+        y = np.asarray(t["o_orderdate"]).astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({"x": pa.array(x), "y": pa.array(y)})
+
+    rows = orders.map_batches(project, batch_format="pyarrow").materialize()
+
+    def rank_table(col: str, out: str) -> ray.data.Dataset:
+        _P = pa.schema([(col, pa.int64()), ("m", pa.int64())])
+
+        def counts(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or col not in t.column_names:
+                return _P.empty_table()
+            return (pl.from_arrow(t.select([col])).group_by(col)
+                    .agg(m=pl.len().cast(pl.Int64)).to_arrow().cast(_P))
+
+        distinct = bucketed_sum(
+            rows.map_batches(counts, batch_format="pyarrow"),
+            [col], "m", "m", engine="exchange")
+        run = range_prefix_sum(distinct, col, "m", out_name="cb")
+
+        def ranks(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or col not in t.column_names:
+                return pa.schema([(col, pa.int64()),
+                                  (out, pa.int64())]).empty_table()
+            r2 = (2 * np.asarray(t["cb"], dtype=np.int64)
+                  + np.asarray(t["m"], dtype=np.int64) + 1)
+            return pa.table({col: t[col], out: pa.array(r2)})
+
+        return run.map_batches(ranks, batch_format="pyarrow")
+
+    with_rx = hash_join(rows, rank_table("x", "rx2"), "x")
+    with_both = hash_join(with_rx, rank_table("y", "ry2"), "y")
+
+    _S = pa.schema([("n", pa.int64()), ("sx", pa.int64()),
+                    ("sy", pa.int64()), ("sxx", pa.int64()),
+                    ("syy", pa.int64()), ("sxy", pa.int64())])
+
+    def stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "rx2" not in t.column_names:
+            return _S.empty_table()
+        rx = np.asarray(t["rx2"], dtype=np.int64)
+        ry = np.asarray(t["ry2"], dtype=np.int64)
+        return pa.table({
+            "n": pa.array([np.int64(len(rx))]),
+            "sx": pa.array([rx.sum()]), "sy": pa.array([ry.sum()]),
+            "sxx": pa.array([(rx * rx).sum()]),
+            "syy": pa.array([(ry * ry).sum()]),
+            "sxy": pa.array([(rx * ry).sum()]),
+        })
+
+    p = with_both.map_batches(stats, batch_format="pyarrow").to_pandas()
+    n = np.float64(np.int64(p["n"].sum()))
+    sx, sy = np.float64(p["sx"].sum()), np.float64(p["sy"].sum())
+    sxx, syy = np.float64(p["sxx"].sum()), np.float64(p["syy"].sum())
+    sxy = np.float64(p["sxy"].sum())
+    rho = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx)
+                                        * (n * syy - sy * sy))
+    return pa.table({
+        "n": pa.array([np.int64(p["n"].sum())]),
+        "rho_e6": pa.array([np.int64(np.floor(rho * 1_000_000 + 0.5))]),
+    })
+
+
+SQL_Q160 = """
+WITH o AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x,
+         epoch_us(o_orderdate) AS y
+  FROM orders
+),
+r AS (
+  SELECT 2 * (RANK() OVER (ORDER BY x))
+           + (COUNT(*) OVER (PARTITION BY x)) - 1 AS rx,
+         2 * (RANK() OVER (ORDER BY y))
+           + (COUNT(*) OVER (PARTITION BY y)) - 1 AS ry
+  FROM o
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+         CAST(sum(ry * ry) AS BIGINT) AS syy,
+         CAST(sum(rx * ry) AS BIGINT) AS sxy
+  FROM r
+)
+SELECT n,
+       CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  * 1000000 + 0.5) AS BIGINT) AS rho_e6
+FROM s
+"""
+
+
 QUERIES = {
     "q63_grad_step": (q63_grad_step, SQL_Q63),
     "q95_ab_welch": (q95_ab_welch, SQL_Q95),
     "q157_benford_audit": (q157_benford_audit, SQL_Q157),
     "q158_mannwhitney": (q158_mannwhitney, SQL_Q158),
     "q159_ks_test": (q159_ks_test, SQL_Q159),
+    "q160_spearman": (q160_spearman, SQL_Q160),
     "q64_sgd_train": (q64_sgd_train, None),
     "link_train_weights": (link_train_weights, None),
     "q86_user_trend": (q86_user_trend, SQL_Q86),
