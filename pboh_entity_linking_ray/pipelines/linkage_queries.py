@@ -438,6 +438,74 @@ def link_eval_metrics(sf_dir: str):
 
 
 
+def cluster_digest(clusters: ray.data.Dataset,
+                   turns: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-entity digest of a linkage result — the "entity table" a
+    downstream consumer actually reads once clustering is done (the
+    reference only ever emits per-mention solutions,
+    eval/EvalOnDatasets.scala; the rollup is the deployment's product):
+    one row per cluster with member count, total turns/chars, first and
+    last activity, and a deterministic representative conversation
+    (min conv_id — the q110 survivorship rule).
+
+    Shape: per-batch per-conv turn partials (a conversation split
+    across batches folds in the final exchange), ONE bucketed
+    ``hash_join`` attaches cluster ids to the skinny partials, ONE
+    cluster-keyed exchange folds members — turn text never crosses a
+    shuffle (n_chars is computed at the scan)."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange, hash_join
+
+    _PART = pa.schema([("conv_id", pa.string()), ("n_turns", pa.int64()),
+                       ("n_chars", pa.int64()), ("ts_min", pa.int64()),
+                       ("ts_max", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return _PART.empty_table()
+        df = pl.from_arrow(t.select(["conv_id", "text", "ts"]))
+        return (df.with_columns(ts_us=pl.col("ts").cast(pl.Int64),
+                                nc=pl.col("text").str.len_chars()
+                                .cast(pl.Int64))
+                .group_by("conv_id")
+                .agg(n_turns=pl.len().cast(pl.Int64),
+                     n_chars=pl.col("nc").sum(),
+                     ts_min=pl.col("ts_us").min(),
+                     ts_max=pl.col("ts_us").max())
+                .to_arrow().cast(_PART))
+
+    parts = turns.map_batches(partial, batch_format="pyarrow")
+    tagged = hash_join(parts, clusters, "conv_id")
+
+    _OUT = pa.schema([("cluster_id", pa.string()), ("n_convs", pa.int64()),
+                      ("n_turns", pa.int64()), ("n_chars", pa.int64()),
+                      ("ts_min", pa.int64()), ("ts_max", pa.int64()),
+                      ("rep_conv", pa.string())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_id" not in t.column_names:
+            return _OUT.empty_table()
+        return (pl.from_arrow(t).group_by("cluster_id")
+                .agg(n_convs=pl.col("conv_id").n_unique().cast(pl.Int64),
+                     n_turns=pl.col("n_turns").sum(),
+                     n_chars=pl.col("n_chars").sum(),
+                     ts_min=pl.col("ts_min").min(),
+                     ts_max=pl.col("ts_max").max(),
+                     rep_conv=pl.col("conv_id").min())
+                .to_arrow().cast(_OUT))
+
+    return hash_exchange(tagged, "cluster_id", fold, num_buckets=16)
+
+
+def link_cluster_digest(sf_dir: str):
+    """Entity digest of the flagship run (rows-only: clusters are the
+    pipeline's own output, not SQL-derivable; invariants pinned in
+    pytest against the golden corpus)."""
+    res, _ = _run(sf_dir)
+    return cluster_digest(res.clusters, _turns(sf_dir))
+
+
 def link_scorer_differential(sf_dir: str):
     """Pluggable-scorer differential baseline (SURVEY §2.10/§5.2;
     reference LBP-vs-ARGMAX comparison, eval/EvalOnDatasets.scala:
@@ -1440,5 +1508,6 @@ QUERIES = {
     "link_block_inventory": (link_block_inventory, None),
     "link_eval_metrics": (link_eval_metrics, None),
     "link_scorer_differential": (link_scorer_differential, None),
+    "link_cluster_digest": (link_cluster_digest, None),
     "link_incremental": (link_incremental, None),
 }

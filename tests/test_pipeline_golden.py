@@ -112,3 +112,36 @@ def test_custom_registered_scorer_reaches_workers(ray_session):
     res = run_linkage(rd.from_arrow(c.turns), cfg)
     sp = res.scored.to_pandas()
     assert (sp["pboh"] == 42.0).all()     # the plugin actually ran remotely
+
+
+def test_cluster_digest_invariants(ray_session):
+    """Entity digest conserves the corpus exactly: every conversation is
+    in one cluster, turn/char totals match the raw corpus, the
+    representative is a member, and activity spans bound the corpus."""
+    import numpy as np
+    import ray.data as rd
+
+    from pboh_entity_linking_ray.pipelines.linkage import run_linkage
+    from pboh_entity_linking_ray.pipelines.linkage_queries import \
+        cluster_digest
+    from pboh_entity_linking_ray.sources.synthetic import generate_corpus
+
+    c = generate_corpus(200, 42)
+    res = run_linkage(rd.from_arrow(c.turns))
+    d = cluster_digest(res.clusters, rd.from_arrow(c.turns)).to_pandas()
+    turns = c.turns.to_pandas()
+    clus = res.clusters.to_pandas()
+
+    assert d["n_convs"].sum() == turns["conv_id"].nunique()
+    assert d["n_turns"].sum() == len(turns)
+    assert d["n_chars"].sum() == turns["text"].str.len().sum()
+    # representative is a member of its own cluster (min conv_id rule)
+    rep = d.merge(clus, left_on="rep_conv", right_on="conv_id")
+    assert (rep["cluster_id_x"] == rep["cluster_id_y"]).all()
+    mn = clus.groupby("cluster_id")["conv_id"].min()   # min over ALL members
+    assert (d.set_index("cluster_id")["rep_conv"].sort_index()
+            == mn.sort_index()).all()
+    # activity span bounds
+    ts = turns["ts"].astype("datetime64[us]").astype(np.int64)
+    assert d["ts_min"].min() == ts.min() and d["ts_max"].max() == ts.max()
+    assert (d["ts_min"] <= d["ts_max"]).all()
