@@ -832,6 +832,144 @@ FROM s
 """
 
 
+# --- q161: Kruskal-Wallis H test ------------------------------------------
+
+def q161_kruskal_wallis(sf_dir: str):
+    """Kruskal-Wallis H across ALL event types' value distributions —
+    the k-sample generalisation of q158 (one test answers "do ANY of
+    the k arms differ?" without k² pairwise comparisons), with the
+    standard tie correction.
+
+    Same midrank machinery, long-form: (v_cents, type) count partials →
+    ONE composite-key sum; v-level totals + ``range_prefix_sum`` give
+    each distinct value's tie count and exclusive cum; ONE ``hash_join``
+    re-attaches them to the long table, whose per-(type) fold emits the
+    k-row sufficient statistics (n_i, R_i doubled).  Every distributed
+    quantity is exact int64; the final k-term H expression runs in
+    DOUBLE with the group sum ACCUMULATED IN TYPE ORDER on both engines
+    (``sum(... ORDER BY g)`` in the twin, a sequential sorted-order loop
+    here — float addition isn't associative, and an unordered 6-term
+    sum can flip the e6 floor)."""
+    import polars as pl
+
+    from ..functions.grouping import (bucketed_sum, bucketed_sum_multi,
+                                      hash_join, range_prefix_sum)
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    _PART = pa.schema([("v", pa.int64()), ("g", pa.string()),
+                       ("m", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.column_names:
+            return _PART.empty_table()
+        v = np.floor(np.asarray(t["value"]) * 100 + 0.5).astype(np.int64)
+        df = pl.DataFrame({"v": v, "g": pl.from_arrow(
+            t["event_type"].combine_chunks())})
+        return (df.group_by(["v", "g"]).agg(m=pl.len().cast(pl.Int64))
+                .to_arrow().cast(_PART))
+
+    # consumed by BOTH the v-totals pass and the rank join: materialize
+    # the small distinct table (O(distinct cents × types)) so the events
+    # scan runs once
+    long = bucketed_sum(ev.map_batches(partial, batch_format="pyarrow"),
+                        ["v", "g"], "m", "m",
+                        engine="exchange").materialize()
+
+    vtab = bucketed_sum(long, ["v"], "m", "n_v", engine="exchange")
+    run = range_prefix_sum(vtab, "v", "n_v", out_name="cb").materialize()
+
+    _T = pa.schema([("tsum", pa.int64())])
+
+    def tie_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_v" not in t.column_names:
+            return _T.empty_table()
+        nv = np.asarray(t["n_v"], dtype=np.int64)
+        return pa.table({"tsum": pa.array([np.int64((nv**3 - nv).sum())])})
+
+    tsum = np.int64(run.map_batches(tie_fold, batch_format="pyarrow")
+                    .to_pandas()["tsum"].sum())
+
+    joined = hash_join(long, run, "v")
+
+    _G = pa.schema([("g", pa.string()), ("n_i", pa.int64()),
+                    ("r_x2", pa.int64())])
+
+    def per_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "g" not in t.column_names:
+            return _G.empty_table()
+        m = np.asarray(t["m"], dtype=np.int64)
+        mr2 = (2 * np.asarray(t["cb"], dtype=np.int64)
+               + np.asarray(t["n_v"], dtype=np.int64) + 1)
+        df = pl.DataFrame({"g": pl.from_arrow(t["g"].combine_chunks()),
+                           "n_i": m, "c": m * mr2})
+        return (df.group_by("g").agg(pl.col("n_i").sum(),
+                                     r_x2=pl.col("c").sum())
+                .to_arrow().cast(_G))
+
+    groups = bucketed_sum_multi(
+        joined.map_batches(per_group, batch_format="pyarrow"), ["g"],
+        {"n_i": "n_i", "r_x2": "r_x2"}, num_buckets=4,
+        engine="exchange").to_pandas().sort_values("g")
+
+    n_i = groups["n_i"].to_numpy(dtype=np.int64)
+    r_x2 = groups["r_x2"].to_numpy(dtype=np.int64)
+    n = np.int64(n_i.sum())
+    nd = np.float64(n)
+    acc = np.float64(0.0)
+    for ri, ni in zip(r_x2, n_i):            # sequential, type-sorted —
+        acc += (np.float64(ri) * np.float64(ri)   # mirrors sum(ORDER BY g)
+                / (4.0 * np.float64(ni)))
+    h = 12.0 / (nd * (nd + 1.0)) * acc - 3.0 * (nd + 1.0)
+    corr = 1.0 - np.float64(tsum) / (nd * nd * nd - nd)
+    return pa.table({
+        "n": pa.array([n]),
+        "k": pa.array([np.int64(len(n_i))]),
+        "h_corr_e6": pa.array([np.int64(np.floor(h / corr * 1_000_000
+                                                 + 0.5))]),
+    })
+
+
+SQL_Q161 = """
+WITH x AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v, event_type AS g
+  FROM events
+),
+r AS (
+  SELECT g,
+         2 * (RANK() OVER (ORDER BY v))
+           + (COUNT(*) OVER (PARTITION BY v)) - 1 AS mr2
+  FROM x
+),
+s AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_i,
+         CAST(sum(mr2) AS BIGINT) AS r_x2
+  FROM r GROUP BY g
+),
+t AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k FROM s),
+ties AS (
+  SELECT CAST(sum(tv * tv * tv - tv) AS BIGINT) AS tsum
+  FROM (SELECT CAST(count(*) AS BIGINT) AS tv FROM x GROUP BY v)
+),
+term AS (
+  SELECT sum(CAST(r_x2 AS DOUBLE) * CAST(r_x2 AS DOUBLE)
+             / (4.0 * CAST(n_i AS DOUBLE)) ORDER BY g) AS tsq
+  FROM s
+)
+SELECT n, k,
+       CAST(floor(
+         ((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * tsq
+           - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+          / (1.0 - CAST(tsum AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))))
+         * 1000000 + 0.5) AS BIGINT) AS h_corr_e6
+FROM t, ties, term
+"""
+
+
 QUERIES = {
     "q63_grad_step": (q63_grad_step, SQL_Q63),
     "q95_ab_welch": (q95_ab_welch, SQL_Q95),
@@ -839,6 +977,7 @@ QUERIES = {
     "q158_mannwhitney": (q158_mannwhitney, SQL_Q158),
     "q159_ks_test": (q159_ks_test, SQL_Q159),
     "q160_spearman": (q160_spearman, SQL_Q160),
+    "q161_kruskal_wallis": (q161_kruskal_wallis, SQL_Q161),
     "q64_sgd_train": (q64_sgd_train, None),
     "link_train_weights": (link_train_weights, None),
     "q86_user_trend": (q86_user_trend, SQL_Q86),
