@@ -260,6 +260,8 @@ OPS_DEFAULT = [
     "q143_novelty_rate", "q144_transitivity_audit", "q145_cusum",
     "q146_event_trigrams", "q147_weighted_median",
     "q148_degree_assortativity",
+    "q157_benford_audit", "q158_mannwhitney", "q159_ks_test",
+    "q160_spearman", "q161_kruskal_wallis", "link_cluster_digest",
 ]
 
 
