@@ -970,6 +970,139 @@ FROM t, ties, term
 """
 
 
+# --- q162: Wilcoxon signed-rank test --------------------------------------
+
+def q162_wilcoxon(sf_dir: str):
+    """Wilcoxon signed-rank test on PAIRED per-user differences
+    (purchase spend − click spend, users active in both) — the paired
+    member that completes the nonparametric family (q158 MW: two
+    independent samples; q161 KW: k samples; this: matched pairs, where
+    using MW would throw away the per-user pairing and its power).
+
+    Standard Pratt-free treatment: zero differences drop, |d| gets
+    global midranks (doubled — the shared integer device), W⁺ = rank
+    sum of the positive side, W⁻ = n(n+1)/2 − W⁺ (doubled:
+    n(n+1) − w_pos_x2).  Three exchanges, all skinny: per-user
+    purchase/click sums (ONE user-keyed sum over per-batch partials),
+    distinct-|d| tie counts (ONE keyed sum + `range_prefix_sum`), and
+    the fold join — every statistic exact int64, no float anywhere."""
+    import pyarrow.dataset as pads
+    import polars as pl
+
+    from ..functions.grouping import (bucketed_sum_multi,
+                                      range_prefix_sum)
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"],
+        filter=pads.field("event_type").isin(["purchase", "click"]))
+
+    _U = pa.schema([("user_id", pa.int64()), ("s1", pa.int64()),
+                    ("c1", pa.int64()), ("s2", pa.int64()),
+                    ("c2", pa.int64())])
+
+    def per_user_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _U.empty_table()
+        cents = np.floor(np.asarray(t["value"]) * 100 + 0.5) \
+            .astype(np.int64)
+        g1 = np.asarray(t["event_type"]) == "purchase"
+        df = pl.DataFrame({
+            "user_id": np.asarray(t["user_id"], dtype=np.int64),
+            "s1": np.where(g1, cents, 0), "c1": g1.astype(np.int64),
+            "s2": np.where(g1, 0, cents), "c2": (~g1).astype(np.int64),
+        })
+        return (df.group_by("user_id")
+                .agg(pl.col("s1").sum(), pl.col("c1").sum(),
+                     pl.col("s2").sum(), pl.col("c2").sum())
+                .to_arrow().cast(_U))
+
+    users = bucketed_sum_multi(
+        ev.map_batches(per_user_partial, batch_format="pyarrow"),
+        ["user_id"], {"s1": "s1", "c1": "c1", "s2": "s2", "c2": "c2"},
+        engine="exchange")
+
+    _D = pa.schema([("absd", pa.int64()), ("m", pa.int64()),
+                    ("mpos", pa.int64())])
+
+    def diff_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "s1" not in t.column_names:
+            return _D.empty_table()
+        keep = ((np.asarray(t["c1"], dtype=np.int64) > 0)
+                & (np.asarray(t["c2"], dtype=np.int64) > 0))
+        d = (np.asarray(t["s1"], dtype=np.int64)
+             - np.asarray(t["s2"], dtype=np.int64))[keep]
+        d = d[d != 0]
+        df = pl.DataFrame({"absd": np.abs(d),
+                           "mpos": (d > 0).astype(np.int64)})
+        return (df.group_by("absd")
+                .agg(m=pl.len().cast(pl.Int64), mpos=pl.col("mpos").sum())
+                .to_arrow().cast(_D))
+
+    distinct = bucketed_sum_multi(
+        users.map_batches(diff_partial, batch_format="pyarrow"),
+        ["absd"], {"m": "m", "mpos": "mpos"}, engine="exchange")
+
+    run = range_prefix_sum(distinct, "absd", "m", out_name="cb")
+
+    _F = pa.schema([("n", pa.int64()), ("w_pos_x2", pa.int64())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "absd" not in t.column_names:
+            return _F.empty_table()
+        m = np.asarray(t["m"], dtype=np.int64)
+        mpos = np.asarray(t["mpos"], dtype=np.int64)
+        cb = np.asarray(t["cb"], dtype=np.int64)
+        return pa.table({
+            "n": pa.array([np.int64(m.sum())]),
+            "w_pos_x2": pa.array([np.int64((mpos * (2 * cb + m + 1))
+                                           .sum())]),
+        })
+
+    p = run.map_batches(fold, batch_format="pyarrow").to_pandas()
+    n = np.int64(p["n"].sum())
+    wpos = np.int64(p["w_pos_x2"].sum())
+    return pa.table({
+        "n_pairs": pa.array([n]),
+        "w_pos_x2": pa.array([wpos]),
+        "w_neg_x2": pa.array([n * (n + 1) - wpos]),
+    })
+
+
+SQL_Q162 = """
+WITH pc AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS s1,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase')
+              AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS s2,
+         CAST(count(*) FILTER (WHERE event_type = 'click')
+              AS BIGINT) AS c2
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY user_id
+),
+d AS (
+  SELECT s1 - s2 AS d FROM pc WHERE c1 > 0 AND c2 > 0 AND s1 <> s2
+),
+r AS (
+  SELECT (d > 0) AS pos,
+         2 * (RANK() OVER (ORDER BY abs(d)))
+           + (COUNT(*) OVER (PARTITION BY abs(d))) - 1 AS mr2
+  FROM d
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN pos THEN mr2 ELSE 0 END) AS BIGINT) AS w_pos_x2,
+       CAST(count(*) AS BIGINT) * (CAST(count(*) AS BIGINT) + 1)
+         - CAST(sum(CASE WHEN pos THEN mr2 ELSE 0 END) AS BIGINT)
+         AS w_neg_x2
+FROM r
+"""
+
+
 QUERIES = {
     "q63_grad_step": (q63_grad_step, SQL_Q63),
     "q95_ab_welch": (q95_ab_welch, SQL_Q95),
@@ -978,6 +1111,7 @@ QUERIES = {
     "q159_ks_test": (q159_ks_test, SQL_Q159),
     "q160_spearman": (q160_spearman, SQL_Q160),
     "q161_kruskal_wallis": (q161_kruskal_wallis, SQL_Q161),
+    "q162_wilcoxon": (q162_wilcoxon, SQL_Q162),
     "q64_sgd_train": (q64_sgd_train, None),
     "link_train_weights": (link_train_weights, None),
     "q86_user_trend": (q86_user_trend, SQL_Q86),
