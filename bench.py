@@ -261,7 +261,8 @@ OPS_DEFAULT = [
     "q146_event_trigrams", "q147_weighted_median",
     "q148_degree_assortativity",
     "q157_benford_audit", "q158_mannwhitney", "q159_ks_test",
-    "q160_spearman", "q161_kruskal_wallis", "link_cluster_digest",
+    "q160_spearman", "q161_kruskal_wallis", "q162_wilcoxon",
+    "link_cluster_digest",
 ]
 
 
