@@ -1,0 +1,120 @@
+"""From-DEFINITION oracles for the statistical-test family.
+
+The DuckDB twins in ``pipelines/training.py`` mirror the pipeline's own
+formulas, so they catch execution divergence but not a wrong formula.
+These tests recompute each statistic from its textbook definition
+(pairwise comparisons for U, direct CDF merge for D, argsort midranks
+for W/rho/H) on the raw sf0.001 parquet and require exact agreement.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events():
+    return pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "event_type", "value"]).to_pandas()
+
+
+def _cents(v):
+    return np.floor(np.asarray(v) * 100 + 0.5).astype(np.int64)
+
+
+def _midranks_x2(a):
+    """Doubled average ranks (1-based) of an int array, ties averaged."""
+    order = np.argsort(a, kind="mergesort")
+    s = a[order]
+    r2 = np.empty(len(a), dtype=np.int64)
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        r2[order[i:j]] = (i + 1) + j          # 2·(avg of i+1 .. j)
+        i = j
+    return r2
+
+
+def test_q158_u_statistic_from_pairwise_definition(ray_session):
+    from pboh_entity_linking_ray.pipelines.training import q158_mannwhitney
+
+    ev = _events()
+    x = _cents(ev.loc[ev.event_type == "purchase", "value"])
+    y = _cents(ev.loc[ev.event_type == "click", "value"])
+    # U1 = #{x>y} + ½#{x=y} over ALL pairs (the definition)
+    gt = (x[:, None] > y[None, :]).sum()
+    eq = (x[:, None] == y[None, :]).sum()
+    out = q158_mannwhitney(SF).to_pandas().iloc[0]
+    assert out["n1"] == len(x) and out["n2"] == len(y)
+    assert out["u1_x2"] == 2 * int(gt) + int(eq)
+
+
+def test_q159_ks_from_direct_cdf_merge(ray_session):
+    from pboh_entity_linking_ray.pipelines.training import q159_ks_test
+
+    ev = _events()
+    x = np.sort(_cents(ev.loc[ev.event_type == "purchase", "value"]))
+    y = np.sort(_cents(ev.loc[ev.event_type == "click", "value"]))
+    grid = np.union1d(x, y)
+    c1 = np.searchsorted(x, grid, side="right")
+    c2 = np.searchsorted(y, grid, side="right")
+    md = np.abs(c1.astype(np.int64) * len(y)
+                - c2.astype(np.int64) * len(x)).max()
+    out = q159_ks_test(SF).to_pandas().iloc[0]
+    assert out["max_cross_diff"] == md
+    assert out["d_e6"] == md * 1_000_000 // (len(x) * len(y))
+
+
+def test_q160_spearman_from_rank_corrcoef(ray_session):
+    from pboh_entity_linking_ray.pipelines.training import q160_spearman
+
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_totalprice", "o_orderdate"]).to_pandas()
+    rx = pd.Series(_cents(o["o_totalprice"])).rank(method="average")
+    ry = o["o_orderdate"].rank(method="average")
+    rho = np.corrcoef(rx, ry)[0, 1]
+    out = q160_spearman(SF).to_pandas().iloc[0]
+    assert out["n"] == len(o)
+    assert abs(out["rho_e6"] - rho * 1_000_000) <= 1   # independent float path
+
+
+def test_q161_kw_from_textbook_formula(ray_session):
+    from pboh_entity_linking_ray.pipelines.training import \
+        q161_kruskal_wallis
+
+    ev = _events()
+    v = _cents(ev["value"])
+    r = pd.Series(v).rank(method="average").to_numpy()
+    n = len(v)
+    groups = ev["event_type"].to_numpy()
+    h = 12.0 / (n * (n + 1)) * sum(
+        r[groups == g].sum() ** 2 / (groups == g).sum()
+        for g in sorted(set(groups))) - 3 * (n + 1)
+    _, t = np.unique(v, return_counts=True)
+    h_corr = h / (1 - (t.astype(float) ** 3 - t).sum() / (n**3 - n))
+    out = q161_kruskal_wallis(SF).to_pandas().iloc[0]
+    assert out["k"] == len(set(groups)) and out["n"] == n
+    assert abs(out["h_corr_e6"] - h_corr * 1_000_000) <= 1
+
+
+def test_q162_wilcoxon_from_argsort_midranks(ray_session):
+    from pboh_entity_linking_ray.pipelines.training import q162_wilcoxon
+
+    ev = _events()
+    ev = ev[ev.event_type.isin(["purchase", "click"])].copy()
+    ev["cents"] = _cents(ev["value"])
+    g = ev.groupby(["user_id", "event_type"])["cents"] \
+        .agg(["sum", "count"]).unstack(fill_value=0)
+    both = g[(g[("count", "purchase")] > 0) & (g[("count", "click")] > 0)]
+    d = (both[("sum", "purchase")] - both[("sum", "click")]).to_numpy()
+    d = d[d != 0]
+    r2 = _midranks_x2(np.abs(d))
+    out = q162_wilcoxon(SF).to_pandas().iloc[0]
+    assert out["n_pairs"] == len(d)
+    assert out["w_pos_x2"] == int(r2[d > 0].sum())
+    assert out["w_neg_x2"] == int(r2[d < 0].sum())
