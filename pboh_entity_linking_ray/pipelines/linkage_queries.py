@@ -383,6 +383,111 @@ FROM s
 """
 
 
+def link_signature_blocking_quality(sf_dir: str):
+    """Blocking-quality metrics for the SIGNATURE scheme alone (the
+    flagship blocks on MinHash-LSH bands ∪ role:tool signature keys;
+    `link_blocking_quality` judges the LSH half — this judges the other,
+    so the two rows together show what each scheme contributes).
+
+    No pair is ever enumerated: |cand| = Σ_g C(m_g, 2) from the sig
+    group sizes (one keyed count), and gold hits need only each gold
+    pair's two sigs — the gold conv ids are broadcast (q50 discipline),
+    batches ship back O(gold) (conv_id, sig) rows, and the driver
+    compares sig_a == sig_b over the tiny labeled set.  Exact integers,
+    the same pc_e4/rr_e6 forms as `link_blocking_quality`."""
+    import pyarrow.compute as pc
+
+    from ..functions.grouping import bucketed_sum
+
+    docs = canonicalize(_turns(sf_dir)).materialize()
+
+    _P = pa.schema([("sig", pa.string()), ("m", pa.int64())])
+
+    def sig_counts(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0 or "sig" not in t.column_names:
+            return _P.empty_table()
+        return (pl.from_arrow(t.select(["sig"])).group_by("sig")
+                .agg(m=pl.len().cast(pl.Int64)).to_arrow().cast(_P))
+
+    groups = bucketed_sum(
+        docs.map_batches(sig_counts, batch_format="pyarrow"),
+        ["sig"], "m", "m", engine="exchange")
+
+    _F = pa.schema([("n_convs", pa.int64()), ("n_cand", pa.int64())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "m" not in t.column_names:
+            return _F.empty_table()
+        m = np.asarray(t["m"], dtype=np.int64)
+        return pa.table({"n_convs": pa.array([np.int64(m.sum())]),
+                         "n_cand": pa.array([np.int64((m * (m - 1) // 2)
+                                                      .sum())])})
+
+    fp = groups.map_batches(fold, batch_format="pyarrow").to_pandas()
+    n_convs = np.int64(fp["n_convs"].sum())
+    n_cand = np.int64(fp["n_cand"].sum())
+
+    gold = _labels(sf_dir).filter(pc.field("is_match"))
+    ga = np.asarray(gold["conv_a"])
+    gb = np.asarray(gold["conv_b"])
+    gconvs = np.unique(np.concatenate([ga, gb]))
+    gref = ray.put(gconvs)
+
+    _S = pa.schema([("conv_id", pa.string()), ("sig", pa.string())])
+
+    def gold_sigs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return _S.empty_table()
+        g = ray.get(gref) if isinstance(gref, ray.ObjectRef) else gref
+        ids = np.asarray(t["conv_id"])
+        pos = np.clip(np.searchsorted(g, ids), 0, len(g) - 1)
+        keep = g[pos] == ids
+        return t.select(["conv_id", "sig"]).filter(pa.array(keep))
+
+    gs = docs.map_batches(gold_sigs, batch_format="pyarrow").to_pandas()
+    sig_of = dict(zip(gs["conv_id"], gs["sig"]))
+    n_hit = np.int64(sum(1 for a, b in zip(ga, gb)
+                         if sig_of.get(a) is not None
+                         and sig_of.get(a) == sig_of.get(b)))
+    n_gold = np.int64(len(ga))
+    return pa.table({
+        "n_convs": pa.array([n_convs]),
+        "n_candidates": pa.array([n_cand]),
+        "n_gold": pa.array([n_gold]),
+        "n_hit": pa.array([n_hit]),
+        "pc_e4": pa.array([np.int64(10000 * n_hit // n_gold)]),
+        "rr_e6": pa.array([np.int64(
+            1_000_000 - (1_000_000 * n_cand)
+            // (n_convs * (n_convs - 1) // 2))]),
+    })
+
+
+SQL_SIG_BLOCKING_QUALITY = f"""
+WITH {_SQL_CONV_DOCS},
+g AS (SELECT sig, CAST(count(*) AS BIGINT) AS m FROM conv_docs GROUP BY sig),
+gold AS (
+  SELECT conv_a, conv_b FROM read_parquet('{_SQL_LABELS}') WHERE is_match
+),
+s AS (
+  SELECT (SELECT CAST(sum(m) AS BIGINT) FROM g) AS n_convs,
+         (SELECT CAST(sum((m * (m - 1)) // 2) AS BIGINT) FROM g)
+           AS n_candidates,
+         (SELECT CAST(count(*) AS BIGINT) FROM gold) AS n_gold,
+         (SELECT CAST(count(*) AS BIGINT)
+            FROM gold j JOIN conv_docs a ON a.conv_id = j.conv_a
+                        JOIN conv_docs b ON b.conv_id = j.conv_b
+           WHERE a.sig = b.sig) AS n_hit
+)
+SELECT n_convs, n_candidates, n_gold, n_hit,
+       10000 * n_hit // n_gold AS pc_e4,
+       1000000 - (1000000 * n_candidates)
+                 // (n_convs * (n_convs - 1) // 2) AS rr_e6
+FROM s
+"""
+
+
 # --- rows-only flagship stages ----------------------------------------------
 
 _RUN_CACHE: dict[str, object] = {}
@@ -1503,6 +1608,8 @@ QUERIES = {
     "link_minhash_lsh_candidates": (link_minhash_lsh_candidates, SQL_MINHASH),
     "link_block_inventory_md5": (link_block_inventory_md5, SQL_BLOCK_INV_MD5),
     "link_blocking_quality": (link_blocking_quality, SQL_BLOCKING_QUALITY),
+    "link_signature_blocking_quality": (link_signature_blocking_quality,
+                                        SQL_SIG_BLOCKING_QUALITY),
     "link_pairs_scored": (link_pairs_scored, None),
     "link_clusters": (link_clusters, None),
     "link_block_inventory": (link_block_inventory, None),
