@@ -262,7 +262,8 @@ OPS_DEFAULT = [
     "q148_degree_assortativity",
     "q157_benford_audit", "q158_mannwhitney", "q159_ks_test",
     "q160_spearman", "q161_kruskal_wallis", "q162_wilcoxon",
-    "link_cluster_digest",
+    "link_cluster_digest", "link_signature_blocking_quality",
+    "link_cluster_quality",
 ]
 
 

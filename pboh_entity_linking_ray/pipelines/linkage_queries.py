@@ -488,6 +488,55 @@ FROM s
 """
 
 
+def cluster_quality(clusters: ray.data.Dataset,
+                    golden: pa.Table) -> pa.Table:
+    """B-cubed P/R/F1 + adjusted Rand of a predicted conv→cluster table
+    against the golden partition (q125's machinery pointed at the
+    FLAGSHIP output — the partition-level complement of the pairwise F1
+    gate, which only judges same-block labeled pairs): golden labels
+    broadcast once, per-batch (pred, gold) cell count partials, ONE
+    keyed sum, exact-integer driver fold over O(cells) rows."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum_multi
+    from .textops import bcubed_ari_report
+
+    gmap_ref = ray.put(golden.select(["conv_id", "cluster_id"])
+                       .rename_columns(["conv_id", "g"]))
+
+    _C = pa.schema([("c", pa.string()), ("g", pa.string()),
+                    ("n_p", pa.int64())])
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return _C.empty_table()
+        g = ray.get(gmap_ref) if isinstance(gmap_ref, ray.ObjectRef) \
+            else gmap_ref
+        df = (pl.from_arrow(t.select(["conv_id", "cluster_id"]))
+              .rename({"cluster_id": "c"})
+              .join(pl.from_arrow(g), on="conv_id", how="inner")
+              .group_by(["c", "g"])
+              .agg(n_p=pl.len().cast(pl.Int64)))
+        return df.select("c", "g", "n_p").to_arrow().cast(_C)
+
+    cells = bucketed_sum_multi(
+        clusters.map_batches(cell_partial, batch_format="pyarrow"),
+        ["c", "g"], {"n_p": "n"}, num_buckets=16, engine="exchange")
+    return bcubed_ari_report(cells)
+
+
+def link_cluster_quality(sf_dir: str):
+    """Partition-level quality of the flagship clusters vs the golden
+    partition (rows-only: clusters are the pipeline's own output;
+    exact-agreement invariant pinned in pytest)."""
+    import pyarrow.parquet as pq
+
+    res, _ = _run(sf_dir)
+    d = ensure_corpus(CORPUS_CACHE, sf_to_n_convs(sf_dir))
+    golden = pq.read_table(os.path.join(d, "golden_clusters.parquet"))
+    return cluster_quality(res.clusters, golden)
+
+
 # --- rows-only flagship stages ----------------------------------------------
 
 _RUN_CACHE: dict[str, object] = {}
@@ -1616,5 +1665,6 @@ QUERIES = {
     "link_eval_metrics": (link_eval_metrics, None),
     "link_scorer_differential": (link_scorer_differential, None),
     "link_cluster_digest": (link_cluster_digest, None),
+    "link_cluster_quality": (link_cluster_quality, None),
     "link_incremental": (link_incremental, None),
 }

@@ -1914,6 +1914,49 @@ SQL_Q73 = SQL_Q73.replace(")\nlab AS (", "),\nlab AS (")
 # --- q125: cluster-quality metrics (B-cubed + ARI) ---------------------------
 
 
+def bcubed_ari_report(cells_ds) -> pa.Table:
+    """(pred c, gold g, count n) contingency cells → long-form B-cubed
+    P/R/F1 + adjusted-Rand report (shared by q125 and the flagship
+    `link_cluster_quality`).  The cell table is O(distinct cluster
+    pairs) skinny rows; the metric polynomials fold on the driver in
+    exact Python ints — per-cell floor(n²·10⁶/n_c) sums are order-free
+    where a float mean-of-ratios isn't, and ARI is a clamped ratio of
+    exact pair-count polynomials."""
+    nc: dict = {}
+    ng: dict = {}
+    cells: list[tuple] = []
+    for b in cells_ds.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or "c" not in b.column_names:
+            continue
+        for c, g, n in zip(b["c"].to_pylist(), b["g"].to_pylist(),
+                           b["n"].to_pylist()):
+            cells.append((c, g, n))
+            nc[c] = nc.get(c, 0) + n
+            ng[g] = ng.get(g, 0) + n
+    nn = sum(n for _, _, n in cells)
+    e6 = 1_000_000
+    p_sum = sum((n * n * e6) // nc[c] for c, _, n in cells)
+    r_sum = sum((n * n * e6) // ng[g] for _, g, n in cells)
+    p_e6 = p_sum // nn if nn else 0
+    r_e6 = r_sum // nn if nn else 0
+    f1_e6 = (2 * p_e6 * r_e6) // (p_e6 + r_e6) if p_e6 + r_e6 else 0
+    idx = sum(n * (n - 1) // 2 for _, _, n in cells)
+    a = sum(v * (v - 1) // 2 for v in nc.values())
+    b_ = sum(v * (v - 1) // 2 for v in ng.values())
+    cn2 = nn * (nn - 1) // 2
+    den = (a + b_) * cn2 - 2 * a * b_
+    num = 2 * (idx * cn2 - a * b_)
+    ari_e6 = e6 if den == 0 else (max(num, 0) * e6) // den
+    out = [("n_docs", nn), ("n_pred_clusters", len(nc)),
+           ("n_gold_clusters", len(ng)),
+           ("bcubed_p_e6", p_e6), ("bcubed_r_e6", r_e6),
+           ("bcubed_f1_e6", f1_e6), ("ari_e6", ari_e6)]
+    return pa.table({
+        "metric": pa.array([m for m, _ in out], type=pa.string()),
+        "value": pa.array([v for _, v in out], type=pa.int64()),
+    })
+
+
 def q125_cluster_metrics(sf_dir: str):
     """Cluster-level ER evaluation — B-cubed precision/recall/F1 (Bagga
     & Baldwin 1998, the standard coreference/dedup cluster metric) and
@@ -1999,39 +2042,7 @@ def q125_cluster_metrics(sf_dir: str):
         both.map_batches(cell_partial, batch_format="pyarrow"),
         ["c", "g"], {"n_p": "n"}, num_buckets=16, engine="exchange")
 
-    # the cell table is O(distinct cluster pairs) ≤ O(docs) skinny rows;
-    # the metric polynomials fold on the driver in exact Python ints
-    nc: dict[int, int] = {}
-    ng: dict[int, int] = {}
-    cells: list[tuple[int, int, int]] = []
-    for b in cells_ds.iter_batches(batch_format="pyarrow"):
-        for c, g, n in zip(b["c"].to_pylist(), b["g"].to_pylist(),
-                           b["n"].to_pylist()):
-            cells.append((c, g, n))
-            nc[c] = nc.get(c, 0) + n
-            ng[g] = ng.get(g, 0) + n
-    nn = sum(n for _, _, n in cells)
-    e6 = 1_000_000
-    p_sum = sum((n * n * e6) // nc[c] for c, _, n in cells)
-    r_sum = sum((n * n * e6) // ng[g] for _, g, n in cells)
-    p_e6 = p_sum // nn if nn else 0
-    r_e6 = r_sum // nn if nn else 0
-    f1_e6 = (2 * p_e6 * r_e6) // (p_e6 + r_e6) if p_e6 + r_e6 else 0
-    idx = sum(n * (n - 1) // 2 for _, _, n in cells)
-    a = sum(v * (v - 1) // 2 for v in nc.values())
-    b_ = sum(v * (v - 1) // 2 for v in ng.values())
-    cn2 = nn * (nn - 1) // 2
-    den = (a + b_) * cn2 - 2 * a * b_
-    num = 2 * (idx * cn2 - a * b_)
-    ari_e6 = e6 if den == 0 else (max(num, 0) * e6) // den
-    out = [("n_docs", nn), ("n_pred_clusters", len(nc)),
-           ("n_gold_clusters", len(ng)),
-           ("bcubed_p_e6", p_e6), ("bcubed_r_e6", r_e6),
-           ("bcubed_f1_e6", f1_e6), ("ari_e6", ari_e6)]
-    return pa.table({
-        "metric": pa.array([m for m, _ in out], type=pa.string()),
-        "value": pa.array([v for _, v in out], type=pa.int64()),
-    })
+    return bcubed_ari_report(cells_ds)
 
 
 _SQL_Q125_TAIL = """lab AS (

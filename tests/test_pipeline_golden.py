@@ -145,3 +145,22 @@ def test_cluster_digest_invariants(ray_session):
     ts = turns["ts"].astype("datetime64[us]").astype(np.int64)
     assert d["ts_min"].min() == ts.min() and d["ts_max"].max() == ts.max()
     assert (d["ts_min"] <= d["ts_max"]).all()
+
+
+def test_flagship_cluster_quality_perfect_on_golden(ray_session):
+    """On the golden corpus the flagship recovers the exact partition, so
+    B-cubed P/R/F1 and ARI must all be exactly 1.0 (e6 integers)."""
+    import ray.data as rd
+
+    from pboh_entity_linking_ray.pipelines.linkage import run_linkage
+    from pboh_entity_linking_ray.pipelines.linkage_queries import \
+        cluster_quality
+    from pboh_entity_linking_ray.sources.synthetic import generate_corpus
+
+    c = generate_corpus(200, 42)
+    res = run_linkage(rd.from_arrow(c.turns))
+    rep = cluster_quality(res.clusters, c.golden_clusters).to_pandas() \
+        .set_index("metric")["value"]
+    assert rep["n_docs"] == 200
+    for m in ("bcubed_p_e6", "bcubed_r_e6", "bcubed_f1_e6", "ari_e6"):
+        assert rep[m] == 1_000_000, (m, rep[m])
