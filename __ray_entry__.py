@@ -16,29 +16,10 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from pboh_entity_linking_ray.pipelines import (
-    analytics,
-    ann,
-    cardinality,
-    curation,
-    er,
-    fuzzy,
-    linkage_queries,
-    multimodal,
-    prep,
-    relational,
-    sampling,
-    search,
-    temporal,
-    textops,
-    training,
-)
+from pboh_entity_linking_ray.pipelines import linkage_queries
+from pboh_entity_linking_ray.registry import all_queries
 
-_ALL = {}
-for mod in (relational, textops, sampling, temporal, analytics, fuzzy, ann,
-            multimodal, cardinality, curation, er, search, prep, training,
-            linkage_queries):
-    _ALL.update(mod.QUERIES)
+_ALL = all_queries()
 
 
 def entry() -> Any:

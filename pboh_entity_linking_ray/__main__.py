@@ -7,6 +7,11 @@
             --checkpoint-root /data/ckpt \
             [--labels /data/labels.parquet] [--match-threshold 0.6]
 
+Two modes.  ``--query NAME --input SF_DIR [--output DIR]`` runs any
+registered operator query (``--list-queries`` enumerates them) over a
+testdata-shaped table directory and writes Parquet or prints a bounded
+head.  Without ``--query`` it runs the flagship linkage job:
+
 Reads the turns table (``conv_id, turn_idx, role, text, tool, ts`` —
 BASELINE.json input_hint), runs canonicalize → featurize → stats →
 block → score → cluster with per-stage Parquet checkpoints + lineage
@@ -33,13 +38,22 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pboh_entity_linking_ray")
-    ap.add_argument("--input", required=True,
-                    help="turns parquet file or directory")
+    ap.add_argument("--query", default=None,
+                    help="run one registered operator query (registry.py) "
+                         "over the table directory given by --input instead "
+                         "of the flagship pipeline")
+    ap.add_argument("--list-queries", action="store_true",
+                    help="print every registered query name and exit")
+    ap.add_argument("--input", default=None,
+                    help="turns parquet file or directory (flagship), or "
+                         "the table directory for --query")
     ap.add_argument("--format", default="parquet",
                     help="input reader from sources.READERS "
                          "(parquet | tsv | a registered plugin)")
-    ap.add_argument("--output", required=True,
-                    help="output directory for the clusters parquet")
+    ap.add_argument("--output", default=None,
+                    help="output directory for the result parquet "
+                         "(required for the flagship run; for --query the "
+                         "result prints as JSON rows when omitted)")
     ap.add_argument("--checkpoint-root", default=None,
                     help="per-stage Parquet checkpoint + manifest root "
                          "(enables resume-after-failure)")
@@ -48,6 +62,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--match-threshold", type=float, default=None,
                     help="override the scorer match threshold")
     args = ap.parse_args(argv)
+
+    if args.list_queries:
+        from .registry import all_queries
+
+        for name, (_fn, sql) in sorted(all_queries().items()):
+            print(f"{name}\t{'oracle' if sql else 'rows-only'}")
+        return 0
+    if args.input is None:
+        ap.error("--input is required")
+    if args.query is None and args.output is None:
+        ap.error("--output is required for the flagship run")
 
     import ray
     import ray.data
@@ -61,6 +86,38 @@ def main(argv: list[str] | None = None) -> int:
 
         ray.init(address=os.environ.get("RAY_ADDRESS"),
                  include_dashboard=False, logging_level="ERROR")
+
+    if args.query is not None:
+        from .registry import all_queries
+
+        reg = all_queries()
+        if args.query not in reg:
+            ap.error(f"unknown query {args.query!r} "
+                     f"(see --list-queries; {len(reg)} registered)")
+        out = reg[args.query][0](args.input)
+        if args.output is not None:
+            if not isinstance(out, ray.data.Dataset):
+                from .oracle import to_pandas
+
+                out = ray.data.from_pandas(to_pandas(out))
+            out.write_parquet(args.output)
+            print(json.dumps({"query": args.query, "rows": int(out.count()),
+                              "output": args.output}))
+        else:
+            # no sink given: print a bounded head only — a query result can
+            # be arbitrarily large and stdout is not a 100 TB sink
+            if isinstance(out, ray.data.Dataset):
+                n = int(out.count())
+                head = out.limit(50).to_pandas()
+            else:
+                from .oracle import to_pandas
+
+                df = to_pandas(out)
+                n, head = int(len(df)), df.head(50)
+            print(head.to_json(orient="records", lines=True))
+            print(json.dumps({"query": args.query, "rows": n,
+                              "printed": int(len(head))}), file=sys.stderr)
+        return 0
 
     from dataclasses import replace
 

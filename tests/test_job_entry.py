@@ -38,3 +38,26 @@ def test_job_main_end_to_end(ray_session, tmp_path, capsys):
     assert rc2 == 0
     m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert m2["n_clusters"] == metrics["n_clusters"]
+
+
+def test_query_cli_modes(ray_session, tmp_path, capsys):
+    rc = main(["--list-queries"])
+    assert rc == 0
+    listing = capsys.readouterr().out.strip().splitlines()
+    assert any(ln.startswith("q05_word_count\toracle") for ln in listing)
+    assert len(listing) > 150
+
+    # run one registered query over the testdata dir, to parquet and to stdout
+    out_dir = str(tmp_path / "q05")
+    rc = main(["--query", "q05_word_count",
+               "--input", "/root/testdata/sf0.001", "--output", out_dir])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["rows"] > 0
+    assert pq.read_table(out_dir).num_rows == metrics["rows"]
+
+    rc = main(["--query", "q05_word_count", "--input", "/root/testdata/sf0.001"])
+    assert rc == 0
+    head = capsys.readouterr().out.strip().splitlines()
+    assert 0 < len(head) <= 50
+    json.loads(head[0])  # JSONL rows

@@ -4,34 +4,14 @@
 import pytest
 
 from pboh_entity_linking_ray.oracle import compare
-from pboh_entity_linking_ray.pipelines import (
-    analytics,
-    ann,
-    cardinality,
-    curation,
-    er,
-    fuzzy,
-    linkage_queries,
-    multimodal,
-    prep,
-    relational,
-    sampling,
-    search,
-    temporal,
-    textops,
-    training,
-)
+from pboh_entity_linking_ray.pipelines import linkage_queries
+from pboh_entity_linking_ray.registry import all_queries
 from pboh_entity_linking_ray.sources.synthetic import corpus_dir, sf_to_n_convs
 
 SF_DIR = "/root/testdata/sf0.001"
 
-PAIRED = {}
-for mod in (relational, textops, sampling, temporal, analytics, fuzzy, ann,
-            multimodal, cardinality, curation, er, search, prep, training,
-            linkage_queries):
-    for name, (fn, sql) in mod.QUERIES.items():
-        if sql is not None:
-            PAIRED[name] = (fn, sql)
+PAIRED = {name: (fn, sql) for name, (fn, sql) in all_queries().items()
+          if sql is not None}
 
 
 def _local_sql(sql: str) -> str:
@@ -52,13 +32,11 @@ def test_query_matches_oracle(name, ray_session):
     assert ok, f"{name}: {msg}"
 
 
-ROWS_ONLY = {}
-for mod in (textops, ann, multimodal, cardinality, training,
-            linkage_queries):
-    for name, (fn, sql) in mod.QUERIES.items():
-        if sql is None and name not in ("link_pairs_scored", "link_clusters",
-                                        "link_eval_metrics"):
-            ROWS_ONLY[name] = fn       # heavy full-pipeline ones are covered
+ROWS_ONLY = {
+    name: fn for name, (fn, sql) in all_queries().items()
+    if sql is None and name not in ("link_pairs_scored", "link_clusters",
+                                    "link_eval_metrics")
+}                                      # heavy full-pipeline ones are covered
                                        # by the golden tests
 
 
