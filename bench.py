@@ -264,6 +264,8 @@ OPS_DEFAULT = [
     "q160_spearman", "q161_kruskal_wallis", "q162_wilcoxon",
     "link_cluster_digest", "link_signature_blocking_quality",
     "link_cluster_quality",
+    "q163_chi_square", "q164_anova_f", "q165_bloom_decontaminate",
+    "q166_replica_stability",
 ]
 
 

@@ -159,6 +159,116 @@ def q50_decontaminate(sf_dir: str):
         batch_format="pyarrow", batch_size=256)
 
 
+# --- q165: Bloom-prefiltered decontamination (memory-bounded variant) -------
+
+BLOOM_BITS_PER_KEY = 16   # m/n → k=8 double-hash probes, FP ≈ 5e-4
+BLOOM_K = 8
+
+
+def _bloom_build(keys: np.ndarray) -> np.ndarray:
+    """Bloom bitmap (uint64 words, pow-2 bit count ≥ 16·n) over sorted
+    uint64 keys via double hashing pos_i = (h + i·(h>>33|1)) mod m —
+    the md5-derived keys are already uniform, no re-hash needed."""
+    n = max(len(keys), 1)
+    m = max(1 << 10, 1 << int(np.ceil(np.log2(BLOOM_BITS_PER_KEY * n))))
+    bits = np.zeros(m >> 6, dtype=np.uint64)
+    h2 = (keys >> np.uint64(33)) | np.uint64(1)
+    mask = np.uint64(m - 1)
+    for i in range(BLOOM_K):
+        pos = (keys + np.uint64(i) * h2) & mask
+        np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    return bits
+
+
+def _bloom_probe(bits: np.ndarray, hs: np.ndarray) -> np.ndarray:
+    """Vectorized membership mask; m is recovered from the word count."""
+    mask = np.uint64(len(bits) * 64 - 1)
+    h2 = (hs >> np.uint64(33)) | np.uint64(1)
+    ok = np.ones(len(hs), dtype=bool)
+    for i in range(BLOOM_K):
+        pos = (hs + np.uint64(i) * h2) & mask
+        ok &= ((bits[(pos >> np.uint64(6)).astype(np.int64)]
+                >> (pos & np.uint64(63))) & np.uint64(1)) != 0
+    return ok
+
+
+_CAND = pa.schema([("doc_id", pa.int64()), ("h", pa.int64()),
+                   ("n_shingles", pa.int64())])
+
+
+def _bloom_candidates(t: pa.Table, bits_ref) -> pa.Table:
+    """Bloom-positive (doc_id, shingle-hash) candidate rows of one train
+    batch, each carrying the doc's distinct-shingle total for the final
+    denominator."""
+    bits = _bench_array(bits_ref)
+    all_ids = np.asarray(t["doc_id"], dtype=np.int64)
+    train = t.filter(pa.array(all_ids % DECON_BENCH_MOD != 0))
+    df = _doc_shingles(train, DECON_W)
+    if len(df) == 0:
+        return _CAND.empty_table()
+    rid = df["rid"].to_numpy().astype(np.int64)
+    hs = _md5_cached({}, df["sh"].to_list())
+    n_sh = np.bincount(rid, minlength=train.num_rows).astype(np.int64)
+    hit = _bloom_probe(bits, hs)
+    rid_h = rid[hit]
+    ids = np.asarray(train["doc_id"], dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(ids[rid_h], type=pa.int64()),
+        "h": pa.array(hs[hit].view(np.int64), type=pa.int64()),
+        "n_shingles": pa.array(n_sh[rid_h], type=pa.int64()),
+    })
+
+
+def q165_bloom_decontaminate(sf_dir: str):
+    """q50's EXACT semantics through the sketch-prefilter + survivor-
+    verify pattern — the memory-bounded scale path when the benchmark
+    hash set outgrows a comfortable per-worker broadcast: workers hold
+    only a Bloom BITMAP (2 bytes/key here vs 8 for the exact set, and
+    tunable lower), bloom-positive (doc_id, shingle) rows — true hits
+    plus the ~5e-4 false-positive trickle — flow into ONE distributed
+    ``hash_join`` semi-verify against the benchmark hash table, so false
+    positives are removed exactly and never reach the output.  Only
+    survivors cross the exchange: the shuffle is O(true overlap), not
+    O(corpus shingles).
+
+    At THIS harness's scale the bench side is driver-collectable (same
+    small-side argument as q50), so the bitmap build reuses that
+    collect; at 100 TB the build becomes per-batch partial bitmaps
+    OR-reduced tree-wise, and the verify side stays a parquet-backed
+    table — the pipeline shape here (probe → semi join → per-doc fold)
+    is unchanged.  Oracle twin: SQL_Q50 verbatim (the Bloom layer is
+    semantically invisible)."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange, hash_join
+
+    bench = ray.get(_collect_bench_set(sf_dir))
+    bits_ref = ray.put(_bloom_build(bench))
+    bench_ds = ray.data.from_arrow(
+        pa.table({"h": pa.array(bench.view(np.int64), type=pa.int64())}))
+
+    cands = _docs(sf_dir).map_batches(
+        _bloom_candidates, fn_kwargs={"bits_ref": bits_ref},
+        batch_format="pyarrow", batch_size=256)
+    verified = hash_join(cands, bench_ds, "h", how="semi", num_buckets=16)
+
+    _OUT = pa.schema([("doc_id", pa.int64()), ("n_shingles", pa.int64()),
+                      ("n_overlap", pa.int64()), ("contam_e4", pa.int64())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return _OUT.empty_table()
+        g = (pl.from_arrow(t).group_by("doc_id")
+             .agg(n_shingles=pl.col("n_shingles").first(),
+                  n_overlap=pl.len().cast(pl.Int64)))
+        g = g.with_columns(
+            contam_e4=(10000 * pl.col("n_overlap")) // pl.col("n_shingles"))
+        return g.to_arrow().cast(_OUT)
+
+    return hash_exchange(verified, "doc_id", fold, num_buckets=16)
+
+
 SQL_Q50 = f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
@@ -1306,4 +1416,6 @@ QUERIES = {
     "q74_mixture_allocation": (q74_mixture_allocation, SQL_Q74),
     "q67_fuzzy_decontaminate": (q67_fuzzy_decontaminate, SQL_Q67),
     "q156_priority_sample": (q156_priority_sample, SQL_Q156),
+    # Bloom layer is semantically invisible → q50's twin verbatim
+    "q165_bloom_decontaminate": (q165_bloom_decontaminate, SQL_Q50),
 }

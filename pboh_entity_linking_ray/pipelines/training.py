@@ -1103,6 +1103,288 @@ FROM r
 """
 
 
+# --- q163: chi-square independence audit --------------------------------
+
+def q163_chi_square(sf_dir: str):
+    """Pearson chi-square independence audit of event_type × day-of-week
+    — the categorical counterpart of the numeric drift screens (q101
+    PSI, q98 source shift): is traffic mix independent of weekday, and
+    WHICH cells deviate?  Emits the full contingency table with each
+    cell's expected count and chi-square contribution (the standardized
+    residuals analysts actually read; the global statistic is their
+    plain integer sum, order-free because rounding happens per cell).
+
+    Day-of-week comes from exact integer epoch math
+    ((epoch_us // 86_400_000_000 + 4) % 7, Monday=0) — never a calendar
+    function, whose week-start convention differs across engines.  One
+    vectorized count partial per batch, ONE ≤|types|·7-row keyed sum,
+    driver fold on the tiny cell table for the row/column totals (they
+    need every cell, and the table is O(k·7) at any corpus scale)."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    _PART = pa.schema([("g", pa.string()), ("dow", pa.int64()),
+                       ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return _PART.empty_table()
+        us = np.asarray(t["ts"].cast(pa.int64()), dtype=np.int64)
+        dow = (us // 86_400_000_000 + 4) % 7
+        df = pl.DataFrame({"g": pl.from_arrow(
+            t["event_type"].combine_chunks()), "dow": dow})
+        return (df.group_by(["g", "dow"]).agg(n=pl.len().cast(pl.Int64))
+                .to_arrow().cast(_PART))
+
+    cells = bucketed_sum(ev.map_batches(partial, batch_format="pyarrow"),
+                         ["g", "dow"], "n", "n",
+                         engine="exchange").to_pandas()
+    cells = cells.sort_values(["g", "dow"]).reset_index(drop=True)
+    n = cells["n"].to_numpy(dtype=np.int64)
+    rt = cells.groupby("g")["n"].transform("sum").to_numpy(dtype=np.int64)
+    ct = cells.groupby("dow")["n"].transform("sum").to_numpy(dtype=np.int64)
+    nn = np.float64(n.sum())
+    # expression tree mirrored token-for-token in the twin
+    ex = rt.astype(np.float64) * ct.astype(np.float64) / nn
+    d = n.astype(np.float64) - ex
+    return pa.table({
+        "event_type": pa.array(cells["g"], type=pa.string()),
+        "dow": pa.array(cells["dow"].to_numpy(dtype=np.int64)),
+        "n": pa.array(n),
+        "exp_e2": pa.array(np.floor(ex * 100 + 0.5).astype(np.int64)),
+        "chi2_e4": pa.array(np.floor(d * d / ex * 10000 + 0.5)
+                            .astype(np.int64)),
+    })
+
+
+SQL_Q163 = """
+WITH x AS (
+  SELECT event_type AS g,
+         (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+  FROM events
+),
+c AS (
+  SELECT g, CAST(dow AS BIGINT) AS dow, CAST(count(*) AS BIGINT) AS n
+  FROM x GROUP BY 1, 2
+),
+e AS (
+  SELECT g, dow, n,
+         CAST(SUM(n) OVER (PARTITION BY g) AS DOUBLE)
+           * CAST(SUM(n) OVER (PARTITION BY dow) AS DOUBLE)
+           / CAST(SUM(n) OVER () AS DOUBLE) AS ex
+  FROM c
+)
+SELECT g AS event_type, dow, n,
+       CAST(floor(ex * 100 + 0.5) AS BIGINT) AS exp_e2,
+       CAST(floor((CAST(n AS DOUBLE) - ex) * (CAST(n AS DOUBLE) - ex)
+                  / ex * 10000 + 0.5) AS BIGINT) AS chi2_e4
+FROM e
+"""
+
+
+# --- q164: one-way ANOVA F test -------------------------------------------
+
+def q164_anova_f(sf_dir: str):
+    """One-way ANOVA F across the k event types' value distributions —
+    the parametric member completing the k-sample family (q161 KW is
+    its rank-based twin; q95 Welch its 2-sample special case), plus
+    eta² effect size (SSB/SST — "how much variance does the grouping
+    explain", the number a mix-drift report actually wants).
+
+    Identical distributed shape to q95: exact int64 sufficient
+    statistics (n, Σy, Σy² over cents) per batch, ONE ≤k-row keyed sum,
+    closed-form driver finish.  The k-term Σ s_i²/n_i fold runs in
+    DOUBLE accumulated IN TYPE ORDER on both engines (``sum(... ORDER
+    BY g)`` in the twin, a sequential sorted loop here).  Σy² shares
+    q95's exactness ceiling: cents ≤ ~10⁴ keeps it inside int64 to
+    ~10¹⁰ rows; a wider metric needs the two-limb split before this
+    pattern is safe."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum_multi
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    _PART = pa.schema([("g", pa.string()), ("n_i", pa.int64()),
+                       ("s_i", pa.int64()), ("ss_i", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.column_names:
+            return _PART.empty_table()
+        y = np.floor(np.asarray(t["value"]) * 100 + 0.5).astype(np.int64)
+        df = pl.DataFrame({"g": pl.from_arrow(
+            t["event_type"].combine_chunks()), "y": y})
+        return (df.group_by("g")
+                .agg(n_i=pl.len().cast(pl.Int64), s_i=pl.col("y").sum(),
+                     ss_i=(pl.col("y") * pl.col("y")).sum())
+                .to_arrow().cast(_PART))
+
+    groups = bucketed_sum_multi(
+        ev.map_batches(partial, batch_format="pyarrow"), ["g"],
+        {"n_i": "n_i", "s_i": "s_i", "ss_i": "ss_i"}, num_buckets=4,
+        engine="exchange").to_pandas().sort_values("g")
+
+    n_i = groups["n_i"].to_numpy(dtype=np.int64)
+    s_i = groups["s_i"].to_numpy(dtype=np.int64)
+    n = np.int64(n_i.sum())
+    k = np.int64(len(n_i))
+    s = np.int64(s_i.sum())
+    sst = np.int64(groups["ss_i"].to_numpy(dtype=np.int64).sum())
+    acc = np.float64(0.0)
+    for si, ni in zip(s_i, n_i):              # sequential, type-sorted —
+        acc += (np.float64(si) * np.float64(si)   # mirrors sum(ORDER BY g)
+                / np.float64(ni))
+    nd, kd = np.float64(n), np.float64(k)
+    ssb = acc - np.float64(s) * np.float64(s) / nd
+    f = (ssb / (kd - 1.0)) / ((np.float64(sst) - acc) / (nd - kd))
+    eta2 = ssb / (np.float64(sst)
+                  - np.float64(s) * np.float64(s) / nd)
+    return pa.table({
+        "n": pa.array([n]),
+        "k": pa.array([k]),
+        "f_e4": pa.array([np.int64(np.floor(f * 10000 + 0.5))]),
+        "eta2_e6": pa.array([np.int64(np.floor(eta2 * 1_000_000 + 0.5))]),
+    })
+
+
+SQL_Q164 = """
+WITH x AS (
+  SELECT event_type AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_i,
+         CAST(SUM(y) AS BIGINT) AS s_i, CAST(SUM(y * y) AS BIGINT) AS ss_i
+  FROM x GROUP BY g
+),
+t AS (
+  SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(s_i) AS BIGINT) AS s, CAST(sum(ss_i) AS BIGINT) AS sst,
+         sum(CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE)
+             / CAST(n_i AS DOUBLE) ORDER BY g) AS a
+  FROM s
+)
+SELECT n, k,
+       CAST(floor(((a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+                  / ((CAST(sst AS DOUBLE) - a)
+                     / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                  * 10000 + 0.5) AS BIGINT) AS f_e4,
+       CAST(floor((a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                  / (CAST(sst AS DOUBLE) - CAST(s AS DOUBLE)
+                     * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS eta2_e6
+FROM t
+"""
+
+
+# --- q166: hash-replica stability screen -----------------------------------
+
+REPLICA_B = 32
+
+
+def q166_replica_stability(sf_dir: str):
+    """Poor-man's confidence band for the mean event value via 32
+    DETERMINISTIC half-sample replicas — the one-pass answer to "how
+    much would this statistic move if the sample had been different?"
+    without bootstrap resampling rounds: one md5 per row yields all 32
+    replicas at once (bit b of the hash is replica b's independent coin
+    — md5 bits are i.i.d. fair flips), so the screen costs ONE extra
+    pass-width of partials, never B passes.
+
+    Per batch: a vectorized n×32 bit-mask matrix from one hash column →
+    33 (replica, n, Σy) partial rows (replica −1 = the full sample) →
+    ONE ≤33-row keyed sum → driver fold sorts the 32 replica means
+    (e2-floored FIRST, so the order is integer-deterministic) and
+    reports the 2nd-smallest/2nd-largest as the stability band.  Each
+    half-sample mean has √2× the full-sample SE, so the band brackets —
+    conservatively — the estimator's own sampling noise."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum_multi
+    from .textops import _md5_cached
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+
+    _PART = pa.schema([("b", pa.int64()), ("n", pa.int64()),
+                       ("s", pa.int64())])
+    _SHIFTS = np.arange(REPLICA_B, dtype=np.uint64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_id" not in t.column_names:
+            return _PART.empty_table()
+        ids = np.asarray(t["event_id"], dtype=np.int64)
+        h = _md5_cached({}, [str(i) for i in ids])
+        y = np.floor(np.asarray(t["value"]) * 100 + 0.5).astype(np.int64)
+        mask = ((h[:, None] >> _SHIFTS[None, :])
+                & np.uint64(1)).astype(np.int64)
+        n_b = mask.sum(axis=0)
+        s_b = (y[:, None] * mask).sum(axis=0)
+        return pa.table({
+            "b": pa.array(np.concatenate(([-1], _SHIFTS.astype(np.int64)))),
+            "n": pa.array(np.concatenate(([len(y)], n_b))),
+            "s": pa.array(np.concatenate(([y.sum()], s_b))),
+        }).cast(_PART)
+
+    rows = bucketed_sum_multi(
+        ev.map_batches(partial, batch_format="pyarrow"), ["b"],
+        {"n": "n", "s": "s"}, num_buckets=4,
+        engine="exchange").to_pandas()
+    full = rows[rows["b"] == -1].iloc[0]
+    reps = rows[rows["b"] >= 0]
+    mc = np.floor(reps["s"].to_numpy(dtype=np.float64)
+                  / reps["n"].to_numpy(dtype=np.float64) * 100
+                  + 0.5).astype(np.int64)
+    mc.sort()
+    return pa.table({
+        "n": pa.array([np.int64(full["n"])]),
+        "mean_c_e2": pa.array([np.int64(np.floor(
+            np.float64(full["s"]) / np.float64(full["n"]) * 100 + 0.5))]),
+        "lo_c_e2": pa.array([mc[1]]),
+        "hi_c_e2": pa.array([mc[REPLICA_B - 2]]),
+    })
+
+
+SQL_Q166 = f"""
+WITH x AS (
+  SELECT md5_number_lower(CAST(event_id AS VARCHAR)) AS h,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+r AS (
+  SELECT b,
+         CAST(count(*) FILTER (((h >> b) & 1) = 1) AS BIGINT) AS n,
+         CAST(sum(y) FILTER (((h >> b) & 1) = 1) AS BIGINT) AS s
+  FROM x CROSS JOIN (SELECT unnest(generate_series(0, {REPLICA_B - 1}))
+                     AS b) bs
+  GROUP BY b
+),
+m AS (
+  SELECT CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 100 + 0.5)
+              AS BIGINT) AS mc,
+         row_number() OVER (ORDER BY CAST(floor(CAST(s AS DOUBLE)
+             / CAST(n AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS rk
+  FROM r
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+      FROM x)
+SELECT t.n,
+       CAST(floor(CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) * 100 + 0.5)
+            AS BIGINT) AS mean_c_e2,
+       (SELECT mc FROM m WHERE rk = 2) AS lo_c_e2,
+       (SELECT mc FROM m WHERE rk = {REPLICA_B - 1}) AS hi_c_e2
+FROM t
+"""
+
+
 QUERIES = {
     "q63_grad_step": (q63_grad_step, SQL_Q63),
     "q95_ab_welch": (q95_ab_welch, SQL_Q95),
@@ -1112,6 +1394,9 @@ QUERIES = {
     "q160_spearman": (q160_spearman, SQL_Q160),
     "q161_kruskal_wallis": (q161_kruskal_wallis, SQL_Q161),
     "q162_wilcoxon": (q162_wilcoxon, SQL_Q162),
+    "q163_chi_square": (q163_chi_square, SQL_Q163),
+    "q164_anova_f": (q164_anova_f, SQL_Q164),
+    "q166_replica_stability": (q166_replica_stability, SQL_Q166),
     "q64_sgd_train": (q64_sgd_train, None),
     "link_train_weights": (link_train_weights, None),
     "q86_user_trend": (q86_user_trend, SQL_Q86),

@@ -100,6 +100,27 @@ def test_decontaminate_flags_only_overlapping_training_docs(ray_session):
     assert len(got) > 0  # 3-token shingles do collide in the corpus
 
 
+def test_bloom_no_false_negatives_and_low_fp_rate():
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**63, size=20_000, dtype=np.int64) \
+              .astype(np.uint64)
+    bits = curation._bloom_build(keys)
+    assert curation._bloom_probe(bits, keys).all()   # membership is exact
+    probe = rng.integers(0, 2**63, size=100_000, dtype=np.int64) \
+               .astype(np.uint64)
+    fresh = probe[~np.isin(probe, keys)]
+    fp = curation._bloom_probe(bits, fresh).mean()
+    assert fp < 0.005                                # ~5e-4 expected
+
+
+def test_bloom_decontaminate_equals_exact_path(ray_session):
+    exact = (curation.q50_decontaminate(SF_DIR).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    bloom = (curation.q165_bloom_decontaminate(SF_DIR).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert exact.equals(bloom)   # the Bloom layer is semantically invisible
+
+
 def test_repetition_filter_verdicts(ray_session):
     got = curation.q52_repetition_filter(SF_DIR).to_pandas()
     assert len(got) == 500  # every doc gets a verdict — filter, not join

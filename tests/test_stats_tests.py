@@ -102,6 +102,68 @@ def test_q161_kw_from_textbook_formula(ray_session):
     assert abs(out["h_corr_e6"] - h_corr * 1_000_000) <= 1
 
 
+def test_q163_chi_square_from_crosstab_definition(ray_session):
+    from pboh_entity_linking_ray.pipelines.training import q163_chi_square
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    us = ev["ts"].astype("int64")                 # epoch µs
+    dow = ((us // 86_400_000_000 + 4) % 7).astype(int)
+    ct = pd.crosstab(ev["event_type"], dow)       # observed counts
+    out = (q163_chi_square(SF).to_pandas()
+           .set_index(["event_type", "dow"]).sort_index())
+    n_total = ct.to_numpy().sum()
+    for (g, d), row in out.iterrows():
+        o = ct.loc[g, d]
+        e = ct.loc[g].sum() * ct[d].sum() / n_total
+        assert row["n"] == o
+        assert abs(row["exp_e2"] - e * 100) <= 1
+        assert abs(row["chi2_e4"] - (o - e) ** 2 / e * 10000) <= 1
+    # every nonzero cell is present
+    assert len(out) == (ct.to_numpy() > 0).sum()
+
+
+def test_q164_anova_from_group_mean_definition(ray_session):
+    from pboh_entity_linking_ray.pipelines.training import q164_anova_f
+
+    ev = _events()
+    y = _cents(ev["value"]).astype(float)
+    g = ev["event_type"].to_numpy()
+    keys = sorted(set(g))
+    grand = y.mean()
+    ssb = sum((g == k).sum() * (y[g == k].mean() - grand) ** 2 for k in keys)
+    ssw = sum(((y[g == k] - y[g == k].mean()) ** 2).sum() for k in keys)
+    n, k = len(y), len(keys)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    out = q164_anova_f(SF).to_pandas().iloc[0]
+    assert out["n"] == n and out["k"] == k
+    assert abs(out["f_e4"] - f * 10000) <= 2
+    assert abs(out["eta2_e6"] - ssb / (ssb + ssw) * 1_000_000) <= 2
+
+
+def test_q166_replica_band_from_direct_recompute(ray_session):
+    from pboh_entity_linking_ray.functions.hashing import md5_lower64
+    from pboh_entity_linking_ray.pipelines.training import (
+        REPLICA_B, q166_replica_stability)
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "value"]).to_pandas()
+    y = _cents(ev["value"])
+    h = np.array([md5_lower64(str(i)) for i in ev["event_id"]],
+                 dtype=np.uint64)
+    mc = np.sort([
+        np.floor(y[m].sum() / m.sum() * 100 + 0.5).astype(np.int64)
+        for b in range(REPLICA_B)
+        for m in [((h >> np.uint64(b)) & np.uint64(1)) == 1]
+    ])
+    out = q166_replica_stability(SF).to_pandas().iloc[0]
+    assert out["n"] == len(y)
+    assert out["mean_c_e2"] == np.floor(y.sum() / len(y) * 100 + 0.5)
+    assert out["lo_c_e2"] == mc[1]
+    assert out["hi_c_e2"] == mc[REPLICA_B - 2]
+    assert out["lo_c_e2"] <= out["mean_c_e2"] <= out["hi_c_e2"]
+
+
 def test_q162_wilcoxon_from_argsort_midranks(ray_session):
     from pboh_entity_linking_ray.pipelines.training import q162_wilcoxon
 
