@@ -1124,8 +1124,128 @@ LEFT JOIN i ON i.day = a.day
 """
 
 
+# --- q167: Kaplan-Meier user-lifetime survival curve ------------------------
+
+def q167_kaplan_meier(sf_dir: str):
+    """Kaplan-Meier survival curve of user lifetime (days from first to
+    last event) with right-censoring at the observation boundary — the
+    survival-analysis member the retention family lacks (q90 cohorts
+    answer "how many came back at +k"; this answers "what fraction of
+    lifetimes EXCEED t", correctly discounting users still active at
+    corpus end, whom a naive lifetime histogram would miscount as
+    churned).  Users whose last event falls on the global last day are
+    censored; all others are observed churns.
+
+    Shape: per-batch per-user (min, max) day partials → ONE user-keyed
+    exchange merging them → streaming ``max()`` for the censoring
+    boundary → per-batch (lifetime, churn) count partials → ONE tiny
+    keyed sum → O(distinct lifetimes) driver fold.  The survival
+    product is an EXACT INTEGER recurrence, never a float product:
+    s_e6 ← s_e6·(n_risk−d)//n_risk per step in lifetime order (the
+    twin mirrors it with a recursive CTE step-for-step), so engines
+    match bit-exactly; the e6 truncation drifts from true KM by at most
+    one ulp-of-e6 per step, pinned in pytest against the float
+    definition."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum_multi, hash_exchange
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    _U = pa.schema([("user_id", pa.int64()), ("fd", pa.int64()),
+                    ("ld", pa.int64())])
+
+    def u_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _U.empty_table()
+        day = (np.asarray(t["ts"].cast(pa.timestamp("us")), dtype="int64")
+               // _US_DAY)
+        return (pl.DataFrame({
+            "user_id": np.asarray(t["user_id"], dtype=np.int64),
+            "day": day})
+            .group_by("user_id")
+            .agg(fd=pl.col("day").min(), ld=pl.col("day").max())
+            .to_arrow().cast(_U))
+
+    def u_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _U.empty_table()
+        return (pl.from_arrow(t).group_by("user_id")
+                .agg(fd=pl.col("fd").min(), ld=pl.col("ld").max())
+                .to_arrow().cast(_U))
+
+    users = hash_exchange(ev.map_batches(u_partial, batch_format="pyarrow"),
+                          "user_id", u_merge, num_buckets=16).materialize()
+    gmax = int(users.max("ld"))
+
+    _C = pa.schema([("t", pa.int64()), ("d_t", pa.int64()),
+                    ("m_t", pa.int64())])
+
+    def lt_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _C.empty_table()
+        df = pl.from_arrow(t).with_columns(
+            t=pl.col("ld") - pl.col("fd"),
+            ev=(pl.col("ld") < gmax).cast(pl.Int64))
+        return (df.group_by("t")
+                .agg(d_t=pl.col("ev").sum(), m_t=pl.len().cast(pl.Int64))
+                .to_arrow().cast(_C))
+
+    sums = bucketed_sum_multi(
+        users.map_batches(lt_partial, batch_format="pyarrow"), ["t"],
+        {"d_t": "d_t", "m_t": "m_t"}, num_buckets=2, engine="exchange")
+    steps = sums.to_pandas().sort_values("t").reset_index(drop=True)
+    t = steps["t"].to_numpy(dtype=np.int64)
+    d = steps["d_t"].to_numpy(dtype=np.int64)
+    m = steps["m_t"].to_numpy(dtype=np.int64)
+    n_risk = m[::-1].cumsum()[::-1]
+    surv = np.empty(len(t), dtype=np.int64)
+    s = np.int64(1_000_000)
+    for i in range(len(t)):                  # exact-integer KM recurrence,
+        s = s * (n_risk[i] - d[i]) // n_risk[i]   # lifetime order
+        surv[i] = s
+    return pa.table({"t": pa.array(t), "n_risk": pa.array(n_risk),
+                     "d_t": pa.array(d), "m_t": pa.array(m),
+                     "surv_e6": pa.array(surv)})
+
+
+SQL_Q167 = f"""
+WITH RECURSIVE u AS (
+  SELECT user_id, epoch_us(min(ts)) // {_US_DAY} AS fd,
+         epoch_us(max(ts)) // {_US_DAY} AS ld
+  FROM events GROUP BY user_id
+),
+g AS (SELECT max(ld) AS gmax FROM u),
+d AS (
+  SELECT ld - fd AS t,
+         CASE WHEN ld < (SELECT gmax FROM g) THEN 1 ELSE 0 END AS ev
+  FROM u
+),
+c AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d_t,
+             CAST(count(*) AS BIGINT) AS m_t FROM d GROUP BY t),
+o AS (
+  SELECT t, d_t, m_t,
+         CAST(sum(m_t) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk,
+         row_number() OVER (ORDER BY t) AS k
+  FROM c
+),
+r AS (
+  SELECT k, t, d_t, m_t, n_risk,
+         CAST(1000000 * (n_risk - d_t) // n_risk AS BIGINT) AS surv_e6
+  FROM o WHERE k = 1
+  UNION ALL
+  SELECT o.k, o.t, o.d_t, o.m_t, o.n_risk,
+         CAST(r.surv_e6 * (o.n_risk - o.d_t) // o.n_risk AS BIGINT)
+  FROM r JOIN o ON o.k = r.k + 1
+)
+SELECT t, n_risk, d_t, m_t, surv_e6 FROM r
+"""
+
+
 QUERIES = {
     "q23_asof_join": (q23_asof_join, SQL_Q23),
+    "q167_kaplan_meier": (q167_kaplan_meier, SQL_Q167),
     "q145_cusum": (q145_cusum, SQL_Q145),
     "q151_day_churn": (q151_day_churn, SQL_Q151),
     "q146_event_trigrams": (q146_event_trigrams, SQL_Q146),

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import ray.data
 
+from .columnar import read_turns_feather, read_turns_orc
 from .text_lines import (
     read_turns_csv,
     read_turns_jsonl,
@@ -31,6 +32,8 @@ READERS: dict[str, object] = {
     "jsonl": read_turns_jsonl,
     "jsonl.gz": read_turns_jsonl_gz,
     "csv": read_turns_csv,
+    "orc": read_turns_orc,
+    "feather": read_turns_feather,
 }
 
 

@@ -195,3 +195,34 @@ def test_reader_registry_jsonl_gz_matches_parquet(tmp_path, ray_session):
          .sort_values(cols).reset_index(drop=True))
     pd.testing.assert_frame_equal(
         a.astype({"turn_idx": "int64"}), b.astype({"turn_idx": "int64"}))
+
+
+def test_orc_and_feather_readers_match_parquet(tmp_path, ray_session):
+    """ORC and Arrow-IPC files through the registry yield the same turns
+    as the parquet reader (decode happens inside the read tasks; ts —
+    the full canonical schema — survives both containers)."""
+    import os
+
+    import pandas as pd
+    from pyarrow import feather, orc
+
+    from pboh_entity_linking_ray.sources import READERS, read_turns
+    from pboh_entity_linking_ray.sources.synthetic import generate_corpus
+
+    c = generate_corpus(30, 3)
+    paths = {}
+    d = str(tmp_path)
+    orc.write_table(c.turns, os.path.join(d, "turns.orc"))
+    feather.write_feather(c.turns, os.path.join(d, "turns.feather"))
+    paths["orc"] = os.path.join(d, "turns.orc")
+    paths["feather"] = os.path.join(d, "turns.feather")
+
+    want = (c.turns.to_pandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    for fmt, p in paths.items():
+        assert fmt in READERS
+        got = (read_turns(p, fmt).to_pandas()
+               .sort_values(["conv_id", "turn_idx"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                      check_dtype=False)

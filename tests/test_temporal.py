@@ -83,3 +83,33 @@ def test_asof_column_collision_rejected(ray_session):
 
     with pytest.raises(ValueError, match="collision"):
         asof_join(ds, other, by="k", on="ts")
+
+
+def test_kaplan_meier_matches_float_definition(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pboh_entity_linking_ray.pipelines.temporal import (
+        _US_DAY, q167_kaplan_meier)
+
+    SF = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    day = ev["ts"].astype("int64") // _US_DAY
+    g = day.groupby(ev["user_id"]).agg(["min", "max"])
+    gmax = g["max"].max()
+    lt = (g["max"] - g["min"]).to_numpy()
+    churn = (g["max"] < gmax).to_numpy()
+    out = q167_kaplan_meier(SF).to_pandas().sort_values("t") \
+                               .reset_index(drop=True)
+    assert out["m_t"].sum() == len(g)          # every user in one step
+    assert out["d_t"].sum() == churn.sum()
+    # float-KM agreement within one e6 ulp per recurrence step
+    s = 1.0
+    for i, row in out.iterrows():
+        assert row["n_risk"] == (lt >= row["t"]).sum()
+        assert row["d_t"] == churn[lt == row["t"]].sum()
+        s *= 1.0 - row["d_t"] / row["n_risk"]
+        assert abs(row["surv_e6"] - s * 1_000_000) <= i + 1
+    # survival is monotone non-increasing and ends ≥ censored fraction
+    assert (np.diff(out["surv_e6"].to_numpy()) <= 0).all()
