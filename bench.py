@@ -265,7 +265,7 @@ OPS_DEFAULT = [
     "link_cluster_digest", "link_signature_blocking_quality",
     "link_cluster_quality",
     "q163_chi_square", "q164_anova_f", "q165_bloom_decontaminate",
-    "q166_replica_stability", "q167_kaplan_meier",
+    "q166_replica_stability", "q167_kaplan_meier", "link_pr_curve",
 ]
 
 

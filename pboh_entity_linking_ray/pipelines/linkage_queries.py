@@ -590,6 +590,72 @@ def link_eval_metrics(sf_dir: str):
     return eval_report(res.scored, _labels(sf_dir), golden)
 
 
+def link_pr_curve(sf_dir: str):
+    """Operating-point curve for the FLAGSHIP scorer: cumulative
+    precision/recall over the labeled pairs at every score-decile
+    threshold — q127's fold pointed at the pipeline's own scored stream
+    (q127 reads the generic JW calibration table; a deployment fixes
+    ``match_threshold`` from THIS curve).  The recall denominator is ALL
+    labeled positives — a labeled pair the blocker never co-located
+    counts as missed at every threshold, so the curve's recall ceiling
+    IS the blocking recall (the PC of link_blocking_quality), visible on
+    the same axis as the scorer trade-off.
+
+    Shape: labels broadcast once (the eval-judge device), per-batch
+    vectorized join + decile-bin count partials → ONE ≤11-row keyed sum
+    → O(bins) exact-integer driver fold.  Consistency with the F1 gate
+    is pinned in pytest: the bin at the config threshold reproduces
+    ``pairwise_metrics``'s tp/(tp+fp) exactly."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from ..functions.grouping import _bcast_frame, bucketed_sum_multi
+    from ..stages.evaluate import _label_table
+
+    res, _ = _run(sf_dir)
+    lbl = _label_table(_labels(sf_dir))
+    total_pos = int(pc.sum(lbl["gold"]).as_py() or 0)
+    lbl_ref = ray.put(lbl)
+
+    _PART = pa.schema([("bin", pa.int64()), ("n_pairs", pa.int64()),
+                       ("n_pos", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pair_key" not in t.column_names:
+            return _PART.empty_table()
+        df = pl.DataFrame({
+            "pair_key": pl.from_arrow(t["pair_key"].combine_chunks()),
+            "bin": np.clip((np.asarray(t["score"], dtype=np.float64) * 10)
+                           .astype(np.int64), 0, 10),
+        }).join(_bcast_frame(lbl_ref), on="pair_key", how="inner")
+        return (df.group_by("bin")
+                .agg(n_pairs=pl.len().cast(pl.Int64),
+                     n_pos=pl.col("gold").cast(pl.Int64).sum())
+                .to_arrow().cast(_PART))
+
+    rows = bucketed_sum_multi(
+        res.scored.map_batches(partial, batch_format="pyarrow"),
+        ["bin"], {"n_pairs": "n_pairs", "n_pos": "n_pos"}, num_buckets=2,
+        engine="exchange").to_pandas().sort_values("bin", ascending=False)
+
+    out: list[tuple] = []
+    cum_n = cum_p = 0
+    for _, r in rows.iterrows():
+        cum_n += int(r["n_pairs"])
+        cum_p += int(r["n_pos"])
+        out.append((int(r["bin"]), cum_n, cum_p,
+                    cum_p * 1_000_000 // cum_n if cum_n else 0,
+                    cum_p * 1_000_000 // total_pos if total_pos else 0))
+    out.sort()
+    return pa.table({
+        "bin": pa.array([o[0] for o in out], type=pa.int64()),
+        "cum_pairs": pa.array([o[1] for o in out], type=pa.int64()),
+        "cum_pos": pa.array([o[2] for o in out], type=pa.int64()),
+        "precision_e6": pa.array([o[3] for o in out], type=pa.int64()),
+        "recall_e6": pa.array([o[4] for o in out], type=pa.int64()),
+    })
+
+
 
 
 def cluster_digest(clusters: ray.data.Dataset,
@@ -1663,6 +1729,7 @@ QUERIES = {
     "link_clusters": (link_clusters, None),
     "link_block_inventory": (link_block_inventory, None),
     "link_eval_metrics": (link_eval_metrics, None),
+    "link_pr_curve": (link_pr_curve, None),
     "link_scorer_differential": (link_scorer_differential, None),
     "link_cluster_digest": (link_cluster_digest, None),
     "link_cluster_quality": (link_cluster_quality, None),

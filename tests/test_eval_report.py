@@ -47,3 +47,25 @@ def test_eval_report_hand_fixture(ray_session):
     # the negative (d,e) pair sits in the singleton bucket
     b1 = rep.loc["1"]
     assert b1.n_pairs == 1 and b1.fp == 1
+
+
+def test_link_pr_curve_consistent_with_f1_gate(ray_session):
+    from pboh_entity_linking_ray.pipelines.linkage_queries import (
+        _labels, _run, link_pr_curve)
+    from pboh_entity_linking_ray.stages.evaluate import pairwise_metrics
+
+    SF = "/root/testdata/sf0.001"
+    curve = link_pr_curve(SF).to_pandas().set_index("bin")
+    res, cfg = _run(SF)
+    m = pairwise_metrics(res.scored, _labels(SF))
+    # the bin at the config threshold reproduces the F1 gate's inputs
+    # exactly (score >= 0.6  <=>  floor(10*score) >= 6)
+    thr_bin = int(round(cfg.weights.match_threshold * 10))
+    row = curve.loc[thr_bin]
+    assert row["cum_pos"] == m["tp"]
+    assert row["cum_pairs"] == m["tp"] + m["fp"]
+    # recall is monotone non-increasing in the threshold; its ceiling is
+    # the blocking recall (scored gold positives / all gold positives)
+    rec = curve.sort_index()["recall_e6"].to_numpy()
+    assert (rec[:-1] >= rec[1:]).all()
+    assert curve["recall_e6"].max() <= 1_000_000
