@@ -810,7 +810,7 @@ SELECT cal.event_type, cal.hr_us,
        last_value(h.cents IGNORE NULLS)
          OVER (PARTITION BY cal.event_type ORDER BY cal.hr_us
                ROWS UNBOUNDED PRECEDING) AS cents_locf,
-       CASE WHEN h.cents IS NULL THEN 0 ELSE 1 END AS observed
+       CAST(CASE WHEN h.cents IS NULL THEN 0 ELSE 1 END AS BIGINT) AS observed
 FROM cal LEFT JOIN h ON cal.event_type = h.event_type
                     AND cal.hr_us = h.hr_us
 """
@@ -1395,7 +1395,7 @@ def q35_doc_len_quantiles_by_lang(sf_dir: str):
 
 SQL_Q35 = f"""
 SELECT lang,
-       unnest([{", ".join(str(q) for q in QUANTILES_E4)}]) AS q_e4,
+       CAST(unnest([{", ".join(str(q) for q in QUANTILES_E4)}]) AS BIGINT) AS q_e4,
        unnest(quantile_disc(n_chars,
               [{", ".join(f"{q / 10_000}" for q in QUANTILES_E4)}])) AS value
 FROM documents GROUP BY lang
@@ -1691,7 +1691,7 @@ def q29_doc_len_quantiles(sf_dir: str):
 
 
 SQL_Q29 = f"""
-SELECT unnest([{", ".join(str(q) for q in QUANTILES_E4)}]) AS q_e4,
+SELECT CAST(unnest([{", ".join(str(q) for q in QUANTILES_E4)}]) AS BIGINT) AS q_e4,
        unnest(quantile_disc(n_chars,
               [{", ".join(f"{q / 10_000}" for q in QUANTILES_E4)}])) AS value
 FROM documents

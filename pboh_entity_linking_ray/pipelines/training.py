@@ -1385,6 +1385,254 @@ FROM t
 """
 
 
+# --- q168: sequential probability ratio test (SPRT) ------------------------
+
+SPRT_P0, SPRT_P1 = 0.5, 0.55        # H0: arms split 50/50; H1: A gets 55%
+SPRT_C1 = float(np.log(SPRT_P1 / SPRT_P0))
+SPRT_C2 = float(np.log((1 - SPRT_P1) / (1 - SPRT_P0)))
+SPRT_A_E6 = int(np.floor(np.log(19.0) * 1_000_000 + 0.5))  # α=β=0.05
+
+
+def q168_sprt(sf_dir: str):
+    """Wald's sequential probability ratio test on the purchase-arm
+    split — the PEEKING-SAFE A/B monitor (Wald 1945): unlike q95's
+    fixed-horizon t test, the LLR may be inspected after every day and
+    the α/β guarantee still holds, with a decision typically far before
+    the fixed horizon.  Each day's row carries the cumulative LLR of
+    "arm A draws 55% of purchases" vs 50/50 and the
+    accept-H1/accept-H0/continue verdict at α=β=0.05.
+
+    Exactness discipline: the only distributed quantities are per-day
+    arm COUNTS (one scan-pushed partial pass + ONE tiny day-keyed sum);
+    cumulative counts are exact int64, each day's LLR is computed from
+    them INDEPENDENTLY (na·ln(p1/p0) + nb·ln(q1/q0) — two multiplies,
+    one add, no float accumulation across rows), and the ln constants
+    are embedded as repr'd literals in the twin so both engines multiply
+    the SAME doubles.  The verdict thresholds compare the e6-floored
+    integer LLR to an integer bound — fully deterministic."""
+    import polars as pl
+    import pyarrow.dataset as pads
+
+    from ..functions.grouping import bucketed_sum_multi
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"],
+        filter=pads.field("event_type") == "purchase")
+
+    _PART = pa.schema([("day", pa.int64()), ("na_d", pa.int64()),
+                       ("nb_d", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _PART.empty_table()
+        day = (np.asarray(t["ts"].cast(pa.timestamp("us")), dtype="int64")
+               // 86_400_000_000)
+        arm = np.asarray(t["user_id"], dtype=np.int64) % 2
+        df = pl.DataFrame({"day": day,
+                           "na_d": (arm == 0).astype(np.int64),
+                           "nb_d": (arm == 1).astype(np.int64)})
+        return (df.group_by("day")
+                .agg(na_d=pl.col("na_d").sum(), nb_d=pl.col("nb_d").sum())
+                .to_arrow().cast(_PART))
+
+    days = bucketed_sum_multi(
+        ev.map_batches(partial, batch_format="pyarrow"), ["day"],
+        {"na_d": "na_d", "nb_d": "nb_d"}, num_buckets=2,
+        engine="exchange").to_pandas().sort_values("day")
+
+    na = days["na_d"].to_numpy(dtype=np.int64).cumsum()
+    nb = days["nb_d"].to_numpy(dtype=np.int64).cumsum()
+    llr_e6 = np.floor((na.astype(np.float64) * SPRT_C1
+                       + nb.astype(np.float64) * SPRT_C2)
+                      * 1_000_000 + 0.5).astype(np.int64)
+    verdict = np.where(llr_e6 >= SPRT_A_E6, "h1",
+                       np.where(llr_e6 <= -SPRT_A_E6, "h0", "continue"))
+    return pa.table({
+        "day": pa.array(days["day"].to_numpy(dtype=np.int64)),
+        "n_a": pa.array(na), "n_b": pa.array(nb),
+        "llr_e6": pa.array(llr_e6),
+        "verdict": pa.array(verdict.tolist(), type=pa.string()),
+    })
+
+
+SQL_Q168 = f"""
+WITH x AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, user_id % 2 AS arm
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT day, CAST(count(*) FILTER (arm = 0) AS BIGINT) AS na_d,
+         CAST(count(*) FILTER (arm = 1) AS BIGINT) AS nb_d
+  FROM x GROUP BY day
+),
+o AS (
+  SELECT day, CAST(sum(na_d) OVER (ORDER BY day) AS BIGINT) AS n_a,
+         CAST(sum(nb_d) OVER (ORDER BY day) AS BIGINT) AS n_b
+  FROM c
+),
+l AS (
+  SELECT day, n_a, n_b,
+         CAST(floor((CAST(n_a AS DOUBLE) * {SPRT_C1!r}
+                     + CAST(n_b AS DOUBLE) * {SPRT_C2!r})
+                    * 1000000 + 0.5) AS BIGINT) AS llr_e6
+  FROM o
+)
+SELECT day, n_a, n_b, llr_e6,
+       CASE WHEN llr_e6 >= {SPRT_A_E6} THEN 'h1'
+            WHEN llr_e6 <= {-SPRT_A_E6} THEN 'h0'
+            ELSE 'continue' END AS verdict
+FROM l
+"""
+
+
+# --- q169: exact trimmed + winsorized mean ---------------------------------
+
+def q169_trimmed_mean(sf_dir: str):
+    """Exact 5%-trimmed and 5%-winsorized mean of the order amount — the
+    robust-location members beside q80's MAD scale screen (one clipped
+    invoice would drag the plain mean; these bound any point's
+    influence).  Trimmed drops the k = n//20 smallest and largest
+    values; winsorized replaces them with the (k+1)-th / (n−k)-th order
+    statistics.  EXACT, never a sampled quantile: the distinct-cents
+    table + ONE `range_prefix_sum` scan locate the three boundary order
+    statistics (rank k, k+1, n−k) as the rows whose exclusive cum count
+    straddles each rank; one conditional-sum pass turns them into
+    below-boundary exact sums, and every output is pure int64 arithmetic
+    (sum-of-middle = sum_first(n−k) − sum_first(k) with partial-tie
+    credit (rank − cb)·v at each boundary).  The driver only ever sees
+    O(1) boundary rows — the distinct table itself stays distributed.
+    n < 20 (k = 0) yields an empty result in BOTH engines (nothing to
+    trim; the twin's boundary row cb < 0 cannot exist)."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum, range_prefix_sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_totalprice"])
+
+    _V = pa.schema([("v", pa.int64()), ("c", pa.int64())])
+
+    def vpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_totalprice" not in t.column_names:
+            return _V.empty_table()
+        v = np.floor(np.asarray(t["o_totalprice"]) * 100
+                     + 0.5).astype(np.int64)
+        return (pl.DataFrame({"v": v}).group_by("v")
+                .agg(c=pl.len().cast(pl.Int64)).to_arrow().cast(_V))
+
+    dist = bucketed_sum(orders.map_batches(vpart, batch_format="pyarrow"),
+                        ["v"], "c", "c", engine="exchange").materialize()
+
+    _T = pa.schema([("n", pa.int64())])
+
+    def tot(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c" not in t.column_names:
+            return _T.empty_table()
+        return pa.table({"n": pa.array(
+            [np.asarray(t["c"], dtype=np.int64).sum()])})
+
+    n = int(dist.map_batches(tot, batch_format="pyarrow")
+            .to_pandas()["n"].sum())
+    k = n // 20
+
+    _OUT = pa.schema([("n", pa.int64()), ("k", pa.int64()),
+                      ("v_lo", pa.int64()), ("v_hi", pa.int64()),
+                      ("trimmed_mean_e2", pa.int64()),
+                      ("winsor_mean_e2", pa.int64())])
+    if k == 0:
+        return _OUT.empty_table()
+
+    run = range_prefix_sum(dist, "v", "c", out_name="cb")
+    ranks = (k, k + 1, n - k)
+
+    _B = pa.schema([("rank", pa.int64()), ("v", pa.int64()),
+                    ("cb", pa.int64())])
+
+    def boundary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "v" not in t.column_names:
+            return _B.empty_table()
+        v = np.asarray(t["v"], dtype=np.int64)
+        c = np.asarray(t["c"], dtype=np.int64)
+        cb = np.asarray(t["cb"], dtype=np.int64)
+        rows = []
+        for r in ranks:
+            m = np.flatnonzero((cb < r) & (r <= cb + c))
+            for i in m:
+                rows.append((r, v[i], cb[i]))
+        if not rows:
+            return _B.empty_table()
+        rr, vv, cc = zip(*rows)
+        return pa.table({"rank": pa.array(rr, type=pa.int64()),
+                         "v": pa.array(vv, type=pa.int64()),
+                         "cb": pa.array(cc, type=pa.int64())})
+
+    b = (run.map_batches(boundary, batch_format="pyarrow")
+         .to_pandas().set_index("rank"))
+    v_lo, cb_lo = int(b.loc[k, "v"]), int(b.loc[k, "cb"])
+    v_lo2 = int(b.loc[k + 1, "v"])
+    v_hi, cb_hi = int(b.loc[n - k, "v"]), int(b.loc[n - k, "cb"])
+
+    _S = pa.schema([("s_lo", pa.int64()), ("s_hi", pa.int64())])
+
+    def csum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "v" not in t.column_names:
+            return _S.empty_table()
+        v = np.asarray(t["v"], dtype=np.int64)
+        c = np.asarray(t["c"], dtype=np.int64)
+        return pa.table({
+            "s_lo": pa.array([(v[v < v_lo] * c[v < v_lo]).sum()]),
+            "s_hi": pa.array([(v[v < v_hi] * c[v < v_hi]).sum()]),
+        }).cast(_S)
+
+    cs = dist.map_batches(csum, batch_format="pyarrow").to_pandas()
+    sb_lo = int(cs["s_lo"].sum())
+    sb_hi = int(cs["s_hi"].sum())
+    sum_first_k = sb_lo + (k - cb_lo) * v_lo
+    sum_first_nk = sb_hi + (n - k - cb_hi) * v_hi
+    ts = sum_first_nk - sum_first_k
+    return pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "k": pa.array([k], type=pa.int64()),
+        "v_lo": pa.array([v_lo2], type=pa.int64()),
+        "v_hi": pa.array([v_hi], type=pa.int64()),
+        "trimmed_mean_e2": pa.array([100 * ts // (n - 2 * k)],
+                                    type=pa.int64()),
+        "winsor_mean_e2": pa.array([100 * (ts + k * v_lo2 + k * v_hi) // n],
+                                   type=pa.int64()),
+    })
+
+
+SQL_Q169 = """
+WITH x AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM x),
+d AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY v),
+p AS (
+  SELECT v, c,
+         CAST(COALESCE(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+              PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+         CAST(COALESCE(sum(v * c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+              PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sb
+  FROM d
+),
+kk AS (SELECT n, n // 20 AS k FROM t),
+lo  AS (SELECT v, cb, sb FROM p, kk WHERE cb < k AND k <= cb + c),
+lo2 AS (SELECT v FROM p, kk WHERE cb < k + 1 AND k + 1 <= cb + c),
+hi  AS (SELECT v, cb, sb FROM p, kk WHERE cb < n - k AND n - k <= cb + c)
+SELECT kk.n, kk.k, lo2.v AS v_lo, hi.v AS v_hi,
+       CAST(100 * ((hi.sb + (kk.n - kk.k - hi.cb) * hi.v)
+                   - (lo.sb + (kk.k - lo.cb) * lo.v))
+            // (kk.n - 2 * kk.k) AS BIGINT) AS trimmed_mean_e2,
+       CAST(100 * (((hi.sb + (kk.n - kk.k - hi.cb) * hi.v)
+                    - (lo.sb + (kk.k - lo.cb) * lo.v))
+                   + kk.k * lo2.v + kk.k * hi.v)
+            // kk.n AS BIGINT) AS winsor_mean_e2
+FROM kk, lo, lo2, hi
+WHERE kk.k > 0
+"""
+
+
 QUERIES = {
     "q63_grad_step": (q63_grad_step, SQL_Q63),
     "q95_ab_welch": (q95_ab_welch, SQL_Q95),
@@ -1397,6 +1645,8 @@ QUERIES = {
     "q163_chi_square": (q163_chi_square, SQL_Q163),
     "q164_anova_f": (q164_anova_f, SQL_Q164),
     "q166_replica_stability": (q166_replica_stability, SQL_Q166),
+    "q168_sprt": (q168_sprt, SQL_Q168),
+    "q169_trimmed_mean": (q169_trimmed_mean, SQL_Q169),
     "q64_sgd_train": (q64_sgd_train, None),
     "link_train_weights": (link_train_weights, None),
     "q86_user_trend": (q86_user_trend, SQL_Q86),

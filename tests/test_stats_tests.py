@@ -164,6 +164,50 @@ def test_q166_replica_band_from_direct_recompute(ray_session):
     assert out["lo_c_e2"] <= out["mean_c_e2"] <= out["hi_c_e2"]
 
 
+def test_q168_sprt_from_wald_definition(ray_session):
+    from pboh_entity_linking_ray.pipelines.training import (
+        SPRT_A_E6, SPRT_P0, SPRT_P1, q168_sprt)
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type", "ts"]).to_pandas()
+    p = ev[ev.event_type == "purchase"]
+    day = (p["ts"].astype("int64") // 86_400_000_000).to_numpy()
+    arm = (p["user_id"].to_numpy() % 2)
+    out = q168_sprt(SF).to_pandas().sort_values("day")
+    assert out["n_a"].iloc[-1] == (arm == 0).sum()
+    assert out["n_b"].iloc[-1] == (arm == 1).sum()
+    # per-day cumulative LLR from the textbook formula
+    for _, row in out.iloc[[0, len(out) // 2, -1]].iterrows():
+        na = ((arm == 0) & (day <= row["day"])).sum()
+        nb = ((arm == 1) & (day <= row["day"])).sum()
+        llr = na * np.log(SPRT_P1 / SPRT_P0) \
+            + nb * np.log((1 - SPRT_P1) / (1 - SPRT_P0))
+        assert abs(row["llr_e6"] - llr * 1_000_000) <= 1
+        want = ("h1" if row["llr_e6"] >= SPRT_A_E6
+                else "h0" if row["llr_e6"] <= -SPRT_A_E6 else "continue")
+        assert row["verdict"] == want
+
+
+def test_q169_trimmed_mean_from_sorted_definition(ray_session):
+    from pboh_entity_linking_ray.pipelines.training import q169_trimmed_mean
+
+    v = np.sort(_cents(pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_totalprice"])
+        .to_pandas()["o_totalprice"]))
+    n = len(v)
+    k = n // 20
+    assert k > 0
+    mid = v[k:n - k]
+    wins = np.concatenate([np.full(k, v[k]), mid,
+                           np.full(k, v[n - k - 1])])
+    out = q169_trimmed_mean(SF).to_pandas().iloc[0]
+    assert out["n"] == n and out["k"] == k
+    assert out["v_lo"] == v[k]          # (k+1)-th order statistic
+    assert out["v_hi"] == v[n - k - 1]  # (n-k)-th order statistic
+    assert out["trimmed_mean_e2"] == 100 * mid.sum() // len(mid)
+    assert out["winsor_mean_e2"] == 100 * wins.sum() // n
+
+
 def test_q162_wilcoxon_from_argsort_midranks(ray_session):
     from pboh_entity_linking_ray.pipelines.training import q162_wilcoxon
 
