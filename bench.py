@@ -266,7 +266,8 @@ OPS_DEFAULT = [
     "link_cluster_quality",
     "q163_chi_square", "q164_anova_f", "q165_bloom_decontaminate",
     "q166_replica_stability", "q167_kaplan_meier", "link_pr_curve",
-    "q168_sprt", "q169_trimmed_mean",
+    "q168_sprt", "q169_trimmed_mean", "q170_l_diversity",
+    "q171_vocab_richness",
 ]
 
 

@@ -871,8 +871,174 @@ FROM q GROUP BY 1, 2, 3 HAVING count(*) < {K_ANON}
 """
 
 
+# --- q170: l-diversity audit -------------------------------------------------
+
+def q170_l_diversity(sf_dir: str):
+    """l-diversity audit (Machanavajjhala 2007) — the release screen
+    k-anonymity (q152) cannot provide: a group of ≥K people all sharing
+    ONE sensitive value still leaks it (the homogeneity attack), so for
+    every quasi-identifier group (nation, segment) report the number of
+    DISTINCT sensitive values (the balance band) and the top value's
+    share.  A release policy reads both: l_distinct < L or
+    top_share_e4 near 10⁴ → generalize further.
+
+    Shape: q152's cell partials (ONE composite-key sum) → one tiny
+    nation-keyed exchange whose fold groups cells per (nation, seg) —
+    distinct count, Σn, max n, all exact int64."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum, hash_exchange
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    _PART = pa.schema([("nation", pa.int64()), ("seg", pa.string()),
+                       ("bal_bin", pa.int64()), ("n_p", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_nationkey" not in t.column_names:
+            return _PART.empty_table()
+        cents = np.floor(np.asarray(t["c_acctbal"]) * 100
+                         + 0.5).astype(np.int64)
+        return (pl.DataFrame({
+            "nation": np.asarray(t["c_nationkey"].cast(pa.int64()),
+                                 dtype=np.int64),
+            "seg": pl.from_arrow(t["c_mktsegment"].combine_chunks()),
+            "bal_bin": (cents + 1_000_000) // 100_000})
+            .group_by(["nation", "seg", "bal_bin"])
+            .agg(n_p=pl.len().cast(pl.Int64))
+            .to_arrow().cast(_PART))
+
+    cells = bucketed_sum(cust.map_batches(partial, batch_format="pyarrow"),
+                         ["nation", "seg", "bal_bin"], "n_p", "m",
+                         num_buckets=8, engine="exchange")
+
+    _OUT = pa.schema([("nation", pa.int64()), ("seg", pa.string()),
+                      ("n", pa.int64()), ("l_distinct", pa.int64()),
+                      ("top_share_e4", pa.int64())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "nation" not in t.column_names:
+            return _OUT.empty_table()
+        g = (pl.from_arrow(t).group_by(["nation", "seg"])
+             .agg(n=pl.col("m").sum(),
+                  l_distinct=pl.len().cast(pl.Int64),
+                  top=pl.col("m").max()))
+        return (g.with_columns(
+            top_share_e4=(10000 * pl.col("top")) // pl.col("n"))
+            .drop("top").to_arrow().cast(_OUT))
+
+    return hash_exchange(cells, "nation", fold, num_buckets=4)
+
+
+SQL_Q170 = """
+WITH c AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS seg,
+         (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 1000000)
+           // 100000 AS bal_bin
+  FROM customer
+),
+g AS (SELECT nation, seg, bal_bin, CAST(count(*) AS BIGINT) AS m
+      FROM c GROUP BY 1, 2, 3)
+SELECT nation, seg, CAST(sum(m) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS l_distinct,
+       CAST(10000 * max(m) // sum(m) AS BIGINT) AS top_share_e4
+FROM g GROUP BY 1, 2
+"""
+
+
+# --- q171: vocabulary richness (Good-Turing + Chao1) -------------------------
+
+def q171_vocab_richness(sf_dir: str):
+    """Corpus vocabulary-richness report — the two classic estimates a
+    crawl-growth plan reads from frequency-of-frequencies alone:
+    Good-Turing unseen mass (P(next token is NEW) ≈ singletons/N, Good
+    1953) and the bias-corrected Chao1 species-richness floor
+    (V + s1·(s1−1)/(2·(s2+1)), Chao 1984 — "how big is the vocabulary
+    we HAVEN'T finished seeing").  Both are exact integer arithmetic
+    over three corpus scalars.
+
+    Shape: q05's token-count partials → ONE vocab-keyed sum whose
+    per-bucket fold emits 4 scalars (Σm, V, s1, s2) — the full count
+    table never leaves its bucket — then an O(buckets) driver sum."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    _PART = pa.schema([("token", pa.string()), ("n_p", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return _PART.empty_table()
+        toks = (pl.from_arrow(t["text"].combine_chunks())
+                .str.to_lowercase().str.extract_all("[a-z0-9]+")
+                .explode().drop_nulls())
+        if len(toks) == 0:
+            return _PART.empty_table()
+        vc = pl.DataFrame({"token": toks}).group_by("token") \
+               .len(name="n_p")
+        return pa.table({"token": vc["token"].to_arrow().cast(pa.string()),
+                         "n_p": vc["n_p"].cast(pl.Int64).to_arrow()})
+
+    _F = pa.schema([("n_tok", pa.int64()), ("v", pa.int64()),
+                    ("s1", pa.int64()), ("s2", pa.int64())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "token" not in t.column_names:
+            return _F.empty_table()
+        m = (pl.from_arrow(t).group_by("token")
+             .agg(m=pl.col("n_p").sum()))["m"].to_numpy()
+        return pa.table({
+            "n_tok": pa.array([int(m.sum())], type=pa.int64()),
+            "v": pa.array([len(m)], type=pa.int64()),
+            "s1": pa.array([int((m == 1).sum())], type=pa.int64()),
+            "s2": pa.array([int((m == 2).sum())], type=pa.int64()),
+        })
+
+    parts = hash_exchange(ds.map_batches(partial, batch_format="pyarrow"),
+                          "token", fold, num_buckets=16).to_pandas()
+    n_tok = int(parts["n_tok"].sum())
+    v = int(parts["v"].sum())
+    s1 = int(parts["s1"].sum())
+    s2 = int(parts["s2"].sum())
+    return pa.table({
+        "n_tokens": pa.array([n_tok], type=pa.int64()),
+        "vocab": pa.array([v], type=pa.int64()),
+        "s1": pa.array([s1], type=pa.int64()),
+        "s2": pa.array([s2], type=pa.int64()),
+        "unseen_e6": pa.array([1_000_000 * s1 // n_tok], type=pa.int64()),
+        "chao1": pa.array([v + s1 * (s1 - 1) // (2 * (s2 + 1))],
+                          type=pa.int64()),
+    })
+
+
+SQL_Q171 = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+c AS (SELECT tok, CAST(count(*) AS BIGINT) AS m FROM toks GROUP BY tok)
+SELECT CAST(sum(m) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(count(*) FILTER (m = 1) AS BIGINT) AS s1,
+       CAST(count(*) FILTER (m = 2) AS BIGINT) AS s2,
+       CAST(1000000 * (count(*) FILTER (m = 1)) // sum(m) AS BIGINT)
+         AS unseen_e6,
+       CAST(count(*) + (count(*) FILTER (m = 1))
+            * ((count(*) FILTER (m = 1)) - 1)
+            // (2 * ((count(*) FILTER (m = 2)) + 1)) AS BIGINT) AS chao1
+FROM c
+"""
+
+
 QUERIES = {
     "q31_distinct_users": (q31_distinct_users, SQL_Q31),
+    "q170_l_diversity": (q170_l_diversity, SQL_Q170),
+    "q171_vocab_richness": (q171_vocab_richness, SQL_Q171),
     "q140_correlation_matrix": (q140_correlation_matrix, _sql_q140()),
     "q152_k_anonymity": (q152_k_anonymity, SQL_Q152),
     "q132_key_skew": (q132_key_skew, SQL_Q132),

@@ -94,3 +94,43 @@ def test_quantile_sketch_within_one_bin(ray_session):
         v = float(got[q])
         assert exact <= v + 1e-9, (q, v, exact)
         assert v - exact <= binw + 1e-9, (q, v, exact, binw)
+
+
+def test_l_diversity_homogeneity_semantics(ray_session):
+    from pboh_entity_linking_ray.pipelines.cardinality import q170_l_diversity
+
+    out = q170_l_diversity("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    # top value share and distinct count are mutually consistent
+    assert (out["l_distinct"] >= 1).all()
+    assert (out["top_share_e4"] <= 10000).all()
+    # a group's top share can't be below the uniform floor 1/l
+    assert (out["top_share_e4"] * out["l_distinct"] >= 10000 - out["l_distinct"]).all()
+    # l_distinct == 1 (homogeneity attack) iff top share is 100%
+    homog = out["l_distinct"] == 1
+    assert (out.loc[homog, "top_share_e4"] == 10000).all()
+    assert (out.loc[~homog, "top_share_e4"] < 10000).all()
+
+
+def test_vocab_richness_from_direct_counts(ray_session):
+    import duckdb
+
+    from pboh_entity_linking_ray.pipelines.cardinality import (
+        q171_vocab_richness)
+
+    SF = "/root/testdata/sf0.001"
+    counts = duckdb.sql(
+        "SELECT m, count(*) AS f FROM (SELECT count(*) AS m FROM ("
+        "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t"
+        f" FROM '{SF}/documents.parquet') GROUP BY t) GROUP BY m"
+    ).df().set_index("m")["f"]
+    out = q171_vocab_richness(SF).to_pandas().iloc[0]
+    v = int(counts.sum())
+    n = int((counts.index.to_numpy() * counts.to_numpy()).sum())
+    s1 = int(counts.get(1, 0))
+    s2 = int(counts.get(2, 0))
+    assert out["vocab"] == v and out["n_tokens"] == n
+    assert out["s1"] == s1 and out["s2"] == s2
+    assert out["unseen_e6"] == 1_000_000 * s1 // n
+    assert out["chao1"] == v + s1 * (s1 - 1) // (2 * (s2 + 1))
+    assert out["chao1"] >= v          # richness floor never below observed
