@@ -267,7 +267,7 @@ OPS_DEFAULT = [
     "q163_chi_square", "q164_anova_f", "q165_bloom_decontaminate",
     "q166_replica_stability", "q167_kaplan_meier", "link_pr_curve",
     "q168_sprt", "q169_trimmed_mean", "q170_l_diversity",
-    "q171_vocab_richness",
+    "q171_vocab_richness", "pq_encode", "ann_pq_topk",
 ]
 
 

@@ -1202,6 +1202,203 @@ WHERE x.src < x.dst
 """
 
 
+# --- product quantization (PQ) -----------------------------------------------
+
+PQ_M = 8          # subspaces (64-dim embedding → 8×8-dim subvectors)
+PQ_K = 16         # centroids per subspace → 4-bit codes, 4 B/vector
+PQ_ITERS = 8
+
+
+def _pq_train(emb: ray.data.Dataset, m: int = PQ_M, k: int = PQ_K,
+              iters: int = PQ_ITERS) -> np.ndarray:
+    """(m, k, dim/m) PQ codebook by per-subspace distributed Lloyd (L2):
+    ALL m subspaces train in the SAME streaming pass per iteration —
+    each batch assigns every subvector to its nearest subspace centroid
+    and emits ≤ m·k (sum, count) partial rows; the driver folds the
+    O(blocks × m × k) partials and holds only the m×k×(dim/m) codebook.
+    Seeds are the hash-sampled vectors of `_hash_seeds` (deterministic
+    under repartitioning), split into their subvectors."""
+    seeds = _hash_seeds(emb, k)                       # (k, dim), unit-norm
+    dim = seeds.shape[1]
+    sub = dim // m
+    cents = seeds.reshape(k, m, sub).transpose(1, 0, 2).copy()  # (m,k,sub)
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def part(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)                          # (m, k, sub)
+            _, mat = _matrix(t)
+            if mat.shape[0] == 0:
+                return pa.table({"m": pa.array([], type=pa.int64()),
+                                 "j": pa.array([], type=pa.int64()),
+                                 "cnt": pa.array([], type=pa.int64()),
+                                 "s": pa.array([], type=pa.list_(
+                                     pa.float64()))})
+            x = mat.reshape(mat.shape[0], m, sub)
+            ms, js, cnts, sums = [], [], [], []
+            for mi in range(m):
+                d = ((x[:, mi, None, :] - c[mi][None, :, :]) ** 2).sum(-1)
+                a = np.argmin(d, axis=1)
+                for j in range(k):
+                    sel = x[a == j, mi, :]
+                    if len(sel):
+                        ms.append(mi); js.append(j)
+                        cnts.append(len(sel)); sums.append(sel.sum(0))
+            return pa.table({
+                "m": pa.array(ms, type=pa.int64()),
+                "j": pa.array(js, type=pa.int64()),
+                "cnt": pa.array(cnts, type=pa.int64()),
+                "s": pa.array([list(v) for v in sums],
+                              type=pa.list_(pa.float64())),
+            })
+
+        rows = emb.map_batches(part, batch_format="pyarrow").to_pandas()
+        if len(rows) == 0:
+            break
+        new = cents.copy()
+        for (mi, j), g in rows.groupby(["m", "j"]):
+            tot = np.sum(np.stack(g["s"].to_numpy()), axis=0)
+            new[mi, j] = tot / g["cnt"].sum()
+        cents = new
+    return cents
+
+
+def _pq_codes(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, dim) → packed int64 codes (4 bits per subspace)."""
+    n = mat.shape[0]
+    m, _, sub = cents.shape
+    x = mat.reshape(n, m, sub)
+    code = np.zeros(n, dtype=np.int64)
+    for mi in range(m):
+        d = ((x[:, mi, None, :] - cents[mi][None, :, :]) ** 2).sum(-1)
+        code |= np.argmin(d, axis=1).astype(np.int64) << (4 * mi)
+    return code
+
+
+def pq_encode(sf_dir: str):
+    """PQ-encode the embedding corpus: 64 float32 dims → ONE packed
+    int64 of 8 4-bit centroid ids (64× smaller than the raw vectors) —
+    the standard memory-bounded ANN representation (Jégou 2011): at
+    10⁹ vectors the codes table is 12 GB where the raw floats are
+    256 GB, so the scan side of a similarity query fits in page cache.
+    Codebook trained by the shared streaming per-subspace Lloyd; the
+    encode itself is one stateless vectorized pass.  Iterative k-means →
+    rows-only driver check; round-trip quantization error and ADC
+    recall are pinned in tests/test_ann.py."""
+    emb = _read_embeddings(sf_dir)
+    cref = ray.put(_pq_train(emb))
+
+    def enc(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids, mat = _matrix(t)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "pq_code": pa.array(_pq_codes(mat, c)),
+        })
+
+    return emb.map_batches(enc, batch_format="pyarrow")
+
+
+PQ_RERANK = 10 * TOP_K    # ADC candidate pool per query before re-rank
+
+
+def ann_pq_topk(sf_dir: str, n_queries: int = N_QUERIES,
+                k: int = TOP_K, rerank: int = PQ_RERANK):
+    """Approximate top-k by asymmetric distance computation over PQ
+    codes + exact re-rank (the production IVF-ADC shape, Jégou 2011):
+    queries stay full-precision, each precomputes an (m × 16) lookup
+    table of subvector-to-centroid distances, and the corpus SCAN costs
+    m table lookups on a 4 B packed code per vector — no float math per
+    candidate, then only the top-``rerank`` ADC pool per query (bounded
+    O(nq·R) rows at ANY corpus scale) is re-scored with exact L2 from
+    the raw vectors.  Same partial-top-k combiner discipline as q10
+    (≤ R rows per query cross the shuffle); the candidate fetch is one
+    streaming filtered pass, never a corpus materialize.  Approximate →
+    rows-only driver check; pool + final recall vs the exact ranking
+    are pinned in tests/test_ann.py."""
+    from ..functions.grouping import bucketed_groups
+
+    emb = _read_embeddings(sf_dir)
+    cents = _pq_train(emb)
+    q_ids, q_mat = _query_side(sf_dir, n_queries)
+    m, _, sub = cents.shape
+    # (nq, m, 16) ADC tables: ||q_sub − c_mj||²
+    qx = q_mat.reshape(len(q_ids), m, sub)
+    lut = ((qx[:, :, None, :] - cents[None, :, :, :]) ** 2).sum(-1)
+    ref = ray.put((q_ids, lut, cents))
+
+    def score(t: pa.Table) -> pa.Table:
+        qi, ql, c = ray.get(ref)
+        ids, mat = _matrix(t)
+        codes = _pq_codes(mat, c)
+        nb, nq = len(ids), len(qi)
+        # decode each subspace id and gather its LUT column: (nq, nb)
+        dist = np.zeros((nq, nb), dtype=np.float64)
+        for mi in range(ql.shape[1]):
+            j = (codes >> (4 * mi)) & 15
+            dist += ql[:, mi, :][:, j]
+        d_e6 = np.floor(dist * 1_000_000 + 0.5).astype(np.int64)
+        qcol = np.repeat(qi, nb)
+        vcol = np.tile(ids.astype(np.int64), nq)
+        flat = d_e6.ravel()
+        keep = qcol != vcol
+        qcol, vcol, flat = qcol[keep], vcol[keep], flat[keep]
+        msk = _topk_mask(qcol, -flat, vcol, rerank)
+        return pa.table({"query_id": pa.array(qcol[msk]),
+                         "vec_id": pa.array(vcol[msk]),
+                         "adc_e6": pa.array(flat[msk])})
+
+    scored = emb.map_batches(score, batch_format="pyarrow",
+                             batch_size=4096)
+
+    def pool_topk(bucket: pa.Table) -> pa.Table:
+        q = np.asarray(bucket["query_id"])
+        d = np.asarray(bucket["adc_e6"])
+        vid = np.asarray(bucket["vec_id"])
+        msk = _topk_mask(q, -d, vid, rerank)
+        return bucket.filter(pa.array(msk))
+
+    pool = (bucketed_groups(scored, "query_id", pool_topk)
+            .to_pandas())                       # ≤ nq·R skinny rows
+
+    # exact re-rank: fetch ONLY the pool vectors (streaming filter —
+    # bounded nq·R rows regardless of corpus size), score on the driver
+    cset = np.unique(pool["vec_id"].to_numpy())
+    csort = np.sort(cset)
+    cref = ray.put(csort)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        want = ray.get(cref)
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        pos = np.searchsorted(want, ids)
+        hit = (pos < len(want)) & (want[np.minimum(pos, len(want) - 1)]
+                                   == ids)
+        return t.filter(pa.array(hit))
+
+    vec_tbl = pa.concat_tables([
+        b for b in emb.map_batches(fetch, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow") if b.num_rows])
+    vids, vmat = _matrix(vec_tbl)
+    vidx = {int(v): i for i, v in enumerate(vids)}
+
+    out_q, out_v, out_d = [], [], []
+    for qi, qv in zip(q_ids, q_mat):
+        cand = pool.loc[pool["query_id"] == qi, "vec_id"].to_numpy()
+        if len(cand) == 0:
+            continue
+        cm = vmat[[vidx[int(v)] for v in cand]]
+        d = np.floor(((cm - qv) ** 2).sum(1) * 1_000_000
+                     + 0.5).astype(np.int64)
+        order = np.lexsort((cand, d))[:k]
+        out_q.extend([int(qi)] * len(order))
+        out_v.extend(cand[order].tolist())
+        out_d.extend(d[order].tolist())
+    return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                     "vec_id": pa.array(out_v, type=pa.int64()),
+                     "l2_e6": pa.array(out_d, type=pa.int64())})
+
+
 QUERIES = {
     "q10_knn_bruteforce": (q10_knn_bruteforce, SQL_Q10),
     "q126_mutual_knn": (q126_mutual_knn, SQL_Q126),
@@ -1210,6 +1407,10 @@ QUERIES = {
     "ann_lsh_topk": (ann_lsh, None),        # approximate → rows-only check
     "ann_ivf_topk": (ann_ivf_topk, None),   # approximate → rows-only check
     "ann_neardup_lsh": (ann_neardup_lsh, None),
+    # PQ: iterative codebook → rows-only; quantization error + ADC
+    # recall vs exact L2 pinned in tests/test_ann.py
+    "pq_encode": (pq_encode, None),
+    "ann_pq_topk": (ann_pq_topk, None),
     # iterative algorithm → rows-only check; pytest pins determinism
     # and inertia descent (tests/test_ann.py)
     "kmeans_embeddings": (kmeans_embeddings, None),

@@ -270,3 +270,53 @@ def test_semantic_dedup_matches_numpy_reference(ray_session):
     again = (semantic_dedup(sf).to_pandas()
              .sort_values("vec_id").reset_index(drop=True))
     assert out.equals(again)
+
+
+def test_pq_encode_deterministic_and_compresses(ray_session):
+    import numpy as np
+
+    from pboh_entity_linking_ray.pipelines.ann import (
+        _matrix, _pq_codes, _pq_train, _read_embeddings, pq_encode)
+
+    SF = "/root/testdata/sf0.001"
+    a = pq_encode(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    b = pq_encode(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)                       # deterministic codebook + codes
+    assert (a["pq_code"] >= 0).all()         # 8×4 bits → fits 32 bits
+    assert (a["pq_code"] < (1 << 32)).all()
+    # reconstruction captures real structure: quantization MSE strictly
+    # below the zero-codebook baseline (= mean squared norm)
+    import pyarrow.parquet as pq
+
+    ids, mat = _matrix(pq.read_table(f"{SF}/embeddings.parquet"))
+    cents = _pq_train(_read_embeddings(SF))
+    codes = _pq_codes(mat, cents)
+    m, _, sub = cents.shape
+    recon = np.zeros_like(mat)
+    for mi in range(m):
+        recon[:, mi * sub:(mi + 1) * sub] = cents[mi][(codes >> (4 * mi)) & 15]
+    assert ((mat - recon) ** 2).sum(1).mean() < 0.8 * (mat ** 2).sum(1).mean()
+
+
+def test_pq_adc_rerank_recall(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pboh_entity_linking_ray.pipelines.ann import (
+        N_QUERIES, TOP_K, _matrix, _query_side, ann_pq_topk)
+
+    SF = "/root/testdata/sf0.001"
+    topk = ann_pq_topk(SF).to_pandas()
+    ids, mat = _matrix(pq.read_table(f"{SF}/embeddings.parquet"))
+    q_ids, q_mat = _query_side(SF, N_QUERIES)
+    rec = []
+    for qi, qv in zip(q_ids, q_mat):
+        d = ((mat - qv) ** 2).sum(1)
+        d[ids == qi] = np.inf
+        exact = set(ids[np.argsort(d)[:TOP_K]])
+        got = set(topk[topk.query_id == qi]["vec_id"])
+        assert len(got) == TOP_K
+        rec.append(len(exact & got) / TOP_K)
+    # exact re-rank of the ADC pool recovers most of the true top-k
+    # (bare 4-bit ADC sits ~0.25 on this corpus; the pool lifts it)
+    assert np.mean(rec) >= 0.6
