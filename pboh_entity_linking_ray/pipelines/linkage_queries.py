@@ -658,6 +658,45 @@ def link_pr_curve(sf_dir: str):
 
 
 
+def link_lsh_scurve(sf_dir: str):
+    """Theoretical LSH S-curve of the FLAGSHIP band configuration —
+    P(candidate | Jaccard s) = 1 − (1 − s^r)^b for the config's
+    (b, r) at every 5%-similarity step: the table a blocking DESIGNER
+    reads before touching `lsh_bands`/`lsh_rows` (it is exactly how the
+    shipped r=1/b=24 choice is justified in config.py — miss probability
+    (1−s)^24 ≤ 1% at s ≥ 0.25), published next to the MEASURED pairs
+    completeness (link_blocking_quality) so theory and corpus sit on the
+    same axis.  Pure closed form — the one ``queries()`` entry whose
+    distributed cost is zero by design; the twin recomputes the
+    identical float expression over a generated series."""
+    cfg = PipelineConfig()
+    b, r = cfg.lsh_bands, cfg.lsh_rows
+    s = np.arange(5, 100, 5, dtype=np.int64)
+    sf = s.astype(np.float64) / 100.0
+    p = 1.0 - (1.0 - sf ** r) ** b
+    return pa.table({
+        "s_e2": pa.array(s),
+        "bands": pa.array(np.full(len(s), b, dtype=np.int64)),
+        "rows_per_band": pa.array(np.full(len(s), r, dtype=np.int64)),
+        "p_candidate_e6": pa.array(
+            np.floor(p * 1_000_000 + 0.5).astype(np.int64)),
+    })
+
+
+def _sql_lsh_scurve() -> str:
+    cfg = PipelineConfig()
+    b, r = cfg.lsh_bands, cfg.lsh_rows
+    return f"""
+SELECT CAST(s AS BIGINT) AS s_e2,
+       CAST({b} AS BIGINT) AS bands,
+       CAST({r} AS BIGINT) AS rows_per_band,
+       CAST(floor((1.0 - power(1.0 - power(CAST(s AS DOUBLE) / 100.0,
+                                           {r}), {b}))
+                  * 1000000 + 0.5) AS BIGINT) AS p_candidate_e6
+FROM (SELECT unnest(generate_series(5, 95, 5)) AS s)
+"""
+
+
 def cluster_digest(clusters: ray.data.Dataset,
                    turns: ray.data.Dataset) -> ray.data.Dataset:
     """Per-entity digest of a linkage result — the "entity table" a
@@ -1730,6 +1769,7 @@ QUERIES = {
     "link_block_inventory": (link_block_inventory, None),
     "link_eval_metrics": (link_eval_metrics, None),
     "link_pr_curve": (link_pr_curve, None),
+    "link_lsh_scurve": (link_lsh_scurve, _sql_lsh_scurve()),
     "link_scorer_differential": (link_scorer_differential, None),
     "link_cluster_digest": (link_cluster_digest, None),
     "link_cluster_quality": (link_cluster_quality, None),
