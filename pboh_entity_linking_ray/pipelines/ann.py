@@ -1361,9 +1361,14 @@ def ann_pq_topk(sf_dir: str, n_queries: int = N_QUERIES,
 
     pool = (bucketed_groups(scored, "query_id", pool_topk)
             .to_pandas())                       # ≤ nq·R skinny rows
+    return _exact_rerank(emb, pool, q_ids, q_mat, k)
 
-    # exact re-rank: fetch ONLY the pool vectors (streaming filter —
-    # bounded nq·R rows regardless of corpus size), score on the driver
+
+def _exact_rerank(emb: ray.data.Dataset, pool, q_ids: np.ndarray,
+                  q_mat: np.ndarray, k: int) -> pa.Table:
+    """Exact-L2 re-rank of a bounded candidate pool: fetch ONLY the pool
+    vectors (streaming filtered pass — O(nq·R) rows regardless of corpus
+    size, never a corpus materialize), score on the driver."""
     cset = np.unique(pool["vec_id"].to_numpy())
     csort = np.sort(cset)
     cref = ray.put(csort)
@@ -1399,6 +1404,120 @@ def ann_pq_topk(sf_dir: str, n_queries: int = N_QUERIES,
                      "l2_e6": pa.array(out_d, type=pa.int64())})
 
 
+def ann_ivfpq_topk(sf_dir: str, n_queries: int = N_QUERIES,
+                   k: int = TOP_K, rerank: int = PQ_RERANK):
+    """IVF-PQ — the production composition of the two scale devices
+    (Jégou 2011, the FAISS default): the IVF coarse quantizer prunes the
+    SCAN (only IVF_NPROBE of IVF_CELLS lists are touched per query) and
+    4-bit residual-PQ codes shrink what the scan READS (4 B/vector over
+    x − c_cell, which quantizes tighter than raw vectors because the
+    coarse offset is already removed).  Query: per probed cell an
+    (m × 16) ADC table over the query RESIDUAL q − c_cell; candidate
+    cost is m lookups; the bounded top-``rerank`` pool re-scores exact
+    from raw vectors (`_exact_rerank`).
+
+    Distribution: residual encode is one streaming pass after the coarse
+    assign; the PQ codebook trains on the residual stream with the
+    shared per-subspace Lloyd; ONE cell-keyed exchange co-locates each
+    list; nothing materializes the corpus.  Approximate → rows-only
+    driver check; recall vs exact is pinned in tests/test_ann.py."""
+    from ..functions.grouping import bucketed_groups
+
+    emb = _read_embeddings(sf_dir)
+    cents = _ivf_centroids(sf_dir, IVF_CELLS)            # (cells, d) unit
+    cref = ray.put(cents)
+
+    def residual(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids, mat = _matrix(t)
+        a = np.argmax(_normalize(mat) @ c.T, axis=1)
+        res = mat - c[a]
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "cell": pa.array(a.astype(np.int64)),
+            "embedding": pa.array(list(res), type=pa.list_(pa.float64())),
+        })
+
+    res_ds = emb.map_batches(residual, batch_format="pyarrow",
+                             batch_size=4096).materialize()
+    book = _pq_train(res_ds)
+    bref = ray.put(book)
+
+    def enc(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        ids, mat = _matrix(t)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "cell": pa.array(np.asarray(t["cell"], dtype=np.int64)),
+            "pq_code": pa.array(_pq_codes(mat, b)),
+        })
+
+    codes = res_ds.map_batches(enc, batch_format="pyarrow",
+                               batch_size=4096)
+
+    q_ids, q_mat = _query_side(sf_dir, n_queries)
+    qcos = _normalize(q_mat) @ cents.T
+    nprobe = min(IVF_NPROBE, cents.shape[0])
+    probe_cells = np.argsort(-qcos, axis=1)[:, :nprobe]
+    m, _, sub = book.shape
+    # per (query, probed cell): ADC table over the query residual
+    luts: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for c in np.unique(probe_cells):
+        qsel = np.unique(np.nonzero(probe_cells == c)[0])
+        qres = (q_mat[qsel] - cents[int(c)]).reshape(len(qsel), m, sub)
+        luts[int(c)] = (q_ids[qsel],
+                        ((qres[:, :, None, :] - book[None]) ** 2).sum(-1))
+    lref = ray.put(luts)
+
+    def probe(group: pa.Table) -> pa.Table:
+        lt = ray.get(lref)
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "adc_e6": pa.array([], type=pa.int64())})
+        if group.num_rows == 0 or "cell" not in group.column_names:
+            return empty
+        ids = np.asarray(group["vec_id"], dtype=np.int64)
+        cell = np.asarray(group["cell"], dtype=np.int64)
+        code = np.asarray(group["pq_code"], dtype=np.int64)
+        outs = []
+        for c in np.unique(cell):
+            got = lt.get(int(c))
+            if got is None:
+                continue
+            qi, ql = got
+            sel = cell == c
+            m_ids, m_code = ids[sel], code[sel]
+            dist = np.zeros((len(qi), len(m_ids)), dtype=np.float64)
+            for mi in range(ql.shape[1]):
+                j = (m_code >> (4 * mi)) & 15
+                dist += ql[:, mi, :][:, j]
+            d_e6 = np.floor(dist * 1_000_000 + 0.5).astype(np.int64)
+            qcol = np.repeat(qi, len(m_ids))
+            vcol = np.tile(m_ids, len(qi))
+            flat = d_e6.ravel()
+            keep = qcol != vcol
+            qcol, vcol, flat = qcol[keep], vcol[keep], flat[keep]
+            if len(qcol) == 0:
+                continue
+            msk = _topk_mask(qcol, -flat, vcol, rerank)
+            outs.append(pa.table({"query_id": pa.array(qcol[msk]),
+                                  "vec_id": pa.array(vcol[msk]),
+                                  "adc_e6": pa.array(flat[msk])}))
+        return pa.concat_tables(outs) if outs else empty
+
+    partial = bucketed_groups(codes, "cell", probe)
+
+    def pool_topk(bucket: pa.Table) -> pa.Table:
+        q = np.asarray(bucket["query_id"])
+        d = np.asarray(bucket["adc_e6"])
+        vid = np.asarray(bucket["vec_id"])
+        msk = _topk_mask(q, -d, vid, rerank)
+        return bucket.filter(pa.array(msk))
+
+    pool = bucketed_groups(partial, "query_id", pool_topk).to_pandas()
+    return _exact_rerank(emb, pool, q_ids, q_mat, k)
+
+
 QUERIES = {
     "q10_knn_bruteforce": (q10_knn_bruteforce, SQL_Q10),
     "q126_mutual_knn": (q126_mutual_knn, SQL_Q126),
@@ -1411,6 +1530,7 @@ QUERIES = {
     # recall vs exact L2 pinned in tests/test_ann.py
     "pq_encode": (pq_encode, None),
     "ann_pq_topk": (ann_pq_topk, None),
+    "ann_ivfpq_topk": (ann_ivfpq_topk, None),
     # iterative algorithm → rows-only check; pytest pins determinism
     # and inertia descent (tests/test_ann.py)
     "kmeans_embeddings": (kmeans_embeddings, None),

@@ -320,3 +320,21 @@ def test_pq_adc_rerank_recall(ray_session):
     # exact re-rank of the ADC pool recovers most of the true top-k
     # (bare 4-bit ADC sits ~0.25 on this corpus; the pool lifts it)
     assert np.mean(rec) >= 0.6
+
+
+def test_ann_ivfpq_finds_planted_neighbors(planted_dir, ray_session):
+    """IVF-PQ composition: coarse routing keeps each query's 3 noisy
+    near-copies (cos≈0.99) in a probed cell, residual-PQ ADC keeps them
+    inside the re-rank pool, and the exact re-rank surfaces them."""
+    got = ann.ann_ivfpq_topk(planted_dir).to_pandas()
+    hits = 0
+    for q in range(ann.N_QUERIES):
+        copies = {q // 4 * 4 + i for i in range(4)} - {q}
+        found = set(got.loc[got["query_id"] == q, "vec_id"])
+        assert len(found) == ann.TOP_K
+        hits += len(copies & found)
+    assert hits / (ann.N_QUERIES * 3) >= 0.8
+    again = ann.ann_ivfpq_topk(planted_dir).to_pandas()
+    assert got.sort_values(["query_id", "vec_id"]).reset_index(drop=True) \
+        .equals(again.sort_values(["query_id", "vec_id"])
+                .reset_index(drop=True))
