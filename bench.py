@@ -268,7 +268,7 @@ OPS_DEFAULT = [
     "q166_replica_stability", "q167_kaplan_meier", "link_pr_curve",
     "q168_sprt", "q169_trimmed_mean", "q170_l_diversity",
     "q171_vocab_richness", "pq_encode", "ann_pq_topk",
-    "link_lsh_scurve", "ann_ivfpq_topk",
+    "link_lsh_scurve", "ann_ivfpq_topk", "q172_mcnemar",
 ]
 
 

@@ -1633,6 +1633,101 @@ WHERE kk.k > 0
 """
 
 
+# --- q172: McNemar paired-binary test ---------------------------------------
+
+def q172_mcnemar(sf_dir: str):
+    """McNemar's test on paired binary outcomes per user — does
+    purchasing and clicking disagree more in one direction than the
+    other?  The PAIRED BINARY member completing the test family (q95/
+    q164 continuous unpaired, q162 continuous paired, q158/q161 rank,
+    q163 unpaired categorical): only the DISCORDANT users (did one but
+    not the other) carry information, and the statistic is
+    (n01−n10)²/(n01+n10) — exact integer arithmetic end to end.
+
+    Shape: per-batch per-user event-type count partials → ONE user-keyed
+    sum (counts compose where booleans would not) → per-batch 2×2 cell
+    partials over the user rows → O(4) driver fold.  Zero discordant
+    users → statistic 0 in both engines (the CASE guard)."""
+    import polars as pl
+    import pyarrow.dataset as pads
+
+    from ..functions.grouping import bucketed_sum_multi
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"],
+        filter=pads.field("event_type").isin(["purchase", "click"]))
+
+    _PART = pa.schema([("user_id", pa.int64()), ("np_p", pa.int64()),
+                       ("nc_p", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _PART.empty_table()
+        df = pl.DataFrame({
+            "user_id": np.asarray(t["user_id"], dtype=np.int64),
+            "et": pl.from_arrow(t["event_type"].combine_chunks())})
+        return (df.group_by("user_id")
+                .agg(np_p=(pl.col("et") == "purchase").sum()
+                     .cast(pl.Int64),
+                     nc_p=(pl.col("et") == "click").sum().cast(pl.Int64))
+                .to_arrow().cast(_PART))
+
+    users = bucketed_sum_multi(
+        ev.map_batches(partial, batch_format="pyarrow"), ["user_id"],
+        {"np_p": "np_p", "nc_p": "nc_p"}, num_buckets=8,
+        engine="exchange")
+
+    _C = pa.schema([("n00", pa.int64()), ("n01", pa.int64()),
+                    ("n10", pa.int64()), ("n11", pa.int64())])
+
+    def cells(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "np_p" not in t.column_names:
+            return _C.empty_table()
+        a = np.asarray(t["np_p"], dtype=np.int64) > 0
+        b = np.asarray(t["nc_p"], dtype=np.int64) > 0
+        return pa.table({
+            "n00": pa.array([int((~a & ~b).sum())], type=pa.int64()),
+            "n01": pa.array([int((~a & b).sum())], type=pa.int64()),
+            "n10": pa.array([int((a & ~b).sum())], type=pa.int64()),
+            "n11": pa.array([int((a & b).sum())], type=pa.int64()),
+        })
+
+    c = users.map_batches(cells, batch_format="pyarrow").to_pandas().sum()
+    n01, n10 = int(c["n01"]), int(c["n10"])
+    disc = n01 + n10
+    stat = (n01 - n10) * (n01 - n10) * 10000 // disc if disc else 0
+    return pa.table({
+        "n00": pa.array([int(c["n00"])], type=pa.int64()),
+        "n01": pa.array([n01], type=pa.int64()),
+        "n10": pa.array([n10], type=pa.int64()),
+        "n11": pa.array([int(c["n11"])], type=pa.int64()),
+        "mcnemar_e4": pa.array([stat], type=pa.int64()),
+    })
+
+
+SQL_Q172 = """
+WITH u AS (
+  SELECT user_id,
+         count(*) FILTER (event_type = 'purchase') > 0 AS a,
+         count(*) FILTER (event_type = 'click') > 0 AS b
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY user_id
+),
+c AS (
+  SELECT CAST(count(*) FILTER (NOT a AND NOT b) AS BIGINT) AS n00,
+         CAST(count(*) FILTER (NOT a AND b) AS BIGINT) AS n01,
+         CAST(count(*) FILTER (a AND NOT b) AS BIGINT) AS n10,
+         CAST(count(*) FILTER (a AND b) AS BIGINT) AS n11
+  FROM u
+)
+SELECT n00, n01, n10, n11,
+       CASE WHEN n01 + n10 = 0 THEN 0
+            ELSE CAST((n01 - n10) * (n01 - n10) * 10000
+                      // (n01 + n10) AS BIGINT) END AS mcnemar_e4
+FROM c
+"""
+
+
 QUERIES = {
     "q63_grad_step": (q63_grad_step, SQL_Q63),
     "q95_ab_welch": (q95_ab_welch, SQL_Q95),
@@ -1647,6 +1742,7 @@ QUERIES = {
     "q166_replica_stability": (q166_replica_stability, SQL_Q166),
     "q168_sprt": (q168_sprt, SQL_Q168),
     "q169_trimmed_mean": (q169_trimmed_mean, SQL_Q169),
+    "q172_mcnemar": (q172_mcnemar, SQL_Q172),
     "q64_sgd_train": (q64_sgd_train, None),
     "link_train_weights": (link_train_weights, None),
     "q86_user_trend": (q86_user_trend, SQL_Q86),

@@ -208,6 +208,28 @@ def test_q169_trimmed_mean_from_sorted_definition(ray_session):
     assert out["winsor_mean_e2"] == 100 * wins.sum() // n
 
 
+def test_q172_mcnemar_from_direct_crosstab(ray_session):
+    from pboh_entity_linking_ray.pipelines.training import q172_mcnemar
+
+    ev = _events()
+    g = ev.pivot_table(index="user_id", columns="event_type",
+                       values="value", aggfunc="count").fillna(0)
+    a = (g.get("purchase", 0) > 0)
+    b = (g.get("click", 0) > 0)
+    # restrict to users with at least one purchase or click (the scan
+    # filter's universe)
+    keep = a | b
+    a, b = a[keep], b[keep]
+    out = q172_mcnemar(SF).to_pandas().iloc[0]
+    assert out["n00"] == 0                      # structurally impossible
+    assert out["n01"] == int((~a & b).sum())
+    assert out["n10"] == int((a & ~b).sum())
+    assert out["n11"] == int((a & b).sum())
+    disc = out["n01"] + out["n10"]
+    want = ((out["n01"] - out["n10"]) ** 2 * 10000 // disc) if disc else 0
+    assert out["mcnemar_e4"] == want
+
+
 def test_q162_wilcoxon_from_argsort_midranks(ray_session):
     from pboh_entity_linking_ray.pipelines.training import q162_wilcoxon
 
