@@ -1243,8 +1243,112 @@ SELECT t, n_risk, d_t, m_t, surv_e6 FROM r
 """
 
 
+# --- q173: cohort LTV triangle ----------------------------------------------
+
+_US_WEEK = 7 * _US_DAY
+
+
+def q173_ltv_triangle(sf_dir: str):
+    """Cohort lifetime-value triangle — per (signup-week cohort,
+    week-of-age): active users, purchase revenue, and CUMULATIVE
+    revenue-to-date, the table a growth model reads to project LTV from
+    partial cohorts (q90 counts RETURNS; this follows the MONEY, and the
+    cumulative column is what actually gets extrapolated).
+
+    ONE user-keyed exchange does all the heavy lifting: a user's
+    (week, cents) rows co-locate, the bucket fold derives the cohort
+    (min week) AND that user's per-age activity/revenue contributions in
+    the same pass — no join back to the event stream — then one tiny
+    (cohort, age)-keyed sum and an O(weeks²) driver cumsum in (cohort,
+    age) order.  Revenue in exact cents; the twin's window sum mirrors
+    the integer cumulative."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum_multi, hash_exchange
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type",
+                                        "value"])
+
+    _UW = pa.schema([("user_id", pa.int64()), ("wk", pa.int64()),
+                     ("cents", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _UW.empty_table()
+        wk = (np.asarray(t["ts"].cast(pa.timestamp("us")), dtype="int64")
+              // _US_WEEK)
+        cents = np.where(
+            np.asarray(t["event_type"]) == "purchase",
+            np.floor(np.asarray(t["value"]) * 100 + 0.5).astype(np.int64),
+            0)
+        return (pl.DataFrame({
+            "user_id": np.asarray(t["user_id"], dtype=np.int64),
+            "wk": wk, "cents": cents})
+            .group_by(["user_id", "wk"])
+            .agg(cents=pl.col("cents").sum())
+            .to_arrow().cast(_UW))
+
+    _CA = pa.schema([("cohort_week", pa.int64()), ("age", pa.int64()),
+                     ("a_p", pa.int64()), ("rev_p", pa.int64())])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _CA.empty_table()
+        df = (pl.from_arrow(t)
+              .group_by(["user_id", "wk"]).agg(cents=pl.col("cents").sum())
+              .with_columns(cw=pl.col("wk").min().over("user_id")))
+        return (df.with_columns(age=pl.col("wk") - pl.col("cw"),
+                                a_p=pl.lit(1, dtype=pl.Int64))
+                .group_by(["cw", "age"])
+                .agg(a_p=pl.col("a_p").sum(), rev_p=pl.col("cents").sum())
+                .rename({"cw": "cohort_week"})
+                .to_arrow().cast(_CA))
+
+    rows = hash_exchange(ev.map_batches(partial, batch_format="pyarrow"),
+                         "user_id", per_user, num_buckets=16)
+    tri = bucketed_sum_multi(rows, ["cohort_week", "age"],
+                             {"a_p": "n_active", "rev_p": "rev"},
+                             num_buckets=2, engine="exchange") \
+        .to_pandas().sort_values(["cohort_week", "age"])
+    cum = tri.groupby("cohort_week")["rev"].cumsum()
+    return pa.table({
+        "cohort_week": pa.array(tri["cohort_week"].to_numpy(np.int64)),
+        "age": pa.array(tri["age"].to_numpy(np.int64)),
+        "n_active": pa.array(tri["n_active"].to_numpy(np.int64)),
+        "rev": pa.array(tri["rev"].to_numpy(np.int64)),
+        "cum_rev": pa.array(cum.to_numpy(np.int64)),
+    })
+
+
+SQL_Q173 = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {_US_WEEK} AS wk,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0
+         END AS cents
+  FROM events
+),
+u AS (SELECT user_id, wk, CAST(sum(cents) AS BIGINT) AS cents
+      FROM e GROUP BY 1, 2),
+c AS (SELECT user_id, min(wk) AS cw FROM u GROUP BY user_id),
+g AS (
+  SELECT c.cw AS cohort_week, u.wk - c.cw AS age,
+         CAST(count(*) AS BIGINT) AS n_active,
+         CAST(sum(u.cents) AS BIGINT) AS rev
+  FROM u JOIN c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week, age, n_active, rev,
+       CAST(sum(rev) OVER (PARTITION BY cohort_week ORDER BY age)
+            AS BIGINT) AS cum_rev
+FROM g
+"""
+
+
 QUERIES = {
     "q23_asof_join": (q23_asof_join, SQL_Q23),
+    "q173_ltv_triangle": (q173_ltv_triangle, SQL_Q173),
     "q167_kaplan_meier": (q167_kaplan_meier, SQL_Q167),
     "q145_cusum": (q145_cusum, SQL_Q145),
     "q151_day_churn": (q151_day_churn, SQL_Q151),

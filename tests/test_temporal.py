@@ -113,3 +113,29 @@ def test_kaplan_meier_matches_float_definition(ray_session):
         assert abs(row["surv_e6"] - s * 1_000_000) <= i + 1
     # survival is monotone non-increasing and ends ≥ censored fraction
     assert (np.diff(out["surv_e6"].to_numpy()) <= 0).all()
+
+
+def test_ltv_triangle_conservation_and_cumsum(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pboh_entity_linking_ray.pipelines.temporal import (
+        _US_WEEK, q173_ltv_triangle)
+
+    SF = "/root/testdata/sf0.001"
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"]).to_pandas()
+    out = q173_ltv_triangle(SF).to_pandas()
+    # total revenue conservation (exact cents)
+    purch = ev[ev.event_type == "purchase"]
+    total = int(np.floor(purch["value"].to_numpy() * 100 + 0.5).sum())
+    assert out["rev"].sum() == total
+    # every (user, week) activity accounted once
+    wk = ev["ts"].astype("int64") // _US_WEEK
+    assert out["n_active"].sum() == len(set(zip(ev["user_id"], wk)))
+    # cumulative column is the per-cohort running sum; age 0 row exists
+    for cw, g in out.groupby("cohort_week"):
+        g = g.sort_values("age")
+        assert g["age"].iloc[0] == 0
+        assert (g["cum_rev"].to_numpy() == g["rev"].cumsum().to_numpy()).all()
