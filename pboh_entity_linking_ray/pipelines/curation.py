@@ -298,6 +298,56 @@ FROM ov JOIN tot USING (doc_id)
 """
 
 
+# --- q174: compression-ratio quality signal ----------------------------------
+
+COMP_LEVEL = 6            # zlib level — fixed so the ratio is deterministic
+COMP_MIN_RATIO_E4 = 12_000   # drop if compressed*1e4//raw < 1.2e4⁻¹ …
+                             # i.e. raw//compressed ≥ 1.2 means "normal text";
+                             # ratios ≥ ~4 flag templated/repeated content
+
+
+def q174_compression_ratio(sf_dir: str):
+    """Compression ratio (raw bytes / zlib bytes, e4 fixed-point) per
+    document — the cheap low-entropy screen real crawl pipelines run
+    beside q52's explicit repetition counters (CCNet-style: boilerplate,
+    templated spam and keyword stuffing compress far better than natural
+    prose; near-random noise barely compresses at all).  Flags both
+    tails: ratio ≥ 4× → repetitive, ratio ≤ 1.05× → likely binary/noise.
+
+    Embarrassingly parallel — one zlib pass per doc inside the batch
+    that holds it, fixed level so the byte count (and thus the flag) is
+    deterministic.  zlib is not SQL-expressible → rows-only driver
+    check; pytest recomputes ratios directly and pins the flag rule."""
+    def comp(t: pa.Table) -> pa.Table:
+        import zlib
+
+        _OUT = pa.schema([("doc_id", pa.int64()), ("raw_bytes", pa.int64()),
+                          ("zlib_bytes", pa.int64()), ("ratio_e4", pa.int64()),
+                          ("verdict", pa.string())])
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return _OUT.empty_table()
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        raws, comps = [], []
+        for s in t["text"].to_pylist():
+            b = (s or "").encode()
+            raws.append(len(b))
+            comps.append(len(zlib.compress(b, COMP_LEVEL)))
+        raw = np.array(raws, dtype=np.int64)
+        cz = np.maximum(np.array(comps, dtype=np.int64), 1)
+        ratio = 10000 * raw // cz
+        verdict = np.where(ratio >= 40000, "repetitive",
+                           np.where(ratio <= 10500, "noise", "keep"))
+        return pa.table({
+            "doc_id": pa.array(ids), "raw_bytes": pa.array(raw),
+            "zlib_bytes": pa.array(np.array(comps, dtype=np.int64)),
+            "ratio_e4": pa.array(ratio),
+            "verdict": pa.array(verdict.tolist(), type=pa.string()),
+        })
+
+    return _docs(sf_dir).map_batches(comp, batch_format="pyarrow",
+                                     batch_size=1024)
+
+
 # --- q51: PII scan + redaction -----------------------------------------------
 
 def q51_pii_scrub(sf_dir: str):
@@ -1418,4 +1468,6 @@ QUERIES = {
     "q156_priority_sample": (q156_priority_sample, SQL_Q156),
     # Bloom layer is semantically invisible → q50's twin verbatim
     "q165_bloom_decontaminate": (q165_bloom_decontaminate, SQL_Q50),
+    # zlib not SQL-expressible → rows-only; pytest recomputes directly
+    "q174_compression_ratio": (q174_compression_ratio, None),
 }

@@ -244,3 +244,26 @@ def test_mixture_allocation_budget(ray_session):
     budget = total // MIX_DENOM // len(out)
     assert (out["sampled_tokens"] <= budget).all()
     assert out["sampled_tokens"].sum() <= total // MIX_DENOM
+
+
+def test_compression_ratio_recompute_and_verdicts(ray_session):
+    import zlib
+
+    got = (curation.q174_compression_ratio(SF_DIR).to_pandas()
+           .set_index("doc_id").sort_index())
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    assert len(got) == len(docs)
+    sample = docs.sample(20, random_state=1)
+    for _, row in sample.iterrows():
+        b = row["text"].encode()
+        cz = len(zlib.compress(b, curation.COMP_LEVEL))
+        r = got.loc[row["doc_id"]]
+        assert r["raw_bytes"] == len(b)
+        assert r["zlib_bytes"] == cz
+        assert r["ratio_e4"] == 10000 * len(b) // max(cz, 1)
+    v = got["verdict"]
+    assert ((got["ratio_e4"] >= 40000) == (v == "repetitive")).all()
+    assert ((got["ratio_e4"] <= 10500) == (v == "noise")).all()
+    # natural-prose corpus: the bulk must land in "keep"
+    assert (v == "keep").mean() > 0.5
