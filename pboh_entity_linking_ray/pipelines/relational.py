@@ -2736,8 +2736,192 @@ FROM a WHERE 2 * cw >= tw GROUP BY grp
 """
 
 
+# --- q175: functional-dependency audit ---------------------------------------
+
+# (table, determinant, dependent) — a mix of holding (key-determined)
+# and violated candidates so both report paths are exercised
+FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_orderstatus"),     # holds (key)
+    ("orders", "o_custkey", "o_orderpriority"),    # violated
+    ("lineitem", "l_orderkey", "l_returnflag"),    # violated
+    ("customer", "c_custkey", "c_mktsegment"),     # holds (key)
+    ("events", "user_id", "event_type"),           # violated
+)
+
+
+def q175_fd_audit(sf_dir: str):
+    """Functional-dependency audit (TANE-lite over a fixed candidate
+    list): for each (table, A, B) candidate, does A → B hold, and for
+    how many determinant values is it violated — the schema-discovery
+    profile a warehouse runs before declaring constraints (q79 checks
+    DECLARED expectations; this DISCOVERS which hold).
+
+    Per candidate: in-batch distinct (A, B) partials → ONE A-keyed
+    exchange whose fold counts per-A distinct-B cardinality → per-bucket
+    (n_keys, n_violating) scalars → driver sum.  Everything exact
+    int64; the violated fraction is e6 integer division."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange
+
+    rows = []
+    for tbl, a, b in FD_CANDIDATES:
+        _P = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+        def partial(t: pa.Table, _a=a, _b=b) -> pa.Table:
+            if t.num_rows == 0 or _a not in t.column_names:
+                return _P.empty_table()
+            return (pl.DataFrame({
+                "a": pl.from_arrow(t[_a].cast(pa.string()).combine_chunks()),
+                "b": pl.from_arrow(t[_b].cast(pa.string()).combine_chunks())})
+                .unique().to_arrow().cast(_P))
+
+        _F = pa.schema([("nk", pa.int64()), ("nv", pa.int64())])
+
+        def fold(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "a" not in t.column_names:
+                return _F.empty_table()
+            g = (pl.from_arrow(t).unique()
+                 .group_by("a").agg(nb=pl.col("b").n_unique()))
+            return pa.table({
+                "nk": pa.array([g.height], type=pa.int64()),
+                "nv": pa.array([int((g["nb"] > 1).sum())],
+                               type=pa.int64()),
+            })
+
+        parts = hash_exchange(
+            _t(sf_dir, tbl, [a, b]).map_batches(
+                partial, batch_format="pyarrow"),
+            "a", fold, num_buckets=8).to_pandas()
+        nk, nv = int(parts["nk"].sum()), int(parts["nv"].sum())
+        rows.append((tbl, a, b, nk, nv, int(nv == 0),
+                     1_000_000 * nv // nk if nk else 0))
+
+    return pa.table({
+        "tbl": pa.array([r[0] for r in rows], type=pa.string()),
+        "det": pa.array([r[1] for r in rows], type=pa.string()),
+        "dep": pa.array([r[2] for r in rows], type=pa.string()),
+        "n_keys": pa.array([r[3] for r in rows], type=pa.int64()),
+        "n_violating": pa.array([r[4] for r in rows], type=pa.int64()),
+        "holds": pa.array([r[5] for r in rows], type=pa.int64()),
+        "viol_e6": pa.array([r[6] for r in rows], type=pa.int64()),
+    })
+
+
+def _sql_fd_audit() -> str:
+    parts = []
+    for tbl, a, b in FD_CANDIDATES:
+        parts.append(f"""
+SELECT '{tbl}' AS tbl, '{a}' AS det, '{b}' AS dep,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(count(*) FILTER (nb > 1) AS BIGINT) AS n_violating,
+       CAST(CASE WHEN count(*) FILTER (nb > 1) = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS holds,
+       CAST(1000000 * count(*) FILTER (nb > 1) // count(*) AS BIGINT)
+         AS viol_e6
+FROM (SELECT CAST({a} AS VARCHAR) AS a,
+             count(DISTINCT CAST({b} AS VARCHAR)) AS nb
+      FROM {tbl} GROUP BY 1)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+# --- q176: referential-integrity audit ---------------------------------------
+
+RI_CANDIDATES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+)
+
+
+def q176_ref_integrity(sf_dir: str):
+    """Referential-integrity audit: for each declared child→parent key
+    relationship, how many DISTINCT child keys have no parent row
+    (orphans) — the other half of the constraint-discovery profile
+    (q175 finds FDs; this verifies the join graph a warehouse assumes).
+
+    Per relationship ONE exchange does everything: both sides emit
+    in-batch-distinct tagged key rows, the union co-locates by key, and
+    the bucket fold counts distinct child keys and child-without-parent
+    keys in the same pass — no pre-dedup shuffle, no join machinery,
+    only 9-byte (key, side) rows ever cross the store."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange
+
+    rows = []
+    _K = pa.schema([("k", pa.int64()), ("side", pa.int64())])
+    for ctbl, ckey, ptbl, pkey in RI_CANDIDATES:
+        def keys(col, side):
+            def f(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or col not in t.column_names:
+                    return _K.empty_table()
+                u = np.unique(np.asarray(t[col].cast(pa.int64()),
+                                         dtype=np.int64))
+                return pa.table({
+                    "k": pa.array(u),
+                    "side": pa.array(np.full(len(u), side))}).cast(_K)
+            return f
+
+        both = (_t(sf_dir, ctbl, [ckey])
+                .map_batches(keys(ckey, 0), batch_format="pyarrow")
+                .union(_t(sf_dir, ptbl, [pkey])
+                       .map_batches(keys(pkey, 1),
+                                    batch_format="pyarrow")))
+
+        _F = pa.schema([("nc", pa.int64()), ("no", pa.int64())])
+
+        def fold(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "k" not in t.column_names:
+                return _F.empty_table()
+            g = (pl.from_arrow(t).group_by("k")
+                 .agg(c=(pl.col("side") == 0).any(),
+                      p=(pl.col("side") == 1).any()))
+            return pa.table({
+                "nc": pa.array([int(g["c"].sum())], type=pa.int64()),
+                "no": pa.array([int((g["c"] & ~g["p"]).sum())],
+                               type=pa.int64()),
+            })
+
+        parts = hash_exchange(both, "k", fold, num_buckets=8).to_pandas()
+        n_child = int(parts["nc"].sum())
+        orphans = int(parts["no"].sum())
+        rows.append((ctbl, ckey, ptbl, pkey, n_child, orphans,
+                     1_000_000 * orphans // n_child if n_child else 0))
+
+    return pa.table({
+        "child_tbl": pa.array([r[0] for r in rows], type=pa.string()),
+        "child_key": pa.array([r[1] for r in rows], type=pa.string()),
+        "parent_tbl": pa.array([r[2] for r in rows], type=pa.string()),
+        "parent_key": pa.array([r[3] for r in rows], type=pa.string()),
+        "n_child_keys": pa.array([r[4] for r in rows], type=pa.int64()),
+        "n_orphan_keys": pa.array([r[5] for r in rows], type=pa.int64()),
+        "orphan_e6": pa.array([r[6] for r in rows], type=pa.int64()),
+    })
+
+
+def _sql_ref_integrity() -> str:
+    parts = []
+    for ctbl, ckey, ptbl, pkey in RI_CANDIDATES:
+        parts.append(f"""
+SELECT '{ctbl}' AS child_tbl, '{ckey}' AS child_key,
+       '{ptbl}' AS parent_tbl, '{pkey}' AS parent_key,
+       CAST(count(*) AS BIGINT) AS n_child_keys,
+       CAST(count(*) FILTER (p IS NULL) AS BIGINT) AS n_orphan_keys,
+       CAST(1000000 * count(*) FILTER (p IS NULL) // count(*) AS BIGINT)
+         AS orphan_e6
+FROM (SELECT c.k, p.k AS p
+      FROM (SELECT DISTINCT CAST({ckey} AS BIGINT) AS k FROM {ctbl}) c
+      LEFT JOIN (SELECT DISTINCT CAST({pkey} AS BIGINT) AS k
+                 FROM {ptbl}) p USING (k))""")
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
     "q01_lineitem_agg": (q01_lineitem_agg, SQL_Q01),
+    "q175_fd_audit": (q175_fd_audit, _sql_fd_audit()),
+    "q176_ref_integrity": (q176_ref_integrity, _sql_ref_integrity()),
     "q147_weighted_median": (q147_weighted_median, SQL_Q147),
     "q150_rfm_segments": (q150_rfm_segments, SQL_Q150),
     "q153_langid_confusion": (q153_langid_confusion, _sql_q153()),

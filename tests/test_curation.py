@@ -267,3 +267,44 @@ def test_compression_ratio_recompute_and_verdicts(ray_session):
     assert ((got["ratio_e4"] <= 10500) == (v == "noise")).all()
     # natural-prose corpus: the bulk must land in "keep"
     assert (v == "keep").mean() > 0.5
+
+
+def test_fd_audit_exercises_both_report_paths(ray_session):
+    from pboh_entity_linking_ray.pipelines.relational import q175_fd_audit
+
+    out = (q175_fd_audit(SF_DIR).to_pandas()
+           .set_index(["tbl", "det", "dep"]))
+    # key-determined candidates hold; known-violated ones don't
+    assert out.loc[("orders", "o_orderkey", "o_orderstatus"), "holds"] == 1
+    assert out.loc[("customer", "c_custkey", "c_mktsegment"), "holds"] == 1
+    assert out.loc[("events", "user_id", "event_type"), "holds"] == 0
+    assert (out["n_violating"] <= out["n_keys"]).all()
+    assert ((out["holds"] == 1) == (out["n_violating"] == 0)).all()
+
+
+def test_ref_integrity_orphans_on_planted_break(ray_session, tmp_path):
+    """On the consistent synthetic corpus every relationship is clean;
+    planting orphan child keys must surface them through the anti-join."""
+    import os
+
+    from pboh_entity_linking_ray.pipelines.relational import (
+        q176_ref_integrity)
+
+    clean = q176_ref_integrity(SF_DIR).to_pandas()
+    assert (clean["n_orphan_keys"] == 0).all()
+
+    d = tmp_path / "broken"
+    d.mkdir()
+    for t in ("orders", "lineitem", "part", "customer", "events"):
+        os.symlink(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    # orders with 3 orphan custkeys on top of the clean table
+    base = pq.read_table(f"{SF_DIR}/orders.parquet")
+    extra = base.slice(0, 3).set_column(
+        base.schema.get_field_index("o_custkey"), "o_custkey",
+        pa.array([99_991, 99_992, 99_993], type=base["o_custkey"].type))
+    os.unlink(d / "orders.parquet")
+    pq.write_table(pa.concat_tables([base, extra]), d / "orders.parquet")
+    broken = (q176_ref_integrity(str(d)).to_pandas()
+              .set_index(["child_tbl", "child_key"]))
+    assert broken.loc[("orders", "o_custkey"), "n_orphan_keys"] == 3
+    assert broken.loc[("lineitem", "l_orderkey"), "n_orphan_keys"] == 0
