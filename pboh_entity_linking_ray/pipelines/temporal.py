@@ -1346,8 +1346,106 @@ FROM g
 """
 
 
+# --- q177: autocorrelation of the daily series ------------------------------
+
+ACF_MAX_LAG = 7
+
+
+def q177_acf(sf_dir: str):
+    """Lag-1…7 autocorrelation of each event type's DAILY count series —
+    the seasonality detector feeding q139's conditional baseline (a
+    lag-7 peak says "weekly rhythm", a high lag-1 says "bursty/trending"
+    — which anomaly baseline applies is exactly this question).
+
+    Exactness: counts are exact ints; centering is done WITHOUT
+    fractions as x_i = nd·n_i − tot (nd = #days, tot = Σn — a positive
+    rescale leaves the correlation invariant), so numerator Σx_i·x_{i+k}
+    and denominator Σx_i² are exact int64 and only the FINAL ratio runs
+    in mirrored DOUBLE.  Lag alignment matches on day VALUES
+    (searchsorted here, the d+k join in the twin) so calendar gaps
+    never misalign positions.  Per-batch count partials → ONE tiny
+    keyed sum → O(types × days) driver fold; constant series (den = 0)
+    drop in BOTH engines."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    _PART = pa.schema([("g", pa.string()), ("d", pa.int64()),
+                       ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return _PART.empty_table()
+        d = (np.asarray(t["ts"].cast(pa.timestamp("us")), dtype="int64")
+             // _US_DAY)
+        return (pl.DataFrame({"g": pl.from_arrow(
+            t["event_type"].combine_chunks()), "d": d})
+            .group_by(["g", "d"]).agg(n=pl.len().cast(pl.Int64))
+            .to_arrow().cast(_PART))
+
+    c = (bucketed_sum(ev.map_batches(partial, batch_format="pyarrow"),
+                      ["g", "d"], "n", "n", engine="exchange")
+         .to_pandas().sort_values(["g", "d"]))
+
+    out_g, out_l, out_a = [], [], []
+    for g, grp in c.groupby("g"):
+        d = grp["d"].to_numpy(dtype=np.int64)
+        n = grp["n"].to_numpy(dtype=np.int64)
+        nd = np.int64(len(d))
+        tot = np.int64(n.sum())
+        x = nd * n - tot
+        den = np.int64((x * x).sum())
+        if den == 0:
+            continue
+        for k in range(1, ACF_MAX_LAG + 1):
+            pos = np.searchsorted(d, d + k)
+            hit = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)]
+                                    == d + k)
+            if not hit.any():
+                continue        # lag with no aligned day pair emits no
+            num = np.int64((x[hit] * x[pos[hit]]).sum())  # row (twin's
+            out_g.append(g)                               # inner join)
+            out_l.append(k)
+            out_a.append(np.int64(np.floor(
+                np.float64(num) / np.float64(den) * 1_000_000 + 0.5)))
+    return pa.table({
+        "event_type": pa.array(out_g, type=pa.string()),
+        "lag": pa.array(out_l, type=pa.int64()),
+        "acf_e6": pa.array(out_a, type=pa.int64()),
+    })
+
+
+SQL_Q177 = f"""
+WITH c AS (
+  SELECT event_type AS g, epoch_us(ts) // {_US_DAY} AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT g, CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY g),
+x AS (SELECT c.g, c.d, t.nd * c.n - t.tot AS x FROM c JOIN t USING (g)),
+den AS (SELECT g, CAST(sum(x * x) AS BIGINT) AS den FROM x GROUP BY g),
+num AS (
+  SELECT a.g, k.lag, CAST(sum(a.x * b.x) AS BIGINT) AS num
+  FROM x a
+  CROSS JOIN (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag) k
+  JOIN x b ON b.g = a.g AND b.d = a.d + k.lag
+  GROUP BY 1, 2
+)
+SELECT num.g AS event_type, CAST(num.lag AS BIGINT) AS lag,
+       CAST(floor(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS acf_e6
+FROM num JOIN den USING (g)
+WHERE den.den > 0
+"""
+
+
 QUERIES = {
     "q23_asof_join": (q23_asof_join, SQL_Q23),
+    "q177_acf": (q177_acf, SQL_Q177),
     "q173_ltv_triangle": (q173_ltv_triangle, SQL_Q173),
     "q167_kaplan_meier": (q167_kaplan_meier, SQL_Q167),
     "q145_cusum": (q145_cusum, SQL_Q145),

@@ -139,3 +139,29 @@ def test_ltv_triangle_conservation_and_cumsum(ray_session):
         g = g.sort_values("age")
         assert g["age"].iloc[0] == 0
         assert (g["cum_rev"].to_numpy() == g["rev"].cumsum().to_numpy()).all()
+
+
+def test_acf_from_direct_numpy_corrcoef(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pboh_entity_linking_ray.pipelines.temporal import _US_DAY, q177_acf
+
+    SF = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["d"] = ev["ts"].astype("int64") // _US_DAY
+    out = q177_acf(SF).to_pandas().set_index(["event_type", "lag"])
+    assert len(out) > 0
+    for g, grp in ev.groupby("event_type"):
+        n = grp.groupby("d").size().sort_index()
+        x = (len(n) * n - n.sum()).to_numpy(dtype=float)
+        d = n.index.to_numpy()
+        for k in (1, 7):
+            pos = np.searchsorted(d, d + k)
+            hit = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == d + k)
+            if not hit.any():
+                continue
+            want = (x[hit] * x[pos[hit]]).sum() / (x * x).sum()
+            assert abs(out.loc[(g, k), "acf_e6"] - want * 1_000_000) <= 1
+    assert (out["acf_e6"].abs() <= 1_000_000).all()
