@@ -1728,6 +1728,166 @@ FROM c
 """
 
 
+# --- q178: partial correlation -----------------------------------------------
+
+def q178_partial_corr(sf_dir: str):
+    """Partial correlation r_xy·z between order amount (x, whole
+    dollars) and shipping lag (y, days from order date to the first
+    lineitem ship date), CONTROLLING for order size (z, lineitem count)
+    — the confounder device q140's raw correlation matrix lacks: big
+    orders both cost more and ship slower, so r_xy alone conflates
+    price with size; r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))
+    answers "does price itself predict lag".
+
+    Shape: per-order (count, min shipdate) via ONE lineitem-keyed
+    exchange fold → ONE `hash_join` with the orders row → a single
+    streaming pass emits the 10 exact-int64 sufficient statistics (n,
+    Σ of each variable, all pairwise products, all squares — dollars
+    keep Σx² inside int64 to ~10⁸ orders, the q164 ceiling note) → the
+    three Pearson r's and the partial in mirrored DOUBLE on O(1) driver
+    scalars."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange, hash_join
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    _L = pa.schema([("o_orderkey", pa.int64()), ("z_p", pa.int64()),
+                    ("ship_p", pa.int64())])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return _L.empty_table()
+        sd = (np.asarray(t["l_shipdate"].cast(pa.timestamp("us")),
+                         dtype="int64") // 86_400_000_000)
+        return (pl.DataFrame({
+            "o_orderkey": np.asarray(t["l_orderkey"], dtype=np.int64),
+            "z_p": 1, "ship_p": sd})
+            .group_by("o_orderkey")
+            .agg(z_p=pl.col("z_p").sum().cast(pl.Int64),
+                 ship_p=pl.col("ship_p").min())
+            .to_arrow().cast(_L))
+
+    def lmerge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+            return _L.empty_table()
+        return (pl.from_arrow(t).group_by("o_orderkey")
+                .agg(z_p=pl.col("z_p").sum(), ship_p=pl.col("ship_p").min())
+                .to_arrow().cast(_L))
+
+    per_order = hash_exchange(
+        li.map_batches(lpart, batch_format="pyarrow"), "o_orderkey",
+        lmerge, num_buckets=16)
+    joined = hash_join(per_order, orders, "o_orderkey", num_buckets=16)
+
+    _S = pa.schema([(c, pa.int64()) for c in
+                    ("n", "sx", "sy", "sz", "sxy", "sxz", "syz",
+                     "sxx", "syy", "szz")])
+
+    def stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_totalprice" not in t.column_names:
+            return _S.empty_table()
+        x = np.floor(np.asarray(t["o_totalprice"]) + 0.5).astype(np.int64)
+        od = (np.asarray(t["o_orderdate"].cast(pa.timestamp("us")),
+                         dtype="int64") // 86_400_000_000)
+        y = np.asarray(t["ship_p"], dtype=np.int64) - od
+        z = np.asarray(t["z_p"], dtype=np.int64)
+        return pa.table({
+            "n": pa.array([np.int64(len(x))]),
+            "sx": pa.array([x.sum()]), "sy": pa.array([y.sum()]),
+            "sz": pa.array([z.sum()]),
+            "sxy": pa.array([(x * y).sum()]),
+            "sxz": pa.array([(x * z).sum()]),
+            "syz": pa.array([(y * z).sum()]),
+            "sxx": pa.array([(x * x).sum()]),
+            "syy": pa.array([(y * y).sum()]),
+            "szz": pa.array([(z * z).sum()]),
+        }).cast(_S)
+
+    s = joined.map_batches(stats, batch_format="pyarrow").to_pandas().sum()
+    nd = np.float64(s["n"])
+
+    def corr(sa, sb, sab, saa, sbb):
+        num = nd * np.float64(sab) - np.float64(sa) * np.float64(sb)
+        da = nd * np.float64(saa) - np.float64(sa) * np.float64(sa)
+        db = nd * np.float64(sbb) - np.float64(sb) * np.float64(sb)
+        return num / np.sqrt(da * db)
+
+    rxy = corr(s["sx"], s["sy"], s["sxy"], s["sxx"], s["syy"])
+    rxz = corr(s["sx"], s["sz"], s["sxz"], s["sxx"], s["szz"])
+    ryz = corr(s["sy"], s["sz"], s["syz"], s["syy"], s["szz"])
+    part = (rxy - rxz * ryz) / np.sqrt((1.0 - rxz * rxz)
+                                       * (1.0 - ryz * ryz))
+    e6 = lambda v: np.int64(np.floor(v * 1_000_000 + 0.5))  # noqa: E731
+    return pa.table({
+        "n": pa.array([np.int64(s["n"])]),
+        "rxy_e6": pa.array([e6(rxy)]), "rxz_e6": pa.array([e6(rxz)]),
+        "ryz_e6": pa.array([e6(ryz)]),
+        "partial_e6": pa.array([e6(part)]),
+    })
+
+
+SQL_Q178 = """
+WITH l AS (
+  SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS z,
+         epoch_us(min(l_shipdate)) // 86400000000 AS ship_d
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT CAST(floor(o.o_totalprice + 0.5) AS BIGINT) AS x,
+         l.ship_d - epoch_us(o.o_orderdate) // 86400000000 AS y,
+         l.z AS z
+  FROM l JOIN orders o USING (o_orderkey)
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(z) AS BIGINT) AS sz,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * z) AS BIGINT) AS sxz,
+         CAST(sum(y * z) AS BIGINT) AS syz,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(z * z) AS BIGINT) AS szz
+  FROM j
+),
+r AS (
+  SELECT n,
+   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rxy,
+   (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+           - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS rxz,
+   (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+     - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+   / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+           - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS ryz
+  FROM s
+)
+SELECT n,
+       CAST(floor(rxy * 1000000 + 0.5) AS BIGINT) AS rxy_e6,
+       CAST(floor(rxz * 1000000 + 0.5) AS BIGINT) AS rxz_e6,
+       CAST(floor(ryz * 1000000 + 0.5) AS BIGINT) AS ryz_e6,
+       CAST(floor((rxy - rxz * ryz)
+                  / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+                  * 1000000 + 0.5) AS BIGINT) AS partial_e6
+FROM r
+"""
+
+
 QUERIES = {
     "q63_grad_step": (q63_grad_step, SQL_Q63),
     "q95_ab_welch": (q95_ab_welch, SQL_Q95),
@@ -1743,6 +1903,7 @@ QUERIES = {
     "q168_sprt": (q168_sprt, SQL_Q168),
     "q169_trimmed_mean": (q169_trimmed_mean, SQL_Q169),
     "q172_mcnemar": (q172_mcnemar, SQL_Q172),
+    "q178_partial_corr": (q178_partial_corr, SQL_Q178),
     "q64_sgd_train": (q64_sgd_train, None),
     "link_train_weights": (link_train_weights, None),
     "q86_user_trend": (q86_user_trend, SQL_Q86),

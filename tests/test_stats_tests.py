@@ -246,3 +246,31 @@ def test_q162_wilcoxon_from_argsort_midranks(ray_session):
     assert out["n_pairs"] == len(d)
     assert out["w_pos_x2"] == int(r2[d > 0].sum())
     assert out["w_neg_x2"] == int(r2[d < 0].sum())
+
+
+def test_q178_partial_corr_from_numpy_corrcoef(ray_session):
+    from pboh_entity_linking_ray.pipelines.training import q178_partial_corr
+
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_shipdate"]).to_pandas()
+    od = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"]).to_pandas()
+    g = li.groupby("l_orderkey").agg(
+        z=("l_shipdate", "size"), ship=("l_shipdate", "min"))
+    j = od.join(g, on="o_orderkey", how="inner")
+    x = np.floor(j["o_totalprice"].to_numpy() + 0.5)
+    y = (j["ship"].astype("int64") // 86_400_000_000
+         - j["o_orderdate"].astype("int64") // 86_400_000_000).to_numpy()
+    z = j["z"].to_numpy(dtype=float)
+    rxy = np.corrcoef(x, y)[0, 1]
+    rxz = np.corrcoef(x, z)[0, 1]
+    ryz = np.corrcoef(y, z)[0, 1]
+    want = (rxy - rxz * ryz) / np.sqrt((1 - rxz**2) * (1 - ryz**2))
+    out = q178_partial_corr(SF).to_pandas().iloc[0]
+    assert out["n"] == len(j)
+    assert abs(out["rxy_e6"] - rxy * 1_000_000) <= 2
+    assert abs(out["partial_e6"] - want * 1_000_000) <= 2
+    # shipping lag correlates with order size; the partial is attenuated
+    # toward zero relative to the raw r_xy
+    assert abs(out["partial_e6"]) <= abs(out["rxy_e6"]) + 2
