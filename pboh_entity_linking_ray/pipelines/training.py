@@ -1888,6 +1888,58 @@ FROM r
 """
 
 
+# --- q179: global chi-square + Cramér's V -----------------------------------
+
+def q179_cramers_v(sf_dir: str):
+    """Global chi-square statistic and Cramér's V effect size for the
+    event_type × day-of-week contingency — the "how strong, not just
+    how significant" companion of q163 (which reports per-cell
+    residuals; V = √(χ²/(n·min(r−1,c−1))) is the [0,1] effect size a
+    report can compare across tables of different shape, as eta² (q164)
+    is for ANOVA).
+
+    Order-free by construction: the global χ² is defined as the SUM OF
+    q163's e4-floored per-cell contributions — an integer sum no
+    engine's aggregation order can perturb — and only the final √ runs
+    in mirrored DOUBLE."""
+    cells = q163_chi_square(sf_dir).to_pandas()
+    n = np.int64(cells["n"].sum())
+    r = cells["event_type"].nunique()
+    c = cells["dow"].nunique()
+    chi2_e4 = np.int64(cells["chi2_e4"].sum())
+    dof = np.int64((r - 1) * (c - 1))
+    denom = np.float64(n) * np.float64(min(r - 1, c - 1))
+    v = np.sqrt(np.float64(chi2_e4) / 10000.0 / denom)
+    return pa.table({
+        "n": pa.array([n]),
+        "dof": pa.array([dof]),
+        "chi2_e4": pa.array([chi2_e4]),
+        "cramers_v_e6": pa.array([np.int64(np.floor(v * 1_000_000
+                                                    + 0.5))]),
+    })
+
+
+def _sql_cramers_v() -> str:
+    # the per-cell CTE is q163's twin verbatim — the e4 floor per cell
+    # makes the global sum order-free
+    return f"""
+WITH cells AS ({SQL_Q163}),
+t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+         CAST(count(DISTINCT dow) AS BIGINT) AS c,
+         CAST(sum(chi2_e4) AS BIGINT) AS chi2_e4
+  FROM cells
+)
+SELECT n, CAST((r - 1) * (c - 1) AS BIGINT) AS dof, chi2_e4,
+       CAST(floor(sqrt(CAST(chi2_e4 AS DOUBLE) / 10000.0
+                       / (CAST(n AS DOUBLE)
+                          * CAST(least(r - 1, c - 1) AS DOUBLE)))
+                  * 1000000 + 0.5) AS BIGINT) AS cramers_v_e6
+FROM t
+"""
+
+
 QUERIES = {
     "q63_grad_step": (q63_grad_step, SQL_Q63),
     "q95_ab_welch": (q95_ab_welch, SQL_Q95),
@@ -1904,6 +1956,7 @@ QUERIES = {
     "q169_trimmed_mean": (q169_trimmed_mean, SQL_Q169),
     "q172_mcnemar": (q172_mcnemar, SQL_Q172),
     "q178_partial_corr": (q178_partial_corr, SQL_Q178),
+    "q179_cramers_v": (q179_cramers_v, _sql_cramers_v()),
     "q64_sgd_train": (q64_sgd_train, None),
     "link_train_weights": (link_train_weights, None),
     "q86_user_trend": (q86_user_trend, SQL_Q86),

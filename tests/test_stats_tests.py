@@ -274,3 +274,19 @@ def test_q178_partial_corr_from_numpy_corrcoef(ray_session):
     # shipping lag correlates with order size; the partial is attenuated
     # toward zero relative to the raw r_xy
     assert abs(out["partial_e6"]) <= abs(out["rxy_e6"]) + 2
+
+
+def test_q179_cramers_v_from_cells(ray_session):
+    from pboh_entity_linking_ray.pipelines.training import (
+        q163_chi_square, q179_cramers_v)
+
+    cells = q163_chi_square(SF).to_pandas()
+    out = q179_cramers_v(SF).to_pandas().iloc[0]
+    assert out["chi2_e4"] == cells["chi2_e4"].sum()
+    assert out["n"] == cells["n"].sum()
+    r = cells["event_type"].nunique()
+    c = cells["dow"].nunique()
+    assert out["dof"] == (r - 1) * (c - 1)
+    v = np.sqrt(out["chi2_e4"] / 10000 / (out["n"] * min(r - 1, c - 1)))
+    assert abs(out["cramers_v_e6"] - v * 1_000_000) <= 1
+    assert 0 <= out["cramers_v_e6"] <= 1_000_000
