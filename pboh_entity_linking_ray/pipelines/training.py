@@ -1940,6 +1940,169 @@ FROM t
 """
 
 
+# --- ALS matrix factorization ------------------------------------------------
+
+ALS_RANK = 4
+ALS_ITERS = 5
+ALS_REG = 0.1
+
+
+def _als_init_items(tools: list[str]) -> np.ndarray:
+    """Deterministic (hash-seeded) item-factor init — reproducible under
+    any partitioning, like every other seed in this repo."""
+    from ..functions.hashing import md5_lower64
+
+    v = np.array([[(md5_lower64(f"{t}:{j}") % 1000) / 1000.0 - 0.5
+                   for j in range(ALS_RANK)] for t in tools])
+    return v + 0.5  # keep initial predictions positive-ish for counts
+
+
+def _als_run(sf_dir: str):
+    """Shared ALS driver → (tools, V, losses).  See als_tool_factors."""
+    import polars as pl
+
+    from .linkage_queries import _turns
+    from ..functions.grouping import hash_exchange
+
+    turns = _turns(sf_dir)
+
+    _C = pa.schema([("conv_id", pa.string()), ("tool", pa.string()),
+                    ("c", pa.int64())])
+
+    def cpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return _C.empty_table()
+        df = pl.DataFrame({
+            "conv_id": pl.from_arrow(t["conv_id"].combine_chunks()),
+            "tool": pl.from_arrow(t["tool"].combine_chunks())}) \
+            .filter(pl.col("tool") != "")
+        return (df.group_by(["conv_id", "tool"])
+                .agg(c=pl.len().cast(pl.Int64)).to_arrow().cast(_C))
+
+    def cmerge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return _C.empty_table()
+        return (pl.from_arrow(t).group_by(["conv_id", "tool"])
+                .agg(c=pl.col("c").sum()).to_arrow().cast(_C))
+
+    # conv-keyed co-location, materialized ONCE — every ALS iteration
+    # re-reads these skinny (conv, tool, count) blocks
+    counts = hash_exchange(
+        turns.map_batches(cpart, batch_format="pyarrow"), "conv_id",
+        cmerge, num_buckets=8).materialize()
+
+    tools = sorted(set(
+        v for b in counts.select_columns(["tool"])
+        .iter_batches(batch_format="pyarrow")
+        for v in b["tool"].to_pylist()))
+    tidx = {t: i for i, t in enumerate(tools)}
+    v_mat = _als_init_items(tools)
+    r = ALS_RANK
+
+    losses = []
+    for _ in range(ALS_ITERS):
+        ref = ray.put((v_mat, tidx))
+
+        def step(t: pa.Table) -> pa.Table:
+            """U-step for every conv in the batch (batched 4×4 normal-
+            equation solves), then this batch's item partials + loss."""
+            V, ti = ray.get(ref)
+            _P = pa.schema([("j", pa.int64()), ("p", pa.int64()),
+                            ("val", pa.float64())])
+            if t.num_rows == 0 or "conv_id" not in t.column_names:
+                return _P.empty_table()
+            # sort first: bucket row order depends on slice arrival, and
+            # float scatter-adds are order-sensitive in the last ulp
+            df = pl.from_arrow(t).sort(["conv_id", "tool"]).with_columns(
+                ci=pl.col("conv_id").rank("dense").cast(pl.Int64) - 1)
+            ci = df["ci"].to_numpy()
+            j = np.array([ti[x] for x in df["tool"].to_list()],
+                         dtype=np.int64)
+            c = df["c"].to_numpy().astype(np.float64)
+            nconv = int(ci.max()) + 1
+            vj = V[j]                                    # (rows, r)
+            # per-conv A = Σ v vᵀ + λI, b = Σ c·v  (scatter-add)
+            A = np.zeros((nconv, r, r))
+            b = np.zeros((nconv, r))
+            np.add.at(A, ci, vj[:, :, None] * vj[:, None, :])
+            np.add.at(b, ci, c[:, None] * vj)
+            A += ALS_REG * np.eye(r)[None]
+            U = np.linalg.solve(A, b)                    # (nconv, r)
+            pred = (U[ci] * vj).sum(1)
+            err = c - pred
+            loss = float((err * err).sum())
+            # item-side partials: per tool Σ u uᵀ (flattened) and Σ c·u
+            ui = U[ci]
+            rows_j, rows_p, rows_v = [], [], []
+            uu = ui[:, :, None] * ui[:, None, :]         # (rows, r, r)
+            cu = c[:, None] * ui
+            for p in range(r * r):
+                s = np.zeros(len(ti))
+                np.add.at(s, j, uu.reshape(len(ci), -1)[:, p])
+                nz = np.flatnonzero(s)
+                rows_j.extend(nz.tolist())
+                rows_p.extend([p] * len(nz))
+                rows_v.extend(s[nz].tolist())
+            for p in range(r):
+                s = np.zeros(len(ti))
+                np.add.at(s, j, cu[:, p])
+                nz = np.flatnonzero(s)
+                rows_j.extend(nz.tolist())
+                rows_p.extend([r * r + p] * len(nz))
+                rows_v.extend(s[nz].tolist())
+            rows_j.append(-1)
+            rows_p.append(0)
+            rows_v.append(loss)
+            return pa.table({"j": pa.array(rows_j, type=pa.int64()),
+                             "p": pa.array(rows_p, type=pa.int64()),
+                             "val": pa.array(rows_v, type=pa.float64())})
+
+        # sort before every float fold: batch arrival order is not
+        # deterministic, value-sorted summation is
+        # batch = whole exchange bucket (batch_size=None): a conv's rows
+        # must never split across the per-batch normal-equation solve
+        parts = (counts.map_batches(step, batch_format="pyarrow",
+                                    batch_size=None)
+                 .to_pandas().sort_values(["j", "p", "val"]))
+        losses.append(float(parts.loc[parts["j"] == -1, "val"].sum()))
+        agg = (parts[parts["j"] >= 0].groupby(["j", "p"])["val"].sum())
+        new_v = np.empty_like(v_mat)
+        for ji in range(len(tools)):
+            A = np.zeros((r, r))
+            bb = np.zeros(r)
+            for p in range(r * r):
+                A[p // r, p % r] = agg.get((ji, p), 0.0)
+            for p in range(r):
+                bb[p] = agg.get((ji, r * r + p), 0.0)
+            new_v[ji] = np.linalg.solve(A + ALS_REG * np.eye(r), bb)
+        v_mat = new_v
+    return tools, v_mat, losses
+
+
+def als_tool_factors(sf_dir: str):
+    """Rank-4 ALS matrix factorization of the conversation × tool usage
+    matrix — the canonical DISTRIBUTED alternating-least-squares shape
+    (Spark MLlib's ALS): the small item side (tool factors, k×4 floats)
+    is broadcast each half-iteration; the large user side never
+    materializes — each co-located conv batch solves its own 4×4
+    regularized normal equations (vectorized batched
+    ``np.linalg.solve``) and emits O(tools·r²) item partials + a loss
+    scalar, ONE tiny keyed fold closes the item update.  Per iteration:
+    one streaming pass over the materialized skinny (conv, tool, count)
+    blocks, zero additional shuffles.
+
+    Iterative least squares is not SQL-expressible → rows-only; pytest
+    pins monotone loss descent, determinism, and that the rank-4
+    reconstruction beats the rank-0 (zero) baseline."""
+    tools, v_mat, losses = _als_run(sf_dir)
+    cols: dict = {"tool": pa.array(tools, type=pa.string())}
+    for p in range(ALS_RANK):
+        cols[f"f{p}"] = pa.array(v_mat[:, p])
+    cols["final_loss_e2"] = pa.array(
+        np.full(len(tools), np.int64(np.floor(losses[-1] * 100 + 0.5))))
+    return pa.table(cols)
+
+
 QUERIES = {
     "q63_grad_step": (q63_grad_step, SQL_Q63),
     "q95_ab_welch": (q95_ab_welch, SQL_Q95),
@@ -1957,6 +2120,9 @@ QUERIES = {
     "q172_mcnemar": (q172_mcnemar, SQL_Q172),
     "q178_partial_corr": (q178_partial_corr, SQL_Q178),
     "q179_cramers_v": (q179_cramers_v, _sql_cramers_v()),
+    # iterative alternating least squares → rows-only; pytest pins loss
+    # descent, determinism and beating the zero baseline
+    "als_tool_factors": (als_tool_factors, None),
     "q64_sgd_train": (q64_sgd_train, None),
     "link_train_weights": (link_train_weights, None),
     "q86_user_trend": (q86_user_trend, SQL_Q86),

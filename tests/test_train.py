@@ -87,3 +87,36 @@ def test_link_train_weights_quality(ray_session):
     assert hand_f1 >= 9800          # golden-corpus gate (BASELINE.md)
     assert learned_f1 >= 9000       # learned blend stays near the hand one
     assert learned_f1 >= hand_f1 - 800
+
+
+def test_als_loss_descends_and_is_deterministic(ray_session):
+    import numpy as np
+
+    from pboh_entity_linking_ray.pipelines.training import (
+        _als_run, als_tool_factors)
+
+    SF = "/root/testdata/sf0.001"
+    tools, v_mat, losses = _als_run(SF)
+    assert len(tools) > 3 and v_mat.shape == (len(tools), 4)
+    # alternating minimization: squared loss decreases every iteration
+    assert all(b < a for a, b in zip(losses, losses[1:]))
+    # and the factorization explains most of the count mass: final loss
+    # far below the rank-0 (all-zero prediction) baseline Σc²
+    import duckdb
+
+    from pboh_entity_linking_ray.pipelines.linkage_queries import (
+        CORPUS_CACHE,
+    )
+    from pboh_entity_linking_ray.sources.synthetic import (
+        corpus_dir, sf_to_n_convs)
+    d = corpus_dir(CORPUS_CACHE, sf_to_n_convs(SF))
+    zero = duckdb.sql(
+        "SELECT sum(c*c) FROM (SELECT count(*) AS c FROM "
+        f"read_parquet('{d}/turns.parquet/*.parquet') "
+        "WHERE tool <> '' GROUP BY conv_id, tool)").fetchone()[0]
+    assert losses[-1] < 0.05 * zero
+
+    a = als_tool_factors(SF).to_pandas()
+    b = als_tool_factors(SF).to_pandas()
+    assert a.equals(b)
+    assert np.isfinite(a[[f"f{i}" for i in range(4)]].to_numpy()).all()
