@@ -2103,6 +2103,140 @@ def als_tool_factors(sf_dir: str):
     return pa.table(cols)
 
 
+# --- q180: two-proportion z test + Wilson intervals --------------------------
+
+def q180_proportion_ci(sf_dir: str):
+    """Conversion-rate comparison done right: per arm (user_id % 2) the
+    fraction of PURCHASE-DOMINANT users (more purchases than clicks — a
+    scale-free rate; "has any purchase" saturates to 1.0 on a dense
+    corpus), each with its WILSON score interval
+    (the small-n-safe CI a normal approximation gets wrong near 0/1 —
+    Wilson 1927), plus the pooled two-proportion z statistic — the
+    categorical companion of q95's Welch t (means) and q168's SPRT
+    (sequential).  All distributed quantities are exact int64 user
+    counts (ONE user-keyed sum — per-user counts compose — then an O(2)
+    cell fold); the z and interval formulas run on O(1) driver scalars
+    in DOUBLE mirrored token-for-token in the twin."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum_multi
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    _PART = pa.schema([("user_id", pa.int64()), ("np_p", pa.int64()),
+                       ("nc_p", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _PART.empty_table()
+        et = np.asarray(t["event_type"])
+        df = pl.DataFrame({
+            "user_id": np.asarray(t["user_id"], dtype=np.int64),
+            "is_p": (et == "purchase").astype(np.int64),
+            "is_c": (et == "click").astype(np.int64)})
+        return (df.group_by("user_id")
+                .agg(np_p=pl.col("is_p").sum().cast(pl.Int64),
+                     nc_p=pl.col("is_c").sum().cast(pl.Int64))
+                .to_arrow().cast(_PART))
+
+    users = bucketed_sum_multi(
+        ev.map_batches(partial, batch_format="pyarrow"), ["user_id"],
+        {"np_p": "np_p", "nc_p": "nc_p"}, num_buckets=8,
+        engine="exchange")
+
+    _C = pa.schema([("arm", pa.int64()), ("n", pa.int64()),
+                    ("k", pa.int64())])
+
+    def cells(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _C.empty_table()
+        arm = np.asarray(t["user_id"], dtype=np.int64) % 2
+        conv = (np.asarray(t["np_p"], dtype=np.int64)
+                > np.asarray(t["nc_p"], dtype=np.int64)).astype(np.int64)
+        df = pl.DataFrame({"arm": arm, "k": conv})
+        return (df.group_by("arm")
+                .agg(n=pl.len().cast(pl.Int64), k=pl.col("k").sum())
+                .to_arrow().cast(_C))
+
+    c = (users.map_batches(cells, batch_format="pyarrow").to_pandas()
+         .groupby("arm").sum().sort_index())
+    Z = 1.959963984540054          # 97.5th normal quantile, literal
+
+    def wilson(k, n):
+        p = np.float64(k) / np.float64(n)
+        d = 1.0 + Z * Z / np.float64(n)
+        ctr = p + Z * Z / (2.0 * np.float64(n))
+        w = Z * np.sqrt(p * (1.0 - p) / np.float64(n)
+                        + Z * Z / (4.0 * np.float64(n)
+                                   * np.float64(n)))
+        return (ctr - w) / d, (ctr + w) / d
+
+    n0, k0 = int(c.loc[0, "n"]), int(c.loc[0, "k"])
+    n1, k1 = int(c.loc[1, "n"]), int(c.loc[1, "k"])
+    pp = np.float64(k0 + k1) / np.float64(n0 + n1)
+    z = ((np.float64(k0) / np.float64(n0)
+          - np.float64(k1) / np.float64(n1))
+         / np.sqrt(pp * (1.0 - pp) * (1.0 / np.float64(n0)
+                                      + 1.0 / np.float64(n1))))
+    lo0, hi0 = wilson(k0, n0)
+    lo1, hi1 = wilson(k1, n1)
+    e6 = lambda v: np.int64(np.floor(v * 1_000_000 + 0.5))  # noqa: E731
+    return pa.table({
+        "n_a": pa.array([np.int64(n0)]), "k_a": pa.array([np.int64(k0)]),
+        "n_b": pa.array([np.int64(n1)]), "k_b": pa.array([np.int64(k1)]),
+        "lo_a_e6": pa.array([e6(lo0)]), "hi_a_e6": pa.array([e6(hi0)]),
+        "lo_b_e6": pa.array([e6(lo1)]), "hi_b_e6": pa.array([e6(hi1)]),
+        "z_e4": pa.array([np.int64(np.floor(z * 10000 + 0.5))]),
+    })
+
+
+SQL_Q180 = """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(count(*) FILTER (event_type = 'purchase')
+              > count(*) FILTER (event_type = 'click') AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT)
+           AS k
+  FROM u GROUP BY arm
+),
+w AS (
+  SELECT a.n AS n_a, a.k AS k_a, b.n AS n_b, b.k AS k_b,
+         CAST(a.n AS DOUBLE) AS na, CAST(a.k AS DOUBLE) AS ka,
+         CAST(b.n AS DOUBLE) AS nb, CAST(b.k AS DOUBLE) AS kb
+  FROM c a, c b WHERE a.arm = 0 AND b.arm = 1
+)
+SELECT n_a, k_a, n_b, k_b,
+  CAST(floor(((ka / na + 1.959963984540054 * 1.959963984540054 / (2.0 * na))
+    - 1.959963984540054 * sqrt((ka / na) * (1.0 - ka / na) / na
+        + 1.959963984540054 * 1.959963984540054 / (4.0 * na * na)))
+    / (1.0 + 1.959963984540054 * 1.959963984540054 / na)
+    * 1000000 + 0.5) AS BIGINT) AS lo_a_e6,
+  CAST(floor(((ka / na + 1.959963984540054 * 1.959963984540054 / (2.0 * na))
+    + 1.959963984540054 * sqrt((ka / na) * (1.0 - ka / na) / na
+        + 1.959963984540054 * 1.959963984540054 / (4.0 * na * na)))
+    / (1.0 + 1.959963984540054 * 1.959963984540054 / na)
+    * 1000000 + 0.5) AS BIGINT) AS hi_a_e6,
+  CAST(floor(((kb / nb + 1.959963984540054 * 1.959963984540054 / (2.0 * nb))
+    - 1.959963984540054 * sqrt((kb / nb) * (1.0 - kb / nb) / nb
+        + 1.959963984540054 * 1.959963984540054 / (4.0 * nb * nb)))
+    / (1.0 + 1.959963984540054 * 1.959963984540054 / nb)
+    * 1000000 + 0.5) AS BIGINT) AS lo_b_e6,
+  CAST(floor(((kb / nb + 1.959963984540054 * 1.959963984540054 / (2.0 * nb))
+    + 1.959963984540054 * sqrt((kb / nb) * (1.0 - kb / nb) / nb
+        + 1.959963984540054 * 1.959963984540054 / (4.0 * nb * nb)))
+    / (1.0 + 1.959963984540054 * 1.959963984540054 / nb)
+    * 1000000 + 0.5) AS BIGINT) AS hi_b_e6,
+  CAST(floor((ka / na - kb / nb)
+    / sqrt(((ka + kb) / (na + nb)) * (1.0 - (ka + kb) / (na + nb))
+           * (1.0 / na + 1.0 / nb)) * 10000 + 0.5) AS BIGINT) AS z_e4
+FROM w
+"""
+
+
 QUERIES = {
     "q63_grad_step": (q63_grad_step, SQL_Q63),
     "q95_ab_welch": (q95_ab_welch, SQL_Q95),
@@ -2123,6 +2257,7 @@ QUERIES = {
     # iterative alternating least squares → rows-only; pytest pins loss
     # descent, determinism and beating the zero baseline
     "als_tool_factors": (als_tool_factors, None),
+    "q180_proportion_ci": (q180_proportion_ci, SQL_Q180),
     "q64_sgd_train": (q64_sgd_train, None),
     "link_train_weights": (link_train_weights, None),
     "q86_user_trend": (q86_user_trend, SQL_Q86),

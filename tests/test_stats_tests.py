@@ -290,3 +290,30 @@ def test_q179_cramers_v_from_cells(ray_session):
     v = np.sqrt(out["chi2_e4"] / 10000 / (out["n"] * min(r - 1, c - 1)))
     assert abs(out["cramers_v_e6"] - v * 1_000_000) <= 1
     assert 0 <= out["cramers_v_e6"] <= 1_000_000
+
+
+def test_q180_wilson_from_direct_formula(ray_session):
+    from pboh_entity_linking_ray.pipelines.training import q180_proportion_ci
+
+    ev = _events()
+    g = ev.pivot_table(index="user_id", columns="event_type",
+                       values="value", aggfunc="count").fillna(0)
+    conv = (g.get("purchase", 0) > g.get("click", 0))
+    arm = (g.index.to_numpy() % 2)
+    out = q180_proportion_ci(SF).to_pandas().iloc[0]
+    assert out["n_a"] == (arm == 0).sum()
+    assert out["k_a"] == int(conv[arm == 0].sum())
+    assert out["n_b"] == (arm == 1).sum()
+    assert out["k_b"] == int(conv[arm == 1].sum())
+    z = 1.959963984540054
+    for (k, n, lo, hi) in ((out["k_a"], out["n_a"], out["lo_a_e6"],
+                            out["hi_a_e6"]),
+                           (out["k_b"], out["n_b"], out["lo_b_e6"],
+                            out["hi_b_e6"])):
+        p = k / n
+        d = 1 + z * z / n
+        ctr = p + z * z / (2 * n)
+        w = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        assert abs(lo - (ctr - w) / d * 1e6) <= 1
+        assert abs(hi - (ctr + w) / d * 1e6) <= 1
+        assert lo <= p * 1e6 <= hi          # interval covers the estimate
