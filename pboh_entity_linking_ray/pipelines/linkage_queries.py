@@ -658,6 +658,100 @@ def link_pr_curve(sf_dir: str):
 
 
 
+LABEL_TOP_K = 5
+
+
+def link_cluster_labels(sf_dir: str):
+    """Human-readable LABELS for the flagship entity clusters: the
+    top-5 most CHARACTERISTIC tokens per cluster by class-based TF-IDF
+    (c-TF-IDF, the BERTopic labeling device: count(cluster, token) ·
+    ln(N_clusters / df_clusters(token)) — frequency inside the entity,
+    discounted by how many entities share the token), the column a
+    review UI shows next to link_cluster_digest's counts so a human can
+    tell WHAT each resolved entity is about.
+
+    Shape: per-batch per-conv token-count partials (turn text never
+    leaves its scan task) → ONE `hash_join` tags them with cluster ids
+    (the digest's device — no broadcast of the O(convs) cluster map) →
+    ONE (cluster, token) keyed sum → a skinny token-keyed sum for the
+    cluster-df → ONE `hash_join` re-attaches df → deterministic
+    `topk_per_group` (score desc, token asc).  Embeds the memoized
+    flagship run → rows-only; label quality and determinism pinned in
+    pytest."""
+    import polars as pl
+
+    from ..functions.grouping import (bucketed_sum, hash_join,
+                                      topk_per_group)
+
+    res, _ = _run(sf_dir)
+    turns = _turns(sf_dir)
+
+    _P = pa.schema([("conv_id", pa.string()), ("tok", pa.string()),
+                    ("c", pa.int64())])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return _P.empty_table()
+        df = pl.DataFrame({
+            "conv_id": pl.from_arrow(t["conv_id"].combine_chunks()),
+            "tok": pl.from_arrow(t["text"].combine_chunks())
+            .str.to_lowercase().str.extract_all("[a-z0-9]+")}) \
+            .explode("tok").drop_nulls()
+        if df.height == 0:
+            return _P.empty_table()
+        return (df.group_by(["conv_id", "tok"])
+                .agg(c=pl.len().cast(pl.Int64)).to_arrow().cast(_P))
+
+    parts = turns.map_batches(tok_partial, batch_format="pyarrow")
+    tagged = hash_join(parts, res.clusters, "conv_id", num_buckets=16)
+
+    _CT = pa.schema([("cluster_id", pa.string()), ("tok", pa.string()),
+                     ("c_p", pa.int64())])
+
+    def drop_conv(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_id" not in t.column_names:
+            return _CT.empty_table()
+        return pa.table({"cluster_id": t["cluster_id"], "tok": t["tok"],
+                         "c_p": t["c"]}).cast(_CT)
+
+    ct = bucketed_sum(tagged.map_batches(drop_conv,
+                                         batch_format="pyarrow"),
+                      ["cluster_id", "tok"], "c_p", "c",
+                      engine="exchange").materialize()
+
+    n_clusters = int(res.clusters.count())
+    df_tok = bucketed_sum(
+        ct.map_batches(
+            lambda t: pa.table({
+                "tok": t["tok"],
+                "d_p": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+            if t.num_rows else pa.schema(
+                [("tok", pa.string()), ("d_p", pa.int64())]).empty_table(),
+            batch_format="pyarrow"),
+        ["tok"], "d_p", "df", engine="exchange")
+
+    scored = hash_join(ct, df_tok, "tok", num_buckets=16)
+
+    _S = pa.schema([("cluster_id", pa.string()), ("tok", pa.string()),
+                    ("score_e4", pa.int64())])
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_id" not in t.column_names:
+            return _S.empty_table()
+        c = np.asarray(t["c"], dtype=np.float64)
+        df = np.asarray(t["df"], dtype=np.float64)
+        s = c * np.log(np.float64(n_clusters) / df)
+        return pa.table({
+            "cluster_id": t["cluster_id"], "tok": t["tok"],
+            "score_e4": pa.array(np.floor(s * 10000 + 0.5)
+                                 .astype(np.int64))}).cast(_S)
+
+    return topk_per_group(
+        scored.map_batches(score, batch_format="pyarrow"),
+        "cluster_id", "score_e4", LABEL_TOP_K, tie_cols=["tok"],
+        num_buckets=16)
+
+
 def link_lsh_scurve(sf_dir: str):
     """Theoretical LSH S-curve of the FLAGSHIP band configuration —
     P(candidate | Jaccard s) = 1 − (1 − s^r)^b for the config's
@@ -1770,6 +1864,7 @@ QUERIES = {
     "link_eval_metrics": (link_eval_metrics, None),
     "link_pr_curve": (link_pr_curve, None),
     "link_lsh_scurve": (link_lsh_scurve, _sql_lsh_scurve()),
+    "link_cluster_labels": (link_cluster_labels, None),
     "link_scorer_differential": (link_scorer_differential, None),
     "link_cluster_digest": (link_cluster_digest, None),
     "link_cluster_quality": (link_cluster_quality, None),

@@ -69,3 +69,48 @@ def test_link_pr_curve_consistent_with_f1_gate(ray_session):
     rec = curve.sort_index()["recall_e6"].to_numpy()
     assert (rec[:-1] >= rec[1:]).all()
     assert curve["recall_e6"].max() <= 1_000_000
+
+
+def test_link_cluster_labels_cover_and_rank(ray_session):
+    from pboh_entity_linking_ray.pipelines.linkage_queries import (
+        LABEL_TOP_K, _run, link_cluster_labels)
+
+    SF = "/root/testdata/sf0.001"
+    out = (link_cluster_labels(SF).to_pandas()
+           .sort_values(["cluster_id", "score_e4", "tok"],
+                        ascending=[True, False, True])
+           .reset_index(drop=True))
+    res, _ = _run(SF)
+    cl = res.clusters.to_pandas()
+    # every cluster gets labels, at most K each, scores non-increasing
+    assert set(out["cluster_id"]) == set(cl["cluster_id"])
+    g = out.groupby("cluster_id")
+    assert (g.size() <= LABEL_TOP_K).all() and (g.size() >= 1).all()
+    for _, grp in g:
+        s = grp["score_e4"].to_numpy()
+        assert (s[:-1] >= s[1:]).all()
+    # the top label of a cluster actually occurs in that cluster's text
+    import pyarrow.parquet as pq
+
+    import os
+
+    from pboh_entity_linking_ray.pipelines.linkage_queries import (
+        CORPUS_CACHE)
+    from pboh_entity_linking_ray.sources.synthetic import (
+        corpus_dir, sf_to_n_convs)
+    d = corpus_dir(CORPUS_CACHE, sf_to_n_convs(SF))
+    turns = pq.read_table(os.path.join(d, "turns.parquet"),
+                          columns=["conv_id", "text"]).to_pandas()
+    conv2cl = dict(zip(cl["conv_id"], cl["cluster_id"]))
+    turns["cluster_id"] = turns["conv_id"].map(conv2cl)
+    text_by_cl = turns.groupby("cluster_id")["text"] \
+        .apply(lambda s: " ".join(s).lower())
+    top = out.groupby("cluster_id").first()
+    for cid, row in top.sample(10, random_state=0).iterrows():
+        assert row["tok"] in text_by_cl[cid]
+    # deterministic
+    again = (link_cluster_labels(SF).to_pandas()
+             .sort_values(["cluster_id", "score_e4", "tok"],
+                          ascending=[True, False, True])
+             .reset_index(drop=True))
+    assert out.equals(again)
