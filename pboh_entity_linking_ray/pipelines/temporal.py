@@ -1443,8 +1443,111 @@ WHERE den.den > 0
 """
 
 
+# --- q181: STL-lite weekly seasonality profile -------------------------------
+
+STL_OFF = 1_000_000_000_000     # non-negativity shift for floor division
+
+
+def q181_seasonality(sf_dir: str):
+    """STL-lite decomposition of each event type's daily series, in
+    EXACT integers: trend = centered 7-day window sum (only days whose
+    full ±3-day calendar window exists — value-aligned, the q177
+    device), detrended residual ×7 = 7·n − Σ₇ (scaling by 7 instead of
+    dividing keeps it integer), and the SEASONAL profile = per
+    day-of-week mean of the detrended residual — the decomposed answer
+    to q177's "is there weekly rhythm" (HOW MUCH higher is Monday,
+    trend removed, in e2 fixed point).
+
+    The mean uses the repo's shift-before-divide device (DuckDB ``//``
+    truncates, Python floors; on non-negative numerators they agree):
+    floor(100·Σ/cnt) = ((Σ + OFF·cnt)·100)//cnt − OFF·100.  One
+    per-batch count partial → ONE tiny keyed sum → O(types·days) driver
+    fold; the twin mirrors with a range self-join requiring k7 = 7."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    _PART = pa.schema([("g", pa.string()), ("d", pa.int64()),
+                       ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return _PART.empty_table()
+        d = (np.asarray(t["ts"].cast(pa.timestamp("us")), dtype="int64")
+             // _US_DAY)
+        return (pl.DataFrame({"g": pl.from_arrow(
+            t["event_type"].combine_chunks()), "d": d})
+            .group_by(["g", "d"]).agg(n=pl.len().cast(pl.Int64))
+            .to_arrow().cast(_PART))
+
+    c = (bucketed_sum(ev.map_batches(partial, batch_format="pyarrow"),
+                      ["g", "d"], "n", "n", engine="exchange")
+         .to_pandas().sort_values(["g", "d"]))
+
+    out_g, out_w, out_c, out_m = [], [], [], []
+    for g, grp in c.groupby("g"):
+        d = grp["d"].to_numpy(dtype=np.int64)
+        n = grp["n"].to_numpy(dtype=np.int64)
+        s7 = np.zeros(len(d), dtype=np.int64)
+        k7 = np.zeros(len(d), dtype=np.int64)
+        for off in range(-3, 4):
+            pos = np.searchsorted(d, d + off)
+            hit = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)]
+                                    == d + off)
+            s7[hit] += n[pos[hit]]
+            k7 += hit
+        full = k7 == 7
+        det = 7 * n[full] - s7[full]
+        dow = (d[full] + 4) % 7
+        for w in range(7):
+            m = dow == w
+            cnt = int(m.sum())
+            if cnt == 0:
+                continue
+            tot = int(det[m].sum())
+            out_g.append(g)
+            out_w.append(w)
+            out_c.append(cnt)
+            out_m.append(((tot + STL_OFF * cnt) * 100) // cnt
+                         - STL_OFF * 100)
+    return pa.table({
+        "event_type": pa.array(out_g, type=pa.string()),
+        "dow": pa.array(out_w, type=pa.int64()),
+        "n_days": pa.array(out_c, type=pa.int64()),
+        "seasonal_x7_e2": pa.array(out_m, type=pa.int64()),
+    })
+
+
+SQL_Q181 = f"""
+WITH c AS (
+  SELECT event_type AS g, epoch_us(ts) // {_US_DAY} AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+t7 AS (
+  SELECT a.g, a.d, a.n, CAST(sum(b.n) AS BIGINT) AS s7,
+         CAST(count(*) AS BIGINT) AS k7
+  FROM c a JOIN c b ON b.g = a.g AND b.d BETWEEN a.d - 3 AND a.d + 3
+  GROUP BY 1, 2, 3
+),
+det AS (
+  SELECT g, (d + 4) % 7 AS dow, 7 * n - s7 AS x
+  FROM t7 WHERE k7 = 7
+)
+SELECT g AS event_type, CAST(dow AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST((sum(x) + {STL_OFF} * count(*)) * 100 // count(*)
+            - {STL_OFF} * 100 AS BIGINT) AS seasonal_x7_e2
+FROM det GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q23_asof_join": (q23_asof_join, SQL_Q23),
+    "q181_seasonality": (q181_seasonality, SQL_Q181),
     "q177_acf": (q177_acf, SQL_Q177),
     "q173_ltv_triangle": (q173_ltv_triangle, SQL_Q173),
     "q167_kaplan_meier": (q167_kaplan_meier, SQL_Q167),

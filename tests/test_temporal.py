@@ -165,3 +165,40 @@ def test_acf_from_direct_numpy_corrcoef(ray_session):
             want = (x[hit] * x[pos[hit]]).sum() / (x * x).sum()
             assert abs(out.loc[(g, k), "acf_e6"] - want * 1_000_000) <= 1
     assert (out["acf_e6"].abs() <= 1_000_000).all()
+
+
+def test_seasonality_from_direct_decomposition(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pboh_entity_linking_ray.pipelines.temporal import (
+        _US_DAY, q181_seasonality)
+
+    SF = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["d"] = ev["ts"].astype("int64") // _US_DAY
+    out = q181_seasonality(SF).to_pandas() \
+        .set_index(["event_type", "dow"]).sort_index()
+    assert len(out) > 0
+    for g, grp in ev.groupby("event_type"):
+        n = grp.groupby("d").size().sort_index()
+        d = n.index.to_numpy()
+        full = [(i, dd) for i, dd in enumerate(d)
+                if all(dd + o in n.index for o in range(-3, 4))]
+        det = {dd: 7 * n[dd] - sum(n[dd + o] for o in range(-3, 4))
+               for _, dd in full}
+        for w in range(7):
+            vals = [v for dd, v in det.items() if (dd + 4) % 7 == w]
+            if not vals:
+                assert (g, w) not in out.index
+                continue
+            row = out.loc[(g, w)]
+            assert row["n_days"] == len(vals)
+            assert row["seasonal_x7_e2"] == int(
+                np.floor(100 * sum(vals) / len(vals)))
+    # seasonal deviations sum to ~0 across the week (trend removed)
+    for g in out.index.get_level_values(0).unique():
+        s = out.loc[g, "seasonal_x7_e2"]
+        assert abs((s * out.loc[g, "n_days"]).sum()) \
+            <= 700 * out.loc[g, "n_days"].sum()
