@@ -14,6 +14,7 @@ from __future__ import annotations
 import ray.data
 
 from .columnar import read_turns_feather, read_turns_orc
+from .writers import WRITERS, register_writer, write_turns
 from .text_lines import (
     read_turns_csv,
     read_turns_jsonl,

@@ -226,3 +226,30 @@ def test_orc_and_feather_readers_match_parquet(tmp_path, ray_session):
                .reset_index(drop=True))
         pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                       check_dtype=False)
+
+
+def test_writer_registry_roundtrips(tmp_path, ray_session):
+    """Every format with both a writer and a reader round-trips the
+    turns exactly (write through WRITERS, read back through READERS)."""
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    from pboh_entity_linking_ray.sources import (READERS, WRITERS,
+                                                 read_turns, write_turns)
+    from pboh_entity_linking_ray.sources.synthetic import generate_corpus
+
+    c = generate_corpus(25, 5)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    ds = ray.data.from_arrow(c.turns.select(cols))
+    want = (c.turns.select(cols).to_pandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    for fmt in ("parquet", "jsonl", "csv", "tsv"):
+        assert fmt in WRITERS and fmt in READERS
+        out = os.path.join(str(tmp_path), f"turns_{fmt.replace('.', '_')}")
+        write_turns(ds, out, fmt)
+        got = (read_turns(out, fmt).to_pandas()
+               .sort_values(["conv_id", "turn_idx"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[cols], want, check_dtype=False)
