@@ -2079,6 +2079,76 @@ def _als_run(sf_dir: str):
     return tools, v_mat, losses
 
 
+def als_conv_factors(sf_dir: str):
+    """The conversation-side ALS factors — each conv's rank-4 latent
+    usage profile, the collaborative-signal EMBEDDING the factorization
+    exists to produce (feed it to the ANN family for behavior-based
+    similarity where text embeddings see only wording).  One more
+    streaming pass over the materialized counts with the FINAL item
+    factors broadcast: per co-located conv batch the same batched 4×4
+    normal-equation solve, now emitting (conv_id, f0..f3) instead of
+    item partials.  Rows-only; determinism and reconstruction quality
+    are pinned via the shared `_als_run` tests."""
+    import polars as pl
+
+    from ..functions.grouping import hash_exchange
+    from .linkage_queries import _turns
+
+    tools, v_mat, _ = _als_run(sf_dir)
+    tidx = {t: i for i, t in enumerate(tools)}
+    ref = ray.put((v_mat, tidx))
+    r = ALS_RANK
+
+    # rebuild the co-located counts (cheap; _als_run's copy is local)
+    turns = _turns(sf_dir)
+
+    _C = pa.schema([("conv_id", pa.string()), ("tool", pa.string()),
+                    ("c", pa.int64())])
+
+    def cpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return _C.empty_table()
+        df = pl.DataFrame({
+            "conv_id": pl.from_arrow(t["conv_id"].combine_chunks()),
+            "tool": pl.from_arrow(t["tool"].combine_chunks())}) \
+            .filter(pl.col("tool") != "")
+        return (df.group_by(["conv_id", "tool"])
+                .agg(c=pl.len().cast(pl.Int64)).to_arrow().cast(_C))
+
+    def solve_u(t: pa.Table) -> pa.Table:
+        V, ti = ray.get(ref)
+        _O = pa.schema([("conv_id", pa.string())]
+                       + [(f"f{p}", pa.float64()) for p in range(r)])
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return _O.empty_table()
+        df = (pl.from_arrow(t).group_by(["conv_id", "tool"])
+              .agg(c=pl.col("c").sum())
+              .sort(["conv_id", "tool"])
+              .with_columns(ci=pl.col("conv_id").rank("dense")
+                            .cast(pl.Int64) - 1))
+        ci = df["ci"].to_numpy()
+        j = np.array([ti[x] for x in df["tool"].to_list()], dtype=np.int64)
+        c = df["c"].to_numpy().astype(np.float64)
+        nconv = int(ci.max()) + 1
+        vj = V[j]
+        A = np.zeros((nconv, r, r))
+        b = np.zeros((nconv, r))
+        np.add.at(A, ci, vj[:, :, None] * vj[:, None, :])
+        np.add.at(b, ci, c[:, None] * vj)
+        A += ALS_REG * np.eye(r)[None]
+        U = np.linalg.solve(A, b)
+        convs = (df.unique(subset="ci", keep="first").sort("ci")
+                 ["conv_id"].to_list())
+        cols = {"conv_id": pa.array(convs, type=pa.string())}
+        for p in range(r):
+            cols[f"f{p}"] = pa.array(U[:, p])
+        return pa.table(cols).cast(_O)
+
+    return hash_exchange(
+        turns.map_batches(cpart, batch_format="pyarrow"), "conv_id",
+        solve_u, num_buckets=8)
+
+
 def als_tool_factors(sf_dir: str):
     """Rank-4 ALS matrix factorization of the conversation × tool usage
     matrix — the canonical DISTRIBUTED alternating-least-squares shape
@@ -2257,6 +2327,7 @@ QUERIES = {
     # iterative alternating least squares → rows-only; pytest pins loss
     # descent, determinism and beating the zero baseline
     "als_tool_factors": (als_tool_factors, None),
+    "als_conv_factors": (als_conv_factors, None),
     "q180_proportion_ci": (q180_proportion_ci, SQL_Q180),
     "q64_sgd_train": (q64_sgd_train, None),
     "link_train_weights": (link_train_weights, None),

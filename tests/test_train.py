@@ -120,3 +120,44 @@ def test_als_loss_descends_and_is_deterministic(ray_session):
     b = als_tool_factors(SF).to_pandas()
     assert a.equals(b)
     assert np.isfinite(a[[f"f{i}" for i in range(4)]].to_numpy()).all()
+
+
+def test_als_conv_factors_reconstruct(ray_session):
+    import numpy as np
+
+    from pboh_entity_linking_ray.pipelines.training import (
+        ALS_RANK, _als_run, als_conv_factors)
+
+    SF = "/root/testdata/sf0.001"
+    u = (als_conv_factors(SF).to_pandas()
+         .sort_values("conv_id").reset_index(drop=True))
+    assert u["conv_id"].is_unique and len(u) > 50
+    fcols = [f"f{i}" for i in range(ALS_RANK)]
+    assert np.isfinite(u[fcols].to_numpy()).all()
+    # reconstruction: u·v approximates each conv's tool counts far
+    # better than the zero baseline
+    tools, V, _ = _als_run(SF)
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pboh_entity_linking_ray.pipelines.linkage_queries import (
+        CORPUS_CACHE)
+    from pboh_entity_linking_ray.sources.synthetic import (
+        corpus_dir, sf_to_n_convs)
+    d = corpus_dir(CORPUS_CACHE, sf_to_n_convs(SF))
+    t = pq.read_table(os.path.join(d, "turns.parquet"),
+                      columns=["conv_id", "tool"]).to_pandas()
+    t = t[t.tool != ""]
+    counts = t.groupby(["conv_id", "tool"]).size()
+    ti = {x: i for i, x in enumerate(tools)}
+    um = u.set_index("conv_id")[fcols]
+    sq = zero = 0.0
+    for (cid, tool), c in counts.items():
+        pred = float(um.loc[cid].to_numpy() @ V[ti[tool]])
+        sq += (c - pred) ** 2
+        zero += c * c
+    assert sq < 0.05 * zero
+    again = (als_conv_factors(SF).to_pandas()
+             .sort_values("conv_id").reset_index(drop=True))
+    assert u.equals(again)
