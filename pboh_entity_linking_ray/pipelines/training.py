@@ -2307,6 +2307,97 @@ FROM w
 """
 
 
+# --- q182: heavy-tail exponent of user activity ------------------------------
+
+def q182_powerlaw(sf_dir: str):
+    """Power-law screen of the user-activity distribution: log-log OLS
+    slope over the frequency-of-frequencies table (#users with exactly
+    c events vs c) — the heavy-tail report behind every capacity and
+    sampling decision (a slope near −2 says the top users dominate
+    totals; near −1 says they dominate even the COUNT of events), and
+    the same Zipf-style fit a corpus audit runs on token frequencies.
+
+    Distributed quantities are exact int64 (per-user counts → ONE keyed
+    sum; count-histogram → ONE tiny keyed sum); the O(distinct counts)
+    driver fold accumulates the four ln-sums SEQUENTIALLY IN c ORDER
+    (``sum(… ORDER BY c)`` in the twin — the q161/q164 device), and the
+    closed-form slope runs on O(1) scalars in mirrored DOUBLE."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+
+    _U = pa.schema([("user_id", pa.int64()), ("c_p", pa.int64())])
+
+    def upart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _U.empty_table()
+        return (pl.DataFrame({"user_id": np.asarray(t["user_id"],
+                                                    dtype=np.int64)})
+                .group_by("user_id").agg(c_p=pl.len().cast(pl.Int64))
+                .to_arrow().cast(_U))
+
+    users = bucketed_sum(ev.map_batches(upart, batch_format="pyarrow"),
+                         ["user_id"], "c_p", "c", engine="exchange")
+
+    _H = pa.schema([("c", pa.int64()), ("f_p", pa.int64())])
+
+    def hpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c" not in t.column_names:
+            return _H.empty_table()
+        return (pl.from_arrow(t).group_by("c")
+                .agg(f_p=pl.len().cast(pl.Int64)).to_arrow().cast(_H))
+
+    hist = (bucketed_sum(users.map_batches(hpart,
+                                           batch_format="pyarrow"),
+                         ["c"], "f_p", "f", engine="exchange")
+            .to_pandas().sort_values("c"))
+    n_users = np.int64(hist["f"].sum())
+    k = np.int64(len(hist))
+    sx = sy = sxy = sxx = np.float64(0.0)
+    for c, f in zip(hist["c"].to_numpy(np.int64),
+                    hist["f"].to_numpy(np.int64)):   # sequential, c order
+        x = np.log(np.float64(c))
+        y = np.log(np.float64(f))
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+    kd = np.float64(k)
+    slope = (kd * sxy - sx * sy) / (kd * sxx - sx * sx)
+    return pa.table({
+        "n_users": pa.array([n_users]),
+        "n_points": pa.array([k]),
+        "slope_e6": pa.array([np.int64(np.floor(slope * 1_000_000
+                                                + 0.5))]),
+    })
+
+
+SQL_Q182 = """
+WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY user_id),
+h AS (SELECT c, CAST(count(*) AS BIGINT) AS f FROM u GROUP BY c),
+s AS (
+  SELECT CAST(sum(f) AS BIGINT) AS n_users,
+         CAST(count(*) AS BIGINT) AS k,
+         sum(ln(CAST(c AS DOUBLE)) ORDER BY c) AS sx,
+         sum(ln(CAST(f AS DOUBLE)) ORDER BY c) AS sy,
+         sum(ln(CAST(c AS DOUBLE)) * ln(CAST(f AS DOUBLE))
+             ORDER BY c) AS sxy,
+         sum(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+             ORDER BY c) AS sxx
+  FROM h
+)
+SELECT n_users, k AS n_points,
+       CAST(floor((CAST(k AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(k AS DOUBLE) * sxx - sx * sx)
+                  * 1000000 + 0.5) AS BIGINT) AS slope_e6
+FROM s
+"""
+
+
 QUERIES = {
     "q63_grad_step": (q63_grad_step, SQL_Q63),
     "q95_ab_welch": (q95_ab_welch, SQL_Q95),
@@ -2329,6 +2420,7 @@ QUERIES = {
     "als_tool_factors": (als_tool_factors, None),
     "als_conv_factors": (als_conv_factors, None),
     "q180_proportion_ci": (q180_proportion_ci, SQL_Q180),
+    "q182_powerlaw": (q182_powerlaw, SQL_Q182),
     "q64_sgd_train": (q64_sgd_train, None),
     "link_train_weights": (link_train_weights, None),
     "q86_user_trend": (q86_user_trend, SQL_Q86),

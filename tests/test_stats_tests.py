@@ -317,3 +317,18 @@ def test_q180_wilson_from_direct_formula(ray_session):
         assert abs(lo - (ctr - w) / d * 1e6) <= 1
         assert abs(hi - (ctr + w) / d * 1e6) <= 1
         assert lo <= p * 1e6 <= hi          # interval covers the estimate
+
+
+def test_q182_powerlaw_from_polyfit(ray_session):
+    from pboh_entity_linking_ray.pipelines.training import q182_powerlaw
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id"]).to_pandas()
+    counts = ev.groupby("user_id").size()
+    hist = counts.value_counts().sort_index()
+    slope = np.polyfit(np.log(hist.index.to_numpy(dtype=float)),
+                       np.log(hist.to_numpy(dtype=float)), 1)[0]
+    out = q182_powerlaw(SF).to_pandas().iloc[0]
+    assert out["n_users"] == counts.size
+    assert out["n_points"] == len(hist)
+    assert abs(out["slope_e6"] - slope * 1_000_000) <= 2
