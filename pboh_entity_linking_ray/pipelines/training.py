@@ -2398,6 +2398,74 @@ FROM s
 """
 
 
+# --- q183: exact per-group mode ----------------------------------------------
+
+def q183_group_mode(sf_dir: str):
+    """Exact MODE of the value distribution per event type (most
+    frequent cents amount + its count) — the one classic aggregate the
+    summary family still lacked (mean q95, median/quantiles q29/q147,
+    trimmed q169; the mode is what a fraud screen wants for "the
+    scripted amount everyone pays").  Deterministic tie-break: highest
+    count, then SMALLEST value — mirrored as the twin's
+    ``row_number() OVER (ORDER BY n DESC, v ASC)``.
+
+    Shape: (type, cents) count partials → ONE composite-key sum → one
+    tiny type-keyed fold picking each group's argmax — the distinct
+    table never reaches the driver."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum, hash_exchange
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    _PART = pa.schema([("g", pa.string()), ("v", pa.int64()),
+                       ("n_p", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.column_names:
+            return _PART.empty_table()
+        v = np.floor(np.asarray(t["value"]) * 100 + 0.5).astype(np.int64)
+        return (pl.DataFrame({"g": pl.from_arrow(
+            t["event_type"].combine_chunks()), "v": v})
+            .group_by(["g", "v"]).agg(n_p=pl.len().cast(pl.Int64))
+            .to_arrow().cast(_PART))
+
+    counts = bucketed_sum(ev.map_batches(partial, batch_format="pyarrow"),
+                          ["g", "v"], "n_p", "n", engine="exchange")
+
+    _OUT = pa.schema([("event_type", pa.string()),
+                      ("mode_cents", pa.int64()), ("n_mode", pa.int64())])
+
+    def argmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "g" not in t.column_names:
+            return _OUT.empty_table()
+        return (pl.from_arrow(t)
+                .sort(["g", "n", "v"], descending=[False, True, False])
+                .group_by("g", maintain_order=True).head(1)
+                .rename({"g": "event_type", "v": "mode_cents",
+                         "n": "n_mode"})
+                .select(["event_type", "mode_cents", "n_mode"])
+                .to_arrow().cast(_OUT))
+
+    return hash_exchange(counts, "g", argmax, num_buckets=4)
+
+
+SQL_Q183 = """
+WITH c AS (
+  SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT g, v, n,
+         row_number() OVER (PARTITION BY g ORDER BY n DESC, v ASC) AS rk
+  FROM c
+)
+SELECT g AS event_type, v AS mode_cents, n AS n_mode FROM r WHERE rk = 1
+"""
+
+
 QUERIES = {
     "q63_grad_step": (q63_grad_step, SQL_Q63),
     "q95_ab_welch": (q95_ab_welch, SQL_Q95),
@@ -2421,6 +2489,7 @@ QUERIES = {
     "als_conv_factors": (als_conv_factors, None),
     "q180_proportion_ci": (q180_proportion_ci, SQL_Q180),
     "q182_powerlaw": (q182_powerlaw, SQL_Q182),
+    "q183_group_mode": (q183_group_mode, SQL_Q183),
     "q64_sgd_train": (q64_sgd_train, None),
     "link_train_weights": (link_train_weights, None),
     "q86_user_trend": (q86_user_trend, SQL_Q86),

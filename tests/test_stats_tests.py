@@ -332,3 +332,18 @@ def test_q182_powerlaw_from_polyfit(ray_session):
     assert out["n_users"] == counts.size
     assert out["n_points"] == len(hist)
     assert abs(out["slope_e6"] - slope * 1_000_000) <= 2
+
+
+def test_q183_mode_from_value_counts(ray_session):
+    from pboh_entity_linking_ray.pipelines.training import q183_group_mode
+
+    ev = _events()
+    ev["cents"] = _cents(ev["value"])
+    out = q183_group_mode(SF).to_pandas().set_index("event_type")
+    for g, grp in ev.groupby("event_type"):
+        vc = grp["cents"].value_counts()
+        top = vc.max()
+        want_v = min(vc[vc == top].index)      # smallest among ties
+        assert out.loc[g, "mode_cents"] == want_v
+        assert out.loc[g, "n_mode"] == top
+    assert len(out) == ev["event_type"].nunique()
