@@ -152,6 +152,77 @@ def hll_distinct_users(sf_dir: str):
     return hash_exchange(merged, "event_type", finish, num_buckets=16)
 
 
+# --- KMV Jaccard sketch ------------------------------------------------------
+
+KMV_K = 256
+
+
+def kmv_jaccard(sf_dir: str):
+    """Pairwise audience-overlap Jaccard between ALL event types from
+    K-minimum-values sketches (Bar-Yossef 2002) — the SIMILARITY sketch
+    completing the family (HLL answers "how many distinct", KMV also
+    answers "how ALIKE are two sets" from the same per-set K·8-byte
+    state, mergeable like any order statistic): per type keep the K
+    smallest user-id hashes; for a pair, the K smallest of the sketch
+    UNION are a uniform sample of A∪B, and the fraction present in both
+    sketches estimates J with SE ≈ 1/√K.
+
+    Distributed: per-batch in-batch bottom-K partials →
+    ``topk_per_group`` (ascending) so only O(types·K) skinny hash rows
+    ever reach the driver; the pairwise fold is O(types²·K) driver
+    work on the tiny signatures.  Sketch estimate → rows-only; pytest
+    pins each estimate against q94's exact Jaccard within the sketch's
+    error budget."""
+    import polars as pl
+
+    from ..functions.grouping import topk_per_group
+    from ..functions.hashing import hash_strings_u64
+
+    ev = _events(sf_dir)
+
+    _P = pa.schema([("event_type", pa.string()), ("h", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).unique()
+        if len(df) == 0:
+            return _P.empty_table()
+        h = hash_strings_u64(df["user_id"].cast(pl.String), seed=7)
+        # top-bit flip: an order-PRESERVING uint64→int64 bijection, so
+        # "K smallest" means the same thing after the required bit-cast
+        # (a plain view makes values ≥ 2^63 sort negative)
+        hs = (h ^ np.uint64(1 << 63)).view(np.int64)
+        out = (pl.DataFrame({"event_type": df["event_type"],
+                             "h": pl.Series(hs)})
+               .group_by("event_type")
+               .agg(pl.col("h").sort().head(KMV_K))
+               .explode("h"))
+        return out.to_arrow().cast(_P)
+
+    sk = (topk_per_group(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        "event_type", "h", KMV_K, descending=False, num_buckets=8)
+        .to_pandas())
+    sigs = {g: np.sort(grp["h"].to_numpy(dtype=np.int64))
+            for g, grp in sk.groupby("event_type")}   # shifted-order ints
+
+    types = sorted(sigs)
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            u = np.union1d(sigs[a], sigs[b])[:KMV_K]
+            inter = np.isin(u, sigs[a]) & np.isin(u, sigs[b])
+            rows.append((a, b, len(u), int(inter.sum()),
+                         1_000_000 * int(inter.sum()) // len(u)))
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows], type=pa.string()),
+        "type_b": pa.array([r[1] for r in rows], type=pa.string()),
+        "k_union": pa.array([r[2] for r in rows], type=pa.int64()),
+        "k_both": pa.array([r[3] for r in rows], type=pa.int64()),
+        "jaccard_est_e6": pa.array([r[4] for r in rows],
+                                   type=pa.int64()),
+    })
+
+
 # --- q47: Misra–Gries / SpaceSaving heavy hitters ---------------------------
 
 HH_K = 64          # counters per summary.  The documents vocabulary is
@@ -1044,6 +1115,8 @@ QUERIES = {
     "q132_key_skew": (q132_key_skew, SQL_Q132),
     "q94_audience_overlap": (q94_audience_overlap, SQL_Q94),
     "hll_distinct_users": (hll_distinct_users, None),
+    # sketch estimate → rows-only; pytest pins vs q94's exact Jaccard
+    "kmv_jaccard": (kmv_jaccard, None),
     "q47_heavy_tokens": (q47_heavy_tokens, SQL_Q47),
     "quantile_sketch_value": (quantile_sketch_value, None),
     "q87_profile_documents": (q87_profile_documents, SQL_Q87),

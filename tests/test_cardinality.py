@@ -134,3 +134,25 @@ def test_vocab_richness_from_direct_counts(ray_session):
     assert out["unseen_e6"] == 1_000_000 * s1 // n
     assert out["chao1"] == v + s1 * (s1 - 1) // (2 * (s2 + 1))
     assert out["chao1"] >= v          # richness floor never below observed
+
+
+def test_kmv_jaccard_tracks_exact(ray_session):
+    from pboh_entity_linking_ray.pipelines.cardinality import (
+        KMV_K, kmv_jaccard, q94_audience_overlap)
+
+    SF = "/root/testdata/sf0.001"
+    est = (kmv_jaccard(SF).to_pandas()
+           .set_index(["type_a", "type_b"]))
+    exact = (q94_audience_overlap(SF).to_pandas()
+             .set_index(["ta", "tb"]))
+    assert len(est) == len(exact)          # every unordered type pair
+    for (a, b), row in est.iterrows():
+        j_true = exact.loc[(a, b), "jaccard_e4"] / 1e4
+        j_est = row["jaccard_est_e6"] / 1e6
+        # KMV SE ≈ sqrt(J(1-J)/K); allow 4 SE + rounding slop
+        se = (j_true * (1 - j_true) / KMV_K) ** 0.5
+        assert abs(j_est - j_true) <= 4 * se + 0.02
+        assert row["k_both"] <= row["k_union"] <= KMV_K
+    # deterministic
+    assert est.equals(kmv_jaccard(SF).to_pandas()
+                      .set_index(["type_a", "type_b"]))
