@@ -1545,8 +1545,105 @@ FROM det GROUP BY 1, 2
 """
 
 
+# --- q184: seasonal-naive backtest -------------------------------------------
+
+def q184_backtest(sf_dir: str):
+    """Backtest of the SEASONAL-NAIVE forecaster (ŷ(d) = y(d−7), the
+    baseline every real forecast must beat — and the operational
+    complement of q181: q181 says the weekly rhythm exists, this says
+    how well "same weekday last week" actually predicts): per event
+    type, MAPE and bias of the lag-7 prediction over every day with a
+    d−7 observation, plus the same errors for the lag-1 naive — the
+    pair tells you whether weekly structure beats simple persistence.
+
+    All exact integers: absolute/signed error sums and Σy accumulate as
+    int64, the final e4 ratios divide exact sums (weighted MAPE =
+    Σ|err|/Σy — the aggregate form that tolerates zero-count days);
+    day alignment by VALUE (searchsorted ↔ the twin's d−k join)."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    _PART = pa.schema([("g", pa.string()), ("d", pa.int64()),
+                       ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return _PART.empty_table()
+        d = (np.asarray(t["ts"].cast(pa.timestamp("us")), dtype="int64")
+             // _US_DAY)
+        return (pl.DataFrame({"g": pl.from_arrow(
+            t["event_type"].combine_chunks()), "d": d})
+            .group_by(["g", "d"]).agg(n=pl.len().cast(pl.Int64))
+            .to_arrow().cast(_PART))
+
+    c = (bucketed_sum(ev.map_batches(partial, batch_format="pyarrow"),
+                      ["g", "d"], "n", "n", engine="exchange")
+         .to_pandas().sort_values(["g", "d"]))
+
+    out = []
+    for g, grp in c.groupby("g"):
+        d = grp["d"].to_numpy(dtype=np.int64)
+        n = grp["n"].to_numpy(dtype=np.int64)
+        row = [g]
+        for k in (7, 1):
+            pos = np.searchsorted(d, d - k)
+            hit = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)]
+                                    == d - k)
+            err = n[hit] - n[pos[hit]]
+            ae = np.int64(np.abs(err).sum())
+            tot = np.int64(n[hit].sum())
+            row += [int(hit.sum()), int(10000 * ae // tot),
+                    int(err.sum())]
+        out.append(row)
+    return pa.table({
+        "event_type": pa.array([r[0] for r in out], type=pa.string()),
+        "n_days_l7": pa.array([r[1] for r in out], type=pa.int64()),
+        "mape_l7_e4": pa.array([r[2] for r in out], type=pa.int64()),
+        "bias_l7": pa.array([r[3] for r in out], type=pa.int64()),
+        "n_days_l1": pa.array([r[4] for r in out], type=pa.int64()),
+        "mape_l1_e4": pa.array([r[5] for r in out], type=pa.int64()),
+        "bias_l1": pa.array([r[6] for r in out], type=pa.int64()),
+    })
+
+
+SQL_Q184 = f"""
+WITH c AS (
+  SELECT event_type AS g, epoch_us(ts) // {_US_DAY} AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+l7 AS (
+  SELECT a.g, CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(abs(a.n - b.n)) AS BIGINT) AS ae,
+         CAST(sum(a.n) AS BIGINT) AS tot,
+         CAST(sum(a.n - b.n) AS BIGINT) AS bias
+  FROM c a JOIN c b ON b.g = a.g AND b.d = a.d - 7 GROUP BY a.g
+),
+l1 AS (
+  SELECT a.g, CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(abs(a.n - b.n)) AS BIGINT) AS ae,
+         CAST(sum(a.n) AS BIGINT) AS tot,
+         CAST(sum(a.n - b.n) AS BIGINT) AS bias
+  FROM c a JOIN c b ON b.g = a.g AND b.d = a.d - 1 GROUP BY a.g
+)
+SELECT l7.g AS event_type,
+       l7.nd AS n_days_l7,
+       CAST(10000 * l7.ae // l7.tot AS BIGINT) AS mape_l7_e4,
+       l7.bias AS bias_l7,
+       l1.nd AS n_days_l1,
+       CAST(10000 * l1.ae // l1.tot AS BIGINT) AS mape_l1_e4,
+       l1.bias AS bias_l1
+FROM l7 JOIN l1 ON l1.g = l7.g
+"""
+
+
 QUERIES = {
     "q23_asof_join": (q23_asof_join, SQL_Q23),
+    "q184_backtest": (q184_backtest, SQL_Q184),
     "q181_seasonality": (q181_seasonality, SQL_Q181),
     "q177_acf": (q177_acf, SQL_Q177),
     "q173_ltv_triangle": (q173_ltv_triangle, SQL_Q173),

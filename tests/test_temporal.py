@@ -202,3 +202,28 @@ def test_seasonality_from_direct_decomposition(ray_session):
         s = out.loc[g, "seasonal_x7_e2"]
         assert abs((s * out.loc[g, "n_days"]).sum()) \
             <= 700 * out.loc[g, "n_days"].sum()
+
+
+def test_backtest_from_direct_lag_errors(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pboh_entity_linking_ray.pipelines.temporal import (
+        _US_DAY, q184_backtest)
+
+    SF = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["d"] = ev["ts"].astype("int64") // _US_DAY
+    out = q184_backtest(SF).to_pandas().set_index("event_type")
+    for g, grp in ev.groupby("event_type"):
+        n = grp.groupby("d").size().sort_index()
+        for k, col in ((7, "l7"), (1, "l1")):
+            pairs = [(n[dd], n[dd - k]) for dd in n.index
+                     if dd - k in n.index]
+            ae = sum(abs(a - b) for a, b in pairs)
+            tot = sum(a for a, _ in pairs)
+            row = out.loc[g]
+            assert row[f"n_days_{col}"] == len(pairs)
+            assert row[f"mape_{col}_e4"] == 10000 * ae // tot
+            assert row[f"bias_{col}"] == sum(a - b for a, b in pairs)
