@@ -1728,6 +1728,114 @@ FROM c
 """
 
 
+# --- q185: shipping service-level report -------------------------------------
+
+SLA_DAYS = (3, 7, 14)
+
+
+def q185_service_level(sf_dir: str):
+    """Service-level attainment by order priority: the share of orders
+    whose FIRST lineitem shipped within 3 / 7 / 14 days — the SLA
+    scorecard an operations review reads (q178 asks what drives the
+    lag; this reports the committed thresholds).  Reuses the q178
+    shape: per-order min-shipdate via ONE lineitem-keyed exchange fold,
+    ONE `hash_join` with orders, then a per-batch (priority, bucket)
+    count partial and ONE tiny keyed sum; shares are exact e4 integer
+    divisions."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum_multi, hash_exchange, \
+        hash_join
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
+
+    _L = pa.schema([("o_orderkey", pa.int64()), ("ship_p", pa.int64())])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return _L.empty_table()
+        sd = (np.asarray(t["l_shipdate"].cast(pa.timestamp("us")),
+                         dtype="int64") // 86_400_000_000)
+        return (pl.DataFrame({
+            "o_orderkey": np.asarray(t["l_orderkey"], dtype=np.int64),
+            "ship_p": sd}).group_by("o_orderkey")
+            .agg(ship_p=pl.col("ship_p").min()).to_arrow().cast(_L))
+
+    def lmerge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+            return _L.empty_table()
+        return (pl.from_arrow(t).group_by("o_orderkey")
+                .agg(ship_p=pl.col("ship_p").min()).to_arrow().cast(_L))
+
+    per_order = hash_exchange(
+        li.map_batches(lpart, batch_format="pyarrow"), "o_orderkey",
+        lmerge, num_buckets=16)
+    joined = hash_join(per_order, orders, "o_orderkey", num_buckets=16)
+
+    _P = pa.schema([("prio", pa.string()), ("n_p", pa.int64()),
+                    ("w3", pa.int64()), ("w7", pa.int64()),
+                    ("w14", pa.int64())])
+
+    def cells(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderpriority" not in t.column_names:
+            return _P.empty_table()
+        od = (np.asarray(t["o_orderdate"].cast(pa.timestamp("us")),
+                         dtype="int64") // 86_400_000_000)
+        lag = np.asarray(t["ship_p"], dtype=np.int64) - od
+        df = pl.DataFrame({
+            "prio": pl.from_arrow(t["o_orderpriority"].combine_chunks()),
+            "w3": (lag <= 3).astype(np.int64),
+            "w7": (lag <= 7).astype(np.int64),
+            "w14": (lag <= 14).astype(np.int64),
+            "n_p": np.ones(t.num_rows, dtype=np.int64)})
+        return (df.group_by("prio")
+                .agg(*(pl.col(c).sum() for c in ("n_p", "w3", "w7",
+                                                 "w14")))
+                .to_arrow().select(["prio", "n_p", "w3", "w7", "w14"])
+                .cast(_P))
+
+    s = bucketed_sum_multi(
+        joined.map_batches(cells, batch_format="pyarrow"), ["prio"],
+        {"n_p": "n", "w3": "w3", "w7": "w7", "w14": "w14"},
+        num_buckets=2, engine="exchange").to_pandas().sort_values("prio")
+    return pa.table({
+        "o_orderpriority": pa.array(s["prio"], type=pa.string()),
+        "n_orders": pa.array(s["n"].to_numpy(np.int64)),
+        "sla3_e4": pa.array(10000 * s["w3"].to_numpy(np.int64)
+                            // s["n"].to_numpy(np.int64)),
+        "sla7_e4": pa.array(10000 * s["w7"].to_numpy(np.int64)
+                            // s["n"].to_numpy(np.int64)),
+        "sla14_e4": pa.array(10000 * s["w14"].to_numpy(np.int64)
+                             // s["n"].to_numpy(np.int64)),
+    })
+
+
+SQL_Q185 = """
+WITH l AS (
+  SELECT l_orderkey AS o_orderkey,
+         epoch_us(min(l_shipdate)) // 86400000000 AS ship_d
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderpriority AS prio,
+         l.ship_d - epoch_us(o.o_orderdate) // 86400000000 AS lag
+  FROM l JOIN orders o USING (o_orderkey)
+)
+SELECT prio AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(10000 * count(*) FILTER (lag <= 3) // count(*) AS BIGINT)
+         AS sla3_e4,
+       CAST(10000 * count(*) FILTER (lag <= 7) // count(*) AS BIGINT)
+         AS sla7_e4,
+       CAST(10000 * count(*) FILTER (lag <= 14) // count(*) AS BIGINT)
+         AS sla14_e4
+FROM j GROUP BY prio
+"""
+
+
 # --- q178: partial correlation -----------------------------------------------
 
 def q178_partial_corr(sf_dir: str):
@@ -2490,6 +2598,7 @@ QUERIES = {
     "q180_proportion_ci": (q180_proportion_ci, SQL_Q180),
     "q182_powerlaw": (q182_powerlaw, SQL_Q182),
     "q183_group_mode": (q183_group_mode, SQL_Q183),
+    "q185_service_level": (q185_service_level, SQL_Q185),
     "q64_sgd_train": (q64_sgd_train, None),
     "link_train_weights": (link_train_weights, None),
     "q86_user_trend": (q86_user_trend, SQL_Q86),

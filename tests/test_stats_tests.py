@@ -347,3 +347,28 @@ def test_q183_mode_from_value_counts(ray_session):
         assert out.loc[g, "mode_cents"] == want_v
         assert out.loc[g, "n_mode"] == top
     assert len(out) == ev["event_type"].nunique()
+
+
+def test_q185_service_level_from_direct_lags(ray_session):
+    from pboh_entity_linking_ray.pipelines.training import q185_service_level
+
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_shipdate"]).to_pandas()
+    od = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"]).to_pandas()
+    ship = li.groupby("l_orderkey")["l_shipdate"].min()
+    j = od.join(ship.rename("ship"), on="o_orderkey", how="inner")
+    lag = (j["ship"].astype("int64") // 86_400_000_000
+           - j["o_orderdate"].astype("int64") // 86_400_000_000)
+    out = (q185_service_level(SF).to_pandas()
+           .set_index("o_orderpriority"))
+    for prio, grp in lag.groupby(j["o_orderpriority"]):
+        row = out.loc[prio]
+        assert row["n_orders"] == len(grp)
+        for k in (3, 7, 14):
+            assert row[f"sla{k}_e4"] == 10000 * int((grp <= k).sum()) \
+                // len(grp)
+    # SLA attainment is monotone in the window
+    assert (out["sla3_e4"] <= out["sla7_e4"]).all()
+    assert (out["sla7_e4"] <= out["sla14_e4"]).all()
