@@ -1641,8 +1641,84 @@ FROM l7 JOIN l1 ON l1.g = l7.g
 """
 
 
+# --- q186: over-dispersion (Fano factor) screen ------------------------------
+
+def q186_fano(sf_dir: str):
+    """Fano factor (variance/mean) of each event type's daily counts —
+    the one-number over-dispersion screen: a Poisson-like arrival
+    process sits near 1, bursty/clumped traffic (retry storms, batch
+    jobs, campaigns) blows far above it, and under-dispersion (< 1)
+    means rate limiting or scheduling.  Decides WHICH anomaly baseline
+    applies before q139/q145 run (their thresholds assume a noise
+    model; this measures whether the noise is Poisson at all).
+
+    Exact int64 sufficient statistics (nd, Σn, Σn²) per type from the
+    tiny daily table (ONE keyed sum); the sample-variance/mean ratio
+    runs in mirrored DOUBLE on O(types) driver scalars."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    _PART = pa.schema([("g", pa.string()), ("d", pa.int64()),
+                       ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return _PART.empty_table()
+        d = (np.asarray(t["ts"].cast(pa.timestamp("us")), dtype="int64")
+             // _US_DAY)
+        return (pl.DataFrame({"g": pl.from_arrow(
+            t["event_type"].combine_chunks()), "d": d})
+            .group_by(["g", "d"]).agg(n=pl.len().cast(pl.Int64))
+            .to_arrow().cast(_PART))
+
+    c = (bucketed_sum(ev.map_batches(partial, batch_format="pyarrow"),
+                      ["g", "d"], "n", "n", engine="exchange")
+         .to_pandas())
+    g = (c.groupby("g")
+         .agg(nd=("n", "size"), s=("n", "sum"),
+              ss=("n", lambda x: int((x.astype("int64") ** 2).sum())))
+         .sort_index())
+    nd = g["nd"].to_numpy(np.float64)
+    s = g["s"].to_numpy(np.float64)
+    ss = g["ss"].to_numpy(np.float64)
+    var = (ss - s * s / nd) / (nd - 1.0)
+    fano = var / (s / nd)
+    return pa.table({
+        "event_type": pa.array(g.index.to_list(), type=pa.string()),
+        "n_days": pa.array(g["nd"].to_numpy(np.int64)),
+        "fano_e4": pa.array(np.floor(fano * 10000 + 0.5)
+                            .astype(np.int64)),
+    })
+
+
+SQL_Q186 = f"""
+WITH c AS (
+  SELECT event_type AS g, epoch_us(ts) // {_US_DAY} AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS s,
+         CAST(sum(n * n) AS BIGINT) AS ss
+  FROM c GROUP BY g
+)
+SELECT g AS event_type, nd AS n_days,
+       CAST(floor(((CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(nd AS DOUBLE)) / (CAST(nd AS DOUBLE) - 1.0))
+                  / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
+                  * 10000 + 0.5) AS BIGINT) AS fano_e4
+FROM s
+"""
+
+
 QUERIES = {
     "q23_asof_join": (q23_asof_join, SQL_Q23),
+    "q186_fano": (q186_fano, SQL_Q186),
     "q184_backtest": (q184_backtest, SQL_Q184),
     "q181_seasonality": (q181_seasonality, SQL_Q181),
     "q177_acf": (q177_acf, SQL_Q177),

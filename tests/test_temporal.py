@@ -227,3 +227,22 @@ def test_backtest_from_direct_lag_errors(ray_session):
             assert row[f"n_days_{col}"] == len(pairs)
             assert row[f"mape_{col}_e4"] == 10000 * ae // tot
             assert row[f"bias_{col}"] == sum(a - b for a, b in pairs)
+
+
+def test_fano_from_direct_variance(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pboh_entity_linking_ray.pipelines.temporal import _US_DAY, q186_fano
+
+    SF = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["d"] = ev["ts"].astype("int64") // _US_DAY
+    out = q186_fano(SF).to_pandas().set_index("event_type")
+    for g, grp in ev.groupby("event_type"):
+        n = grp.groupby("d").size().to_numpy(dtype=float)
+        fano = n.var(ddof=1) / n.mean()
+        row = out.loc[g]
+        assert row["n_days"] == len(n)
+        assert abs(row["fano_e4"] - fano * 10000) <= 1
