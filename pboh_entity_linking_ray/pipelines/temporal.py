@@ -1716,8 +1716,125 @@ FROM s
 """
 
 
+# --- q187: conversion-window rates -------------------------------------------
+
+CONV_WINDOWS_US = (3_600_000_000, 86_400_000_000, 259_200_000_000)
+
+
+def q187_conversion_window(sf_dir: str):
+    """Time-bounded conversion: of the users who clicked, what share
+    purchased within 1 h / 24 h / 72 h of their FIRST click — the
+    windowed funnel metric (q45 checks the SEQUENCE; attribution and
+    budget decisions need the clock: "converts eventually" and
+    "converts same-hour" price differently).
+
+    ONE user-keyed exchange over skinny (user, ts, is_purchase) rows —
+    the q14 sessionize co-location — whose fold resolves each user
+    exactly (first click epoch-µs, any purchase strictly inside each
+    window) into per-bucket counter partials; exact e4 shares on O(1)
+    driver scalars."""
+    import polars as pl
+    import pyarrow.dataset as pads
+
+    from ..functions.grouping import hash_exchange
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"],
+        filter=pads.field("event_type").isin(["click", "purchase"]))
+
+    _R = pa.schema([("user_id", pa.int64()), ("ts", pa.int64()),
+                    ("is_p", pa.int64())])
+
+    def rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _R.empty_table()
+        return pa.table({
+            "user_id": pa.array(np.asarray(t["user_id"], dtype=np.int64)),
+            "ts": pa.array(np.asarray(t["ts"].cast(pa.timestamp("us")),
+                                      dtype="int64")),
+            "is_p": pa.array((np.asarray(t["event_type"]) == "purchase")
+                             .astype(np.int64)),
+        }).cast(_R)
+
+    _C = pa.schema([("n_click", pa.int64()), ("w1", pa.int64()),
+                    ("w24", pa.int64()), ("w72", pa.int64())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _C.empty_table()
+        df = pl.from_arrow(t)
+        g = (df.group_by("user_id").agg(
+            t0=pl.col("ts").filter(pl.col("is_p") == 0).min(),
+            pts=pl.col("ts").filter(pl.col("is_p") == 1)))
+        g = g.filter(pl.col("t0").is_not_null())
+        if g.height == 0:
+            return _C.empty_table()
+        t0 = g["t0"].to_numpy()
+        wins = []
+        for w in CONV_WINDOWS_US:
+            hits = [
+                int(((p > a) & (p <= a + w)).any()) if len(p) else 0
+                for a, p in zip(t0, (np.asarray(x)
+                                     for x in g["pts"].to_list()))
+            ]
+            wins.append(int(np.sum(hits)))
+        return pa.table({"n_click": pa.array([g.height], type=pa.int64()),
+                         "w1": pa.array([wins[0]], type=pa.int64()),
+                         "w24": pa.array([wins[1]], type=pa.int64()),
+                         "w72": pa.array([wins[2]], type=pa.int64())})
+
+    s = (hash_exchange(ev.map_batches(rows, batch_format="pyarrow"),
+                       "user_id", fold, num_buckets=8)
+         .to_pandas().sum())
+    n = int(s["n_click"])
+    return pa.table({
+        "n_clickers": pa.array([np.int64(n)]),
+        "conv_1h": pa.array([np.int64(s["w1"])]),
+        "conv_24h": pa.array([np.int64(s["w24"])]),
+        "conv_72h": pa.array([np.int64(s["w72"])]),
+        "rate_1h_e4": pa.array([np.int64(10000 * int(s["w1"]) // n)]),
+        "rate_24h_e4": pa.array([np.int64(10000 * int(s["w24"]) // n)]),
+        "rate_72h_e4": pa.array([np.int64(10000 * int(s["w72"]) // n)]),
+    })
+
+
+SQL_Q187 = f"""
+WITH c AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS tp
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT c.user_id,
+         COALESCE(max(CASE WHEN p.tp > c.t0
+                            AND p.tp <= c.t0 + {CONV_WINDOWS_US[0]}
+                           THEN 1 ELSE 0 END), 0) AS w1,
+         COALESCE(max(CASE WHEN p.tp > c.t0
+                            AND p.tp <= c.t0 + {CONV_WINDOWS_US[1]}
+                           THEN 1 ELSE 0 END), 0) AS w24,
+         COALESCE(max(CASE WHEN p.tp > c.t0
+                            AND p.tp <= c.t0 + {CONV_WINDOWS_US[2]}
+                           THEN 1 ELSE 0 END), 0) AS w72
+  FROM c LEFT JOIN p USING (user_id)
+  GROUP BY c.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_clickers,
+       CAST(sum(w1) AS BIGINT) AS conv_1h,
+       CAST(sum(w24) AS BIGINT) AS conv_24h,
+       CAST(sum(w72) AS BIGINT) AS conv_72h,
+       CAST(10000 * sum(w1) // count(*) AS BIGINT) AS rate_1h_e4,
+       CAST(10000 * sum(w24) // count(*) AS BIGINT) AS rate_24h_e4,
+       CAST(10000 * sum(w72) // count(*) AS BIGINT) AS rate_72h_e4
+FROM j
+"""
+
+
 QUERIES = {
     "q23_asof_join": (q23_asof_join, SQL_Q23),
+    "q187_conversion_window": (q187_conversion_window, SQL_Q187),
     "q186_fano": (q186_fano, SQL_Q186),
     "q184_backtest": (q184_backtest, SQL_Q184),
     "q181_seasonality": (q181_seasonality, SQL_Q181),

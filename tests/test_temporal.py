@@ -246,3 +246,29 @@ def test_fano_from_direct_variance(ray_session):
         row = out.loc[g]
         assert row["n_days"] == len(n)
         assert abs(row["fano_e4"] - fano * 10000) <= 1
+
+
+def test_conversion_window_from_direct_scan(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pboh_entity_linking_ray.pipelines.temporal import (
+        CONV_WINDOWS_US, q187_conversion_window)
+
+    SF = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type", "ts"]).to_pandas()
+    ev["us"] = ev["ts"].astype("int64")
+    out = q187_conversion_window(SF).to_pandas().iloc[0]
+    clicks = ev[ev.event_type == "click"].groupby("user_id")["us"].min()
+    purch = ev[ev.event_type == "purchase"].groupby("user_id")["us"] \
+        .apply(np.array)
+    assert out["n_clickers"] == len(clicks)
+    for w, col in zip(CONV_WINDOWS_US, ("conv_1h", "conv_24h", "conv_72h")):
+        n = sum(
+            1 for uid, t0 in clicks.items()
+            if uid in purch.index
+            and ((purch[uid] > t0) & (purch[uid] <= t0 + w)).any())
+        assert out[col] == n
+    assert out["conv_1h"] <= out["conv_24h"] <= out["conv_72h"]
+    assert out["rate_72h_e4"] == 10000 * out["conv_72h"] // out["n_clickers"]
