@@ -752,6 +752,62 @@ def link_cluster_labels(sf_dir: str):
         num_buckets=16)
 
 
+THRESH_SWEEP_E2 = (50, 60, 70)
+
+
+def link_threshold_sensitivity(sf_dir: str):
+    """Stability of the flagship PARTITION under the match threshold —
+    re-cluster the SAME scored pairs at 0.5 / 0.6 (config) / 0.7 and
+    report each partition's cluster count plus its B-cubed F1 / ARI
+    agreement with the config partition (the q125/`cluster_quality`
+    fold): a deployment reads this before trusting entity ids near the
+    operating point — a high-agreement plateau means the ids are robust
+    to calibration drift; a cliff means link_pr_curve's band needs
+    review.  NO re-scoring: clustering is the cheap tail, so the sweep
+    re-runs ONLY star-contraction per threshold on filtered match
+    edges.  (The comparison broadcasts the config partition — the
+    golden-side device; at extreme scale the cell count would come from
+    a cluster-keyed join instead.)"""
+    import pyarrow.compute as pc
+
+    from ..stages.clustering import cluster_matches
+
+    res, cfg = _run(sf_dir)
+    base_tbl = pa.concat_tables(
+        [b for b in res.clusters.iter_batches(batch_format="pyarrow")
+         if b.num_rows]).combine_chunks()
+    universe = res.clusters
+
+    rows = []
+    for thr_e2 in THRESH_SWEEP_E2:
+        thr = thr_e2 / 100.0
+
+        def matches(t: pa.Table, _thr=thr) -> pa.Table:
+            if t.num_rows == 0 or "score" not in t.column_names:
+                return pa.schema([("conv_a", pa.string()),
+                                  ("conv_b", pa.string())]).empty_table()
+            keep = pc.greater_equal(t["score"], _thr)
+            return t.filter(keep).select(["conv_a", "conv_b"])
+
+        cl = cluster_matches(
+            res.scored.map_batches(matches, batch_format="pyarrow"),
+            universe)
+        rep = cluster_quality(
+            cl, base_tbl.select(["conv_id", "cluster_id"])).to_pandas() \
+            .set_index("metric")["value"]
+        rows.append((thr_e2, int(rep["n_pred_clusters"]),
+                     int(rep["bcubed_f1_e6"]), int(rep["ari_e6"])))
+
+    return pa.table({
+        "threshold_e2": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_clusters": pa.array([r[1] for r in rows], type=pa.int64()),
+        "b3_f1_vs_config_e6": pa.array([r[2] for r in rows],
+                                       type=pa.int64()),
+        "ari_vs_config_e6": pa.array([r[3] for r in rows],
+                                     type=pa.int64()),
+    })
+
+
 def link_lsh_scurve(sf_dir: str):
     """Theoretical LSH S-curve of the FLAGSHIP band configuration —
     P(candidate | Jaccard s) = 1 − (1 − s^r)^b for the config's
@@ -1865,6 +1921,7 @@ QUERIES = {
     "link_pr_curve": (link_pr_curve, None),
     "link_lsh_scurve": (link_lsh_scurve, _sql_lsh_scurve()),
     "link_cluster_labels": (link_cluster_labels, None),
+    "link_threshold_sensitivity": (link_threshold_sensitivity, None),
     "link_scorer_differential": (link_scorer_differential, None),
     "link_cluster_digest": (link_cluster_digest, None),
     "link_cluster_quality": (link_cluster_quality, None),

@@ -114,3 +114,21 @@ def test_link_cluster_labels_cover_and_rank(ray_session):
                           ascending=[True, False, True])
              .reset_index(drop=True))
     assert out.equals(again)
+
+
+def test_threshold_sensitivity_plateau(ray_session):
+    from pboh_entity_linking_ray.pipelines.linkage_queries import (
+        link_threshold_sensitivity)
+
+    SF = "/root/testdata/sf0.001"
+    out = (link_threshold_sensitivity(SF).to_pandas()
+           .set_index("threshold_e2").sort_index())
+    # the config threshold row compares the partition to itself
+    assert out.loc[60, "b3_f1_vs_config_e6"] == 1_000_000
+    assert out.loc[60, "ari_vs_config_e6"] == 1_000_000
+    # raising the threshold can only split clusters (monotone count)
+    assert (out["n_clusters"].diff().dropna() >= 0).all()
+    assert (out["b3_f1_vs_config_e6"] <= 1_000_000).all()
+    again = (link_threshold_sensitivity(SF).to_pandas()
+             .set_index("threshold_e2").sort_index())
+    assert out.equals(again)
