@@ -1760,28 +1760,29 @@ def q187_conversion_window(sf_dir: str):
                     ("w24", pa.int64()), ("w72", pa.int64())])
 
     def fold(t: pa.Table) -> pa.Table:
+        # fully vectorized: first-click per user, one join re-attaches
+        # t0 to the purchase rows, window flags fold per user — never a
+        # Python loop over users
         if t.num_rows == 0 or "user_id" not in t.column_names:
             return _C.empty_table()
         df = pl.from_arrow(t)
-        g = (df.group_by("user_id").agg(
-            t0=pl.col("ts").filter(pl.col("is_p") == 0).min(),
-            pts=pl.col("ts").filter(pl.col("is_p") == 1)))
-        g = g.filter(pl.col("t0").is_not_null())
-        if g.height == 0:
+        t0 = (df.filter(pl.col("is_p") == 0).group_by("user_id")
+              .agg(t0=pl.col("ts").min()))
+        if t0.height == 0:
             return _C.empty_table()
-        t0 = g["t0"].to_numpy()
-        wins = []
-        for w in CONV_WINDOWS_US:
-            hits = [
-                int(((p > a) & (p <= a + w)).any()) if len(p) else 0
-                for a, p in zip(t0, (np.asarray(x)
-                                     for x in g["pts"].to_list()))
-            ]
-            wins.append(int(np.sum(hits)))
-        return pa.table({"n_click": pa.array([g.height], type=pa.int64()),
-                         "w1": pa.array([wins[0]], type=pa.int64()),
-                         "w24": pa.array([wins[1]], type=pa.int64()),
-                         "w72": pa.array([wins[2]], type=pa.int64())})
+        p = (df.filter(pl.col("is_p") == 1)
+             .join(t0, on="user_id", how="inner"))
+        hits = (p.group_by("user_id").agg(
+            *(((pl.col("ts") > pl.col("t0"))
+               & (pl.col("ts") <= pl.col("t0") + w)).any()
+              .cast(pl.Int64).alias(n)
+              for w, n in zip(CONV_WINDOWS_US, ("w1", "w24", "w72")))))
+        return pa.table({
+            "n_click": pa.array([t0.height], type=pa.int64()),
+            "w1": pa.array([int(hits["w1"].sum())], type=pa.int64()),
+            "w24": pa.array([int(hits["w24"].sum())], type=pa.int64()),
+            "w72": pa.array([int(hits["w72"].sum())], type=pa.int64()),
+        })
 
     s = (hash_exchange(ev.map_batches(rows, batch_format="pyarrow"),
                        "user_id", fold, num_buckets=8)
