@@ -79,9 +79,19 @@ def read_turns_jsonl_gz(path: str) -> ray.data.Dataset:
 
 
 def read_turns_csv(path: str) -> ray.data.Dataset:
-    """Headered CSV turns source via ``ray.data.read_csv``."""
-    return (ray.data.read_csv(path)
-            .map_batches(conform_turns, batch_format="pyarrow"))
+    """Headered CSV turns source via ``ray.data.read_csv``.
+
+    ``null_values=[]`` keeps empty fields as EMPTY STRINGS: pyarrow's
+    default reads ``""`` as null, which breaks write→read round-trips
+    (CSV cannot distinguish empty from missing, and the canonical turns
+    contract uses "" for no-tool)."""
+    from pyarrow import csv as pacsv
+
+    return (ray.data.read_csv(
+        path,
+        convert_options=pacsv.ConvertOptions(null_values=[],
+                                             strings_can_be_null=False))
+        .map_batches(conform_turns, batch_format="pyarrow"))
 
 
 def read_turns_tsv(path: str, *, normalize_tools: bool = False

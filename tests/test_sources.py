@@ -253,3 +253,36 @@ def test_writer_registry_roundtrips(tmp_path, ray_session):
                .sort_values(["conv_id", "turn_idx"])
                .reset_index(drop=True))
         pd.testing.assert_frame_equal(got[cols], want, check_dtype=False)
+
+
+def test_writer_roundtrip_adversarial_text(tmp_path, ray_session):
+    """jsonl and csv sinks must round-trip ARBITRARY text — quotes,
+    commas, newlines, unicode, leading/trailing space (tsv documents
+    its no-tab/newline contract and is exempt)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from pboh_entity_linking_ray.sources import read_turns, write_turns
+
+    texts = ['plain', 'with,comma', 'with "quotes"', "line\nbreak",
+             'uniçødé ☃', '  padded  ', 'tab\\escape',
+             "single'quote", '{"json": "looking"}', '']
+    tbl = pa.table({
+        "conv_id": pa.array([f"c{i:02d}" for i in range(len(texts))]),
+        "turn_idx": pa.array([0] * len(texts), type=pa.int32()),
+        "role": pa.array(["user"] * len(texts)),
+        "text": pa.array(texts),
+        "tool": pa.array([""] * len(texts)),
+    })
+    ds = ray.data.from_arrow(tbl)
+    want = tbl.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    for fmt in ("jsonl", "csv"):
+        out = os.path.join(str(tmp_path), f"adv_{fmt}")
+        write_turns(ds, out, fmt)
+        got = (read_turns(out, fmt).to_pandas()
+               .sort_values("conv_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False)
