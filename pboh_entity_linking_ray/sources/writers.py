@@ -25,6 +25,30 @@ def write_turns_jsonl(ds: ray.data.Dataset, path: str) -> None:
     ds.write_json(path)
 
 
+def write_turns_jsonl_gz(ds: ray.data.Dataset, path: str) -> None:
+    """Gzip JSONL sink — the symmetric partner of READERS["jsonl.gz"]:
+    compression runs inside the write tasks (``arrow_open_stream_args``),
+    one ``.json.gz`` file per block (gzip is unsplittable, so the
+    shard-by-file discipline matters doubly here)."""
+    ds.write_json(path, arrow_open_stream_args={"compression": "gzip"},
+                  filename_provider=_GzSuffix())
+
+
+class _GzSuffix:
+    """FilenameProvider appending .gz so the reader's extension filter
+    finds the files."""
+
+    def get_filename_for_block(self, block, write_uuid, task_index,
+                               block_index) -> str:
+        return (f"{write_uuid}_{task_index:06d}_{block_index:06d}"
+                ".json.gz")
+
+    def get_filename_for_row(self, row, write_uuid, task_index,
+                             block_index, row_index) -> str:
+        return (f"{write_uuid}_{task_index:06d}_{block_index:06d}"
+                f"_{row_index:06d}.json.gz")
+
+
 def write_turns_csv(ds: ray.data.Dataset, path: str) -> None:
     ds.write_csv(path)
 
@@ -54,6 +78,7 @@ def write_turns_tsv(ds: ray.data.Dataset, path: str) -> None:
 WRITERS: dict[str, object] = {
     "parquet": write_turns_parquet,
     "jsonl": write_turns_jsonl,
+    "jsonl.gz": write_turns_jsonl_gz,
     "csv": write_turns_csv,
     "tsv": write_turns_tsv,
 }

@@ -245,7 +245,7 @@ def test_writer_registry_roundtrips(tmp_path, ray_session):
     ds = ray.data.from_arrow(c.turns.select(cols))
     want = (c.turns.select(cols).to_pandas()
             .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
-    for fmt in ("parquet", "jsonl", "csv", "tsv"):
+    for fmt in ("parquet", "jsonl", "jsonl.gz", "csv", "tsv"):
         assert fmt in WRITERS and fmt in READERS
         out = os.path.join(str(tmp_path), f"turns_{fmt.replace('.', '_')}")
         write_turns(ds, out, fmt)
