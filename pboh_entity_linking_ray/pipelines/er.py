@@ -518,6 +518,131 @@ def q128_soundex_blocking(sf_dir: str):
                            engine="exchange")
 
 
+# --- q188: NYSIIS phonetic blocking ------------------------------------------
+
+_VOWELS = "AEIOU"
+
+
+def _nysiis(word: str) -> str:
+    """Standard NYSIIS code (Taft 1970), full length (no 6-char
+    truncation — modern usage; the original archival spec truncates).
+    Procedural multi-character rewrite rules — NOT SQL-expressible,
+    which is why this family is rows-only where Soundex (q128) carries
+    a translate/regexp twin."""
+    w = "".join(ch for ch in word.upper() if ch.isalpha())
+    if not w:
+        return ""
+    for pre, rep in (("MAC", "MCC"), ("KN", "NN"), ("K", "C"),
+                     ("PH", "FF"), ("PF", "FF"), ("SCH", "SSS")):
+        if w.startswith(pre):
+            w = rep + w[len(pre):]
+            break
+    for suf, rep in (("EE", "Y"), ("IE", "Y"), ("DT", "D"), ("RT", "D"),
+                     ("RD", "D"), ("NT", "D"), ("ND", "D")):
+        if w.endswith(suf):
+            w = w[:len(w) - len(suf)] + rep
+            break
+    key = w[0]
+    prev = w[0]
+    i = 1
+    while i < len(w):
+        ch = w[i]
+        if w[i:i + 2] == "EV":
+            tr, i = "AF", i + 2
+        elif ch in _VOWELS:
+            tr, i = "A", i + 1
+        elif ch == "Q":
+            tr, i = "G", i + 1
+        elif ch == "Z":
+            tr, i = "S", i + 1
+        elif ch == "M":
+            tr, i = "N", i + 1
+        elif w[i:i + 2] == "KN":
+            tr, i = "N", i + 2
+        elif ch == "K":
+            tr, i = "C", i + 1
+        elif w[i:i + 3] == "SCH":
+            tr, i = "SSS", i + 3
+        elif w[i:i + 2] == "PH":
+            tr, i = "FF", i + 2
+        elif ch == "H" and (prev not in _VOWELS
+                            or (i + 1 < len(w)
+                                and w[i + 1] not in _VOWELS)):
+            tr, i = prev, i + 1
+        elif ch == "W" and prev in _VOWELS:
+            tr, i = prev, i + 1
+        else:
+            tr, i = ch, i + 1
+        for c in tr:
+            if c != key[-1]:
+                key += c
+        prev = tr[-1] if tr else prev
+    if len(key) > 1 and key.endswith("S"):
+        key = key[:-1]
+    if key.endswith("AY"):
+        key = key[:-2] + "Y"
+    if len(key) > 1 and key.endswith("A"):
+        key = key[:-1]
+    return key
+
+
+def q188_nysiis_blocking(sf_dir: str):
+    """NYSIIS phonetic blocking inventory over the part-name words —
+    q128's report for the SECOND classic phonetic scheme (NYSIIS keeps
+    more structure than Soundex: vowel positions collapse to A instead
+    of vanishing, so blocks are finer — compare the two inventories to
+    pick a phonetic blocker's recall/budget point).  Same shape as
+    q128: encode at the DISTINCT-WORD level per batch, O(codes)
+    partials with per-batch-deduped (code, word) rows, ONE skinny
+    code-keyed exchange.  Multi-char rewrite rules are procedural → no
+    SQL twin (rows-only); textbook vectors + spelling-variant collision
+    pinned in pytest."""
+    import polars as pl
+
+    from .relational import _t
+
+    part_schema = pa.schema([("code", pa.string()), ("n_p", pa.int64()),
+                             ("word", pa.string())])
+
+    def encode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ex = (pl.DataFrame({"toks": pl.from_arrow(
+                  t["p_name"].combine_chunks())
+                  .str.to_lowercase().str.extract_all("[a-z]+")})
+              .explode("toks").drop_nulls("toks"))
+        words = ex["toks"].to_numpy()
+        uniq, inv = np.unique(words, return_inverse=True)
+        codes = np.array([_nysiis(u) for u in uniq])
+        df = (pl.DataFrame({"code": codes[inv], "word": words})
+              .group_by("code", "word")
+              .agg(pl.len().cast(pl.Int64).alias("n_p")))
+        return df.select("code", "n_p", "word").to_arrow() \
+            .cast(part_schema)
+
+    empty = pa.table({"code": pa.array([], type=pa.string()),
+                      "n_parts": pa.array([], type=pa.int64()),
+                      "n_words": pa.array([], type=pa.int64()),
+                      "n_pairs": pa.array([], type=pa.int64())})
+
+    def inventory(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "code" not in t.column_names:
+            return empty
+        g = (pl.from_arrow(t).group_by("code")
+             .agg(pl.col("n_p").sum().alias("n_parts"),
+                  pl.col("word").n_unique().cast(pl.Int64)
+                    .alias("n_words"))
+             .with_columns((pl.col("n_parts") * (pl.col("n_parts") - 1)
+                            // 2).alias("n_pairs")))
+        return g.select("code", "n_parts", "n_words", "n_pairs") \
+            .to_arrow().cast(empty.schema)
+
+    parts = _t(sf_dir, "part", ["p_name"]).map_batches(
+        encode, batch_format="pyarrow")
+    return bucketed_groups(parts, "code", inventory, num_buckets=8,
+                           engine="exchange")
+
+
 _SOUNDEX_SQL_CODE = (
     "upper(substr(w, 1, 1)) || substr(replace(substr("
     "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
@@ -1311,6 +1436,8 @@ QUERIES = {
     "q122_review_queue": (q122_review_queue, _sql_q122()),
     "q127_pr_curve": (q127_pr_curve, _sql_q127()),
     "q128_soundex_blocking": (q128_soundex_blocking, SQL_Q128),
+    # procedural rewrite rules → rows-only; textbook vectors in pytest
+    "q188_nysiis_blocking": (q188_nysiis_blocking, None),
     "q130_canopy": (q130_canopy, _sql_q130()),
     "q131_monge_elkan": (q131_monge_elkan, SQL_Q131),
     "q138_one_to_one_match": (q138_one_to_one_match, _sql_q138()),
