@@ -752,6 +752,66 @@ def link_cluster_labels(sf_dir: str):
         num_buckets=16)
 
 
+def link_block_histogram(sf_dir: str):
+    """Log₂-bucketed block-size histogram of the flagship blocker — the
+    SKEW view the full inventory hides in 30k rows: how many blocks of
+    size 2, 3–4, 5–8, …, how many members and C(n,2) candidate pairs
+    each bucket contributes, and the share of the total pair budget at
+    or above each size (cumulative from the top).  One glance answers
+    "is the pair budget dominated by a few huge blocks" — the question
+    the in-bucket salting (BLOCK caps) exists to keep bounded.
+
+    Shape: block_inventory's keyed count → per-batch log₂-bucket
+    partials → ONE ≤32-row keyed sum → exact-integer driver fold for
+    the cumulative share."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum_multi
+    from ..stages.blocking import add_block_keys, block_inventory
+    from ..stages.featurize import featurize
+
+    cfg = PipelineConfig()
+    feats = featurize(canonicalize(_turns(sf_dir)), cfg)
+    inv = block_inventory(add_block_keys(feats, cfg))
+
+    _P = pa.schema([("b", pa.int64()), ("n_blocks", pa.int64()),
+                    ("n_members", pa.int64()), ("n_pairs", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "count()" not in t.column_names:
+            return _P.empty_table()
+        n = np.asarray(t["count()"], dtype=np.int64)
+        n = n[n >= 2]                      # singleton keys emit no pairs
+        if len(n) == 0:
+            return _P.empty_table()
+        b = np.floor(np.log2(n)).astype(np.int64)
+        return (pl.DataFrame({"b": b, "n_blocks": 1,
+                              "n_members": n,
+                              "n_pairs": n * (n - 1) // 2})
+                .group_by("b")
+                .agg(pl.col("n_blocks").sum().cast(pl.Int64),
+                     pl.col("n_members").sum(), pl.col("n_pairs").sum())
+                .to_arrow().cast(_P))
+
+    h = bucketed_sum_multi(
+        inv.map_batches(partial, batch_format="pyarrow"), ["b"],
+        {"n_blocks": "n_blocks", "n_members": "n_members",
+         "n_pairs": "n_pairs"}, num_buckets=2,
+        engine="exchange").to_pandas().sort_values("b", ascending=False)
+    total_pairs = int(h["n_pairs"].sum())
+    cum = h["n_pairs"].cumsum()
+    share = (1_000_000 * cum // total_pairs) if total_pairs else cum * 0
+    h = h.assign(cum_pair_share_e6=share).sort_values("b")
+    return pa.table({
+        "size_log2": pa.array(h["b"].to_numpy(np.int64)),
+        "n_blocks": pa.array(h["n_blocks"].to_numpy(np.int64)),
+        "n_members": pa.array(h["n_members"].to_numpy(np.int64)),
+        "n_pairs": pa.array(h["n_pairs"].to_numpy(np.int64)),
+        "cum_pair_share_from_top_e6": pa.array(
+            h["cum_pair_share_e6"].to_numpy(np.int64)),
+    })
+
+
 THRESH_SWEEP_E2 = (50, 60, 70)
 
 
@@ -1922,6 +1982,7 @@ QUERIES = {
     "link_lsh_scurve": (link_lsh_scurve, _sql_lsh_scurve()),
     "link_cluster_labels": (link_cluster_labels, None),
     "link_threshold_sensitivity": (link_threshold_sensitivity, None),
+    "link_block_histogram": (link_block_histogram, None),
     "link_scorer_differential": (link_scorer_differential, None),
     "link_cluster_digest": (link_cluster_digest, None),
     "link_cluster_quality": (link_cluster_quality, None),

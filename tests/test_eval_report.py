@@ -132,3 +132,21 @@ def test_threshold_sensitivity_plateau(ray_session):
     again = (link_threshold_sensitivity(SF).to_pandas()
              .set_index("threshold_e2").sort_index())
     assert out.equals(again)
+
+
+def test_block_histogram_conserves_inventory(ray_session):
+    from pboh_entity_linking_ray.pipelines.linkage_queries import (
+        link_block_histogram, link_block_inventory)
+
+    SF = "/root/testdata/sf0.001"
+    hist = link_block_histogram(SF).to_pandas()
+    inv = link_block_inventory(SF).to_pandas()
+    n = inv["count()"].to_numpy()
+    n = n[n >= 2]
+    assert hist["n_blocks"].sum() == len(n)
+    assert hist["n_members"].sum() == n.sum()
+    assert hist["n_pairs"].sum() == (n * (n - 1) // 2).sum()
+    # cumulative-from-top share is monotone decreasing in block size
+    s = hist.sort_values("size_log2")["cum_pair_share_from_top_e6"]
+    assert (s.diff().dropna() <= 0).all()
+    assert s.iloc[0] == 1_000_000
