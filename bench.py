@@ -272,7 +272,7 @@ OPS_DEFAULT = [
     "q173_ltv_triangle", "q174_compression_ratio", "q175_fd_audit",
     "q176_ref_integrity", "q177_acf", "q178_partial_corr",
     "q179_cramers_v", "als_tool_factors", "q180_proportion_ci",
-    "link_cluster_labels", "q181_seasonality", "als_conv_factors", "q182_powerlaw", "q183_group_mode", "kmv_jaccard", "q184_backtest", "q185_service_level", "q186_fano", "q187_conversion_window", "link_threshold_sensitivity", "q188_nysiis_blocking", "link_block_histogram",
+    "link_cluster_labels", "q181_seasonality", "als_conv_factors", "q182_powerlaw", "q183_group_mode", "kmv_jaccard", "q184_backtest", "q185_service_level", "q186_fano", "q187_conversion_window", "link_threshold_sensitivity", "q188_nysiis_blocking", "link_block_histogram", "q189_ratio_metric",
 ]
 
 

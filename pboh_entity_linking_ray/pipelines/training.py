@@ -1836,6 +1836,160 @@ FROM j GROUP BY prio
 """
 
 
+# --- q189: ratio metric with delta-method CI ---------------------------------
+
+Z975 = 1.959963984540054
+
+
+def q189_ratio_metric(sf_dir: str):
+    """Revenue per active day, per experiment arm, with the
+    DELTA-METHOD confidence interval — the correct treatment of a RATIO
+    metric (R = Σx/Σy over users): user-level x and y are correlated,
+    so naive per-row averaging is biased and a plain mean-CI is wrong;
+    Var(R) ≈ (s²_x + R²·s²_y − 2R·s_xy)/(n·ȳ²) is the standard fix
+    (Fieller/ delta method, the formula every experimentation platform
+    implements).  Completes the A/B family: q95 means, q180
+    proportions, q168 sequential — this is the ratio member.
+
+    Per-user (revenue cents, active days) via ONE keyed sum, then the
+    six exact int64 sufficient statistics per arm in a per-batch pass +
+    tiny fold; the delta formula runs on O(arms) driver scalars in
+    DOUBLE (z quantile as the shared literal).  Σx² carries the q164
+    overflow ceiling note."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum_multi
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "ts",
+                                        "value"])
+
+    # ship the (user, day) grain: per-user DISTINCT-day counts are not
+    # mergeable across batch partials, per-(user, day) sums are
+    _UD = pa.schema([("user_id", pa.int64()), ("d", pa.int64()),
+                     ("x_p", pa.int64())])
+
+    def ud_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _UD.empty_table()
+        cents = np.where(
+            np.asarray(t["event_type"]) == "purchase",
+            np.floor(np.asarray(t["value"]) * 100 + 0.5).astype(np.int64),
+            0)
+        day = (np.asarray(t["ts"].cast(pa.timestamp("us")),
+                          dtype="int64") // 86_400_000_000)
+        return (pl.DataFrame({
+            "user_id": np.asarray(t["user_id"], dtype=np.int64),
+            "d": day, "x_p": cents})
+            .group_by(["user_id", "d"]).agg(x_p=pl.col("x_p").sum())
+            .to_arrow().cast(_UD))
+
+    ud = bucketed_sum_multi(
+        ev.map_batches(ud_part, batch_format="pyarrow"),
+        ["user_id", "d"], {"x_p": "x"}, num_buckets=8,
+        engine="exchange")
+
+    _S = pa.schema([("arm", pa.int64()), ("n", pa.int64()),
+                    ("sx", pa.int64()), ("sy", pa.int64()),
+                    ("sxx", pa.int64()), ("syy", pa.int64()),
+                    ("sxy", pa.int64())])
+
+    def stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _S.empty_table()
+        df = (pl.from_arrow(t).group_by("user_id")
+              .agg(x=pl.col("x").sum(), y=pl.len().cast(pl.Int64)))
+        u = df["user_id"].to_numpy()
+        x = df["x"].to_numpy().astype(np.int64)
+        y = df["y"].to_numpy().astype(np.int64)
+        arm = u % 2
+        out = pl.DataFrame({"arm": arm, "n": 1, "sx": x, "sy": y,
+                            "sxx": x * x, "syy": y * y, "sxy": x * y})
+        return (out.group_by("arm")
+                .agg(*(pl.col(c).sum().cast(pl.Int64)
+                       for c in ("n", "sx", "sy", "sxx", "syy", "sxy")))
+                .to_arrow().cast(_S))
+
+    # the (user, day) grain is already user-co-located by the exchange,
+    # so the per-user fold inside `stats` is exact per batch=bucket
+    s = (ud.map_batches(stats, batch_format="pyarrow", batch_size=None)
+         .to_pandas().groupby("arm").sum().sort_index())
+
+    rows = []
+    for arm in (0, 1):
+        n = np.float64(s.loc[arm, "n"])
+        sx = np.float64(s.loc[arm, "sx"])
+        sy = np.float64(s.loc[arm, "sy"])
+        sxx = np.float64(s.loc[arm, "sxx"])
+        syy = np.float64(s.loc[arm, "syy"])
+        sxy = np.float64(s.loc[arm, "sxy"])
+        r = sx / sy
+        vx = (sxx - sx * sx / n) / (n - 1.0)
+        vy = (syy - sy * sy / n) / (n - 1.0)
+        cxy = (sxy - sx * sy / n) / (n - 1.0)
+        ybar = sy / n
+        se = np.sqrt((vx + r * r * vy - 2.0 * r * cxy)
+                     / (n * ybar * ybar))
+        rows.append((arm, int(s.loc[arm, "n"]),
+                     np.int64(np.floor(r * 10000 + 0.5)),
+                     np.int64(np.floor((r - Z975 * se) * 10000 + 0.5)),
+                     np.int64(np.floor((r + Z975 * se) * 10000 + 0.5))))
+    return pa.table({
+        "arm": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_users": pa.array([r[1] for r in rows], type=pa.int64()),
+        "rev_per_day_e4": pa.array([r[2] for r in rows],
+                                   type=pa.int64()),
+        "lo_e4": pa.array([r[3] for r in rows], type=pa.int64()),
+        "hi_e4": pa.array([r[4] for r in rows], type=pa.int64()),
+    })
+
+
+_DELTA_SE_SQL = """sqrt((((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+            * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0))
+          + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+            * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+            * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0))
+          - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+            * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0)))
+         / (CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))"""
+
+SQL_Q189 = f"""
+WITH ud AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+u AS (SELECT user_id, CAST(sum(x) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y FROM ud GROUP BY user_id),
+s AS (
+  SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM u GROUP BY 1
+)
+SELECT CAST(arm AS BIGINT) AS arm, n AS n_users,
+       CAST(floor(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) * 10000 + 0.5)
+            AS BIGINT) AS rev_per_day_e4,
+       CAST(floor((CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)
+                   - {Z975!r} * {_DELTA_SE_SQL}) * 10000 + 0.5)
+            AS BIGINT) AS lo_e4,
+       CAST(floor((CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)
+                   + {Z975!r} * {_DELTA_SE_SQL}) * 10000 + 0.5)
+            AS BIGINT) AS hi_e4
+FROM s
+"""
+
+
 # --- q178: partial correlation -----------------------------------------------
 
 def q178_partial_corr(sf_dir: str):
@@ -2599,6 +2753,7 @@ QUERIES = {
     "q182_powerlaw": (q182_powerlaw, SQL_Q182),
     "q183_group_mode": (q183_group_mode, SQL_Q183),
     "q185_service_level": (q185_service_level, SQL_Q185),
+    "q189_ratio_metric": (q189_ratio_metric, SQL_Q189),
     "q64_sgd_train": (q64_sgd_train, None),
     "link_train_weights": (link_train_weights, None),
     "q86_user_trend": (q86_user_trend, SQL_Q86),

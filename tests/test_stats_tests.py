@@ -372,3 +372,33 @@ def test_q185_service_level_from_direct_lags(ray_session):
     # SLA attainment is monotone in the window
     assert (out["sla3_e4"] <= out["sla7_e4"]).all()
     assert (out["sla7_e4"] <= out["sla14_e4"]).all()
+
+
+def test_q189_ratio_metric_from_direct_delta(ray_session):
+    from pboh_entity_linking_ray.pipelines.training import (
+        Z975, q189_ratio_metric)
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "event_type", "ts", "value"]).to_pandas()
+    ev["d"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["cents"] = np.where(ev.event_type == "purchase",
+                           _cents(ev["value"]), 0)
+    u = (ev.groupby("user_id")
+         .agg(x=("cents", "sum"), y=("d", "nunique")))
+    out = q189_ratio_metric(SF).to_pandas().set_index("arm")
+    for arm in (0, 1):
+        g = u[u.index % 2 == arm]
+        x = g["x"].to_numpy(dtype=float)
+        y = g["y"].to_numpy(dtype=float)
+        n = len(g)
+        r = x.sum() / y.sum()
+        se = np.sqrt((x.var(ddof=1) + r * r * y.var(ddof=1)
+                      - 2 * r * np.cov(x, y, ddof=1)[0, 1])
+                     / (n * y.mean() ** 2))
+        row = out.loc[arm]
+        assert row["n_users"] == n
+        assert abs(row["rev_per_day_e4"] - r * 10000) <= 1
+        assert abs(row["lo_e4"] - (r - Z975 * se) * 10000) <= 2
+        assert abs(row["hi_e4"] - (r + Z975 * se) * 10000) <= 2
+        assert row["lo_e4"] <= row["rev_per_day_e4"] <= row["hi_e4"]
