@@ -1553,11 +1553,6 @@ def q137_link_prediction(sf_dir: str):
         lambda t: pa.table({"n": t["b"], "m": t["a"]}),
         batch_format="pyarrow"))
 
-    etbl = _concat_ds(edges)
-    edge_keys = np.sort(np.asarray(etbl["a"], dtype=np.int64) * TRI_OFF
-                        + np.asarray(etbl["b"], dtype=np.int64))
-    keys_ref = ray.put(edge_keys)
-
     empty = pa.table({"pk": pa.array([], type=pa.int64()),
                       "ra_e6": pa.array([], type=pa.int64())})
 
@@ -1587,28 +1582,77 @@ def q137_link_prediction(sf_dir: str):
         return pa.table({"pk": pa.array(np.concatenate(pk_l)),
                          "w": pa.array(np.concatenate(w_l))})
 
-    def sum_filter_top(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "pk" not in t.column_names:
-            return empty
+    def _sum_by_pk(t: pa.Table):
+        """(unique pk, exact int64 Σw) of one pk-keyed bucket — radix
+        sort + reduceat; each pk lives in exactly ONE bucket."""
         pk = np.asarray(t["pk"], dtype=np.int64)
         order = np.argsort(pk, kind="stable")       # radix on int64
         pks = pk[order]
         ws = np.asarray(t["w"], dtype=np.int64)[order]
         starts = np.flatnonzero(np.r_[True, pks[1:] != pks[:-1]])
-        upk = pks[starts]
-        s = np.add.reduceat(ws, starts)
-        keys = ray.get(keys_ref)
-        pos = np.searchsorted(keys, upk)
-        pos[pos == len(keys)] = 0
-        new = keys[pos] != upk if len(keys) else np.ones(len(upk), bool)
-        upk, s = upk[new], s[new]
+        return pks[starts], np.add.reduceat(ws, starts)
+
+    def _top_partial(upk, s):
         if len(upk) > RA_TOP:                     # exact partial: each pk
             sel = np.lexsort((upk, -s))[:RA_TOP]  # lives in ONE bucket
             upk, s = upk[sel], s[sel]
         return pa.table({"pk": pa.array(upk), "ra_e6": pa.array(s)})
 
-    partial = rekey_exchange(sym, "n", wedge_weights, "pk",
-                             sum_filter_top, 32, 32)
+    n_edges = edges.count()
+    if n_edges <= TRI_BCAST_MAX:
+        # broadcast anti-filter: sorted packed edge keys shipped once
+        # (`ray.put`), probed with searchsorted inside the pk bucket —
+        # the q84 closure device
+        etbl = _concat_ds(edges)
+        edge_keys = np.sort(
+            np.asarray(etbl["a"], dtype=np.int64) * TRI_OFF
+            + np.asarray(etbl["b"], dtype=np.int64))
+        keys_ref = ray.put(edge_keys)
+
+        def sum_filter_top(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "pk" not in t.column_names:
+                return empty
+            upk, s = _sum_by_pk(t)
+            keys = ray.get(keys_ref)
+            pos = np.searchsorted(keys, upk)
+            pos[pos == len(keys)] = 0
+            new = (keys[pos] != upk if len(keys)
+                   else np.ones(len(upk), bool))
+            return _top_partial(upk[new], s[new])
+
+        partial = rekey_exchange(sym, "n", wedge_weights, "pk",
+                                 sum_filter_top, 32, 32)
+    else:
+        # scale path (edges > TRI_BCAST_MAX): never driver-collect the
+        # edge set — sum per pk in the fused exchange, then remove
+        # existing edges with an ANTI hash_join on the packed pair key
+        # (skinny probe: only the int64 pk column rides the exchange);
+        # the per-bucket exact top-RA_TOP partial moves into the join's
+        # fused `post` (pks stay unique-per-bucket after the anti join)
+        from ..functions.grouping import hash_join
+
+        def sum_pk(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "pk" not in t.column_names:
+                return empty
+            upk, s = _sum_by_pk(t)
+            return pa.table({"pk": pa.array(upk), "ra_e6": pa.array(s)})
+
+        summed = rekey_exchange(sym, "n", wedge_weights, "pk",
+                                sum_pk, 32, 32)
+        probe = edges.map_batches(
+            lambda t: pa.table({"pk": pa.array(
+                np.asarray(t["a"], dtype=np.int64) * TRI_OFF
+                + np.asarray(t["b"], dtype=np.int64))}),
+            batch_format="pyarrow")
+
+        def top_post(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "pk" not in t.column_names:
+                return empty
+            return _top_partial(np.asarray(t["pk"], dtype=np.int64),
+                                np.asarray(t["ra_e6"], dtype=np.int64))
+
+        partial = hash_join(summed, probe, "pk", num_buckets=32,
+                            how="anti", post=top_post)
     top = partial.sort(["ra_e6", "pk"],
                        descending=[True, False]).limit(RA_TOP)
     return top.map_batches(

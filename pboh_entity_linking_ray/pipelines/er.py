@@ -1205,23 +1205,22 @@ def q144_transitivity_audit(sf_dir: str):
     batched by degree, closure probe via the sorted packed edge-key
     array broadcast once (`ray.put`) and searchsorted per bucket —
     q84's closure device; a match graph outgrowing TRI_BCAST_MAX swaps
-    in the anti hash_join.  Work per bucket is O(Σ deg²) with no
-    Python per wedge.
+    in the SEMI hash_join path (wedge stream ⋉ packed edge keys, then a
+    second exchange on the center finalizes the counts — no driver
+    collect, no oversized broadcast).  Work per bucket is O(Σ deg²)
+    with no Python per wedge.
 
     Reference analogue: the solution-consistency checks of
     eval/Verifier-family bulk set intersections (SURVEY §2 J6/D4),
     applied to the matcher's own output graph."""
     import polars as pl
 
-    from ..functions.grouping import hash_exchange
+    from ..functions.grouping import hash_exchange, hash_join
     from .linkage import _concat_ds
+    from . import analytics as _an
     from .textops import q115_jaro_winkler_pairs
 
     pairs = q115_jaro_winkler_pairs(sf_dir).materialize()
-    etbl = _concat_ds(pairs)
-    edge_keys = np.sort(np.asarray(etbl["a"], dtype=np.int64) * MBM_OFF
-                        + np.asarray(etbl["b"], dtype=np.int64))
-    keys_ref = ray.put(edge_keys)
 
     sym = pairs.map_batches(
         lambda t: pa.table({"n": t["a"], "m": t["b"]}),
@@ -1233,15 +1232,14 @@ def q144_transitivity_audit(sf_dir: str):
     _OUT = pa.schema([("node", pa.int64()), ("n_wedges", pa.int64()),
                       ("n_open", pa.int64()), ("closure_e4", pa.int64())])
 
-    def per_center(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "n" not in t.column_names:
-            return _OUT.empty_table()
+    def _wedges(t: pa.Table):
+        """(ctr, packed u<v key) arrays of all wedges in one
+        center-keyed bucket — grouped-triu batched by degree."""
         df = pl.from_arrow(t).sort(["n", "m"])
         nv = df["n"].to_numpy()
         mv = df["m"].to_numpy()
         starts = np.flatnonzero(np.r_[True, nv[1:] != nv[:-1]])
         sizes = np.diff(np.append(starts, len(nv)))
-        keys = ray.get(keys_ref)
         ctr_l, pk_l = [], []
         for d in np.unique(sizes):
             if d < 2:
@@ -1253,12 +1251,14 @@ def q144_transitivity_audit(sf_dir: str):
             pk_l.append(mv[ai] * MBM_OFF + mv[bi])  # in-group sorted → u<v
             ctr_l.append(np.repeat(nv[base], len(ia)))
         if not pk_l:
-            return _OUT.empty_table()
-        ctr = np.concatenate(ctr_l)
-        pk = np.concatenate(pk_l)
-        pos = np.searchsorted(keys, pk)
-        closed = ((pos < len(keys))
-                  & (keys[np.minimum(pos, len(keys) - 1)] == pk))
+            z = np.array([], dtype=np.int64)
+            return z, z
+        return np.concatenate(ctr_l), np.concatenate(pk_l)
+
+    def _finalize(ctr, closed) -> pa.Table:
+        """per-node (n_wedges, n_open, closure_e4) from one bucket's
+        (ctr, closed-flag) wedge arrays — all of a node's wedges are
+        co-located, so the counts are FINAL."""
         order = np.argsort(ctr, kind="stable")
         cs = ctr[order]
         seg = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
@@ -1273,7 +1273,87 @@ def q144_transitivity_audit(sf_dir: str):
             "closure_e4": pa.array(10000 * n_closed // n_wedges),
         })
 
-    return hash_exchange(sym, "n", per_center, num_buckets=16)
+    n_edges = pairs.count()
+    if n_edges <= _an.TRI_BCAST_MAX:
+        # broadcast closure probe: sorted packed edge keys shipped once
+        etbl = _concat_ds(pairs)
+        edge_keys = np.sort(
+            np.asarray(etbl["a"], dtype=np.int64) * MBM_OFF
+            + np.asarray(etbl["b"], dtype=np.int64))
+        keys_ref = ray.put(edge_keys)
+
+        def per_center(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "n" not in t.column_names:
+                return _OUT.empty_table()
+            ctr, pk = _wedges(t)
+            if not len(ctr):
+                return _OUT.empty_table()
+            keys = ray.get(keys_ref)
+            pos = np.searchsorted(keys, pk)
+            closed = ((pos < len(keys))
+                      & (keys[np.minimum(pos, len(keys) - 1)] == pk))
+            return _finalize(ctr, closed)
+
+        return hash_exchange(sym, "n", per_center, num_buckets=16)
+
+    # scale path (match graph > TRI_BCAST_MAX edges): no driver collect,
+    # no oversized broadcast — ship the (ctr, pk) wedge stream, mark the
+    # closed wedges with a SEMI hash_join on the packed pair key (only
+    # the int64 pk column rides the probe side), then a second exchange
+    # on the center finalizes the counts.
+    _W = pa.schema([("ctr", pa.int64()), ("pk", pa.int64())])
+
+    def wedge_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return _W.empty_table()
+        ctr, pk = _wedges(t)
+        return pa.table({"ctr": pa.array(ctr), "pk": pa.array(pk)})
+
+    wedges = hash_exchange(sym, "n", wedge_rows, num_buckets=16)
+    probe = pairs.map_batches(
+        lambda t: pa.table({"pk": pa.array(
+            np.asarray(t["a"], dtype=np.int64) * MBM_OFF
+            + np.asarray(t["b"], dtype=np.int64))}),
+        batch_format="pyarrow")
+    _C = pa.schema([("ctr", pa.int64()), ("closed", pa.int64())])
+
+    def _tag_closed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ctr" not in t.column_names:
+            return _C.empty_table()
+        return pa.table({"ctr": t["ctr"], "closed": pa.array(
+            np.ones(t.num_rows, dtype=np.int64))})
+
+    closed_w = hash_join(wedges, probe, "pk", num_buckets=16, how="semi",
+                         post=_tag_closed)
+    tagged = wedges.map_batches(
+        lambda t: (pa.table({"ctr": t["ctr"], "closed": pa.array(
+            np.zeros(t.num_rows, dtype=np.int64))})
+            if "ctr" in t.column_names else _C.empty_table()),
+        batch_format="pyarrow").union(closed_w)
+
+    def count_center(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ctr" not in t.column_names:
+            return _OUT.empty_table()
+        # each wedge contributes one closed=0 row, plus one closed=1 row
+        # iff the semi join kept it: n_wedges = #rows-with-0, n_closed =
+        # #rows-with-1, both final per center in this bucket
+        ctr = np.asarray(t["ctr"], dtype=np.int64)
+        cl = np.asarray(t["closed"], dtype=np.int64)
+        order = np.argsort(ctr, kind="stable")
+        cs, cls = ctr[order], cl[order]
+        seg = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        n_total = np.diff(np.append(seg, len(cs))).astype(np.int64)
+        n_closed = np.add.reduceat(cls, seg)
+        n_wedges = n_total - n_closed
+        n_open = n_wedges - n_closed
+        return pa.table({
+            "node": pa.array(cs[seg], type=pa.int64()),
+            "n_wedges": pa.array(n_wedges),
+            "n_open": pa.array(n_open),
+            "closure_e4": pa.array(10000 * n_closed // n_wedges),
+        })
+
+    return hash_exchange(tagged, "ctr", count_center, num_buckets=16)
 
 
 def _sql_q144() -> str:

@@ -71,3 +71,36 @@ def test_triangles_match_exact_count(ray_session):
     want = {int(nodes[i]): int(c) for i, c in enumerate(per_node) if c > 0}
     got = {int(k): int(v) for k, v in out.items()}
     assert got == want
+
+
+def _sorted_df(ds, cols):
+    df = ds.to_pandas()
+    return df.sort_values(cols).reset_index(drop=True)
+
+
+def test_q137_anti_join_path_matches_broadcast(ray_session, monkeypatch):
+    """q137's scale fallback (edge set > TRI_BCAST_MAX → anti hash_join
+    instead of the driver-collect + broadcast closure probe) must score
+    the identical top edge set.  Forced by pinning the cap to 0."""
+    from pboh_entity_linking_ray.pipelines import analytics
+
+    sf = "/root/testdata/sf0.001"
+    want = _sorted_df(analytics.q137_link_prediction(sf),
+                      ["ra_e6", "a", "b"])
+    monkeypatch.setattr(analytics, "TRI_BCAST_MAX", 0)
+    got = _sorted_df(analytics.q137_link_prediction(sf),
+                     ["ra_e6", "a", "b"])
+    assert got.equals(want)
+
+
+def test_q144_semi_join_path_matches_broadcast(ray_session, monkeypatch):
+    """q144's scale fallback (match graph > TRI_BCAST_MAX → wedge
+    stream ⋉ edge keys via SEMI hash_join + recount exchange) must
+    produce the identical per-node closure table."""
+    from pboh_entity_linking_ray.pipelines import analytics, er
+
+    sf = "/root/testdata/sf0.001"
+    want = _sorted_df(er.q144_transitivity_audit(sf), ["node"])
+    monkeypatch.setattr(analytics, "TRI_BCAST_MAX", 0)
+    got = _sorted_df(er.q144_transitivity_audit(sf), ["node"])
+    assert got.equals(want)
