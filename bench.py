@@ -66,6 +66,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray.data
 
     from pboh_entity_linking_ray.config import PipelineConfig
+    from pboh_entity_linking_ray.sources.reading import read_parquet_clean
     from pboh_entity_linking_ray.pipelines import ann, relational, textops
     from pboh_entity_linking_ray.pipelines.linkage import run_linkage
     from pboh_entity_linking_ray.pipelines.linkage_queries import (
@@ -93,7 +94,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     turns().map_batches(_warm, batch_format="pyarrow").count()
     if not link_only:
-        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet").count()
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet").count()
 
     queries: dict[str, float] = {}
     t0 = time.perf_counter()
@@ -293,6 +294,8 @@ def main():
         _init_ray(num_cpus)
         import ray.data
 
+        from pboh_entity_linking_ray.sources.reading import read_parquet_clean
+
         import __ray_entry__ as e
         qs = e.queries()
 
@@ -301,7 +304,7 @@ def main():
             import polars  # noqa: F401
             return t.slice(0, 1)
 
-        (ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+        (read_parquet_clean(f"{sf_dir}/orders.parquet")
          .map_batches(_warm, batch_format="pyarrow").count())
         ops: dict[str, float] = {}
         for name in names:

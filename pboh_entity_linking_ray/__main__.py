@@ -100,6 +100,9 @@ def main(argv: list[str] | None = None) -> int:
                 from .oracle import to_pandas
 
                 out = ray.data.from_pandas(to_pandas(out))
+            # materialize once: a lazy Dataset would re-execute the whole
+            # query pipeline for the count() after write_parquet()
+            out = out.materialize()
             out.write_parquet(args.output)
             print(json.dumps({"query": args.query, "rows": int(out.count()),
                               "output": args.output}))
@@ -107,6 +110,7 @@ def main(argv: list[str] | None = None) -> int:
             # no sink given: print a bounded head only — a query result can
             # be arbitrarily large and stdout is not a 100 TB sink
             if isinstance(out, ray.data.Dataset):
+                out = out.materialize()  # one execution for count + head
                 n = int(out.count())
                 head = out.limit(50).to_pandas()
             else:

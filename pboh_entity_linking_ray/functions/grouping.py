@@ -859,7 +859,16 @@ def salted_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
         return (pl.from_arrow(t[on].combine_chunks())
                 .hash(seed=23).to_numpy().astype(np.uint64, copy=False))
 
+    # Ray map operators emit zero-COLUMN blocks when a task's input has
+    # no rows — pass those through as an empty ALIGNED table so the
+    # union schema stays identical to the live path
+    empty_aligned = pa.schema(
+        all_fields + [(SIDE_COL, pa.int8()), (SKEY_COL, pa.int64()),
+                      (SALT_COL, pa.int64())]).empty_table()
+
     def align_left(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or on not in t.column_names:
+            return empty_aligned
         cols = _aligned(t, 0)
         h = _key_hash(t)
         sub = (np.arange(t.num_rows) % salt)
@@ -868,6 +877,8 @@ def salted_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
         return pa.table(cols)
 
     def align_right(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or on not in t.column_names:
+            return empty_aligned
         cols = _aligned(t, 1)
         h = _key_hash(t)
         copies = []
@@ -980,7 +991,15 @@ def skew_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
         return (pl.from_arrow(t[on].combine_chunks())
                 .hash(seed=23).to_numpy().astype(np.uint64, copy=False))
 
+    # zero-COLUMN empty blocks (Ray map ops on fully-filtered input)
+    # pass through as an empty ALIGNED table, mirroring salted_join
+    empty_aligned = pa.schema(
+        all_fields + [(SIDE_COL, pa.int8()), (SKEY_COL, pa.int64()),
+                      (SALT_COL, pa.int64())]).empty_table()
+
     def align_left(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or on not in t.column_names:
+            return empty_aligned
         cols = _aligned(t, 0)
         h = _key_hash(t)
         ns = _nsalt_for(t)
@@ -990,6 +1009,8 @@ def skew_join(left: ray.data.Dataset, right: ray.data.Dataset, on: str,
         return pa.table(cols)
 
     def align_right(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or on not in t.column_names:
+            return empty_aligned
         ns = _nsalt_for(t)
         idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), ns)
         rep = t.take(pa.array(idx))
@@ -1091,8 +1112,13 @@ def adaptive_skew_join(left: ray.data.Dataset, right: ray.data.Dataset,
     the detected hot keys (``skew_join``) — or run the plain join when
     the histogram is flat.  The detection pass costs one sampled scan
     of the left key column; the join result is identical either way.
+
+    ``how='full'`` always routes to the plain ``hash_join`` (which
+    supports it) — ``skew_join`` rejects full outer, and whether the
+    detector fires depends on sampling noise, so branching on it would
+    make the error data-dependent.
     """
-    if left.schema() is None or right.schema() is None:
+    if how == "full" or left.schema() is None or right.schema() is None:
         return hash_join(left, right, on, num_buckets, how, post)
     hot = detect_hot_keys(left, on, sample_frac=sample_frac,
                           hot_frac=hot_frac, num_buckets=num_buckets,

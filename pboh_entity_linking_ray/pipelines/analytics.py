@@ -22,6 +22,7 @@ already-tiny base tier — the driver never sees row-level data.
 """
 
 from __future__ import annotations
+from pboh_entity_linking_ray.sources.reading import read_parquet_clean
 
 import numpy as np
 import pyarrow as pa
@@ -39,7 +40,7 @@ def _cents(col: pa.ChunkedArray) -> pa.Array:
 def _orders_cents(sf_dir: str, extra: list[str] | None = None):
     cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
     cols += extra or []
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=cols)
 
     def project(t: pa.Table) -> pa.Table:
         keep = {c: t[c] for c in cols if c != "o_totalprice"}
@@ -135,7 +136,7 @@ def _year_prio_tiers(sf_dir: str):
     caller and re-aggregate only these O(years × priorities) rows."""
     import pyarrow.compute as pc
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
 
@@ -270,7 +271,7 @@ def q77_window_suite(sf_dir: str):
     over the sorted partition (`shift(-1)` / `first` / `last` /
     an exact integer ntile from the partition row index).  ntile follows
     the SQL standard: the first (n mod 4) quartiles get ⌈n/4⌉ rows."""
-    events = ray.data.read_parquet(
+    events = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
 
     def win_bucket(t: pa.Table) -> pa.Table:
@@ -323,7 +324,7 @@ def q42_priority_timeline(sf_dir: str):
     (string_agg / array_agg ... ORDER BY).  One exchange on the
     customer; each bucket sorts its partitions once and joins the
     strings vectorized."""
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
 
@@ -376,7 +377,7 @@ def q43_nation_revenue(sf_dir: str):
                    pl.col("n_name"), pl.col("c_mktsegment"))
            .to_arrow())
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey", "o_totalprice"])
 
     def project(t: pa.Table) -> pa.Table:
@@ -430,7 +431,7 @@ def q48_salted_segment_activity(sf_dir: str):
     join (tests/test_hash_join.py parity suite)."""
     from ..functions.grouping import salted_join
 
-    events = ray.data.read_parquet(
+    events = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
 
     def ev_project(t: pa.Table) -> pa.Table:
@@ -438,7 +439,7 @@ def q48_salted_segment_activity(sf_dir: str):
                          "event_type": t["event_type"],
                          "v_cents": _cents(t["value"])})
 
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_mktsegment"])
 
     def partial(joined: pa.Table) -> pa.Table:

@@ -24,6 +24,7 @@ same dot/(|a||b|) formula; residual error ~1e-15 never moves an e6 bucket.
 """
 
 from __future__ import annotations
+from pboh_entity_linking_ray.sources.reading import read_parquet_clean
 
 from functools import lru_cache
 
@@ -41,7 +42,7 @@ DUP_TABLES = 4
 
 
 def _read_embeddings(sf_dir: str):
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                  columns=["vec_id", "embedding"])
 
 
@@ -100,7 +101,7 @@ def _topk_mask(qcol: np.ndarray, cos: np.ndarray, vid: np.ndarray,
 
 
 def _query_side(sf_dir: str, n_queries: int):
-    qt = ray.data.read_parquet(
+    qt = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filter=(pa.compute.field("vec_id") < n_queries),
     ).to_arrow_refs()
@@ -855,7 +856,7 @@ def q69_label_centroid_outliers(sf_dir: str):
     centroid (low cos_e6 = likely mislabeled/outlier, the standard
     prototype-distance filter).  Same two-pass broadcast shape as the
     PCA moments pass; no shuffle ever touches an embedding row."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding", "label"])
 
     def part(t: pa.Table) -> pa.Table:
@@ -957,7 +958,7 @@ def q70_negative_sampling(sf_dir: str):
     from ..functions.grouping import bucketed_groups
     from ..functions.hashing import md5_lower64
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "label"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -1051,7 +1052,7 @@ def q93_embedding_quantize(sf_dir: str):
     Python per row.  Every emitted number is integer arithmetic over the
     SAME e6 values in both engines, so the twin (DuckDB list_transform
     lambdas) matches hash-exactly."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
     def quant(t: pa.Table) -> pa.Table:

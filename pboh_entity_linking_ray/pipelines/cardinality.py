@@ -17,6 +17,7 @@ the estimate within rel-tol of the oracle-checked exact count.
 """
 
 from __future__ import annotations
+from pboh_entity_linking_ray.sources.reading import read_parquet_clean
 
 import numpy as np
 import pyarrow as pa
@@ -27,7 +28,7 @@ HLL_M = 1 << HLL_P
 
 
 def _events(sf_dir: str):
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    return read_parquet_clean(f"{sf_dir}/events.parquet",
                                  columns=["event_type", "user_id"])
 
 
@@ -307,7 +308,7 @@ def mg_heavy_hitters(tokens: ray.data.Dataset, k: int = HH_K,
 def q47_heavy_tokens(sf_dir: str):
     """Heavy-hitter tokens over the documents corpus via the MG sketch
     (exact regime at k=HH_K ≥ vocabulary, see HH_K note)."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["text"])
 
     def toks(t: pa.Table) -> pa.Table:
@@ -394,7 +395,7 @@ def quantile_sketch_value(sf_dir: str):
     """Histogram-sketch quantiles of the continuous events.value column
     (no SQL twin — the sketch is approximate by design; pytest pins it
     within one bin width of DuckDB's exact quantiles)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
     return approx_quantiles(ds, "value")
 
 
@@ -420,7 +421,7 @@ def q87_profile_documents(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum, hash_exchange
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=_PROF_COLS)
 
     def basic_partial(t: pa.Table) -> pa.Table:
@@ -613,7 +614,7 @@ def q94_audience_overlap(sf_dir: str):
         return (pl.concat([p.select(cols) for p in parts])
                 .to_arrow().cast(_PART))
 
-    rows = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    rows = read_parquet_clean(f"{sf_dir}/events.parquet",
                                  columns=["user_id", "event_type"]) \
         .map_batches(dedup, batch_format="pyarrow")
     partials = hash_exchange(rows, "user_id", user_bucket, num_buckets=32)
@@ -693,7 +694,7 @@ def q132_key_skew(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey"])
 
     def combiner(t: pa.Table) -> pa.Table:
@@ -816,7 +817,7 @@ def q140_correlation_matrix(sf_dir: str):
     because they are what makes the oracle twin bit-stable."""
     from ..functions.grouping import bucketed_sum_multi
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
     parts = li.map_batches(_corr_partial, batch_format="pyarrow")
@@ -902,7 +903,7 @@ def q152_k_anonymity(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum
 
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet",
         columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
 
@@ -960,7 +961,7 @@ def q170_l_diversity(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum, hash_exchange
 
-    cust = ray.data.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet",
         columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
 
@@ -1037,7 +1038,7 @@ def q171_vocab_richness(sf_dir: str):
 
     from ..functions.grouping import hash_exchange
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["text"])
 
     _PART = pa.schema([("token", pa.string()), ("n_p", pa.int64())])

@@ -31,6 +31,7 @@ like simhash_fast / winnow_fast do.
 """
 
 from __future__ import annotations
+from pboh_entity_linking_ray.sources.reading import read_parquet_clean
 
 import numpy as np
 import pyarrow as pa
@@ -599,7 +600,7 @@ def q54_weighted_sample(sf_dir: str):
             "p_e4": pa.array(p_e4[keep], type=pa.int64()),
         })
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    return read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "n_chars"]) \
         .map_batches(pick, batch_format="pyarrow", batch_size=4096)
 
@@ -890,7 +891,7 @@ def q59_group_cap_sample(sf_dir: str):
                             type=pa.int64()),
         })
 
-    keyed = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    keyed = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                   columns=["doc_id", "source"]) \
         .map_batches(key, batch_format="pyarrow", batch_size=4096)
     capped = topk_per_group(keyed, "source", "lot", GROUP_CAP,

@@ -24,6 +24,7 @@ pipeline would reach for.
 """
 
 from __future__ import annotations
+from pboh_entity_linking_ray.sources.reading import read_parquet_clean
 
 import numpy as np
 import pyarrow as pa
@@ -873,7 +874,7 @@ def q130_canopy(sf_dir: str):
     # (node, center-neighbor) assignments: edges whose far end is a center
     asg = hash_join(edges, centers, on="m", how="semi", num_buckets=8)
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id"])
     loners = hash_join(docs, asg, on="doc_id", how="anti", num_buckets=8)
 

@@ -16,6 +16,7 @@ trigram Jaccard is spelled out over '^^'||s||'$$' padding in e4 fixed
 point."""
 
 from __future__ import annotations
+from pboh_entity_linking_ray.sources.reading import read_parquet_clean
 
 import numpy as np
 import pyarrow as pa
@@ -36,7 +37,7 @@ def _vocab(sf_dir: str) -> np.ndarray:
     (the reference keeps the full sorted mention array in JVM heap)."""
     from ..functions.grouping import bucketed_groups
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -70,32 +71,126 @@ def _sim_e4(a: str, b: str) -> int:
     return (len(ta & tb) * 10000) // len(ta | tb)
 
 
+def _trigram_code_sets(strs: np.ndarray):
+    """DISTINCT padded-trigram codes of every string, fully vectorized:
+    one byte buffer of all ``'^^'+s+'$$'`` concatenated, one strided
+    24-bit code pass (``b[i]·2¹⁶+b[i+1]·2⁸+b[i+2]``), boundary-crossing
+    codes masked, then one ``np.unique`` over ``owner·2²⁴+code``.
+    Returns (owner array, code array) sorted by (owner, code), plus the
+    distinct-count per owner."""
+    padded = ["^^" + s + "$$" for s in strs]
+    lens = np.fromiter((len(p) for p in padded), dtype=np.int64,
+                       count=len(padded))
+    buf = np.frombuffer("".join(padded).encode("utf-8"), dtype=np.uint8) \
+        .astype(np.int64)
+    if len(buf) < 3:
+        z = np.array([], dtype=np.int64)
+        return z, z, np.zeros(len(strs), dtype=np.int64)
+    tri = buf[:-2] * 65536 + buf[1:-1] * 256 + buf[2:]
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    # trigram at buffer position p belongs to string i iff
+    # starts[i] <= p <= ends[i]-3 — build the owner id per position and
+    # mask the (two per string) boundary-crossing windows
+    pos = np.arange(len(tri), dtype=np.int64)
+    owner = np.searchsorted(ends, pos, side="right")
+    valid = pos <= ends[owner] - 3
+    key = owner[valid] * (1 << 24) + tri[valid]
+    uniq = np.unique(key)                      # sorted → grouped by owner
+    uo = uniq >> 24
+    counts = np.bincount(uo, minlength=len(strs)).astype(np.int64)
+    return uo, uniq & ((1 << 24) - 1), counts
+
+
+def _best_window_matches(v: np.ndarray, qs: np.ndarray):
+    """Vectorized q19 probe: ONE ``searchsorted`` for every query, a
+    strided ±NEIGHBORS window over the sorted vocabulary, batched
+    trigram-jaccard via integer code sets (pair intersection = duplicate
+    count of ``pair_id·2²⁴+code`` keys), then a grouped first-max per
+    query (window candidates arrive in ascending lexicographic order,
+    so first-max reproduces the reference's best-neighbor tie-break).
+    Returns (qtok, match_tok, sim_e4) arrays of the accepted queries."""
+    nq = len(qs)
+    if nq == 0 or len(v) == 0:
+        z = np.array([], dtype=object)
+        return z, z, np.array([], dtype=np.int64)
+    pos = np.searchsorted(v, qs)
+    off = np.arange(-NEIGHBORS, NEIGHBORS + 1, dtype=np.int64)
+    idx = pos[:, None] + off[None, :]
+    ok = (idx >= 0) & (idx < len(v))
+    flat_ok = ok.ravel()
+    qid = np.repeat(np.arange(nq, dtype=np.int64), len(off))[flat_ok]
+    cand = v[np.clip(idx, 0, len(v) - 1)].ravel()[flat_ok]
+    winpos = np.tile(np.arange(len(off), dtype=np.int64), nq)[flat_ok]
+
+    # code sets over the DISTINCT strings of the batch (queries ∪ cands)
+    ustr, inv = np.unique(np.concatenate([qs, cand]), return_inverse=True)
+    owner, codes, setsz = _trigram_code_sets(ustr)
+    q_sid, c_sid = inv[:nq][qid], inv[nq:]
+
+    # |A∩B| per pair: tag both sides' codes with the pair id and count
+    # key duplicates — Σ work is O(pairs × avg set size), no Python loop
+    bounds = np.concatenate([[0], np.cumsum(setsz)])
+
+    def gather(sids):
+        """grouped-arange: concat of arange(bounds[s], bounds[s+1]) per
+        s in sids, fully vectorized (cumsum-of-steps idiom)."""
+        lens = setsz[sids]
+        nz = lens > 0
+        starts, lens = bounds[sids][nz], lens[nz]
+        total = int(lens.sum())
+        if total == 0:
+            return np.array([], dtype=np.int64)
+        step = np.ones(total, dtype=np.int64)
+        cum = np.cumsum(lens)
+        step[0] = starts[0]
+        step[cum[:-1]] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+        return np.cumsum(step)
+
+    reps_q, reps_c = setsz[q_sid], setsz[c_sid]
+    pid_q = np.repeat(np.arange(len(q_sid), dtype=np.int64), reps_q)
+    pid_c = np.repeat(np.arange(len(c_sid), dtype=np.int64), reps_c)
+    keys = np.concatenate([
+        pid_q * (1 << 24) + codes[gather(q_sid)],
+        pid_c * (1 << 24) + codes[gather(c_sid)],
+    ])
+    ukeys, kc = np.unique(keys, return_counts=True)
+    inter = np.bincount(ukeys[kc == 2] >> 24, minlength=len(q_sid)) \
+        .astype(np.int64)
+    union = reps_q + reps_c - inter
+    sim = inter * 10000 // np.maximum(union, 1)
+
+    # grouped first-max per query: order (qid asc, sim desc, window pos
+    # asc) and keep each qid's first row
+    order = np.lexsort((winpos, -sim, qid))
+    first = np.flatnonzero(np.r_[True, qid[order][1:] != qid[order][:-1]])
+    sel = order[first]
+    keep = sim[sel] >= ACCEPT_SIM_E4
+    sel = sel[keep]
+    return qs[qid[sel]], cand[sel], sim[sel]
+
+
 class FuzzyLookup:
-    """Actor-held sorted vocabulary + trigram cache; per batch, each query
-    scans its ±NEIGHBORS window and keeps the best accepted neighbor."""
+    """Actor-held sorted vocabulary; per batch, ONE vectorized window
+    probe (`_best_window_matches`) — no Python loop over queries or
+    candidates."""
 
     def __init__(self, vref):
         self.vocab = ray.get(vref) if isinstance(vref, ray.ObjectRef) else vref
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        out_q, out_m, out_s = [], [], []
-        v = self.vocab
-        for q in t["qtok"].to_pylist():
-            pos = int(np.searchsorted(v, q))
-            lo, hi = max(0, pos - NEIGHBORS), min(len(v), pos + NEIGHBORS + 1)
-            best_s, best_m = -1, None
-            for cand in v[lo:hi]:
-                s = _sim_e4(q, cand)
-                if s > best_s or (s == best_s and best_m is not None
-                                  and cand < best_m):
-                    best_s, best_m = s, cand
-            if best_m is not None and best_s >= ACCEPT_SIM_E4:
-                out_q.append(q)
-                out_m.append(best_m)
-                out_s.append(best_s)
+        empty = pa.table({
+            "qtok": pa.array([], type=pa.string()),
+            "match_tok": pa.array([], type=pa.string()),
+            "sim_e4": pa.array([], type=pa.int64()),
+        })
+        if t.num_rows == 0 or "qtok" not in t.column_names:
+            return empty
+        qs = np.asarray(t["qtok"].to_pylist(), dtype=object)
+        out_q, out_m, out_s = _best_window_matches(self.vocab, qs)
         return pa.table({
-            "qtok": pa.array(out_q, type=pa.string()),
-            "match_tok": pa.array(out_m, type=pa.string()),
+            "qtok": pa.array(list(out_q), type=pa.string()),
+            "match_tok": pa.array(list(out_m), type=pa.string()),
             "sim_e4": pa.array(out_s, type=pa.int64()),
         })
 
@@ -158,7 +253,7 @@ def q21_candidate_augment(sf_dir: str):
     token pairs."""
     from ..functions.grouping import bucketed_groups
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:

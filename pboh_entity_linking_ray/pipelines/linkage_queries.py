@@ -11,6 +11,7 @@ LSH) get exact SQL twins.
 """
 
 from __future__ import annotations
+from pboh_entity_linking_ray.sources.reading import read_parquet_clean
 
 import os
 
@@ -43,7 +44,7 @@ conv_docs AS (
 
 def _turns(sf_dir: str) -> ray.data.Dataset:
     d = ensure_corpus(CORPUS_CACHE, sf_to_n_convs(sf_dir))
-    return ray.data.read_parquet(os.path.join(d, "turns.parquet"))
+    return read_parquet_clean(os.path.join(d, "turns.parquet"))
 
 
 def _labels(sf_dir: str) -> pa.Table:
@@ -1019,7 +1020,7 @@ def link_parse_lines(sf_dir: str):
     src/main/scala/learning/FewParamsLearning.scala:51-65)."""
     from ..sources.text_lines import parse_turn_lines
 
-    return ray.data.read_parquet(_lines_file(sf_dir)).map_batches(
+    return read_parquet_clean(_lines_file(sf_dir)).map_batches(
         parse_turn_lines, batch_format="pyarrow")
 
 

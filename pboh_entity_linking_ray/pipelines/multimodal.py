@@ -14,6 +14,7 @@ metadata query has an exact SQL twin.
 """
 
 from __future__ import annotations
+from pboh_entity_linking_ray.sources.reading import read_parquet_clean
 
 import numpy as np
 import pyarrow as pa
@@ -24,7 +25,7 @@ FEATURE_DIM = 8
 
 def encode_payloads(sf_dir: str) -> ray.data.Dataset:
     """documents → (doc_id, payload:binary, width, height, channels)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def enc(t: pa.Table) -> pa.Table:
@@ -246,7 +247,7 @@ def encode_wav_payloads(sf_dir: str) -> ray.data.Dataset:
     mono file per row (sample count varies per doc)."""
     import struct
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
 
     def enc(t: pa.Table) -> pa.Table:
@@ -312,7 +313,7 @@ def mm_wav_stats(sf_dir: str):
 def encode_ppm_payloads(sf_dir: str) -> ray.data.Dataset:
     """documents → (doc_id, payload) with a complete binary PPM (P6)
     image per row (dimensions vary per doc, pixels LCG-deterministic)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
 
     def enc(t: pa.Table) -> pa.Table:
@@ -528,7 +529,7 @@ def png_pixels(doc_id: int) -> tuple[np.ndarray, int, int]:
 def encode_png_payloads(sf_dir: str) -> ray.data.Dataset:
     """documents → (doc_id, payload) with a complete, CRC-valid PNG per
     row (filter types cycling per scanline)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
 
     def enc(t: pa.Table) -> pa.Table:

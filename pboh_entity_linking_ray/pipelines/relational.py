@@ -12,6 +12,7 @@ engines; rounding makes the value-hash comparison stable).
 """
 
 from __future__ import annotations
+from pboh_entity_linking_ray.sources.reading import read_parquet_clean
 
 import os
 
@@ -35,7 +36,7 @@ def _t(sf_dir: str, name: str, columns=None, filter=None):
     batch enters the object store — the 'prune at the read' lever for
     selective queries (a transform-side ``.filter`` pays the full scan
     and ships the dead rows first)."""
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet",
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet",
                                  columns=columns, filter=filter)
 
 
@@ -907,7 +908,7 @@ def q105_clustered_merge(sf_dir: str):
     man = clustered_merge(
         out, li.map_batches(delta_f, batch_format="pyarrow"))
 
-    merged = ray.data.read_parquet(
+    merged = read_parquet_clean(
         [os.path.join(out, e["file"]) for e in man["files"]])
 
     def rev(t: pa.Table) -> pa.Table:

@@ -14,6 +14,7 @@ the vectorized xxhash instead — same routing logic, no per-row Python.
 """
 
 from __future__ import annotations
+from pboh_entity_linking_ray.sources.reading import read_parquet_clean
 
 import numpy as np
 import pyarrow as pa
@@ -82,7 +83,7 @@ def q16_split(sf_dir: str):
     """documents → per-split row counts (hash-routed 4-way split)."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
     routed = split_routes(ds, "doc_id", hasher="md5")
 
@@ -113,7 +114,7 @@ GROUP BY 1
 def q17_sample(sf_dir: str):
     """Seeded deterministic sample (T6 recast): keep rows whose seeded
     content hash falls under the rate — reproducible, repartition-proof."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "n_chars"])
 
     def f(t: pa.Table) -> pa.Table:
@@ -172,7 +173,7 @@ STRAT_DEFAULT_E4 = 4000
 
 
 def q27_stratified_sample(sf_dir: str):
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang"])
     return stratified_sample(ds, "doc_id", "lang", STRAT_RATES_E4,
                              STRAT_DEFAULT_E4, hasher="md5")
@@ -193,7 +194,7 @@ def q18_shuffle_head(sf_dir: str):
     """Seeded global shuffle (T8 recast), evidenced by its first
     SHUFFLE_HEAD rows: sort by the seeded content hash (ties by doc_id)
     and take the head — a deterministic permutation any engine reproduces."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
 
     def key(t: pa.Table) -> pa.Table:

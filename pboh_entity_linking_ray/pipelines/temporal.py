@@ -23,6 +23,7 @@ in ``functions.grouping``.
 """
 
 from __future__ import annotations
+from pboh_entity_linking_ray.sources.reading import read_parquet_clean
 
 import numpy as np
 import pyarrow as pa
@@ -44,10 +45,10 @@ def q23_asof_join(sf_dir: str):
     before the event time (backward as-of match), with the order day's
     totals.  Inner flavour: events with no prior order are dropped (keeps
     the driver hash free of nullable-int representation skew)."""
-    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    events = read_parquet_clean(f"{sf_dir}/events.parquet",
                                    columns=["event_id", "user_id", "ts"])
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
 
@@ -124,7 +125,7 @@ def q24_sliding_window(sf_dir: str):
     and computes both aggregates with vectorized ``rolling_sum_by``
     (closed="both" == SQL RANGE ... PRECEDING AND CURRENT ROW, including
     peer rows at the current timestamp — verified against DuckDB)."""
-    events = ray.data.read_parquet(
+    events = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
 
     def project(t: pa.Table) -> pa.Table:
@@ -182,14 +183,14 @@ def q25_interval_join(sf_dir: str):
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
-    events = ray.data.read_parquet(
+    events = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "ts", "value"])
 
     # the anchor side is its own pushed-down read: the purchase filter
     # runs at the scan and only 3 columns survive it (a shared 5-column
     # read re-executes per consumer anyway, so this costs no extra pass)
-    anchors = ray.data.read_parquet(
+    anchors = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts"],
         filter=pads.field("event_type") == "purchase")
@@ -250,7 +251,7 @@ def q36_event_lag(sf_dir: str):
     the user partition resolves every row — the standard recipe for any
     ``lag``/``lead``/cumulative window on this engine.  Deterministic
     tie order (ts, event_id) mirrored in the SQL window's ORDER BY."""
-    events = ray.data.read_parquet(
+    events = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type"])
 
@@ -299,7 +300,7 @@ def q45_funnel(sf_dir: str):
     stage's timestamp — no sort, no per-row Python, O(stages · n) per
     bucket.  The general recipe for any ordered-sequence / funnel /
     retention query on this engine."""
-    events = ray.data.read_parquet(
+    events = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
 
     def funnel_bucket(t: pa.Table) -> pa.Table:
@@ -368,7 +369,7 @@ def q81_cdc_compact(sf_dir: str):
     carries the compacted stream, not the raw one."""
     import polars as pl
 
-    events = ray.data.read_parquet(
+    events = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type", "value"])
 
@@ -420,7 +421,7 @@ def q102_scd2(sf_dir: str):
 
     from ..functions.grouping import hash_exchange
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type"])
 
@@ -491,7 +492,7 @@ def q111_rolling_wau(sf_dir: str):
 
     from ..functions.grouping import hash_exchange
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
 
     def memberships(t: pa.Table) -> pa.Table:
@@ -556,7 +557,7 @@ def q109_debounce(sf_dir: str):
 
     from ..functions.grouping import hash_exchange
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type"])
 
@@ -613,7 +614,7 @@ def q90_retention_cohorts(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum, hash_exchange
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
 
     def dedup_months(t: pa.Table) -> pa.Table:
@@ -683,7 +684,7 @@ def q97_attribution(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum_multi, hash_exchange
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "ts", "event_id", "event_type", "value"])
 
@@ -773,7 +774,7 @@ def q139_seasonal_anomaly(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_type", "ts"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -867,7 +868,7 @@ def q145_cusum(sf_dir: str):
     q99/q111 distributed-scan family applied to the drift statistic."""
     import polars as pl
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_type", "ts", "value"])
 
     _PART = pa.schema([("event_type", pa.string()), ("hr", pa.int64()),
@@ -960,7 +961,7 @@ def q146_event_trigrams(sf_dir: str):
     O(TOP × buckets) rows (the topk_per_group discipline)."""
     import polars as pl
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "ts", "event_id", "event_type"])
 
@@ -1040,7 +1041,7 @@ def q151_day_churn(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum_multi, hash_exchange
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
 
     _UD = pa.schema([("user_id", pa.int64()), ("day", pa.int64())])
@@ -1150,7 +1151,7 @@ def q167_kaplan_meier(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum_multi, hash_exchange
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
 
     _U = pa.schema([("user_id", pa.int64()), ("fd", pa.int64()),
@@ -1266,7 +1267,7 @@ def q173_ltv_triangle(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum_multi, hash_exchange
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts", "event_type",
                                         "value"])
 
@@ -1370,7 +1371,7 @@ def q177_acf(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_type", "ts"])
 
     _PART = pa.schema([("g", pa.string()), ("d", pa.int64()),
@@ -1467,7 +1468,7 @@ def q181_seasonality(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_type", "ts"])
 
     _PART = pa.schema([("g", pa.string()), ("d", pa.int64()),
@@ -1564,7 +1565,7 @@ def q184_backtest(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_type", "ts"])
 
     _PART = pa.schema([("g", pa.string()), ("d", pa.int64()),
@@ -1659,7 +1660,7 @@ def q186_fano(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_type", "ts"])
 
     _PART = pa.schema([("g", pa.string()), ("d", pa.int64()),
@@ -1738,7 +1739,7 @@ def q187_conversion_window(sf_dir: str):
 
     from ..functions.grouping import hash_exchange
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"],
         filter=pads.field("event_type").isin(["click", "purchase"]))
 

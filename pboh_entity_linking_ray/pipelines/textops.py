@@ -14,6 +14,7 @@ semantics (functions.hashing.md5_lower64) so each has an exact SQL twin:
 """
 
 from __future__ import annotations
+from pboh_entity_linking_ray.sources.reading import read_parquet_clean
 
 import numpy as np
 import pyarrow as pa
@@ -28,7 +29,7 @@ JAC_MIN_E4 = 200    # jaccard >= 0.02
 
 
 def _docs(sf_dir: str):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    return read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
 
@@ -768,7 +769,7 @@ def q96_pmi_pairs(sf_dir: str):
     association measure instead of raw support."""
     from ..functions.grouping import bucketed_groups, bucketed_sum, hash_join
 
-    n_total = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    n_total = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                     columns=["doc_id"]).count()
 
     rows = _docs(sf_dir).map_batches(_explode_distinct_toks,
@@ -948,7 +949,7 @@ def q98_source_shift(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum_multi, hash_exchange
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["source", "text"])
 
     _CNT = pa.schema([("tok", pa.string()), ("source", pa.string()),
@@ -1448,7 +1449,7 @@ def q154_dedup_savings(sf_dir: str):
     from ..functions.grouping import hash_exchange, hash_join
 
     labels = q58_neardup_clusters(sf_dir)
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "n_chars"])
 
     _CL = pa.schema([("cluster_id", pa.int64()), ("sz", pa.int64()),
@@ -1542,7 +1543,7 @@ def q110_golden_records(sf_dir: str):
     from ..functions.grouping import hash_exchange, hash_join
 
     clusters = q58_neardup_clusters(sf_dir).materialize()
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "n_chars"])
 
     j = hash_join(clusters, docs, on="doc_id")
@@ -2976,7 +2977,7 @@ def q133_prefix_containment(sf_dir: str):
                          "len_a": pa.array(la[ai]),
                          "len_b": pa.array(la[bi])})
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     keyed = docs.map_batches(prep, batch_format="pyarrow")
     return bucketed_groups(keyed, "pfx", contain_pairs,
@@ -3063,7 +3064,7 @@ def q135_bigram_lm(sf_dir: str):
                           "p_disc_e6", "lambda_e6")
                 .to_arrow().cast(empty.schema))
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["text"])
     partial = docs.map_batches(bigram_partial, batch_format="pyarrow")
     counts = bucketed_sum(partial, ["w1", "w2"], "c_p", "c12",

@@ -14,6 +14,7 @@ sum drift is ~1e-12 relative, far inside the rounding).
 """
 
 from __future__ import annotations
+from pboh_entity_linking_ray.sources.reading import read_parquet_clean
 
 import numpy as np
 import pyarrow as pa
@@ -225,7 +226,7 @@ def q86_user_trend(sf_dir: str):
     per key instead of one global iterative model."""
     from ..functions.grouping import bucketed_sum_multi
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -320,7 +321,7 @@ def q95_ab_welch(sf_dir: str):
 
     from ..functions.grouping import hash_exchange
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_type", "user_id", "value"])
 
     _PART = pa.schema([("event_type", pa.string()), ("grp", pa.int64()),
@@ -507,7 +508,7 @@ def _pc_value_counts(sf_dir: str) -> ray.data.Dataset:
 
     from ..functions.grouping import bucketed_sum_multi
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"],
         filter=pads.field("event_type").isin(["purchase", "click"]))
 
@@ -721,7 +722,13 @@ def q160_spearman(sf_dir: str):
     and only the final single-row Pearson-on-ranks expression goes
     through DOUBLE (casts mirrored token-for-token in the twin — the
     q95 device, since Σ·Σ products overflow int64 where DuckDB would
-    silently widen to HUGEINT)."""
+    silently widen to HUGEINT).
+
+    INT64 CEILING: Σrx² of doubled midranks grows as ~4n³/3, which
+    wraps int64 at n ≈ 1.3M rows (orders at TPC-H sf ≈ 0.9) while the
+    DuckDB twin widens to HUGEINT — beyond that scale the partials must
+    split into two int64 limbs (the q164 device) before summing; benched
+    exact through sf0.1."""
     import polars as pl
 
     from ..functions.grouping import (bucketed_sum, hash_join,
@@ -855,7 +862,7 @@ def q161_kruskal_wallis(sf_dir: str):
     from ..functions.grouping import (bucketed_sum, bucketed_sum_multi,
                                       hash_join, range_prefix_sum)
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_type", "value"])
 
     _PART = pa.schema([("v", pa.int64()), ("g", pa.string()),
@@ -992,7 +999,7 @@ def q162_wilcoxon(sf_dir: str):
     from ..functions.grouping import (bucketed_sum_multi,
                                       range_prefix_sum)
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "event_type", "value"],
         filter=pads.field("event_type").isin(["purchase", "click"]))
@@ -1115,7 +1122,8 @@ def q163_chi_square(sf_dir: str):
     plain integer sum, order-free because rounding happens per cell).
 
     Day-of-week comes from exact integer epoch math
-    ((epoch_us // 86_400_000_000 + 4) % 7, Monday=0) — never a calendar
+    ((epoch_us // 86_400_000_000 + 4) % 7, Sunday=0 — day 0, 1970-01-01,
+    was a Thursday and maps to 4) — never a calendar
     function, whose week-start convention differs across engines.  One
     vectorized count partial per batch, ONE ≤|types|·7-row keyed sum,
     driver fold on the tiny cell table for the row/column totals (they
@@ -1124,7 +1132,7 @@ def q163_chi_square(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_type", "ts"])
 
     _PART = pa.schema([("g", pa.string()), ("dow", pa.int64()),
@@ -1207,7 +1215,7 @@ def q164_anova_f(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum_multi
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_type", "value"])
 
     _PART = pa.schema([("g", pa.string()), ("n_i", pa.int64()),
@@ -1311,7 +1319,7 @@ def q166_replica_stability(sf_dir: str):
     from ..functions.grouping import bucketed_sum_multi
     from .textops import _md5_cached
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_id", "value"])
 
     _PART = pa.schema([("b", pa.int64()), ("n", pa.int64()),
@@ -1415,7 +1423,7 @@ def q168_sprt(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum_multi
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"],
         filter=pads.field("event_type") == "purchase")
 
@@ -1507,7 +1515,7 @@ def q169_trimmed_mean(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum, range_prefix_sum
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                    columns=["o_totalprice"])
 
     _V = pa.schema([("v", pa.int64()), ("c", pa.int64())])
@@ -1653,7 +1661,7 @@ def q172_mcnemar(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum_multi
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"],
         filter=pads.field("event_type").isin(["purchase", "click"]))
 
@@ -1747,9 +1755,9 @@ def q185_service_level(sf_dir: str):
     from ..functions.grouping import bucketed_sum_multi, hash_exchange, \
         hash_join
 
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_shipdate"])
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
 
@@ -1860,7 +1868,7 @@ def q189_ratio_metric(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum_multi
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "event_type", "ts",
                                         "value"])
 
@@ -2012,9 +2020,9 @@ def q178_partial_corr(sf_dir: str):
 
     from ..functions.grouping import hash_exchange, hash_join
 
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_shipdate"])
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_totalprice", "o_orderdate"])
 
@@ -2453,7 +2461,7 @@ def q180_proportion_ci(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum_multi
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "event_type"])
 
     _PART = pa.schema([("user_id", pa.int64()), ("np_p", pa.int64()),
@@ -2588,7 +2596,7 @@ def q182_powerlaw(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id"])
 
     _U = pa.schema([("user_id", pa.int64()), ("c_p", pa.int64())])
@@ -2678,7 +2686,7 @@ def q183_group_mode(sf_dir: str):
 
     from ..functions.grouping import bucketed_sum, hash_exchange
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["event_type", "value"])
 
     _PART = pa.schema([("g", pa.string()), ("v", pa.int64()),

@@ -10,6 +10,7 @@ stage is source-agnostic, so registering a reader IS adding a dataset.
 """
 
 from __future__ import annotations
+from pboh_entity_linking_ray.sources.reading import read_parquet_clean
 
 import ray.data
 
@@ -24,7 +25,7 @@ from .text_lines import (
 
 
 def _read_parquet_turns(path: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(path)
+    return read_parquet_clean(path)
 
 
 READERS: dict[str, object] = {

@@ -19,6 +19,7 @@ contract, FIXTURES.md §3) with no extra pass.
 """
 
 from __future__ import annotations
+from pboh_entity_linking_ray.sources.reading import read_parquet_clean
 
 import json
 import os
@@ -230,7 +231,7 @@ def connected_components(
         resumed = _latest_round_ckpt(iter_checkpoint_root)
     if resumed is not None:
         start_round = resumed[0] + 1
-        cur = _pin(ray.data.read_parquet(resumed[1]))
+        cur = _pin(read_parquet_clean(resumed[1]))
     else:
         cur = _pin(_dedup_edges(edges))
     prev_meta = None

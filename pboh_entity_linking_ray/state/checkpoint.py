@@ -16,6 +16,7 @@ reference's diagnostic histograms, eval/cweb/GlobalCountersCWEB.scala:102-134).
 """
 
 from __future__ import annotations
+from pboh_entity_linking_ray.sources.reading import read_parquet_clean
 
 import json
 import os
@@ -61,7 +62,7 @@ class StageRunner:
             return fn()
         out_dir = self.stage_dir(name)
         if self.is_complete(name):
-            return ray.data.read_parquet(out_dir)
+            return read_parquet_clean(out_dir)
 
         tmp = out_dir + ".tmp"
         if os.path.exists(tmp):
@@ -90,7 +91,7 @@ class StageRunner:
         with open(mp + ".tmp", "w") as f:
             json.dump(manifest, f, indent=1)
         os.replace(mp + ".tmp", mp)
-        return ray.data.read_parquet(out_dir)
+        return read_parquet_clean(out_dir)
 
     def add_metrics(self, name: str, extra: dict[str, Any]) -> None:
         if not self.root or not self.is_complete(name):

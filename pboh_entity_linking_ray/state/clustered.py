@@ -33,6 +33,7 @@ any point leaves the previous manifest pointing at intact files).
 """
 
 from __future__ import annotations
+from pboh_entity_linking_ray.sources.reading import read_parquet_clean
 
 import json
 import os
@@ -245,7 +246,7 @@ def read_generation(out_dir: str, gen: int | None = None
     files = [os.path.join(out_dir, e["file"]) for e in man["files"]]
     if not files:
         return ray.data.from_items([])
-    return ray.data.read_parquet(files)
+    return read_parquet_clean(files)
 
 
 def vacuum(out_dir: str, keep_last: int = 1) -> list[str]:
@@ -350,5 +351,5 @@ def pruned_read(out_dir: str, lo, hi) -> ray.data.Dataset:
                     pc.less_equal(t[col], pa.scalar(hi)))
         return t.filter(m)
 
-    return ray.data.read_parquet(files).map_batches(
+    return read_parquet_clean(files).map_batches(
         residual, batch_format="pyarrow")

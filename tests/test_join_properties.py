@@ -163,3 +163,46 @@ def test_skew_join_string_keys_and_flat_fallback(ray_session):
     # salts < 2 are dropped; an all-cold map is exactly hash_join
     got2 = _norm(skew_join(left, right, "k", {"a": 1}, num_buckets=4))
     pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+
+
+def test_skew_and_salted_join_tolerate_fully_filtered_blocks(ray_session):
+    """Ray map operators emit zero-COLUMN empty blocks when a task's
+    input has no rows; skew_join/salted_join's align stages must pass
+    them through instead of crashing on t[on] (CLAUDE.md rule)."""
+    ldf = pd.DataFrame({"k": np.array([1, 1, 2, 3], dtype="int64"),
+                        "lv": np.arange(4, dtype="int64")})
+    rdf = pd.DataFrame({"k": np.array([1, 2, 2, 9], dtype="int64"),
+                        "rv": np.arange(4, dtype="int64") * 10})
+    want = _ref(ldf, rdf, "inner")
+
+    def drop_all(t: pa.Table) -> pa.Table:
+        return t.slice(0, 0)
+
+    # one branch with real rows, one producing only empty blocks
+    left = (ray.data.from_arrow(pa.Table.from_pandas(ldf)).repartition(2)
+            .union(ray.data.from_arrow(pa.Table.from_pandas(ldf))
+                   .map_batches(drop_all, batch_format="pyarrow")))
+    right = (ray.data.from_arrow(pa.Table.from_pandas(rdf)).repartition(2)
+             .union(ray.data.from_arrow(pa.Table.from_pandas(rdf))
+                    .map_batches(drop_all, batch_format="pyarrow")))
+
+    got_skew = _norm(skew_join(left, right, "k", {1: 3}, how="inner"))
+    got_salted = _norm(salted_join(left, right, "k", salt=3, how="inner"))
+    pd.testing.assert_frame_equal(got_skew, want, check_dtype=False)
+    pd.testing.assert_frame_equal(got_salted, want, check_dtype=False)
+
+
+def test_adaptive_skew_join_full_routes_to_hash_join(ray_session):
+    """how='full' must be deterministic: always the plain hash_join
+    (skew_join rejects it, and whether the sampled detector fires is
+    data-dependent)."""
+    ldf = pd.DataFrame({"k": np.array([1] * 50 + [2, 3], dtype="int64"),
+                        "lv": np.arange(52, dtype="int64")})
+    rdf = pd.DataFrame({"k": np.array([1, 4], dtype="int64"),
+                        "rv": np.array([7, 8], dtype="int64")})
+    want = _ref(ldf, rdf, "full")
+    left = ray.data.from_arrow(pa.Table.from_pandas(ldf)).repartition(2)
+    right = ray.data.from_arrow(pa.Table.from_pandas(rdf))
+    got = _norm(adaptive_skew_join(left, right, "k", how="full",
+                                   sample_frac=1.0, hot_frac=0.01))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
