@@ -379,9 +379,15 @@ class PairScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # drop feature cols AND any null-padded pair_key the join added:
+        # on an EMPTY exchange output a lazy select_columns does not
+        # propagate into Dataset.schema() (CLAUDE.md trap), so the join
+        # aligns the stale schema and null-pads the column we re-emit
+        drop = [c for c in (*_FEATURE_COLS, "pair_key")
+                if c in batch.column_names]
         n = batch.num_rows
         if n == 0:
-            out = batch.drop_columns(list(_FEATURE_COLS))
+            out = batch.drop_columns(drop)
             out = out.append_column("pair_key",
                                     pa.array([], type=pa.string()))
             for c in ("jw", "jaccard", "pboh", "score"):
@@ -398,7 +404,7 @@ class PairScorer:
         pw = self.pboh_weight
         score = (w.w_jw * jw + w.w_jac * jac + pw * pboh) / (
             w.w_jw + w.w_jac + pw)
-        out = batch.drop_columns(list(_FEATURE_COLS))
+        out = batch.drop_columns(drop)
         # recompute the pair key dropped before the attach exchanges
         out = out.append_column(
             "pair_key",
