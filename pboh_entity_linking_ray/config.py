@@ -95,6 +95,16 @@ class PipelineConfig:
                                 # the same way, Learning.scala:128)
     # --- execution ---
     scorer_batch_size: int = 4096
+    attach_skew_defense: bool = True  # sample the pair stream's conv-id
+                                # histogram before each feature-attach
+                                # join and salt exactly the detected hot
+                                # ids (functions/grouping.py:skew_join);
+                                # one templated conversation in 30% of
+                                # pairs would otherwise pin its pair set
+                                # on a single bucket task.  Output is
+                                # identical either way.
+    attach_hot_frac: float = 0.01   # sampled share above which a conv id
+                                # counts as hot in that detection
     rows_per_bucket: int = 25_000   # exchange sizing: ~keyed rows per
                                 # hash bucket (functions/grouping.py:
                                 # buckets_for); bucket counts grow with

@@ -189,9 +189,20 @@ def attach_features(pairs: ray.data.Dataset, features: ray.data.Dataset,
 
 
 def _attach(pairs: ray.data.Dataset, features: ray.data.Dataset,
-            num_buckets: int = 64, post=None) -> ray.data.Dataset:
+            num_buckets: int = 64, post=None,
+            skew_defense: bool = False,
+            hot_frac: float = 0.01) -> ray.data.Dataset:
     """Shared body of ``attach_features`` (post=None) and
-    ``attach_and_score`` (post=the fused scorer)."""
+    ``attach_and_score`` (post=the fused scorer).
+
+    ``skew_defense`` samples each join's LEFT key histogram
+    (``detect_hot_keys``) and salts exactly the detected hot conv ids
+    (``skew_join``): a conversation appearing in a disproportionate
+    share of pairs — one templated transcript blocking against
+    everything — would otherwise pin its whole pair set on a single
+    bucket task.  Output is identical either way (skew_join contract);
+    the defense costs one sampled scan per join over already-
+    materialized input."""
     feats = features.select_columns(["conv_id", "jw_text", "tokens"]) \
         .map_batches(_pack_tokens_binary, batch_format="pyarrow")
     fa = feats.rename_columns({"conv_id": "conv_a", "jw_text": "jw_a",
@@ -202,13 +213,22 @@ def _attach(pairs: ray.data.Dataset, features: ray.data.Dataset,
     # exchanges and let the scorer re-emit it (~35 B/row × 2 joins saved)
     skinny = pairs.select_columns(
         [c for c in pairs.schema().names if c != "pair_key"])
-    from ..functions.grouping import hash_join
+    from ..functions.grouping import detect_hot_keys, hash_join, skew_join
+
+    def joined(left, right, on, post=None):
+        if skew_defense:
+            hot = detect_hot_keys(left, on, hot_frac=hot_frac,
+                                  num_buckets=num_buckets)
+            if hot:
+                return skew_join(left, right, on, hot, num_buckets,
+                                 post=post)
+        return hash_join(left, right, on, num_buckets, post=post)
 
     # barrier between the exchanges: the second join's map side starts
     # from resolved blocks instead of dragging the first exchange's task
     # graph along (measured 29 s chained-lazy vs 18 s with the barrier)
-    with_a = hash_join(skinny, fa, "conv_a", num_buckets).materialize()
-    return hash_join(with_a, fb, "conv_b", num_buckets, post=post)
+    with_a = joined(skinny, fa, "conv_a").materialize()
+    return joined(with_a, fb, "conv_b", post=post)
 
 
 _FEATURE_COLS = ("jw_a", "jw_b", "tokens_a", "tokens_b")
@@ -528,4 +548,6 @@ def attach_and_score(pairs: ray.data.Dataset, features: ray.data.Dataset,
     def score_bucket(joined: pa.Table) -> pa.Table:
         return _scorer_for(scorer_cls, stats_ref, cfg)(joined)
 
-    return _attach(pairs, features, num_buckets, post=score_bucket)
+    return _attach(pairs, features, num_buckets, post=score_bucket,
+                   skew_defense=cfg.attach_skew_defense,
+                   hot_frac=cfg.attach_hot_frac)
