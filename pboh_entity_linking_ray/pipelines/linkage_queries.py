@@ -989,6 +989,20 @@ def link_scorer_differential(sf_dir: str):
                                _labels(sf_dir), cfg)
 
 
+def link_scorer_lbp_differential(sf_dir: str):
+    """The reference's LBP-vs-ARGMAX differential on the recast
+    (eval/EvalOnDatasets.scala:192-195; CLI ``max-product|sum-product``,
+    el/EL_LBP_Spark.scala:102-127): the max-product closed form
+    (``full``) vs sum-product loopy BP (``SCORERS['lbp']``,
+    stages/lbp.py) over the SAME attached pair set — micro P/R/F1 of
+    both, decision overlap, labeled score margins."""
+    from ..stages.evaluate import scorer_differential
+
+    res, cfg = _run(sf_dir)
+    return scorer_differential(res.pairs, res.features, res.stats_ref,
+                               _labels(sf_dir), cfg, baseline="lbp")
+
+
 def _lines_file(sf_dir: str) -> str:
     """Deterministic TSV-lines twin of the corpus turns table (S5 reader
     input), built once beside the corpus cache (atomic tmp+rename)."""
@@ -1985,6 +1999,7 @@ QUERIES = {
     "link_threshold_sensitivity": (link_threshold_sensitivity, None),
     "link_block_histogram": (link_block_histogram, None),
     "link_scorer_differential": (link_scorer_differential, None),
+    "link_scorer_lbp_differential": (link_scorer_lbp_differential, None),
     "link_cluster_digest": (link_cluster_digest, None),
     "link_cluster_quality": (link_cluster_quality, None),
     "link_incremental": (link_incremental, None),

@@ -551,3 +551,8 @@ def attach_and_score(pairs: ray.data.Dataset, features: ray.data.Dataset,
     return _attach(pairs, features, num_buckets, post=score_bucket,
                    skew_defense=cfg.attach_skew_defense,
                    hot_frac=cfg.attach_hot_frac)
+
+
+# registers SCORERS["lbp"] (sum-product loopy BP, stages/lbp.py) — import
+# at module bottom so the subclass sees a fully-initialized PairScorer
+from . import lbp  # noqa: E402,F401
