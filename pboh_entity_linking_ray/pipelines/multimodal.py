@@ -227,8 +227,10 @@ def mm_frame_features(sf_dir: str):
 # media formats need none: RIFF/WAV PCM and binary PPM are
 # header + raw-sample layouts fully decodable with numpy.  These stages
 # upgrade the decode story from "stub behind NotImplementedError" to an
-# honest end-to-end decode for formats the environment can support; the
-# compressed-codec hook (JPEG/MP3/H.264) remains the documented stub.
+# honest end-to-end decode for formats the environment can support, and
+# baseline-DCT JPEG is decoded for real too (functions/jpeg.py: stdlib+
+# numpy Huffman + dequant + IDCT); the remaining compressed-codec hooks
+# (MP3/H.264) stay documented stubs.
 # Payload SYNTHESIS is deterministic per doc_id (integer LCG), so tests
 # can independently re-decode the pipeline's own bytes (stdlib ``wave``
 # for audio — a reference decoder we did not write).
@@ -561,9 +563,68 @@ def mm_png_stats(sf_dir: str):
         concurrency=(1, 4), num_cpus=1)
 
 
+# --- JPEG: REAL baseline-DCT decode (functions/jpeg.py) --------------------
+
+def jpeg_pixels(doc_id: int) -> tuple[np.ndarray, int, int]:
+    """Deterministic ground-truth pixels for one doc — smooth gradients
+    (the signal class JPEG represents well), distinct per doc."""
+    d = int(doc_id)
+    w, h = 9 + d % 10, 9 + (d // 10) % 7
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        (yy * (3 + d % 5) + xx * (2 + d % 7) + d) % 256,
+        (yy * (5 + d % 3) + xx * (4 + d % 2) + 2 * d) % 256,
+        (yy * 2 + xx * (1 + d % 4) + 3 * d) % 256,
+    ], axis=-1).astype(np.uint8)
+    return img, w, h
+
+
+def encode_jpeg_payloads(sf_dir: str) -> ray.data.Dataset:
+    """documents → (doc_id, payload) with a complete baseline JFIF
+    stream per row (functions/jpeg.py encoder, Annex K tables)."""
+    from ..functions.jpeg import jpeg_encode
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def enc(t: pa.Table) -> pa.Table:
+        payloads = []
+        for doc_id in t["doc_id"].to_pylist():
+            img, _w, _h = jpeg_pixels(doc_id)
+            payloads.append(jpeg_encode(img))
+        return pa.table({"doc_id": t["doc_id"],
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    return ds.map_batches(enc, batch_format="pyarrow", batch_size=256)
+
+
+class JpegDecoder:
+    """Actor-pool REAL baseline-JPEG decode stage (marker walk,
+    stream-defined Huffman + quant tables, IDCT, YCbCr→RGB) — same
+    output contract as Ppm/PngDecoder via ``_image_stats_table``."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.jpeg import jpeg_decode
+
+        return _image_stats_table(
+            t["doc_id"],
+            [jpeg_decode(p) for p in t["payload"].to_pylist()])
+
+
+def mm_jpeg_stats(sf_dir: str):
+    """Real baseline-DCT JPEG decode → per-image stats (rows-only; the
+    pytest round-trips the codec near-losslessly with unit quant tables,
+    pins PSNR with the Annex K tables, and rejects progressive/
+    subsampled streams — functions/jpeg.py)."""
+    return encode_jpeg_payloads(sf_dir).map_batches(
+        JpegDecoder, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4), num_cpus=1)
+
+
 QUERIES = {
     "mm_decode_meta": (mm_decode_meta, SQL_MM_META),
     "mm_png_stats": (mm_png_stats, None),
+    "mm_jpeg_stats": (mm_jpeg_stats, None),
     # real codec-free decodes → rows-only; pytest re-decodes the
     # pipeline's own bytes (stdlib wave / independent PPM parse)
     "mm_wav_stats": (mm_wav_stats, None),
