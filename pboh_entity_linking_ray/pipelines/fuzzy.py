@@ -201,7 +201,7 @@ def q19_fuzzy_lookup(sf_dir: str):
     vref = ray.put(vocab)
     qds = ray.data.from_arrow(pa.table({"qtok": pa.array(queries)}))
     return qds.map_batches(FuzzyLookup, fn_constructor_kwargs={"vref": vref},
-                           batch_format="pyarrow", batch_size=64,
+                           batch_format="pyarrow", batch_size=512,
                            concurrency=(1, 4))
 
 

@@ -130,6 +130,11 @@ def run_incremental(base: LinkageResult, new_turns: ray.data.Dataset,
         lambda: dedup_pairs(make_pairs_incremental(blocked, cfg,
                                                    num_buckets),
                             num_buckets))
+    if not runner.root:
+        # resolve once: the attach consumes pairs twice (skew-defense
+        # detection pass + the join itself) and would re-run the whole
+        # pair pipeline per consumer when lazy
+        pairs = pairs.materialize()
 
     feats_all = base.features.union(new_features)
     scored = runner.run(
