@@ -61,6 +61,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="optional labeled-pairs parquet for P/R/F1")
     ap.add_argument("--match-threshold", type=float, default=None,
                     help="override the scorer match threshold")
+    ap.add_argument("--link-one", default=None, metavar="TRANSCRIPT",
+                    help="parquet file holding ONE conversation's turns: "
+                         "link it against the flagship base run built from "
+                         "--input (pass the base run's --checkpoint-root to "
+                         "load finished stages instead of recomputing) and "
+                         "print its cluster assignment as JSON — the "
+                         "console EntityLinkingAPI analog "
+                         "(pipelines/console.py:link_one)")
     args = ap.parse_args(argv)
 
     if args.list_queries:
@@ -71,7 +79,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.input is None:
         ap.error("--input is required")
-    if args.query is None and args.output is None:
+    if args.query is None and args.link_one is None and args.output is None:
         ap.error("--output is required for the flagship run")
 
     import ray
@@ -137,6 +145,20 @@ def main(argv: list[str] | None = None) -> int:
 
     turns = read_turns(args.input, args.format)
     res = run_linkage(turns, cfg, checkpoint_root=args.checkpoint_root)
+
+    if args.link_one is not None:
+        import pyarrow.parquet as pq
+
+        from .pipelines.console import link_one
+
+        out = link_one(pq.read_table(args.link_one), res, cfg)
+        pairs = out.pop("pairs")
+        out["top_pairs"] = pairs.sort_values(
+            "score", ascending=False).head(10)[
+            ["conv_a", "conv_b", "score", "is_match"]].to_dict("records")
+        print(json.dumps(out, default=str))
+        return 0
+
     res.clusters.write_parquet(args.output)
 
     metrics: dict = {

@@ -65,3 +65,34 @@ def test_link_one_rejects_multi_conversation_input(base_and_holdout):
              "tool": ""}]
     with pytest.raises(ValueError, match="ONE conversation"):
         link_one(rows, base)
+
+
+def test_link_one_cli_mode(ray_session, tmp_path, capsys):
+    """`--link-one transcript.parquet` job-entry mode: hold out one
+    planted duplicate, build the base from the rest, link the held-out
+    transcript via the CLI and read its assignment JSON."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from pboh_entity_linking_ray.__main__ import main
+
+    c = generate_corpus(40, 5)
+    gc = c.golden_clusters.to_pandas()
+    sizes = gc.groupby("cluster_id")["conv_id"].count()
+    cluster = sizes[sizes >= 2].index[0]
+    members = sorted(gc.loc[gc["cluster_id"] == cluster, "conv_id"])
+    held = members[-1]
+    base_p = str(tmp_path / "base_turns.parquet")
+    one_p = str(tmp_path / "one.parquet")
+    pq.write_table(c.turns.filter(pc.field("conv_id") != held), base_p)
+    pq.write_table(c.turns.filter(pc.field("conv_id") == held), one_p)
+
+    rc = main(["--input", base_p, "--link-one", one_p,
+               "--checkpoint-root", str(tmp_path / "ckpt")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["conv_id"] == held
+    assert out["matched"] is True
+    assert out["cluster_id"] == min(set(members) - {held})
+    assert len(out["top_pairs"]) >= 1
