@@ -1472,3 +1472,142 @@ QUERIES = {
     # zlib not SQL-expressible → rows-only; pytest recomputes directly
     "q174_compression_ratio": (q174_compression_ratio, None),
 }
+
+
+# --- q190: duplicated-span coalescing (exact-substring dedup post-step) -----
+
+SPAN_W = 5          # token width of the exact shingle probe
+SPAN_STOP_DF = 1000  # shingles in more DISTINCT docs than this are
+                     # boilerplate stop-shingles (the q12 guard): at corpus
+                     # scale one such shingle would mark most of every doc
+
+
+def q190_dup_spans(sf_dir: str):
+    """Maximal duplicated-span extraction — the post-processing step of
+    exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": after finding repeated
+    fixed-width windows, adjacent/overlapping hits must coalesce into
+    the maximal removable span): every SPAN_W-token shingle occurring
+    in ≥ 2 DISTINCT documents marks its start position a duplicate hit,
+    and per document the hits merge gaps-and-islands style (a new span
+    starts when a hit begins after the previous hit's coverage ends)
+    into (doc_id, span_start, span_end, n_hits) rows — 1-based token
+    positions, span_end inclusive.
+
+    Shape: positioned shingle rows (doc, pos, shingle) cross ONE
+    shingle-keyed exchange — co-location makes the distinct-doc count
+    exact in-bucket, so only duplicated shingles' skinny (doc, pos)
+    hits re-exchange by doc for the vectorized island merge (sorted
+    breaks + cumsum, no Python loop).  Shingles in more than
+    SPAN_STOP_DF distinct docs are dropped as boilerplate (mirrored in
+    the twin).  Production keys would be xxhash64 of the shingle; the
+    oracle query ships the string so both engines compare exact
+    equality.
+
+    Reference analogue: the repeated-window machinery of winnowing
+    fingerprints (SURVEY §2 beyond-ref) completed with the span-merge
+    step the reference family lacks."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_groups
+
+    rows = _docs(sf_dir)
+
+    _SH = pa.schema([("sh", pa.large_string()), ("doc_id", pa.int64()),
+                     ("pos", pa.int64())])
+
+    def positioned(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return _SH.empty_table()
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(t["doc_id"].combine_chunks())
+                        .cast(pl.Int64),
+            "tok": pl.from_arrow(t["text"].combine_chunks())
+                     .str.to_lowercase().str.extract_all("[a-z0-9]+"),
+        }).with_row_index("__r")
+        ex = df.explode("tok").drop_nulls("tok")
+        ex = ex.with_columns(
+            (pl.int_range(pl.len()).over("__r") + 1).alias("pos"))
+        # W-token shingle at pos p: shift-concat (the q12 builder idiom)
+        parts = [pl.col("tok").shift(-i).over("__r") for i in range(SPAN_W)]
+        sh = ex.with_columns(
+            pl.concat_str(parts, separator=" ", ignore_nulls=False)
+              .alias("sh")).drop_nulls("sh")
+        return sh.select(["sh", "doc_id", "pos"]).to_arrow().cast(_SH)
+
+    _HIT = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+
+    def dup_hits(bucket: pa.Table) -> pa.Table:
+        if bucket.num_rows == 0 or "sh" not in bucket.column_names:
+            return _HIT.empty_table()
+        df = pl.from_arrow(bucket)
+        live = (df.group_by("sh")
+                  .agg(pl.col("doc_id").n_unique().alias("nd"))
+                  .filter((pl.col("nd") >= 2)
+                          & (pl.col("nd") <= SPAN_STOP_DF)))
+        out = df.join(live.select("sh"), on="sh")
+        return out.select(["doc_id", "pos"]).to_arrow().cast(_HIT)
+
+    _OUT = pa.schema([("doc_id", pa.int64()), ("span_start", pa.int64()),
+                      ("span_end", pa.int64()), ("n_hits", pa.int64())])
+
+    def islands(bucket: pa.Table) -> pa.Table:
+        if bucket.num_rows == 0 or "doc_id" not in bucket.column_names:
+            return _OUT.empty_table()
+        doc = np.asarray(bucket["doc_id"], dtype=np.int64)
+        pos = np.asarray(bucket["pos"], dtype=np.int64)
+        order = np.lexsort((pos, doc))
+        d, p = doc[order], pos[order]
+        brk = np.r_[True, (d[1:] != d[:-1]) | (p[1:] > p[:-1] + SPAN_W)]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(p)] - 1
+        return pa.table({
+            "doc_id": pa.array(d[starts]),
+            "span_start": pa.array(p[starts]),
+            "span_end": pa.array(p[ends] + SPAN_W - 1),
+            "n_hits": pa.array((ends - starts + 1).astype(np.int64)),
+        })
+
+    sh_rows = rows.map_batches(positioned, batch_format="pyarrow",
+                               batch_size=256)
+    hits = bucketed_groups(sh_rows, "sh", dup_hits, 32,
+                           engine="exchange", repartition=False)
+    return bucketed_groups(hits, "doc_id", islands, 32,
+                           engine="exchange", repartition=False)
+
+
+SQL_Q190 = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         list_aggregate(toks[i : i + {SPAN_W - 1}], 'string_agg', ' ') AS sh
+  FROM t, UNNEST(generate_series(1, greatest(len(toks) - {SPAN_W - 1}, 0)))
+       AS u(i)
+),
+dup AS (
+  SELECT sh FROM (SELECT DISTINCT sh, doc_id FROM sh)
+  GROUP BY sh HAVING count(*) BETWEEN 2 AND {SPAN_STOP_DF}
+),
+hits AS (
+  SELECT doc_id, pos FROM sh WHERE sh IN (SELECT sh FROM dup)
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN pos > COALESCE(lag_end, -1) THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               LAG(pos + {SPAN_W}) OVER (PARTITION BY doc_id
+                                         ORDER BY pos) AS lag_end
+        FROM hits)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {SPAN_W - 1} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM isl GROUP BY doc_id, island
+"""
+
+QUERIES["q190_dup_spans"] = (q190_dup_spans, SQL_Q190)

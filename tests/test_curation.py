@@ -308,3 +308,37 @@ def test_ref_integrity_orphans_on_planted_break(ray_session, tmp_path):
               .set_index(["child_tbl", "child_key"]))
     assert broken.loc[("orders", "o_custkey"), "n_orphan_keys"] == 3
     assert broken.loc[("lineitem", "l_orderkey"), "n_orphan_keys"] == 0
+
+
+def test_q190_dup_spans_hand_case(ray_session):
+    """Hand-built corpus: two docs sharing one 7-token run → each doc
+    gets ONE maximal span covering the run (3 overlapping 5-shingles
+    coalesced), and a doc with no cross-doc shingle gets none."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from unittest import mock
+
+    from pboh_entity_linking_ray.pipelines import curation
+
+    shared = "alpha bravo charlie delta echo foxtrot golf"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            f"one two {shared} three four",
+            f"{shared} nine ten eleven twelve",
+            "nothing in common with anyone here at all truly",
+        ]),
+    })
+    with mock.patch.object(curation, "_docs",
+                           lambda sf_dir, columns=("doc_id", "text"):
+                           ray.data.from_arrow(docs)):
+        out = curation.q190_dup_spans("unused").to_pandas() \
+            .sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+    # doc 1: shared run occupies token positions 3..9 → hits at 3,4,5
+    # (W=5) → one span [3, 9] with 3 hits; doc 2: positions 1..7 →
+    # span [1, 7]; doc 3: nothing
+    want = pd.DataFrame({
+        "doc_id": [1, 2], "span_start": [3, 1], "span_end": [9, 7],
+        "n_hits": [3, 3]})
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
