@@ -704,6 +704,8 @@ def topk_per_group(ds: ray.data.Dataset, group_col: str, order_col: str,
     def cut(t: pa.Table) -> pa.Table:
         import polars as pl
 
+        if t.num_rows == 0 or group_col not in t.column_names:
+            return t       # zero-COLUMN empty map block: pass through
         df = pl.from_arrow(t)
         out = (df.sort([order_col, *ties],
                        descending=[descending] + [False] * len(ties))
@@ -778,10 +780,17 @@ def broadcast_join(large: ray.data.Dataset, small: "pa.Table", on: str,
     if overlap:
         raise ValueError(f"broadcast_join column collision: {sorted(overlap)}")
     small_ref = ray.put(small.select([on] + keep_small))
+    out_fields = [(f.name, f.type) for f in large.schema().base_schema] + \
+        [(n, small.schema.field(n).type) for n in keep_small]
+    empty_out = pa.schema(out_fields).empty_table()
 
     def join_batch(t: pa.Table) -> pa.Table:
         import polars as pl
 
+        if t.num_rows == 0 or on not in t.column_names:
+            # zero-COLUMN empty map block — emit the joined shape so
+            # `post` and downstream consumers see a consistent schema
+            return post(empty_out) if post is not None else empty_out
         out = (pl.from_arrow(t)
                .join(_bcast_frame(small_ref), on=on, how=how,
                      maintain_order="left").to_arrow())
@@ -1165,6 +1174,9 @@ def range_prefix_sum(ds: ray.data.Dataset, order_col: str, value_col: str,
     def subtotal(t: pa.Table) -> pa.Table:
         import polars as pl
 
+        if t.num_rows == 0 or order_col not in t.column_names:
+            return pa.table({})      # zero-COLUMN empty map block (the
+                                     # driver merge filters empties)
         df = pl.from_arrow(t.select(
             ([group_col] if group_col else []) + [order_col, value_col]))
         df = df.with_columns(
@@ -1196,6 +1208,8 @@ def range_prefix_sum(ds: ray.data.Dataset, order_col: str, value_col: str,
     base_ref = ray.put(base.to_arrow())
 
     def add_rng(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or order_col not in t.column_names:
+            return t                 # scan_bucket's inert-empty guard
         rng = _pc.divide(t[order_col], range_width)
         return t.append_column(RNG_COL, _pc.cast(rng, pa.int64()))
 

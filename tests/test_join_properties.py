@@ -206,3 +206,70 @@ def test_adaptive_skew_join_full_routes_to_hash_join(ray_session):
     got = _norm(adaptive_skew_join(left, right, "k", how="full",
                                    sample_frac=1.0, hot_frac=0.01))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_all_primitives_tolerate_fully_filtered_blocks(ray_session):
+    """Systematic zero-COLUMN empty-block sweep (the CLAUDE.md Ray
+    quirk) across the remaining shuffle/map primitives: each must
+    produce the same rows as with clean input."""
+    from pboh_entity_linking_ray.functions.grouping import (
+        asof_join, broadcast_join, bucketed_sum, interval_join,
+        range_prefix_sum, topk_per_group)
+
+    def drop_all(t: pa.Table) -> pa.Table:
+        return t.slice(0, 0)
+
+    def with_empties(df):
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(2)
+        return ds.union(ray.data.from_arrow(pa.Table.from_pandas(df))
+                        .map_batches(drop_all, batch_format="pyarrow"))
+
+    ldf = pd.DataFrame({"k": np.array([1, 1, 2, 2, 3], dtype="int64"),
+                        "t": np.array([10, 20, 15, 30, 7], dtype="int64"),
+                        "v": np.arange(5, dtype="int64")})
+    rdf = pd.DataFrame({"k": np.array([1, 2], dtype="int64"),
+                        "t": np.array([12, 14], dtype="int64"),
+                        "s": np.array([100, 200], dtype="int64"),
+                        "e": np.array([25, 31], dtype="int64")})
+
+    # topk_per_group: map-side partial must pass empty blocks through
+    top = _norm(topk_per_group(with_empties(ldf), "k", "v", 1))
+    want_top = _norm(ray.data.from_pandas(
+        ldf.sort_values("v", ascending=False).groupby("k").head(1)))
+    pd.testing.assert_frame_equal(top, want_top, check_dtype=False)
+
+    # broadcast_join
+    small = pa.table({"k": pa.array([1, 3], type=pa.int64()),
+                      "dim": pa.array([7, 8], type=pa.int64())})
+    bj = _norm(broadcast_join(with_empties(ldf), small, "k"))
+    want_bj = _norm(ray.data.from_pandas(
+        ldf.merge(small.to_pandas(), on="k")))
+    pd.testing.assert_frame_equal(bj, want_bj, check_dtype=False)
+
+    # asof_join / interval_join (aligned unions null-pad internally)
+    aj = asof_join(with_empties(ldf[["k", "t", "v"]]),
+                   with_empties(rdf[["k", "t", "s"]]), "k", "t")
+    assert aj.count() == len(ldf)
+    ij = interval_join(with_empties(ldf[["k", "t", "v"]]),
+                       with_empties(rdf[["k", "t", "e"]]
+                                    .rename(columns={"t": "lo"})),
+                       "k", "t", "lo", "e")
+    # intervals k=1:[12,25) k=2:[14,31) → points 20, 15, 30 match
+    assert ij.count() == 3
+
+    # bucketed_sum
+    bs = _norm(bucketed_sum(with_empties(ldf), ["k"], "v", "sv"))
+    want_bs = _norm(ray.data.from_pandas(
+        ldf.groupby("k", as_index=False)["v"].sum()
+        .rename(columns={"v": "sv"})))
+    pd.testing.assert_frame_equal(bs, want_bs, check_dtype=False)
+
+    # range_prefix_sum
+    rp = range_prefix_sum(with_empties(ldf[["t", "v"]]), "t", "v",
+                          range_width=16).to_pandas()
+    want_rp = ldf.sort_values("t")
+    want_rp = want_rp.assign(cum_before=want_rp["v"].cumsum()
+                             - want_rp["v"])
+    got = rp.sort_values("t").reset_index(drop=True)
+    assert (got["cum_before"].to_numpy()
+            == want_rp["cum_before"].to_numpy()).all()
