@@ -217,7 +217,11 @@ def _attach(pairs: ray.data.Dataset, features: ray.data.Dataset,
 
     def joined(left, right, on, post=None):
         if skew_defense:
-            hot = detect_hot_keys(left, on, hot_frac=hot_frac,
+            # detect over the PROJECTED key column: the left side may
+            # carry wide feature payloads (second join) that the
+            # sampled histogram scan has no reason to ship
+            hot = detect_hot_keys(left.select_columns([on]), on,
+                                  hot_frac=hot_frac,
                                   num_buckets=num_buckets)
             if hot:
                 return skew_join(left, right, on, hot, num_buckets,
