@@ -89,16 +89,28 @@ def link_one(transcript, base: LinkageResult,
     mine = pairs[(pairs["conv_a"] == conv_id)
                  | (pairs["conv_b"] == conv_id)].reset_index(drop=True)
 
-    clusters = inc.clusters.to_pandas()
-    cluster_id = clusters.loc[clusters["conv_id"] == conv_id,
-                              "cluster_id"].iloc[0]
+    # distributed filters, never an O(corpus) driver collect: the union
+    # assignment and the base assignment are only ever touched for the
+    # ONE cluster this conversation landed in
+    import pyarrow as _pa
 
-    # base clusters now sharing this conversation's final cluster id
-    base_assign = base.clusters.to_pandas()
-    members = set(clusters.loc[clusters["cluster_id"] == cluster_id,
-                               "conv_id"]) - {conv_id}
-    merged = sorted(set(base_assign.loc[
-        base_assign["conv_id"].isin(members), "cluster_id"]))
+    def _col_filter(ds, col, values):
+        vals = set(values)
+
+        def f(t: _pa.Table) -> _pa.Table:
+            if t.num_rows == 0 or col not in t.column_names:
+                return t.slice(0, 0)
+            mask = _pa.array([v in vals for v in t[col].to_pylist()])
+            return t.filter(mask)
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    cluster_id = _col_filter(inc.clusters, "conv_id", {conv_id}) \
+        .take(1)[0]["cluster_id"]
+    members = set(_col_filter(inc.clusters, "cluster_id", {cluster_id})
+                  .to_pandas()["conv_id"]) - {conv_id}
+    merged = sorted(set(_col_filter(base.clusters, "conv_id", members)
+                        .to_pandas()["cluster_id"])) if members else []
 
     matched = bool((mine["is_match"]).any()) if len(mine) else False
     return {
