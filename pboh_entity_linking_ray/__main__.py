@@ -156,7 +156,16 @@ def main(argv: list[str] | None = None) -> int:
         out["top_pairs"] = pairs.sort_values(
             "score", ascending=False).head(10)[
             ["conv_a", "conv_b", "score", "is_match"]].to_dict("records")
-        print(json.dumps(out, default=str))
+
+        def _json_default(o):
+            # numpy scalars must serialize as JSON numbers/booleans, not
+            # strings like "True"/"8123"
+            import numpy as _np
+            if isinstance(o, _np.generic):
+                return o.item()
+            return str(o)
+
+        print(json.dumps(out, default=_json_default))
         return 0
 
     res.clusters.write_parquet(args.output)

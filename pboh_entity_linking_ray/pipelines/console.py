@@ -93,15 +93,16 @@ def link_one(transcript, base: LinkageResult,
     # assignment and the base assignment are only ever touched for the
     # ONE cluster this conversation landed in
     import pyarrow as _pa
+    import pyarrow.compute as _pc
 
     def _col_filter(ds, col, values):
-        vals = set(values)
+        vals = list(values)
 
         def f(t: _pa.Table) -> _pa.Table:
             if t.num_rows == 0 or col not in t.column_names:
                 return t.slice(0, 0)
-            mask = _pa.array([v in vals for v in t[col].to_pylist()])
-            return t.filter(mask)
+            value_set = _pa.array(vals, type=t[col].type)
+            return t.filter(_pc.is_in(t[col], value_set=value_set))
 
         return ds.map_batches(f, batch_format="pyarrow")
 

@@ -1310,7 +1310,11 @@ def q144_transitivity_audit(sf_dir: str):
         ctr, pk = _wedges(t)
         return pa.table({"ctr": pa.array(ctr), "pk": pa.array(pk)})
 
-    wedges = hash_exchange(sym, "n", wedge_rows, num_buckets=16)
+    # materialize: the O(Σ deg²) wedge stream feeds BOTH the semi-join
+    # probe and the closed=0 base union below — without this the whole
+    # wedge-generation exchange re-executes once per consumer
+    wedges = hash_exchange(sym, "n", wedge_rows, num_buckets=16) \
+        .materialize()
     probe = pairs.map_batches(
         lambda t: pa.table({"pk": pa.array(
             np.asarray(t["a"], dtype=np.int64) * MBM_OFF

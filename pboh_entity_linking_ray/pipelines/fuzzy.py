@@ -78,11 +78,15 @@ def _trigram_code_sets(strs: np.ndarray):
     codes masked, then one ``np.unique`` over ``owner·2²⁴+code``.
     Returns (owner array, code array) sorted by (owner, code), plus the
     distinct-count per owner."""
-    padded = ["^^" + s + "$$" for s in strs]
-    lens = np.fromiter((len(p) for p in padded), dtype=np.int64,
-                       count=len(padded))
-    buf = np.frombuffer("".join(padded).encode("utf-8"), dtype=np.uint8) \
-        .astype(np.int64)
+    # lens MUST be measured in encoded bytes, not characters — the code
+    # pass below walks a UTF-8 byte buffer, and a char-measured length
+    # would misalign every owner boundary after the first non-ASCII
+    # string (codes then become byte-trigrams for multibyte chars, which
+    # is still a consistent similarity space on both sides of each pair)
+    enc = [("^^" + s + "$$").encode("utf-8") for s in strs]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64,
+                       count=len(enc))
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.int64)
     if len(buf) < 3:
         z = np.array([], dtype=np.int64)
         return z, z, np.zeros(len(strs), dtype=np.int64)

@@ -16,10 +16,13 @@ Files written without pandas metadata (all of this repo's own outputs)
 pass through with ``schema=None`` — zero behavior change.
 
 Ray treats ``schema=`` as the OUTPUT schema, so it must be projected to
-``columns`` when given; a ``filter`` referencing a column outside that
-projection cannot be expressed this way (observed ArrowInvalid on Ray
-2.49) — that combination passes through unstripped, keeping the read
-correct at the cost of the (cosmetic) warning.
+``columns`` when given.  A ``filter`` referencing a column outside that
+projection is handled by widening the read to ``columns ∪ filter-cols``
+(so the forwarded schema stays consistent with the scan output) and
+dropping the extras in a post-read projection — every read shape is
+metadata-clean.  Columns absent from the file footer (e.g. hive
+partition columns Ray synthesizes) force a plain ``schema=None``
+passthrough — never let the cosmetic fix break a read.
 """
 
 from __future__ import annotations
@@ -28,7 +31,11 @@ import ray.data
 
 __all__ = ["read_parquet_clean"]
 
+# path-keyed memo of the driver-side footer probe; bounded so a long
+# process that rewrites paths with new schemas can't pin stale entries
+# forever (FIFO eviction is fine — the probe is cheap to redo)
 _SCHEMA_CACHE: dict = {}
+_SCHEMA_CACHE_MAX = 256
 
 
 def _stripped_schema(paths):
@@ -49,21 +56,25 @@ def _stripped_schema(paths):
             out = pa.schema([f.remove_metadata() for f in sch])
     except Exception:
         out = None
+    if len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
+        _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
     _SCHEMA_CACHE[key] = out
     return out
 
 
-def _filter_within(flt, sch, columns) -> bool:
-    """Best-effort: does the filter expression reference only projected
-    columns?  ``pyarrow.dataset.Expression`` exposes no field-name API,
-    so scan its repr for word-boundary occurrences of the NON-projected
-    schema field names — a hit (even a spurious one inside a literal)
-    just means we conservatively skip the cosmetic schema strip."""
+def _filter_cols_outside(flt, sch, columns) -> list:
+    """Best-effort: schema field names OUTSIDE the projection that the
+    filter expression appears to reference.  ``pyarrow.dataset.
+    Expression`` exposes no field-name API, so scan its repr for
+    word-boundary occurrences of the non-projected names — a spurious
+    hit (inside a literal, say) just means we read one extra column and
+    drop it post-read."""
     import re
 
     s = str(flt)
-    outside = [f.name for f in sch if f.name not in columns]
-    return not any(re.search(rf"\b{re.escape(n)}\b", s) for n in outside)
+    return [f.name for f in sch
+            if f.name not in columns
+            and re.search(rf"\b{re.escape(f.name)}\b", s)]
 
 
 def read_parquet_clean(paths, *, columns=None, schema=None, **kw):
@@ -71,16 +82,36 @@ def read_parquet_clean(paths, *, columns=None, schema=None, **kw):
 
     Same signature and semantics; only adds a stripped ``schema=`` when
     the caller didn't pass one and the file footer carries metadata."""
+    drop_after = None
     if schema is None:
         sch = _stripped_schema(paths)
         flt = kw.get("filter")
-        if sch is not None and not (
-                columns is not None and flt is not None
-                and not _filter_within(flt, sch, columns)):
-            if columns is not None:
-                import pyarrow as pa
+        if sch is not None:
+            read_cols = columns
+            if columns is not None and flt is not None:
+                extra = _filter_cols_outside(flt, sch, columns)
+                if extra:
+                    read_cols = list(columns) + extra
+                    drop_after = list(columns)
+            if read_cols is not None:
+                footer_names = set(sch.names)
+                if all(c in footer_names for c in read_cols):
+                    import pyarrow as pa
 
-                sch = pa.schema([sch.field(c) for c in columns])
-            schema = sch
-    return ray.data.read_parquet(paths, columns=columns, schema=schema,
-                                 **kw)
+                    schema = pa.schema([sch.field(c) for c in read_cols])
+                    columns = read_cols
+                else:
+                    # a requested column isn't in the footer (hive
+                    # partition column, etc.) — plain passthrough
+                    drop_after = None
+            else:
+                schema = sch
+    ds = ray.data.read_parquet(paths, columns=columns, schema=schema, **kw)
+    if drop_after is not None:
+        keep = list(drop_after)
+
+        def _project(t):
+            return t.select([c for c in keep if c in t.column_names])
+
+        ds = ds.map_batches(_project, batch_format="pyarrow")
+    return ds

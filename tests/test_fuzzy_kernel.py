@@ -40,6 +40,27 @@ def test_vectorized_probe_matches_definition_loop(vocab, queries):
     assert sorted(got) == sorted(want)
 
 
+def test_trigram_codes_align_on_non_ascii():
+    """Owner boundaries are measured in UTF-8 BYTES: a multibyte string
+    early in the batch must not shift later owners' code sets (the
+    codes become byte-trigrams, a consistent space on both pair sides).
+    """
+    from pboh_entity_linking_ray.pipelines.fuzzy import _trigram_code_sets
+
+    strs = np.array(["héllo", "café", "plain"], dtype=object)
+    owner, codes, counts = _trigram_code_sets(strs)
+
+    def byte_tris(s):
+        b = ("^^" + s + "$$").encode("utf-8")
+        return {b[i] * 65536 + b[i + 1] * 256 + b[i + 2]
+                for i in range(len(b) - 2)}
+
+    for i, s in enumerate(strs):
+        got = set(codes[owner == i].tolist())
+        assert got == byte_tris(s), s
+        assert counts[i] == len(byte_tris(s))
+
+
 def test_probe_on_realistic_typos():
     v = np.sort(np.array(
         ["conversation", "convergence", "converter", "convex",

@@ -54,17 +54,44 @@ def test_filter_within_projection_strips_and_matches(ray_session):
     assert (got["l_quantity"].to_numpy() > 25).all()
 
 
-def test_filter_outside_projection_passes_through(ray_session):
+def test_filter_outside_projection_widens_then_drops(ray_session):
     """A filter referencing a non-projected column can't ride a
-    stripped OUTPUT schema= (Ray rejects it) — the wrapper must fall
-    back to the plain read and still be correct."""
+    projected OUTPUT schema= (Ray rejects it) — the wrapper widens the
+    read to include the filter column (so the schema strip still
+    applies) and drops it in a post-read projection."""
     f = pds.field("l_quantity") > 25
-    got = read_parquet_clean(DIRTY, columns=["l_orderkey"], filter=f) \
-        .to_pandas()
+    ds = read_parquet_clean(DIRTY, columns=["l_orderkey"], filter=f)
+    got = ds.to_pandas()
     want = pq.read_table(DIRTY, columns=["l_orderkey", "l_quantity"],
                          filters=[("l_quantity", ">", 25)]).to_pandas()
     assert len(got) == len(want)
     assert list(got.columns) == ["l_orderkey"]
+    assert sorted(got["l_orderkey"]) == sorted(want["l_orderkey"])
+
+
+def test_missing_footer_column_falls_back(clean_file, ray_session, capsys):
+    """A requested column absent from the file footer (hive-partition
+    style) must fall back to the plain read, not KeyError."""
+    import os
+    import shutil
+
+    # build a hive-partitioned copy of the dirty file so the partition
+    # column exists in the dataset but not the footer
+    root = os.path.join(os.path.dirname(clean_file), "hive")
+    part = os.path.join(root, "pcol=7")
+    os.makedirs(part, exist_ok=True)
+    shutil.copy(DIRTY, os.path.join(part, "part.parquet"))
+    ds = read_parquet_clean(root, columns=["l_orderkey", "pcol"])
+    df = ds.to_pandas()
+    assert set(df.columns) == {"l_orderkey", "pcol"}
+    assert (df["pcol"].astype(int) == 7).all()
+
+
+def test_schema_cache_is_bounded():
+    reading._SCHEMA_CACHE.clear()
+    for i in range(reading._SCHEMA_CACHE_MAX + 16):
+        reading._stripped_schema(f"/nonexistent/path/{i}.parquet")
+    assert len(reading._SCHEMA_CACHE) <= reading._SCHEMA_CACHE_MAX
 
 
 def test_clean_file_passes_through_without_schema(clean_file, ray_session):
