@@ -1003,6 +1003,25 @@ def link_scorer_lbp_differential(sf_dir: str):
                                _labels(sf_dir), cfg, baseline="lbp")
 
 
+def link_lbp_convergence(sf_dir: str):
+    """Per-pair-size LBP convergence report (rows-only: telemetry of the
+    pipeline's own inference loop, not SQL-derivable) — the reference's
+    per-doc-size convergence % / avg-iteration table
+    (LBPTimeConvergence.scala:7, eval/GlobalStats.scala:200-209): score
+    the flagship pair set with ``SCORERS['lbp']`` and fold the per-pair
+    (iters, converged, live-token) telemetry into ≤|buckets| rows."""
+    from dataclasses import replace as dc_replace
+
+    from ..stages.evaluate import lbp_convergence_report
+    from ..stages.scoring import attach_features, score_pairs
+
+    res, cfg = _run(sf_dir)
+    attached = attach_features(res.pairs, res.features)
+    scored = score_pairs(attached, res.stats_ref,
+                         dc_replace(cfg, scorer="lbp"))
+    return lbp_convergence_report(scored)
+
+
 def _lines_file(sf_dir: str) -> str:
     """Deterministic TSV-lines twin of the corpus turns table (S5 reader
     input), built once beside the corpus cache (atomic tmp+rename)."""
@@ -2000,6 +2019,7 @@ QUERIES = {
     "link_block_histogram": (link_block_histogram, None),
     "link_scorer_differential": (link_scorer_differential, None),
     "link_scorer_lbp_differential": (link_scorer_lbp_differential, None),
+    "link_lbp_convergence": (link_lbp_convergence, None),
     "link_cluster_digest": (link_cluster_digest, None),
     "link_cluster_quality": (link_cluster_quality, None),
     "link_incremental": (link_incremental, None),

@@ -306,7 +306,7 @@ def scorer_differential(pairs: ray.data.Dataset, features: ray.data.Dataset,
                 Sum("match_both", alias_name="match_both"),
                 Sum("agree", alias_name="agree"))
     n = int(agg.get("n") or 0)
-    return pa.table({
+    out = pa.table({
         "n_pairs": pa.array([n], type=pa.int64()),
         "match_full": pa.array([int(agg.get("match_full") or 0)],
                                type=pa.int64()),
@@ -325,20 +325,131 @@ def scorer_differential(pairs: ray.data.Dataset, features: ray.data.Dataset,
         "margin_full": pa.array([margin_full]),
         "margin_base": pa.array([margin_base]),
     })
+    # LBP convergence telemetry (reference LBPTimeConvergence.scala:7 /
+    # GlobalStats.scala:200-209): when the baseline scorer surfaced
+    # per-pair sweep counts, fold them into the one-row report — a
+    # distributed Sum, never a pair collect
+    base_cols = base.schema().names
+    if "lbp_converged" in base_cols:
+        def conv_partial(t: pa.Table) -> pa.Table:
+            cv = np.asarray(t["lbp_converged"], dtype=bool)
+            return pa.table({
+                "cn": pa.array([t.num_rows], type=pa.int64()),
+                "cc": pa.array([int(cv.sum())], type=pa.int64()),
+                "ci": pa.array([int(np.asarray(t["lbp_iters"]).sum())],
+                               type=pa.int64()),
+                "cl": pa.array([int(np.asarray(
+                    t["lbp_live_tokens"]).sum())], type=pa.int64()),
+            })
+
+        cagg = base.map_batches(conv_partial, batch_format="pyarrow") \
+            .aggregate(Sum("cn", alias_name="cn"),
+                       Sum("cc", alias_name="cc"),
+                       Sum("ci", alias_name="ci"),
+                       Sum("cl", alias_name="cl"))
+        cn = int(cagg.get("cn") or 0)
+        out = out.append_column(
+            "lbp_converged_pct",
+            pa.array([(cagg.get("cc") or 0) / cn if cn else 1.0]))
+        out = out.append_column(
+            "lbp_avg_iters",
+            pa.array([(cagg.get("ci") or 0) / cn if cn else 0.0]))
+        out = out.append_column(
+            "lbp_avg_live_tokens",
+            pa.array([(cagg.get("cl") or 0) / cn if cn else 0.0]))
+    return out
+
+
+def lbp_convergence_report(scored: ray.data.Dataset) -> pd.DataFrame:
+    """Per-pair-size LBP convergence report — the recast of the
+    reference's per-doc-size-bucket convergence % / avg-iteration table
+    (LBPTimeConvergence.scala:7, eval/GlobalStats.scala:200-209, bucket
+    scheme GlobalStats.scala:116-134).  Input: an ``SCORERS['lbp']``
+    scored pair set (carries lbp_iters / lbp_converged /
+    lbp_live_tokens).  Distributed bucketed aggregate: per-batch
+    ≤|buckets|-row partials, ONE small sum — nothing O(pairs) reaches
+    the driver."""
+    from ray.data.aggregate import Sum
+
+    names = [f"{lo}" if lo == hi else f"{lo}-{hi}"
+             for lo, hi in SIZE_BUCKETS] + [f">{SIZE_BUCKETS[-1][1]}"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket": pa.array([], type=pa.string()),
+                          "n_pairs": pa.array([], type=pa.int64()),
+                          "n_converged": pa.array([], type=pa.int64()),
+                          "sum_iters": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "lbp_live_tokens" not in t.column_names:
+            return empty
+        n = np.asarray(t["lbp_live_tokens"], dtype=np.int64)
+        cv = np.asarray(t["lbp_converged"], dtype=bool).astype(np.int64)
+        it = np.asarray(t["lbp_iters"], dtype=np.int64)
+        bidx = np.full(len(n), len(SIZE_BUCKETS), dtype=np.int64)
+        for i in range(len(SIZE_BUCKETS) - 1, -1, -1):
+            lo, hi = SIZE_BUCKETS[i]
+            bidx[(n >= lo) & (n <= hi)] = i
+        bidx[n < 1] = 0                     # 0 live tokens → the "1" bin
+        npair = np.bincount(bidx, minlength=len(names)).astype(np.int64)
+        ncv = np.bincount(bidx, weights=cv, minlength=len(names)) \
+            .astype(np.int64)
+        nit = np.bincount(bidx, weights=it, minlength=len(names)) \
+            .astype(np.int64)
+        live = npair > 0
+        return pa.table({
+            "bucket": pa.array(np.array(names, dtype=object)[live]),
+            "n_pairs": pa.array(npair[live]),
+            "n_converged": pa.array(ncv[live]),
+            "sum_iters": pa.array(nit[live]),
+        })
+
+    out = scored.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket") \
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"),
+                   Sum("n_converged", alias_name="n_converged"),
+                   Sum("sum_iters", alias_name="sum_iters")) \
+        .to_pandas()                         # ≤|buckets| rows
+    out["converged_pct"] = out["n_converged"] / out["n_pairs"]
+    out["avg_iters"] = out["sum_iters"] / out["n_pairs"]
+    return out.sort_values("bucket").reset_index(drop=True)
 
 
 def cluster_size_histogram(clusters: ray.data.Dataset) -> pd.DataFrame:
-    """cluster size → count, bucketed per the reference's scheme."""
-    sizes = clusters.groupby("cluster_id").count().to_pandas()
+    """cluster size → count, bucketed per the reference's scheme
+    (GlobalStats.scala:116-134) as a DISTRIBUTED bucketed aggregate
+    (SURVEY §2 G6): per-batch ≤|buckets|-row partials over the groupby
+    output, then ONE small sum — nothing O(clusters) ever reaches the
+    driver."""
+    names = [f"{lo}" if lo == hi else f"{lo}-{hi}"
+             for lo, hi in SIZE_BUCKETS] + [f">{SIZE_BUCKETS[-1][1]}"]
 
-    def bucket(n: int) -> str:
-        for lo, hi in SIZE_BUCKETS:
-            if lo <= n <= hi:
-                return f"{lo}" if lo == hi else f"{lo}-{hi}"
-        return f">{SIZE_BUCKETS[-1][1]}"
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket": pa.array([], type=pa.string()),
+                          "n_clusters": pa.array([], type=pa.int64()),
+                          "n_convs": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "count()" not in t.column_names:
+            return empty
+        n = np.asarray(t["count()"], dtype=np.int64)
+        # first-matching-interval semantics, vectorized over the batch:
+        # loop is over the ≤10 buckets, never over rows
+        bidx = np.full(len(n), len(SIZE_BUCKETS), dtype=np.int64)
+        for i in range(len(SIZE_BUCKETS) - 1, -1, -1):
+            lo, hi = SIZE_BUCKETS[i]
+            bidx[(n >= lo) & (n <= hi)] = i
+        ncl = np.bincount(bidx, minlength=len(names)).astype(np.int64)
+        ncv = np.bincount(bidx, weights=n, minlength=len(names)) \
+            .astype(np.int64)
+        live = ncl > 0
+        return pa.table({
+            "bucket": pa.array(np.array(names, dtype=object)[live]),
+            "n_clusters": pa.array(ncl[live]),
+            "n_convs": pa.array(ncv[live]),
+        })
 
-    sizes["bucket"] = sizes["count()"].map(bucket)
-    out = sizes.groupby("bucket", as_index=False).agg(
-        n_clusters=("cluster_id", "count"), n_convs=("count()", "sum")
-    )
+    from ray.data.aggregate import Sum
+
+    out = clusters.groupby("cluster_id").count() \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("n_clusters", alias_name="n_clusters"),
+                                     Sum("n_convs", alias_name="n_convs")) \
+        .to_pandas()                       # ≤|buckets| rows
     return out.sort_values("bucket").reset_index(drop=True)

@@ -48,9 +48,11 @@ def test_beliefs_exact_on_two_variable_trees(seed):
     lam[:, 0, 1] = l01
     lam[:, 1, 0] = l01
     mask = np.ones((3, 2), dtype=bool)
-    got = _sum_product_beliefs(theta, lam, mask)
+    got, iters_used, converged = _sum_product_beliefs(theta, lam, mask)
     want = _exact_marginals(theta, lam, mask)
     np.testing.assert_allclose(got, want, atol=1e-4)
+    assert converged.all()
+    assert (iters_used >= 1).all()
 
 
 @settings(max_examples=25, deadline=None)
@@ -69,9 +71,10 @@ def test_beliefs_close_on_weakly_coupled_loops(seed):
     mask = np.ones((R, L), dtype=bool)
     mask[0, -1] = False                      # exercise a dead variable
     lam[0, -1, :] = lam[0, :, -1] = 0.0
-    got = _sum_product_beliefs(theta, lam, mask)
+    got, _, converged = _sum_product_beliefs(theta, lam, mask)
     want = _exact_marginals(theta, lam, mask)
     np.testing.assert_allclose(got, want, atol=0.05)
+    assert converged.all()      # weak couplings: every row converges
     assert got[0, -1] == 0.0                 # dead variable stays zero
 
 
@@ -100,3 +103,42 @@ def test_lbp_scorer_f1_matches_closed_form(golden):
     f1_full = _f1(golden, "full")
     assert f1_lbp >= f1_full
     assert f1_lbp == 1.0
+
+
+def test_lbp_telemetry_on_golden_fixture(golden):
+    """Convergence telemetry (reference LBPTimeConvergence /
+    GlobalStats.scala:200-209): every golden-fixture pair converges
+    within the iteration budget, the scored set carries the telemetry
+    columns, and the per-size report accounts for every pair."""
+    from dataclasses import replace
+
+    from pboh_entity_linking_ray.config import PipelineConfig
+    from pboh_entity_linking_ray.pipelines.linkage import run_linkage
+    from pboh_entity_linking_ray.stages.evaluate import (
+        lbp_convergence_report)
+
+    res = run_linkage(ray.data.from_arrow(golden.turns),
+                      PipelineConfig(scorer="lbp"))
+    sp = res.scored.to_pandas()
+    for c in ("lbp_iters", "lbp_converged", "lbp_live_tokens"):
+        assert c in sp.columns, c
+    assert sp["lbp_converged"].all()
+    assert (sp.loc[sp["lbp_live_tokens"] >= 2, "lbp_iters"] >= 1).all()
+
+    rep = lbp_convergence_report(res.scored)
+    assert rep["n_pairs"].sum() == len(sp)
+    assert (rep["converged_pct"] == 1.0).all()
+
+
+def test_lbp_differential_carries_convergence_columns(golden):
+    """scorer_differential with baseline='lbp' folds the telemetry into
+    the one-row report (distributed Sums, no pair collect)."""
+    from pboh_entity_linking_ray.pipelines.linkage import run_linkage
+    from pboh_entity_linking_ray.stages.evaluate import scorer_differential
+
+    res = run_linkage(ray.data.from_arrow(golden.turns))
+    out = scorer_differential(res.pairs, res.features, res.stats_ref,
+                              golden.labels, baseline="lbp").to_pandas()
+    assert out.loc[0, "lbp_converged_pct"] == 1.0
+    assert out.loc[0, "lbp_avg_iters"] >= 0.0
+    assert out.loc[0, "lbp_avg_live_tokens"] > 0.0
