@@ -796,6 +796,234 @@ LIMIT {REVIEW_K}
 """
 
 
+# --- q191/q192: crowd-adjudication fold-back --------------------------------
+
+CROWD_WORKERS = 40    # synthetic worker pool size
+CROWD_MAX_ANS = 5     # a question draws 2..5 answers (md5 lottery)
+MIN_VOTES = 3         # reference: numAnswers >= 3 gate
+                      # (eval/aturk/InterpretAmazonTurkResults.scala:148)
+
+_CROWD_SCHEMA = pa.schema([
+    ("a", pa.int64()), ("b", pa.int64()), ("worker_id", pa.int64()),
+    ("answer", pa.string()), ("work_time", pa.int64()),
+    ("empty_other", pa.int64()),
+])
+
+
+def _crowd_answers(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic multi-annotator answer table over q122's review
+    queue — the recast of the reference's AMT batch-results CSV
+    (eval/aturk/InterpretAmazonTurkResults.scala header block): per
+    queued pair, an md5 lottery draws 2..5 answers, each with a worker
+    id, an answer category (argmax/loopy/google/other + the two planted
+    spam categories the reference's worker screen counts), a work time,
+    and the chose-other-but-left-it-empty flag.  Everything is a pure
+    md5 function of the (a, b) question key, so the SQL twin synthesizes
+    the identical table.  The queue is bounded by REVIEW_K, so the
+    per-row Python md5 loop (the one loop the oracle twins keep,
+    textops._md5_cached) is O(review budget × 5), never O(pairs)."""
+    from .textops import _md5_cached
+
+    cache: dict = {}
+
+    def synth(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _CROWD_SCHEMA.empty_table()
+        a = np.asarray(t["a"], dtype=np.int64)
+        b = np.asarray(t["b"], dtype=np.int64)
+        qid = [f"{x}:{y}" for x, y in zip(a, b)]
+        na = (2 + _md5_cached(cache, [q + "#na" for q in qid])
+              % np.uint64(CROWD_MAX_ANS - 1)).astype(np.int64)
+        idx = np.repeat(np.arange(len(a), dtype=np.int64), na)
+        ends = np.cumsum(na)
+        i_in = np.arange(len(idx), dtype=np.int64) - \
+            np.repeat(ends - na, na)
+        wk = (_md5_cached(cache, [f"{qid[j]}#w{i}"
+                                  for j, i in zip(idx, i_in)])
+              % np.uint64(CROWD_WORKERS)).astype(np.int64)
+        r = (_md5_cached(cache, [f"{qid[j]}#a{i}"
+                                 for j, i in zip(idx, i_in)])
+             % np.uint64(100)).astype(np.int64)
+        wt = (10 + _md5_cached(cache, [f"{qid[j]}#t{i}"
+                                       for j, i in zip(idx, i_in)])
+              % np.uint64(120)).astype(np.int64)
+        oe = (_md5_cached(cache, [f"{qid[j]}#o{i}"
+                                  for j, i in zip(idx, i_in)])
+              % np.uint64(2)).astype(np.int64)
+        cats = np.array(["argmax", "loopy", "google", "other",
+                         "spam_random", "spam_candidates"], dtype=object)
+        cut = np.array([40, 65, 85, 93, 97, 100], dtype=np.int64)
+        answer = cats[np.searchsorted(cut, r, side="right")]
+        empty_other = ((answer == "other") & (oe == 0)).astype(np.int64)
+        return pa.table({
+            "a": pa.array(a[idx]), "b": pa.array(b[idx]),
+            "worker_id": pa.array(wk),
+            "answer": pa.array(answer, type=pa.string()),
+            "work_time": pa.array(wt),
+            "empty_other": pa.array(empty_other),
+        })
+
+    return q122_review_queue(sf_dir).map_batches(
+        synth, batch_format="pyarrow")
+
+
+_Q191_OUT = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                       ("n_answers", pa.int64()),
+                       ("resolution", pa.string())])
+
+
+def q191_crowd_adjudication(sf_dir: str):
+    """Crowd-adjudication fold-back: majority-vote resolution of the
+    q122 review queue (reference ``isTheBestBy``,
+    eval/aturk/InterpretAmazonTurkResults.scala:95-175 / 198-210): a
+    question with ≥3 answers resolves to the answer category holding a
+    STRICT plurality over every other category (any rival count ≥ the
+    top blocks it — the diff=0 rule); a strict-max spam category
+    resolves to 'spam' (the planted-screen answers can't win a label),
+    no strict max → 'tie', <3 answers → 'unresolved'.
+
+    Shape: the synthesized answers stream through ONE bucketed exchange
+    on the question's left key (a question's answers share ``a``, so
+    they co-locate), then a vectorized polars fold computes per-question
+    finals — O(review budget) rows end-to-end."""
+    import polars as pl
+
+    ans = _crowd_answers(sf_dir)
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _Q191_OUT.empty_table()
+        df = pl.from_arrow(t)
+        cnt = df.group_by(["a", "b", "answer"]).len().rename({"len": "c"})
+        tot = df.group_by(["a", "b"]).agg(
+            pl.len().cast(pl.Int64).alias("n_answers"))
+        mx = cnt.group_by(["a", "b"]).agg(pl.col("c").max().alias("mxc"))
+        top = (cnt.join(mx, on=["a", "b"])
+               .filter(pl.col("c") == pl.col("mxc"))
+               .group_by(["a", "b"])
+               .agg(pl.len().alias("n_at_max"),
+                    pl.col("answer").max().alias("top_answer")))
+        res = tot.join(top, on=["a", "b"]).with_columns(
+            pl.when(pl.col("n_answers") < MIN_VOTES)
+            .then(pl.lit("unresolved"))
+            .when(pl.col("n_at_max") > 1).then(pl.lit("tie"))
+            .when(pl.col("top_answer").str.starts_with("spam"))
+            .then(pl.lit("spam"))
+            .otherwise(pl.col("top_answer")).alias("resolution"))
+        return res.select(["a", "b", "n_answers", "resolution"]) \
+            .to_arrow().cast(_Q191_OUT)
+
+    return bucketed_groups(ans, "a", fold, num_buckets=16) \
+        .sort(["a", "b"])
+
+
+_Q192_OUT = pa.schema([("worker_id", pa.int64()),
+                       ("n_answers", pa.int64()),
+                       ("avg_time_s", pa.int64()),
+                       ("n_spam_random", pa.int64()),
+                       ("n_spam_candidates", pa.int64()),
+                       ("n_empty_other", pa.int64())])
+
+
+def q192_worker_stats(sf_dir: str):
+    """Per-worker quality screen over the crowd answers (reference
+    worker-stats loop, eval/aturk/InterpretAmazonTurkResults.scala:
+    95-125): answers given, truncated average work time (the
+    reference's ``.intValue()``), planted-spam hit counts, and
+    chose-other-but-empty count — the inputs of its reject/republish
+    decision.  ONE bucketed exchange on worker_id, vectorized fold."""
+    import polars as pl
+
+    ans = _crowd_answers(sf_dir)
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "worker_id" not in t.column_names:
+            return _Q192_OUT.empty_table()
+        df = pl.from_arrow(t)
+        out = df.group_by("worker_id").agg(
+            pl.len().cast(pl.Int64).alias("n_answers"),
+            (pl.col("work_time").sum() // pl.len())
+            .cast(pl.Int64).alias("avg_time_s"),
+            (pl.col("answer") == "spam_random").sum()
+            .cast(pl.Int64).alias("n_spam_random"),
+            (pl.col("answer") == "spam_candidates").sum()
+            .cast(pl.Int64).alias("n_spam_candidates"),
+            pl.col("empty_other").sum().cast(pl.Int64)
+            .alias("n_empty_other"))
+        return out.to_arrow().cast(_Q192_OUT)
+
+    return bucketed_groups(ans, "worker_id", fold, num_buckets=16) \
+        .sort("worker_id")
+
+
+def _sql_crowd_answers() -> str:
+    """SQL twin of ``_crowd_answers``: the identical md5 lottery over
+    the q122 queue, expanded with a range(5) cross join."""
+    return f"""
+SELECT q.a, q.b,
+       CAST(md5_number_lower(CAST(q.a AS VARCHAR) || ':' ||
+            CAST(q.b AS VARCHAR) || '#w' || CAST(t.i AS VARCHAR))
+            % {CROWD_WORKERS} AS BIGINT) AS worker_id,
+       CASE WHEN r < 40 THEN 'argmax' WHEN r < 65 THEN 'loopy'
+            WHEN r < 85 THEN 'google' WHEN r < 93 THEN 'other'
+            WHEN r < 97 THEN 'spam_random'
+            ELSE 'spam_candidates' END AS answer,
+       CAST(10 + md5_number_lower(CAST(q.a AS VARCHAR) || ':' ||
+            CAST(q.b AS VARCHAR) || '#t' || CAST(t.i AS VARCHAR))
+            % 120 AS BIGINT) AS work_time,
+       CAST(CASE WHEN r >= 85 AND r < 93 AND
+            md5_number_lower(CAST(q.a AS VARCHAR) || ':' ||
+                CAST(q.b AS VARCHAR) || '#o' || CAST(t.i AS VARCHAR))
+            % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS empty_other
+FROM qq q, range({CROWD_MAX_ANS}) t(i),
+     LATERAL (SELECT CAST(md5_number_lower(CAST(q.a AS VARCHAR) || ':'
+              || CAST(q.b AS VARCHAR) || '#a' || CAST(t.i AS VARCHAR))
+              % 100 AS BIGINT) AS r) x
+WHERE t.i < 2 + md5_number_lower(CAST(q.a AS VARCHAR) || ':' ||
+      CAST(q.b AS VARCHAR) || '#na') % {CROWD_MAX_ANS - 1}
+"""
+
+
+def _sql_q191() -> str:
+    return f"""
+WITH qq AS ({_sql_q122()}),
+ansx AS ({_sql_crowd_answers()}),
+cnt AS (SELECT a, b, answer, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ansx GROUP BY a, b, answer),
+tot AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_answers
+        FROM ansx GROUP BY a, b),
+mx AS (SELECT a, b, MAX(c) AS mxc FROM cnt GROUP BY a, b),
+top AS (SELECT c2.a, c2.b, COUNT(*) AS n_at_max,
+               MAX(c2.answer) AS top_answer
+        FROM cnt c2 JOIN mx ON c2.a = mx.a AND c2.b = mx.b
+        WHERE c2.c = mx.mxc GROUP BY c2.a, c2.b)
+SELECT t.a, t.b, t.n_answers,
+       CASE WHEN t.n_answers < {MIN_VOTES} THEN 'unresolved'
+            WHEN w.n_at_max > 1 THEN 'tie'
+            WHEN w.top_answer LIKE 'spam%' THEN 'spam'
+            ELSE w.top_answer END AS resolution
+FROM tot t JOIN top w ON t.a = w.a AND t.b = w.b
+ORDER BY t.a, t.b
+"""
+
+
+def _sql_q192() -> str:
+    return f"""
+WITH qq AS ({_sql_q122()}),
+ansx AS ({_sql_crowd_answers()})
+SELECT worker_id,
+       CAST(COUNT(*) AS BIGINT) AS n_answers,
+       CAST(CAST(SUM(work_time) AS BIGINT) // COUNT(*) AS BIGINT)
+           AS avg_time_s,
+       CAST(COUNT(*) FILTER (WHERE answer = 'spam_random') AS BIGINT)
+           AS n_spam_random,
+       CAST(COUNT(*) FILTER (WHERE answer = 'spam_candidates') AS BIGINT)
+           AS n_spam_candidates,
+       CAST(SUM(empty_other) AS BIGINT) AS n_empty_other
+FROM ansx GROUP BY worker_id ORDER BY worker_id
+"""
+
+
 # --- q130: deterministic canopy assignment over the near-dup graph ----------
 
 CANOPY_PRI_MOD = 1_000_000_000
@@ -1527,4 +1755,6 @@ QUERIES = {
     "q131_monge_elkan": (q131_monge_elkan, SQL_Q131),
     "q138_one_to_one_match": (q138_one_to_one_match, _sql_q138()),
     "q155_em_fs": (q155_em_fs, _sql_q155()),
+    "q191_crowd_adjudication": (q191_crowd_adjudication, _sql_q191()),
+    "q192_worker_stats": (q192_worker_stats, _sql_q192()),
 }

@@ -1,0 +1,89 @@
+"""q191/q192 crowd adjudication — majority-vote rule and worker screen
+pinned against a from-DEFINITION Python oracle over the same synthesized
+answer table (the SQL twins share the md5 lottery, so only a definition
+oracle catches vote-rule bugs; reference
+eval/aturk/InterpretAmazonTurkResults.scala:95-210)."""
+
+from collections import Counter, defaultdict
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def answers(ray_session):
+    from pboh_entity_linking_ray.pipelines.er import _crowd_answers
+
+    df = _crowd_answers(SF).to_pandas()   # O(review budget × 5) rows
+    assert len(df) > 0
+    return df
+
+
+def test_answer_lottery_shape(answers):
+    per_q = answers.groupby(["a", "b"]).size()
+    assert per_q.between(2, 5).all()
+    assert answers["worker_id"].between(0, 39).all()
+    assert answers["work_time"].between(10, 129).all()
+    assert set(answers["answer"]) <= {"argmax", "loopy", "google", "other",
+                                      "spam_random", "spam_candidates"}
+    # empty_other only ever set on 'other' answers
+    assert (answers.loc[answers["empty_other"] == 1, "answer"]
+            == "other").all()
+
+
+def test_majority_vote_matches_definition(answers, ray_session):
+    from pboh_entity_linking_ray.pipelines.er import (
+        MIN_VOTES, q191_crowd_adjudication)
+
+    got = q191_crowd_adjudication(SF).to_pandas()
+
+    # the reference's isTheBestBy(diff=0): winner iff its count is
+    # strictly greater than EVERY other distinct answer's count
+    want = {}
+    for (a, b), grp in answers.groupby(["a", "b"]):
+        cnt = Counter(grp["answer"])
+        n = len(grp)
+        if n < MIN_VOTES:
+            want[(a, b)] = (n, "unresolved")
+            continue
+        mx = max(cnt.values())
+        at_max = [ans for ans, c in cnt.items() if c == mx]
+        if len(at_max) > 1:
+            res = "tie"
+        elif at_max[0].startswith("spam"):
+            res = "spam"
+        else:
+            res = at_max[0]
+        want[(a, b)] = (n, res)
+
+    assert len(got) == len(want)
+    for row in got.itertuples(index=False):
+        n, res = want[(row.a, row.b)]
+        assert (row.n_answers, row.resolution) == (n, res), (row.a, row.b)
+    # the fixture must actually exercise the interesting arms
+    ress = set(got["resolution"])
+    assert "unresolved" in ress
+    assert ress & {"argmax", "loopy", "google", "other"}
+
+
+def test_worker_stats_match_definition(answers, ray_session):
+    from pboh_entity_linking_ray.pipelines.er import q192_worker_stats
+
+    got = q192_worker_stats(SF).to_pandas()
+
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for r in answers.itertuples(index=False):
+        s = agg[r.worker_id]
+        s[0] += 1
+        s[1] += r.work_time
+        s[2] += r.answer == "spam_random"
+        s[3] += r.answer == "spam_candidates"
+        s[4] += r.empty_other
+    assert len(got) == len(agg)
+    for row in got.itertuples(index=False):
+        n, t, sr, sc, eo = agg[row.worker_id]
+        assert row.n_answers == n
+        assert row.avg_time_s == t // n       # truncated avg (.intValue())
+        assert (row.n_spam_random, row.n_spam_candidates,
+                row.n_empty_other) == (sr, sc, eo)
