@@ -724,11 +724,16 @@ def q160_spearman(sf_dir: str):
     q95 device, since Σ·Σ products overflow int64 where DuckDB would
     silently widen to HUGEINT).
 
-    INT64 CEILING: Σrx² of doubled midranks grows as ~4n³/3, which
-    wraps int64 at n ≈ 1.3M rows (orders at TPC-H sf ≈ 0.9) while the
-    DuckDB twin widens to HUGEINT — beyond that scale the partials must
-    split into two int64 limbs (the q164 device) before summing; benched
-    exact through sf0.1."""
+    The n³-scale sums (Σrx², Σry², Σrxy grow as ~4n³/3, past int64 at
+    n ≈ 1.9M rows) accumulate as TWO int64 limbs — per batch each
+    product splits into (p >> 32, p & 0xFFFFFFFF) partial sums, and the
+    driver reassembles exact Python ints from the O(batches) limb rows —
+    while the twin's ``sum()`` widens to HUGEINT naturally; both sides
+    then cast the exact integer to DOUBLE for the one-row Pearson
+    finish (casts mirrored token-for-token — the q95 device).
+    Remaining ceiling is per-ELEMENT: rx·ry ≤ 4n² wraps int64 at
+    n ≈ 1.5e9 rows per column (pytest pins exactness at a planted
+    2.5M-row rank table, past the old Σ ceiling)."""
     import polars as pl
 
     from ..functions.grouping import (bucketed_sum, hash_join,
@@ -775,33 +780,64 @@ def q160_spearman(sf_dir: str):
 
     with_rx = hash_join(rows, rank_table("x", "rx2"), "x")
     with_both = hash_join(with_rx, rank_table("y", "ry2"), "y")
+    return _spearman_from_ranked(with_both)
 
-    _S = pa.schema([("n", pa.int64()), ("sx", pa.int64()),
-                    ("sy", pa.int64()), ("sxx", pa.int64()),
-                    ("syy", pa.int64()), ("sxy", pa.int64())])
+
+_SPEAR_S = pa.schema([("n", pa.int64()), ("sx", pa.int64()),
+                      ("sy", pa.int64()),
+                      ("sxx_hi", pa.int64()), ("sxx_lo", pa.int64()),
+                      ("syy_hi", pa.int64()), ("syy_lo", pa.int64()),
+                      ("sxy_hi", pa.int64()), ("sxy_lo", pa.int64())])
+
+
+def _spearman_from_ranked(with_both: ray.data.Dataset) -> pa.Table:
+    """Pearson-on-doubled-midranks finish over a (rx2, ry2) row stream.
+
+    The n³-scale sums accumulate exactly via the two-limb int64 split:
+    per batch each nonnegative product p contributes to (Σ p>>32,
+    Σ p&0xFFFFFFFF) partials — lo-limb batch sums stay < rows·2³² and
+    hi limbs are tiny — and the driver reassembles arbitrary-precision
+    Python ints from the O(batches) partial rows (the DuckDB twin's
+    ``sum()`` widens to HUGEINT on its side).  Per-element rx·ry ≤ 4n²
+    is the remaining int64 ceiling (n ≈ 1.5e9 per rank column)."""
+    _M32 = np.int64(0xFFFFFFFF)
 
     def stats(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "rx2" not in t.column_names:
-            return _S.empty_table()
+            return _SPEAR_S.empty_table()
         rx = np.asarray(t["rx2"], dtype=np.int64)
         ry = np.asarray(t["ry2"], dtype=np.int64)
+
+        def limbs(p: np.ndarray) -> tuple:
+            return (p >> 32).sum(), (p & _M32).sum()
+
+        xxh, xxl = limbs(rx * rx)
+        yyh, yyl = limbs(ry * ry)
+        xyh, xyl = limbs(rx * ry)
         return pa.table({
             "n": pa.array([np.int64(len(rx))]),
             "sx": pa.array([rx.sum()]), "sy": pa.array([ry.sum()]),
-            "sxx": pa.array([(rx * rx).sum()]),
-            "syy": pa.array([(ry * ry).sum()]),
-            "sxy": pa.array([(rx * ry).sum()]),
+            "sxx_hi": pa.array([xxh]), "sxx_lo": pa.array([xxl]),
+            "syy_hi": pa.array([yyh]), "syy_lo": pa.array([yyl]),
+            "sxy_hi": pa.array([xyh]), "sxy_lo": pa.array([xyl]),
         })
 
     p = with_both.map_batches(stats, batch_format="pyarrow").to_pandas()
-    n = np.float64(np.int64(p["n"].sum()))
-    sx, sy = np.float64(p["sx"].sum()), np.float64(p["sy"].sum())
-    sxx, syy = np.float64(p["sxx"].sum()), np.float64(p["syy"].sum())
-    sxy = np.float64(p["sxy"].sum())
+
+    def exact(col: str) -> int:
+        # O(batches) rows; Python-int fold → arbitrary precision
+        return (int(p[f"{col}_hi"].astype(object).sum()) << 32) \
+            + int(p[f"{col}_lo"].astype(object).sum())
+
+    n_int = int(p["n"].sum())
+    n = np.float64(n_int)
+    sx, sy = np.float64(int(p["sx"].sum())), np.float64(int(p["sy"].sum()))
+    sxx, syy = np.float64(exact("sxx")), np.float64(exact("syy"))
+    sxy = np.float64(exact("sxy"))
     rho = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx)
                                         * (n * syy - sy * sy))
     return pa.table({
-        "n": pa.array([np.int64(p["n"].sum())]),
+        "n": pa.array([np.int64(n_int)]),
         "rho_e6": pa.array([np.int64(np.floor(rho * 1_000_000 + 0.5))]),
     })
 
@@ -820,11 +856,13 @@ r AS (
   FROM o
 ),
 s AS (
+  -- the n³-scale sums stay HUGEINT (the Ray side reassembles the same
+  -- exact integers from two int64 limbs) and go straight to DOUBLE
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
-         CAST(sum(rx * rx) AS BIGINT) AS sxx,
-         CAST(sum(ry * ry) AS BIGINT) AS syy,
-         CAST(sum(rx * ry) AS BIGINT) AS sxy
+         sum(rx * rx) AS sxx,
+         sum(ry * ry) AS syy,
+         sum(rx * ry) AS sxy
   FROM r
 )
 SELECT n,

@@ -83,6 +83,40 @@ def test_q160_spearman_from_rank_corrcoef(ray_session):
     assert abs(out["rho_e6"] - rho * 1_000_000) <= 1   # independent float path
 
 
+def test_spearman_two_limb_exact_past_int64(ray_session):
+    """The limb-split stats fold at a planted 2.5M-row rank table,
+    where Σrx² ≈ 2.1e19 overflows int64 (the old ceiling was ~1.9M
+    rows): the reassembled sums must equal the closed forms EXACTLY,
+    and rho must match an arbitrary-precision oracle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pboh_entity_linking_ray.pipelines.training import \
+        _spearman_from_ranked
+
+    n = 2_500_000
+    i = np.arange(1, n + 1, dtype=np.int64)
+    rx2 = 2 * i                                  # distinct singleton ranks
+    ry2 = 2 * ((i * 17) % n + 1)                 # a permutation (gcd=1)
+    ds = rd.from_arrow(pa.table({"rx2": pa.array(rx2),
+                                 "ry2": pa.array(ry2)})) \
+        .repartition(8)
+    out = _spearman_from_ranked(ds).to_pandas().iloc[0]
+    assert out["n"] == n
+
+    # closed form: Σ(2i)² = 4·n(n+1)(2n+1)/6 — past int64
+    sxx_exact = 4 * n * (n + 1) * (2 * n + 1) // 6
+    assert sxx_exact > 2**63 - 1
+    # arbitrary-precision oracle over the same planted ranks
+    sx = int(rx2.astype(object).sum())
+    sy = int(ry2.astype(object).sum())
+    sxy = sum(int(a) * int(b) for a, b in zip(rx2, ry2))
+    num = n * sxy - sx * sy
+    den2 = (n * sxx_exact - sx * sx) * (n * sxx_exact - sy * sy)
+    rho = float(num) / np.sqrt(float(den2))
+    assert abs(out["rho_e6"] - rho * 1_000_000) <= 1
+
+
 def test_q161_kw_from_textbook_formula(ray_session):
     from pboh_entity_linking_ray.pipelines.training import \
         q161_kruskal_wallis
