@@ -274,6 +274,8 @@ OPS_DEFAULT = [
     "q176_ref_integrity", "q177_acf", "q178_partial_corr",
     "q179_cramers_v", "als_tool_factors", "q180_proportion_ci",
     "link_cluster_labels", "q181_seasonality", "als_conv_factors", "q182_powerlaw", "q183_group_mode", "kmv_jaccard", "q184_backtest", "q185_service_level", "q186_fano", "q187_conversion_window", "link_threshold_sensitivity", "q188_nysiis_blocking", "link_block_histogram", "q189_ratio_metric",
+    "q190_dup_spans", "q191_crowd_adjudication", "q192_worker_stats",
+    "link_lbp_convergence",
 ]
 
 
