@@ -27,6 +27,8 @@ import sys
 import threading
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _tree_rss_mb() -> float:
     """Sum RSS (MB) over every process we can read — on this
