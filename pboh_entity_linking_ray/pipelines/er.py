@@ -956,6 +956,48 @@ def q192_worker_stats(sf_dir: str):
         .sort("worker_id")
 
 
+_Q193_OUT = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                       ("worker_id", pa.int64()),
+                       ("reason", pa.string())])
+
+
+def q193_reject_republish(sf_dir: str):
+    """Reject-and-republish list — the third behavior of the reference's
+    AMT interpreter (``republishEmptyOtherAssignments``,
+    eval/aturk/InterpretAmazonTurkResults.scala:33-60): every assignment
+    whose answer chose 'other' but left the Other text box empty is
+    rejected (with the reason string) and its question goes back to the
+    queue.  Pure per-batch filter over the synthesized answers — no
+    exchange at all; O(review budget × 5) rows in, O(rejects) out."""
+    REASON = "empty-other"
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "empty_other" not in t.column_names:
+            return _Q193_OUT.empty_table()
+        import pyarrow.compute as pc
+
+        kept = t.filter(pc.equal(t["empty_other"], 1))
+        return pa.table({
+            "a": kept["a"], "b": kept["b"],
+            "worker_id": kept["worker_id"],
+            "reason": pa.array([REASON] * kept.num_rows,
+                               type=pa.string()),
+        })
+
+    return _crowd_answers(sf_dir).map_batches(
+        flag, batch_format="pyarrow").sort(["a", "b", "worker_id"])
+
+
+def _sql_q193() -> str:
+    return f"""
+WITH qq AS ({_sql_q122()}),
+ansx AS ({_sql_crowd_answers()})
+SELECT a, b, worker_id, 'empty-other' AS reason
+FROM ansx WHERE empty_other = 1
+ORDER BY a, b, worker_id
+"""
+
+
 def _sql_crowd_answers() -> str:
     """SQL twin of ``_crowd_answers``: the identical md5 lottery over
     the q122 queue, expanded with a range(5) cross join."""
@@ -1757,4 +1799,5 @@ QUERIES = {
     "q155_em_fs": (q155_em_fs, _sql_q155()),
     "q191_crowd_adjudication": (q191_crowd_adjudication, _sql_q191()),
     "q192_worker_stats": (q192_worker_stats, _sql_q192()),
+    "q193_reject_republish": (q193_reject_republish, _sql_q193()),
 }

@@ -87,3 +87,17 @@ def test_worker_stats_match_definition(answers, ray_session):
         assert row.avg_time_s == t // n       # truncated avg (.intValue())
         assert (row.n_spam_random, row.n_spam_candidates,
                 row.n_empty_other) == (sr, sc, eo)
+
+
+def test_reject_republish_matches_definition(answers, ray_session):
+    from pboh_entity_linking_ray.pipelines.er import q193_reject_republish
+
+    got = q193_reject_republish(SF).to_pandas()
+    want = answers.loc[answers["empty_other"] == 1,
+                       ["a", "b", "worker_id"]] \
+        .sort_values(["a", "b", "worker_id"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["reason"] == "empty-other").all()
+    assert got[["a", "b", "worker_id"]].reset_index(drop=True) \
+        .equals(want)
+    assert len(got) > 0      # fixture exercises the reject arm
