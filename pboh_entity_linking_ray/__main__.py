@@ -36,6 +36,16 @@ import json
 import sys
 
 
+def _json_default(o):
+    """numpy scalars must serialize as JSON numbers/booleans, not
+    strings like "True"/"8123" (tests/test_job_entry.py)."""
+    import numpy as _np
+
+    if isinstance(o, _np.generic):
+        return o.item()
+    return str(o)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pboh_entity_linking_ray")
     ap.add_argument("--query", default=None,
@@ -156,15 +166,6 @@ def main(argv: list[str] | None = None) -> int:
         out["top_pairs"] = pairs.sort_values(
             "score", ascending=False).head(10)[
             ["conv_a", "conv_b", "score", "is_match"]].to_dict("records")
-
-        def _json_default(o):
-            # numpy scalars must serialize as JSON numbers/booleans, not
-            # strings like "True"/"8123"
-            import numpy as _np
-            if isinstance(o, _np.generic):
-                return o.item()
-            return str(o)
-
         print(json.dumps(out, default=_json_default))
         return 0
 

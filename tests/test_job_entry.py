@@ -61,3 +61,17 @@ def test_query_cli_modes(ray_session, tmp_path, capsys):
     head = capsys.readouterr().out.strip().splitlines()
     assert 0 < len(head) <= 50
     json.loads(head[0])  # JSONL rows
+
+
+def test_json_default_unwraps_numpy_scalars():
+    """--link-one prints JSON; numpy scalars must become numbers and
+    booleans, never the strings "8123"/"True"."""
+    import json
+
+    import numpy as np
+
+    from pboh_entity_linking_ray.__main__ import _json_default
+
+    s = json.dumps({"n": np.int64(8123), "ok": np.bool_(True),
+                    "x": np.float64(0.5)}, default=_json_default)
+    assert json.loads(s) == {"n": 8123, "ok": True, "x": 0.5}
