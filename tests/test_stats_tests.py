@@ -11,6 +11,8 @@ import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 SF = "/root/testdata/sf0.001"
 
@@ -436,3 +438,39 @@ def test_q189_ratio_metric_from_direct_delta(ray_session):
         assert abs(row["lo_e4"] - (r - Z975 * se) * 10000) <= 2
         assert abs(row["hi_e4"] - (r + Z975 * se) * 10000) <= 2
         assert row["lo_e4"] <= row["rev_per_day_e4"] <= row["hi_e4"]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 10_000))
+@pytest.mark.usefixtures("ray_session")
+def test_spearman_limb_path_equals_plain_int_path(seed):
+    """Property: on inputs comfortably INSIDE int64 the limb-split fold
+    must reproduce the plain exact computation bit-for-bit (same rho_e6),
+    for arbitrary tied/untied rank tables."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pboh_entity_linking_ray.pipelines.training import \
+        _spearman_from_ranked
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(3, 400))
+    rx2 = rng.integers(1, 2 * n + 1, size=n).astype(np.int64)
+    ry2 = rng.integers(1, 2 * n + 1, size=n).astype(np.int64)
+    if len(set(rx2)) < 2 or len(set(ry2)) < 2:
+        return                                     # rho undefined
+    ds = rd.from_arrow(pa.table({"rx2": pa.array(rx2),
+                                 "ry2": pa.array(ry2)})).repartition(3)
+    out = _spearman_from_ranked(ds).to_pandas().iloc[0]
+
+    nn = np.float64(n)
+    sx, sy = np.float64(rx2.sum()), np.float64(ry2.sum())
+    sxx = np.float64((rx2 * rx2).sum())
+    syy = np.float64((ry2 * ry2).sum())
+    sxy = np.float64((rx2 * ry2).sum())
+    den = (nn * sxx - sx * sx) * (nn * syy - sy * sy)
+    if den <= 0:
+        return
+    rho = (nn * sxy - sx * sy) / np.sqrt(den)
+    assert out["n"] == n
+    assert out["rho_e6"] == np.int64(np.floor(rho * 1_000_000 + 0.5))
