@@ -956,6 +956,46 @@ def q192_worker_stats(sf_dir: str):
         .sort("worker_id")
 
 
+_Q194_OUT = pa.schema([("resolution", pa.string()),
+                       ("n_questions", pa.int64())])
+
+
+def q194_vote_summary(sf_dir: str):
+    """The reference's printed majority-vote summary ("Majority vote
+    for loopy: N questions", eval/aturk/InterpretAmazonTurkResults.
+    scala:178-193): per resolution category, how many review questions
+    landed there — the one-screen system-comparison readout of the
+    whole adjudication loop.  A ≤7-row fold over q191's per-question
+    output (itself one bounded exchange)."""
+    import pyarrow.compute as pc
+
+    res = q191_crowd_adjudication(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "resolution" not in t.column_names:
+            return _Q194_OUT.empty_table()
+        vc = pc.value_counts(t["resolution"])
+        return pa.table({
+            "resolution": vc.field("values").cast(pa.string()),
+            "n_questions": vc.field("counts").cast(pa.int64()),
+        })
+
+    from ..functions.grouping import bucketed_sum
+
+    return bucketed_sum(res.map_batches(partial, batch_format="pyarrow"),
+                        ["resolution"], "n_questions", "n_questions",
+                        num_buckets=2, engine="exchange") \
+        .sort("resolution")
+
+
+def _sql_q194() -> str:
+    return f"""
+WITH rsv AS ({_sql_q191()})
+SELECT resolution, CAST(COUNT(*) AS BIGINT) AS n_questions
+FROM rsv GROUP BY resolution ORDER BY resolution
+"""
+
+
 _Q193_OUT = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                        ("worker_id", pa.int64()),
                        ("reason", pa.string())])
@@ -1800,4 +1840,5 @@ QUERIES = {
     "q191_crowd_adjudication": (q191_crowd_adjudication, _sql_q191()),
     "q192_worker_stats": (q192_worker_stats, _sql_q192()),
     "q193_reject_republish": (q193_reject_republish, _sql_q193()),
+    "q194_vote_summary": (q194_vote_summary, _sql_q194()),
 }

@@ -101,3 +101,15 @@ def test_reject_republish_matches_definition(answers, ray_session):
     assert got[["a", "b", "worker_id"]].reset_index(drop=True) \
         .equals(want)
     assert len(got) > 0      # fixture exercises the reject arm
+
+
+def test_vote_summary_conserves_questions(ray_session):
+    from pboh_entity_linking_ray.pipelines.er import (
+        q191_crowd_adjudication, q194_vote_summary)
+
+    res = q191_crowd_adjudication(SF).to_pandas()
+    summ = q194_vote_summary(SF).to_pandas()
+    assert summ["n_questions"].sum() == len(res)
+    want = res["resolution"].value_counts().to_dict()
+    got = dict(zip(summ["resolution"], summ["n_questions"]))
+    assert got == want
