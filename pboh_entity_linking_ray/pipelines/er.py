@@ -996,6 +996,45 @@ FROM rsv GROUP BY resolution ORDER BY resolution
 """
 
 
+_Q195_OUT = pa.schema([("n_answers", pa.int64()),
+                       ("n_questions", pa.int64())])
+
+
+def q195_answers_histogram(sf_dir: str):
+    """The reference's answers-per-question histogram ("k workers per
+    question: v questions", eval/aturk/InterpretAmazonTurkResults.
+    scala:127-139) — the coverage readout that decides whether the HIT
+    batch needs republishing.  Per-batch value-counts over q191's
+    per-question n_answers → ONE ≤|levels|-row keyed sum."""
+    import pyarrow.compute as pc
+
+    res = q191_crowd_adjudication(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_answers" not in t.column_names:
+            return _Q195_OUT.empty_table()
+        vc = pc.value_counts(t["n_answers"])
+        return pa.table({
+            "n_answers": vc.field("values").cast(pa.int64()),
+            "n_questions": vc.field("counts").cast(pa.int64()),
+        })
+
+    from ..functions.grouping import bucketed_sum
+
+    return bucketed_sum(res.map_batches(partial, batch_format="pyarrow"),
+                        ["n_answers"], "n_questions", "n_questions",
+                        num_buckets=2, engine="exchange") \
+        .sort("n_answers")
+
+
+def _sql_q195() -> str:
+    return f"""
+WITH rsv AS ({_sql_q191()})
+SELECT n_answers, CAST(COUNT(*) AS BIGINT) AS n_questions
+FROM rsv GROUP BY n_answers ORDER BY n_answers
+"""
+
+
 _Q193_OUT = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                        ("worker_id", pa.int64()),
                        ("reason", pa.string())])
@@ -1841,4 +1880,5 @@ QUERIES = {
     "q192_worker_stats": (q192_worker_stats, _sql_q192()),
     "q193_reject_republish": (q193_reject_republish, _sql_q193()),
     "q194_vote_summary": (q194_vote_summary, _sql_q194()),
+    "q195_answers_histogram": (q195_answers_histogram, _sql_q195()),
 }

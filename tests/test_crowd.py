@@ -113,3 +113,13 @@ def test_vote_summary_conserves_questions(ray_session):
     want = res["resolution"].value_counts().to_dict()
     got = dict(zip(summ["resolution"], summ["n_questions"]))
     assert got == want
+
+
+def test_answers_histogram_matches_lottery(answers, ray_session):
+    from pboh_entity_linking_ray.pipelines.er import q195_answers_histogram
+
+    got = q195_answers_histogram(SF).to_pandas()
+    want = answers.groupby(["a", "b"]).size().value_counts().sort_index()
+    assert dict(zip(got["n_answers"], got["n_questions"])) == \
+        {int(k): int(v) for k, v in want.items()}
+    assert got["n_answers"].between(2, 5).all()
