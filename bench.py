@@ -276,7 +276,7 @@ OPS_DEFAULT = [
     "link_cluster_labels", "q181_seasonality", "als_conv_factors", "q182_powerlaw", "q183_group_mode", "kmv_jaccard", "q184_backtest", "q185_service_level", "q186_fano", "q187_conversion_window", "link_threshold_sensitivity", "q188_nysiis_blocking", "link_block_histogram", "q189_ratio_metric",
     "q190_dup_spans", "q191_crowd_adjudication", "q192_worker_stats",
     "q193_reject_republish", "q194_vote_summary",
-    "q195_answers_histogram",
+    "q195_answers_histogram", "link_rank_histogram",
     "link_lbp_convergence",
 ]
 

@@ -1003,6 +1003,126 @@ def link_scorer_lbp_differential(sf_dir: str):
                                _labels(sf_dir), cfg, baseline="lbp")
 
 
+RANK_BUCKETS = ((1, 1), (2, 2), (3, 3), (4, 8), (9, 16), (17, 32),
+                (33, 64))   # reference bucket scheme,
+                            # eval/cweb/GlobalCountersCWEB.scala:50-58
+
+
+def link_rank_histogram(sf_dir: str):
+    """Candidate-rank histogram (SURVEY §2 G10; reference
+    GlobalCountersCWEB.scala:24-66): for every labeled TRUE pair, where
+    does its counterpart rank among the query conversation's scored
+    candidates, sorted by score desc (ties: partner id asc — the
+    reference sorts its candidate list the same way)?  Buckets 1, 2, 3,
+    4-8, 9-16, 17-32, 33-64, >64, plus ``not_in_candidates`` — labeled
+    pairs the blocking stage never surfaced (the reference's
+    numGoogleEntsNotInCandidatesList counter, its blocking-miss
+    diagnostic).  Rows-only: the candidate set is the pipeline's own
+    output, not SQL-derivable; conservation + planted-rank invariants
+    pinned in pytest.
+
+    Shape: labeled positives broadcast once as packed keys (evaluation
+    labels are O(labeled pairs), small by construction); scored pairs
+    re-keyed to BOTH endpoints through ONE conv-keyed exchange whose
+    fold sorts each conversation's candidates and emits ≤|buckets|
+    partials; one tiny keyed sum closes it."""
+    import pyarrow.compute as pc
+
+    from ..functions.grouping import bucketed_sum, hash_exchange
+    from ..functions.hashing import pack_pairs_np
+
+    res, _ = _run(sf_dir)
+    labels = _labels(sf_dir)
+    lt = labels.filter(pc.equal(labels["is_match"], True))
+
+    def _conv_num(col) -> np.ndarray:
+        """'conv-000834' → 834 (vectorized suffix parse)."""
+        return np.char.partition(
+            np.asarray(col, dtype=str), "-")[:, 2].astype(np.int64)
+
+    la = _conv_num(lt["conv_a"])
+    lb = _conv_num(lt["conv_b"])
+    pos_keys = np.sort(pack_pairs_np(
+        np.minimum(la, lb).astype(np.uint64),
+        np.maximum(la, lb).astype(np.uint64)).view(np.int64))
+    keys_ref = ray.put(pos_keys)
+    n_pos = len(pos_keys)
+
+    _ROWS = pa.schema([("q", pa.int64()), ("p", pa.int64()),
+                       ("score_e9", pa.int64())])
+
+    def rekey(t: pa.Table) -> pa.Table:
+        """Each scored pair becomes two (query conv, partner, score)
+        rows — the per-conversation candidate lists."""
+        if t.num_rows == 0 or "conv_a" not in t.column_names:
+            return _ROWS.empty_table()
+        a = np.char.partition(
+            np.asarray(t["conv_a"], dtype=str), "-")[:, 2].astype(np.int64)
+        b = np.char.partition(
+            np.asarray(t["conv_b"], dtype=str), "-")[:, 2].astype(np.int64)
+        s = np.floor(np.asarray(t["score"]) * 1e9 + 0.5).astype(np.int64)
+        return pa.table({
+            "q": pa.array(np.concatenate([a, b])),
+            "p": pa.array(np.concatenate([b, a])),
+            "score_e9": pa.array(np.concatenate([s, s])),
+        })
+
+    names = [f"{lo}" if lo == hi else f"{lo}-{hi}"
+             for lo, hi in RANK_BUCKETS] + [">64"]
+
+    _PART = pa.schema([("bucket", pa.string()), ("n", pa.int64())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "q" not in t.column_names:
+            return _PART.empty_table()
+        q = np.asarray(t["q"], dtype=np.int64)
+        p = np.asarray(t["p"], dtype=np.int64)
+        s = np.asarray(t["score_e9"], dtype=np.int64)
+        # rank within each query conv: score desc, partner asc
+        order = np.lexsort((p, -s, q))
+        qs = q[order]
+        newseg = np.r_[True, qs[1:] != qs[:-1]]
+        seg_first = np.maximum.accumulate(
+            np.where(newseg, np.arange(len(qs)), 0))
+        rank = np.arange(len(qs)) - seg_first + 1          # 1-based
+        # keep only the labeled-true (q, p) rows
+        keys = ray.get(keys_ref)
+        pk = pack_pairs_np(
+            np.minimum(qs, p[order]).astype(np.uint64),
+            np.maximum(qs, p[order]).astype(np.uint64)).view(np.int64)
+        pos = np.searchsorted(keys, pk)
+        hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)]
+                                   == pk)
+        r = rank[hit]
+        if not len(r):
+            return _PART.empty_table()
+        bidx = np.full(len(r), len(RANK_BUCKETS), dtype=np.int64)
+        for i in range(len(RANK_BUCKETS) - 1, -1, -1):
+            lo, hi = RANK_BUCKETS[i]
+            bidx[(r >= lo) & (r <= hi)] = i
+        cnt = np.bincount(bidx, minlength=len(names)).astype(np.int64)
+        live = cnt > 0
+        return pa.table({
+            "bucket": pa.array(np.array(names, dtype=object)[live]),
+            "n": pa.array(cnt[live]),
+        })
+
+    import pandas as pd
+
+    cand_rows = res.scored.map_batches(rekey, batch_format="pyarrow")
+    partials = hash_exchange(cand_rows, "q", fold, num_buckets=16)
+    hist = bucketed_sum(partials, ["bucket"], "n", "n", num_buckets=2,
+                        engine="exchange").to_pandas()
+    # each labeled pair is ranked from BOTH endpoints (the reference
+    # counts per mention; a pair = two mentions)
+    found = int(hist["n"].sum())
+    missing = 2 * n_pos - found
+    out = pd.concat([hist, pd.DataFrame(
+        [{"bucket": "not_in_candidates", "n": missing}])],
+        ignore_index=True)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
 def link_lbp_convergence(sf_dir: str):
     """Per-pair-size LBP convergence report (rows-only: telemetry of the
     pipeline's own inference loop, not SQL-derivable) — the reference's
@@ -2020,6 +2140,7 @@ QUERIES = {
     "link_scorer_differential": (link_scorer_differential, None),
     "link_scorer_lbp_differential": (link_scorer_lbp_differential, None),
     "link_lbp_convergence": (link_lbp_convergence, None),
+    "link_rank_histogram": (link_rank_histogram, None),
     "link_cluster_digest": (link_cluster_digest, None),
     "link_cluster_quality": (link_cluster_quality, None),
     "link_incremental": (link_incremental, None),
