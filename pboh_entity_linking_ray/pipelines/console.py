@@ -77,7 +77,10 @@ def link_one(transcript, base: LinkageResult,
     turns = _as_turns_table(transcript)
     conv_id = turns["conv_id"][0].as_py()
 
-    inc = run_incremental(base, ray.data.from_arrow(turns), cfg)
+    # sort_output=False: this call only FILTERS the assignment table,
+    # so the final O(corpus) conv_id sort would be pure overhead
+    inc = run_incremental(base, ray.data.from_arrow(turns), cfg,
+                          sort_output=False)
 
     pairs = inc.scored.to_pandas()
     if "conv_a" not in pairs.columns:      # no candidate pair at all —

@@ -70,10 +70,16 @@ def _tag(ds: ray.data.Dataset, flag: int) -> ray.data.Dataset:
 def run_incremental(base: LinkageResult, new_turns: ray.data.Dataset,
                     cfg: PipelineConfig | None = None,
                     num_buckets: int = 64,
-                    checkpoint_root: str | None = None) -> IncrementalResult:
+                    checkpoint_root: str | None = None,
+                    sort_output: bool = True) -> IncrementalResult:
     """Link ``new_turns`` against ``base`` (a completed ``run_linkage``
     result, in-memory or checkpoint-backed) and return clusters over the
     UNION of conversations.
+
+    ``sort_output=False`` skips the final O(corpus) conv_id sort of the
+    assignment table — the right call for consumers that only FILTER it
+    (the one-shot ``link_one``); batch folds keep the sorted contract
+    (deterministic checkpoint bytes).
 
     ``checkpoint_root`` extends the flagship resume contract to the
     incremental path: each stage (inc_conv_docs / inc_features /
@@ -145,18 +151,74 @@ def run_incremental(base: LinkageResult, new_turns: ray.data.Dataset,
         scored = scored.materialize()
     matches = scored.filter(expr="is_match")
 
-    # union graph: base assignments as label edges + new match edges
-    base_edges = base.clusters.map_batches(
-        lambda t: pa.table({"conv_a": t["conv_id"],
-                            "conv_b": t["cluster_id"]}),
+    # union graph = base assignments as label edges + new match edges,
+    # but an UNTOUCHED base cluster (no member in any new match edge)
+    # cannot change labels — its component is disjoint from every new
+    # edge and its id is already the component min.  So CC runs over the
+    # TOUCHED region only: new convs + members of clusters adjacent to a
+    # match; everything else streams through unrelabeled.  Two filters
+    # over base.clusters (no shuffle) replace the O(corpus) union CC —
+    # this is what makes the one-shot `link_one` call O(touched) end to
+    # end on a billion-conversation base.
+    import pyarrow.compute as pc
+
+    # distinct OLD endpoints of the match edges (small: O(matches))
+    def endpoints(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "conv_a" not in t.column_names:
+            return pa.table({"conv_id": pa.array([], type=pa.string())})
+        vals = pa.concat_arrays([
+            t["conv_a"].combine_chunks().cast(pa.string()),
+            t["conv_b"].combine_chunks().cast(pa.string())])
+        return pa.table({"conv_id": pc.unique(vals)})
+
+    def _col_set(ds, col) -> set:
+        # a fully-empty map output has ZERO columns (CLAUDE.md trap)
+        t = _concat_ds(ds)
+        return set(t[col].to_pylist()) if col in t.column_names else set()
+
+    m_ends = _col_set(matches.map_batches(
+        endpoints, batch_format="pyarrow"), "conv_id")
+    new_ids = _col_set(new_features.select_columns(["conv_id"]), "conv_id")
+    old_ends = pa.array(sorted(m_ends - new_ids), type=pa.string())
+
+    # touched base cluster ids (≤ |old endpoints| rows reach the driver)
+    touched_cl = pa.array(sorted(_col_set(base.clusters.map_batches(
+        lambda t: (t.filter(pc.is_in(t["conv_id"], value_set=old_ends))
+                   .select(["cluster_id"])
+                   if t.num_rows and "conv_id" in t.column_names
+                   else pa.table({"cluster_id": pa.array(
+                       [], type=pa.string())})),
+        batch_format="pyarrow"), "cluster_id")), type=pa.string())
+
+    def split(keep_touched: bool):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "cluster_id" not in t.column_names:
+                return pa.schema([("conv_id", pa.string()),
+                                  ("cluster_id", pa.string())]) \
+                    .empty_table()
+            m = pc.is_in(t["cluster_id"], value_set=touched_cl)
+            return t.filter(m if keep_touched else pc.invert(m)) \
+                .select(["conv_id", "cluster_id"])
+
+        return base.clusters.map_batches(f, batch_format="pyarrow")
+
+    members = split(True).materialize()      # touched members, small
+    member_edges = members.map_batches(
+        lambda t: (pa.table({"conv_a": t["conv_id"],
+                             "conv_b": t["cluster_id"]})
+                   if "conv_id" in t.column_names else
+                   pa.schema([("conv_a", pa.string()),
+                              ("conv_b", pa.string())]).empty_table()),
         batch_format="pyarrow")
-    universe = base.features.select_columns(["conv_id"]).union(
-        new_features.select_columns(["conv_id"]))
-    clusters = runner.run(
-        "inc_clusters",
-        lambda: cluster_matches(
-            matches.select_columns(["conv_a", "conv_b"]).union(base_edges),
-            universe).sort("conv_id"))
+    universe_small = new_features.select_columns(["conv_id"]).union(
+        members.select_columns(["conv_id"]))
+    def _assemble():
+        out = cluster_matches(
+            matches.select_columns(["conv_a", "conv_b"])
+            .union(member_edges), universe_small).union(split(False))
+        return out.sort("conv_id") if sort_output else out
+
+    clusters = runner.run("inc_clusters", _assemble)
 
     return IncrementalResult(new_features, pairs, scored, matches,
                              clusters, n_new)
