@@ -139,3 +139,40 @@ def test_incremental_resume_byte_identical(ray_session, tmp_path):
     second = run_incremental(base, new_ds, checkpoint_root=root) \
         .clusters.to_pandas().sort_values("conv_id").to_csv(index=False)
     assert second == first
+
+
+def test_touched_region_cc_equals_full_union_cc(ray_session):
+    """The round-5 touched-region optimization is EXACT: clusters from
+    the restricted CC (members of match-adjacent base clusters + new
+    convs, untouched rows passed through) must equal CC over the full
+    union graph (base label edges ∪ match edges) row for row."""
+    import ray.data as rd
+
+    from pboh_entity_linking_ray.functions.hashing import hash_strings_u64
+    from pboh_entity_linking_ray.pipelines.incremental import run_incremental
+    from pboh_entity_linking_ray.pipelines.linkage import run_linkage
+    from pboh_entity_linking_ray.sources.synthetic import generate_corpus
+    from pboh_entity_linking_ray.stages.clustering import cluster_matches
+
+    corpus = generate_corpus(200, 11)
+    turns = corpus.turns
+    is_new = pa.array((hash_strings_u64(turns["conv_id"])
+                       % np.uint64(4)) == 0)
+    base = run_linkage(rd.from_arrow(turns.filter(
+        pa.compute.invert(is_new))))
+    inc = run_incremental(base, rd.from_arrow(turns.filter(is_new)))
+    got = inc.clusters.to_pandas().sort_values("conv_id") \
+        .reset_index(drop=True)
+
+    # the pre-optimization definition: CC over the FULL union graph
+    base_edges = base.clusters.map_batches(
+        lambda t: pa.table({"conv_a": t["conv_id"],
+                            "conv_b": t["cluster_id"]}),
+        batch_format="pyarrow")
+    universe = base.clusters.select_columns(["conv_id"]).union(
+        inc.new_features.select_columns(["conv_id"]))
+    want = cluster_matches(
+        inc.matches.select_columns(["conv_a", "conv_b"]).union(base_edges),
+        universe).to_pandas().sort_values("conv_id").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(got, want)
