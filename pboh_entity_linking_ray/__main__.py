@@ -71,6 +71,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="optional labeled-pairs parquet for P/R/F1")
     ap.add_argument("--match-threshold", type=float, default=None,
                     help="override the scorer match threshold")
+    ap.add_argument("--scorer", default=None,
+                    help="pair scorer from stages.scoring.SCORERS: "
+                         "full (max-product closed form, default) | "
+                         "lbp (sum-product loopy BP) | stringsim — the "
+                         "reference CLI's max-product|sum-product "
+                         "argument (el/EL_LBP_Spark.scala:102-127)")
     ap.add_argument("--link-one", default=None, metavar="TRANSCRIPT",
                     help="parquet file holding ONE conversation's turns: "
                          "link it against the flagship base run built from "
@@ -150,6 +156,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.match_threshold is not None:
         cfg = replace(cfg, weights=replace(cfg.weights,
                                            match_threshold=args.match_threshold))
+    if args.scorer is not None:
+        from .stages.scoring import SCORERS
+
+        if args.scorer not in SCORERS:
+            print(json.dumps({"error": f"unknown scorer {args.scorer!r}",
+                              "available": sorted(SCORERS)}),
+                  file=sys.stderr)
+            return 2
+        cfg = replace(cfg, scorer=args.scorer)
 
     from .sources import read_turns
 

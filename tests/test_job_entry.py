@@ -75,3 +75,25 @@ def test_json_default_unwraps_numpy_scalars():
     s = json.dumps({"n": np.int64(8123), "ok": np.bool_(True),
                     "x": np.float64(0.5)}, default=_json_default)
     assert json.loads(s) == {"n": 8123, "ok": True, "x": 0.5}
+
+
+def test_scorer_cli_flag(ray_session, tmp_path, capsys):
+    """--scorer selects the inference mode — the reference CLI's
+    max-product|sum-product argument (el/EL_LBP_Spark.scala:102-127)."""
+    c = generate_corpus(60, 42)
+    turns_p = str(tmp_path / "turns.parquet")
+    labels_p = str(tmp_path / "labels.parquet")
+    pq.write_table(c.turns, turns_p)
+    pq.write_table(c.labels, labels_p)
+
+    rc = main(["--input", turns_p, "--output", str(tmp_path / "out_lbp"),
+               "--labels", labels_p, "--scorer", "lbp"])
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["eval"]["f1"] >= 0.99
+
+    rc2 = main(["--input", turns_p, "--output", str(tmp_path / "oops"),
+                "--scorer", "nonsense"])
+    assert rc2 == 2
+    err = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert err["available"] == ["full", "lbp", "stringsim"]
