@@ -123,3 +123,18 @@ def test_answers_histogram_matches_lottery(answers, ray_session):
     assert dict(zip(got["n_answers"], got["n_questions"])) == \
         {int(k): int(v) for k, v in want.items()}
     assert got["n_answers"].between(2, 5).all()
+
+
+def test_crowd_answers_deterministic_rerun(ray_session):
+    """The lottery is a pure per-row md5 function of the question key:
+    two independent executions of the full lazy pipeline must produce
+    the identical answer multiset (the determinism clause every
+    md5-lottery op promises)."""
+    from pboh_entity_linking_ray.pipelines.er import _crowd_answers
+
+    base = _crowd_answers(SF).to_pandas()
+    again = _crowd_answers(SF).to_pandas()
+    cols = list(base.columns)
+    a = base.sort_values(cols).reset_index(drop=True)
+    b = again.sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
