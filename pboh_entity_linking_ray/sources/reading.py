@@ -77,12 +77,39 @@ def _filter_cols_outside(flt, sch, columns) -> list:
             and re.search(rf"\b{re.escape(f.name)}\b", s)]
 
 
-def read_parquet_clean(paths, *, columns=None, schema=None, **kw):
+def _unified_schema(paths):
+    """Metadata-free union-by-name schema over EVERY file footer —
+    pyarrow/Ray default to the FIRST fragment's schema, so a directory
+    whose newer shards accreted columns fails outright.  Driver-side
+    cost is one footer read per file (small, but O(files): callers
+    opt in via ``union_by_name=True``)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+
+    schemas = [frag.physical_schema.remove_metadata()
+               for frag in pds.dataset(paths).get_fragments()]
+    uni = pa.unify_schemas(schemas)
+    return pa.schema([f.remove_metadata() for f in uni])
+
+
+def read_parquet_clean(paths, *, columns=None, schema=None,
+                       union_by_name: bool = False, **kw):
     """``ray.data.read_parquet`` with hashable (metadata-free) schemas.
 
     Same signature and semantics; only adds a stripped ``schema=`` when
-    the caller didn't pass one and the file footer carries metadata."""
+    the caller didn't pass one and the file footer carries metadata.
+    ``union_by_name=True`` additionally unifies DIVERGENT file schemas
+    (schema evolution: newer shards with extra columns) and null-fills
+    the missing columns on old rows — the plain reader raises."""
     drop_after = None
+    if schema is None and union_by_name:
+        schema = _unified_schema(paths)
+        if columns is not None:
+            import pyarrow as pa
+
+            keep = [schema.field(c) for c in columns
+                    if schema.get_field_index(c) >= 0]
+            schema = pa.schema(keep)
     if schema is None:
         sch = _stripped_schema(paths)
         flt = kw.get("filter")

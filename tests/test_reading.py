@@ -107,3 +107,29 @@ def test_caller_schema_wins(clean_file, ray_session):
     sch = pa.schema([("a", pa.int64()), ("b", pa.string())])
     df = read_parquet_clean(clean_file, schema=sch).to_pandas()
     assert len(df) == 3
+
+
+def test_schema_evolution_union_by_name(tmp_path_factory, ray_session):
+    """A 100 TB table accretes columns over time: a directory holding an
+    OLD shard (a, b) and a NEW shard (a, b, c) must read as one dataset
+    with c null-filled on old rows — through the metadata-clean wrapper."""
+    d = str(tmp_path_factory.mktemp("evolve"))
+    pq.write_table(pa.table({"a": pa.array([1, 2], type=pa.int64()),
+                             "b": pa.array(["x", "y"])}),
+                   f"{d}/old.parquet")
+    pq.write_table(pa.table({"a": pa.array([3], type=pa.int64()),
+                             "b": pa.array(["z"]),
+                             "c": pa.array([7], type=pa.int64())}),
+                   f"{d}/new.parquet")
+    # (the plain reader's behavior here depends on which fragment Ray
+    # samples first — observed ArrowInvalid when the narrow shard wins;
+    # union_by_name makes the read order-independent)
+    df = read_parquet_clean(d, union_by_name=True).to_pandas() \
+        .sort_values("a").reset_index(drop=True)
+    assert list(df["a"]) == [1, 2, 3]
+    assert df["c"].isna().tolist() == [True, True, False]
+    # and a projected read that includes the evolved column
+    df2 = read_parquet_clean(d, columns=["a", "c"], union_by_name=True) \
+        .to_pandas().sort_values("a").reset_index(drop=True)
+    assert df2["c"].isna().tolist() == [True, True, False]
+    assert list(df2.columns) == ["a", "c"]
