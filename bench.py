@@ -277,6 +277,7 @@ OPS_DEFAULT = [
     "q190_dup_spans", "q191_crowd_adjudication", "q192_worker_stats",
     "q193_reject_republish", "q194_vote_summary",
     "q195_answers_histogram", "link_rank_histogram",
+    "q196_schema_evolution_read",
     "link_lbp_convergence",
 ]
 

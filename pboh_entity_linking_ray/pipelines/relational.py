@@ -2372,6 +2372,99 @@ GROUP BY event_type
 """
 
 
+# --- q196: schema-evolution read (union-by-name over divergent shards) -----
+
+
+def _evolving_shards(sf_dir: str) -> tuple[str, str]:
+    """Deterministic two-shard table with a schema break, built once
+    beside the sf dir's cache (atomic tmp+rename): the OLD shard holds
+    (doc_id, n_chars) of the even documents, the NEW shard adds the
+    ``lang`` column for the odd ones — the accreted-column layout every
+    long-lived 100 TB table ends up with."""
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = f"/tmp/pboh_ray_evolving/{tag}"
+    old_p, new_p = f"{d}/old.parquet", f"{d}/new.parquet"
+    if not (os.path.exists(old_p) and os.path.exists(new_p)):
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "n_chars", "lang"])
+        even = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+        odd = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1))
+        tmp = d + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(even.select(["doc_id", "n_chars"]),
+                       f"{tmp}/old.parquet")
+        pq.write_table(odd.select(["doc_id", "n_chars", "lang"]),
+                       f"{tmp}/new.parquet")
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        if os.path.exists(d):
+            import shutil
+
+            shutil.rmtree(d)
+        os.replace(tmp, d)
+    return old_p, new_p
+
+
+def q196_schema_evolution_read(sf_dir: str):
+    """Schema-evolved read as an operator: a shard directory whose newer
+    files accreted a ``lang`` column reads as ONE dataset via
+    ``read_parquet_clean(union_by_name=True)`` (old rows null-filled),
+    then a per-lang rollup — nulls folding into 'unknown' — proves every
+    row of both generations survived.  DuckDB's
+    ``read_parquet(union_by_name=true)`` is the exact twin."""
+    import polars as pl
+
+    from ..functions.grouping import bucketed_sum_multi
+    from ..sources.reading import read_parquet_clean
+
+    old_p, new_p = _evolving_shards(sf_dir)
+    ds = read_parquet_clean(os.path.dirname(old_p), union_by_name=True)
+
+    _PART = pa.schema([("lang", pa.string()), ("n_docs", pa.int64()),
+                       ("sum_chars", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return _PART.empty_table()
+        lang = t["lang"] if "lang" in t.column_names else pa.nulls(
+            t.num_rows, type=pa.string())
+        df = pl.DataFrame({
+            "lang": pl.from_arrow(pa.chunked_array([lang.combine_chunks()])
+                                  if isinstance(lang, pa.ChunkedArray)
+                                  else pa.chunked_array([lang])),
+            "n_chars": np.asarray(t["n_chars"], dtype=np.int64)})
+        out = (df.with_columns(pl.col("lang").fill_null("unknown"))
+               .group_by("lang")
+               .agg(n_docs=pl.len().cast(pl.Int64),
+                    sum_chars=pl.col("n_chars").sum().cast(pl.Int64)))
+        return out.to_arrow().cast(_PART)
+
+    return bucketed_sum_multi(
+        ds.map_batches(partial, batch_format="pyarrow"), ["lang"],
+        {"n_docs": "n_docs", "sum_chars": "sum_chars"}, num_buckets=2,
+        engine="exchange").sort("lang")
+
+
+EVOLVE_SQL_DIR = "/tmp/pboh_ray_evolving/sf0.01"   # the driver's
+                                                   # compare scale; the
+                                                   # sf0.001 pytest
+                                                   # path-rewrites it
+
+
+def _sql_q196() -> str:
+    # shard files are a deterministic function of the sf documents
+    # table, built by the Ray query before either engine reads them
+    return f"""
+SELECT COALESCE(lang, 'unknown') AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM read_parquet(['{EVOLVE_SQL_DIR}/old.parquet',
+                   '{EVOLVE_SQL_DIR}/new.parquet'], union_by_name=true)
+GROUP BY 1 ORDER BY lang
+"""
+
+
 # --- q116: snapshot diff (dataset-versioning added/deleted/changed) --------
 
 DIFF_ABSENT = -1          # sentinel for "no value on this side"
@@ -2927,6 +3020,7 @@ QUERIES = {
     "q150_rfm_segments": (q150_rfm_segments, SQL_Q150),
     "q153_langid_confusion": (q153_langid_confusion, _sql_q153()),
     "q116_snapshot_diff": (q116_snapshot_diff, SQL_Q116),
+    "q196_schema_evolution_read": (q196_schema_evolution_read, _sql_q196()),
     "q02_customer_revenue": (q02_customer_revenue, SQL_Q02),
     "q03_top_parts": (q03_top_parts, SQL_Q03),
     "q04_events_hourly": (q04_events_hourly, SQL_Q04),

@@ -21,7 +21,10 @@ def _local_sql(sql: str) -> str:
     sql = sql.replace(linkage_queries._SQL_TURNS,
                       f"{local}/turns.parquet/*.parquet")
     # other corpus-relative files (e.g. turn_lines.parquet) share the dir
-    return sql.replace(corpus_dir(linkage_queries.CORPUS_CACHE, 2000), local)
+    sql = sql.replace(corpus_dir(linkage_queries.CORPUS_CACHE, 2000), local)
+    # q196's evolving shards are keyed by the sf basename
+    return sql.replace("/tmp/pboh_ray_evolving/sf0.01",
+                       "/tmp/pboh_ray_evolving/sf0.001")
 
 
 @pytest.mark.parametrize("name", sorted(PAIRED))
