@@ -22,10 +22,12 @@ min-of-reps estimates the uncontended capability at each level.
 
 The default pair is 2→8 because the single VM's MEMORY BANDWIDTH is a
 shared, fixed resource the way it never is across cluster NODES: the
---hwcal triad sweep measures aggregate streaming bandwidth of 8.3 / 15.5
-/ 27.0 / 29.9 GB/s at 2 / 4 / 8 / 16 pinned cores — i.e. the hardware
-itself scales 0.81× ideal from 2→8 and only 0.48× from 4→16, before any
-framework or algorithm enters.  On a real N→4N NODE cluster each node
+--hwcal triad sweep measured 8.3 / 15.5 / 27.0 / 29.9 GB/s at
+2 / 4 / 8 / 16 pinned cores in the round-2 window (a round-5 quiet
+window read 28.6 / 48.9 / 76.7 / 113.6 — absolute levels swing 3-4×
+with co-tenant load, the 2→8 RATIO is the stable signal) — i.e. the
+hardware itself scales ~0.6-0.8× ideal from 2→8 and roughly half that
+from 4→16, before any framework or algorithm enters.  On a real N→4N NODE cluster each node
 brings its own memory controllers, so bandwidth scales with N; emulating
 node counts with core counts is only faithful while the VM's ~30 GB/s
 wall is out of reach at BOTH levels — true for 2→8, false for 4→16.  The
